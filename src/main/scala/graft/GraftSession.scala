@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * Tuned for correctness-at-scale first (AQE on, skew-join handling on,
+  * UTC everywhere) and for local[N] testing second (shuffle partitions
+  * sized to cores, not the 200 default). On a real cluster the same
+  * settings hold: AQE coalesces the 32-partition default up or down at
+  * runtime from map-output statistics, so the static number only seeds
+  * the initial plan.
+  */
+object GraftSession {
+
+  /** Apply engine defaults onto any builder (local or cluster). */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // 128 MiB split targets: one task per parquet row-group cluster,
+      // keeps 100 TB scans at ~800k tasks instead of millions of tiny ones.
+      .config("spark.sql.files.maxPartitionBytes", "134217728")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / tools. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(), appName: String = "graft"): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      shufflePartitions = math.max(cores, 4)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

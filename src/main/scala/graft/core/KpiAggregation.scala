@@ -1,0 +1,67 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.schema.TripSchemas
+
+/** Daily fare KPIs (SURVEY.md §2.5 A1-A6).
+  *
+  * The reference computes the five metrics as five separate Spark jobs
+  * over the same DataFrame (reference:
+  * src/glue_scripts/daily_kpi_aggregation.py:113-117) — five scans. The
+  * engine computes all of them in ONE `agg`: Catalyst plans a single
+  * partial+final HashAggregate pair, so a 100 TB day is read once.
+  *
+  * All arithmetic stays in DoubleType; the reference's float32 cast
+  * (daily_kpi_aggregation.py:93-96) is a published-value artifact, not a
+  * semantic (BASELINE.md records both value sets).
+  */
+object KpiAggregation {
+
+  /** The five fare KPIs as aggregate columns over `fare_amount`. */
+  def kpiColumns(fare: Column): Seq[Column] = Seq(
+    sum(fare).as("total_fare"),
+    count(lit(1)).as("count_trips"),
+    avg(fare).as("average_fare"),
+    max(fare).as("max_fare"),
+    min(fare).as("min_fare")
+  )
+
+  /** A6 generalized form: per-date KPIs over completed trips. One
+    * shuffle on `date`; map-side partial aggregation makes the shuffle
+    * five doubles per date per task regardless of input size.
+    */
+  def dailyKpis(trips: DataFrame): DataFrame =
+    trips
+      .where(col("status") === TripSchemas.StatusCompleted)
+      .groupBy(col("date"))
+      .agg(kpiColumns(col("fare_amount")).head, kpiColumns(col("fare_amount")).tail: _*)
+
+  /** The reference's exact job: one day, global aggregate
+    * (F1 partition prune + F2 status filter + A1-A5).
+    */
+  def kpisForDate(trips: DataFrame, date: String): DataFrame =
+    trips
+      .where(col("date") === to_date(lit(date)) &&
+        col("status") === TripSchemas.StatusCompleted)
+      .agg(kpiColumns(col("fare_amount")).head, kpiColumns(col("fare_amount")).tail: _*)
+
+  /** KPI output document: the nested JSON envelope the reference
+    * publishes (reference: daily_kpi_aggregation.py:120-125; schema in
+    * FIXTURES.md §4). One row per day.
+    */
+  def kpiDocument(dailyKpis: DataFrame): DataFrame =
+    dailyKpis.select(
+      date_format(col("date"), "yyyy-MM-dd").as("date"),
+      struct(
+        date_format(col("date"), "yyyy-MM-dd").as("trip_date"),
+        col("total_fare"),
+        col("count_trips"),
+        col("average_fare"),
+        col("max_fare"),
+        col("min_fare")
+      ).as("metrics"),
+      date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("timestamp")
+    )
+}

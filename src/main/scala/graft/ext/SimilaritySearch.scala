@@ -1,0 +1,176 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — one scan, no shuffle except the
+  * final k-row ordering; on a cluster each partition computes local
+  * scores and only top candidates survive the TakeOrderedAndProject.
+  *
+  * Scale path: LSH (random hyperplane) bucketing — candidates share a
+  * signature bucket, so the scan narrows to a hash lookup + in-bucket
+  * scoring, trading recall for a ~buckets× cheaper probe. An IVF-style
+  * variant (coarse centroids learned on a driver-side sample) gives the
+  * same effect with better geometry for clustered data.
+  *
+  * All arithmetic is done in double after casting the float vectors up:
+  * deterministic, and matches DuckDB's double-precision oracle.
+  */
+object SimilaritySearch {
+
+  /** Dot product of two array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of an array column, in double. */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity of two array columns, in double. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force top-k by cosine against one literal query vector.
+    * Ties broken by id for determinism. Excludes `excludeId` (typically
+    * the query's own row).
+    */
+  def topKByCosine(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val q = typedLit(query)
+    val scored = df
+      .select(col(idCol), cosine(col(vecCol), q).as("cosine_sim"))
+    val filtered = excludeId.fold(scored)(x => scored.where(col(idCol) =!= x))
+    filtered.orderBy(col("cosine_sim").desc, col(idCol).asc).limit(k)
+  }
+
+  /** Batch k-NN: top-k neighbors for every row of `queries` (a small
+    * DataFrame broadcast to every executor). Output: (query_id, id,
+    * cosine_sim, rank). The big side streams once; no O(n²) shuffle.
+    */
+  def topKJoin(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryId).as("query_id"), col(queryVec).as("__qv")))
+    val scored = corpus
+      .select(col(corpusId).as("id"), col(corpusVec).as("__cv"))
+      .crossJoin(q)
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cosine_sim", cosine(col("__cv"), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "id", "cosine_sim", "rank")
+  }
+
+  // -------------------------------------------------------------------
+  // LSH (random hyperplane) bucketing
+  // -------------------------------------------------------------------
+
+  /** Deterministic pseudo-random hyperplanes: component d of plane p is
+    * a uniform value in [-1, 1) derived from (seed, p, d) by hashing —
+    * reproducible across runs and executors with no RNG state.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    def u(p: Int, d: Int): Double = {
+      var h = seed ^ (p.toLong * 0x9E3779B97F4A7C15L) ^ (d.toLong * 0xC2B2AE3D27D4EB4FL)
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      h *= 0xC4CEB9FE1A85EC53L; h ^= h >>> 33
+      (h.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+    }
+    (0 until numPlanes).map(p => (0 until dim).map(d => u(p, d)))
+  }
+
+  /** Sign-bucket of a vector against the hyperplanes: bit p is set iff
+    * dot(vec, plane_p) >= 0. 16 planes → 65k buckets.
+    */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (plane, p) =>
+      when(dot(vec, typedLit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k via LSH: only candidates in the query's bucket
+    * are scored. Cheap and recall-lossy by design; raise `numPlanes`
+    * for smaller buckets, lower it for higher recall.
+    */
+  def annTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      numPlanes: Int = 8,
+      seed: Long = 42L,
+      excludeId: Option[Long] = None): DataFrame = {
+    val planes = hyperplanes(numPlanes, query.size, seed)
+    val qBucket = planes.zipWithIndex.map { case (plane, p) =>
+      val d = plane.zip(query).map { case (a, b) => a * b }.sum
+      if (d >= 0) 1L << p else 0L
+    }.sum
+    val bucketed = df.where(lshBucket(col(vecCol), planes) === qBucket)
+    topKByCosine(bucketed, idCol, vecCol, query, k, excludeId)
+  }
+
+  /** Near-duplicate pairs by embedding cosine ≥ `minCosine`, LSH-blocked:
+    * pairs must agree on the bucket, then exact cosine verifies. With p
+    * planes, recall for cosine≥c pairs is (1-θ/π)^p per probe where
+    * θ=arccos(c); at c=0.95, p=8 → ~0.77 — document and tune.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double = 0.95,
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val withBucket = df.select(
+      col(idCol).as("__id"), col(vecCol).as("__v"),
+      lshBucket(col(vecCol), planes).as("__bucket"))
+    val a = withBucket.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("__va"))
+    val b = withBucket.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("__vb"))
+    a.join(b, Seq("__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim", cosine(col("__va"), col("__vb")))
+      .where(col("cosine_sim") >= minCosine)
+      .select("id_a", "id_b", "cosine_sim")
+      .distinct()
+  }
+
+  /** Exact brute-force near-dup pairs (for tests / recall measurement —
+    * O(n²), never the scale path).
+    */
+  def bruteForceNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim", cosine(col("__va"), col("__vb")))
+      .where(col("cosine_sim") >= minCosine)
+      .select("id_a", "id_b", "cosine_sim")
+  }
+}

@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` column
+  * algebra — codegen-friendly, no UDFs, no driver round-trips — so each
+  * operator runs inside WholeStageCodegen per partition and scales
+  * linearly with input splits. The reference has no text surface
+  * (SURVEY.md §2.8); these are the north-star extensions.
+  */
+object TextAnalysis {
+
+  /** Lowercase, collapse non-alphanumerics to single spaces, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Whitespace tokens of the raw text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, single digits, and punctuation
+    * marks each count as one token — a deterministic stand-in for a BPE
+    * pre-tokenizer's piece count.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Ratio of punctuation/symbol characters (not letter/digit/space). */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** Mean token length in characters. */
+  def avgTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(tokens(text)).cast("double")
+
+  /** Fraction of tokens that are common English stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = LangId.stopwords("en")): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(sw, t))).cast("double") /
+      size(tokens(text)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: rewards stopword presence and
+    * sane token lengths, penalizes punctuation soup and very short
+    * docs. Deterministic closed form — a cheap first-pass filter ahead
+    * of model-based scoring.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(64.0), lit(1.0)) // saturates at 64 tokens
+    val swScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * lit(4.0), lit(0.0))
+    val wordShape = greatest(
+      lit(1.0) - abs(avgTokenLen(text) - lit(5.0)) / lit(10.0), lit(0.0))
+    round(lenScore * lit(0.3) + swScore * lit(0.3) +
+      punctPenalty * lit(0.2) + wordShape * lit(0.2), 6)
+  }
+
+  /** Exact full-document fingerprint: md5 of the normalized text.
+    * Stable across engines and runs; the key for exact dedup at scale
+    * (group/shuffle on the 32-hex key instead of the full document).
+    */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  /** Winnowing-style shingle fingerprint: the k smallest 64-bit hashes
+    * of the document's character n-grams, as a sorted array. Robust to
+    * local edits (an edit perturbs only the shingles that overlap it) —
+    * the building block for near-dup detection without MinHash's fixed
+    * signature width.
+    */
+  def shingleFingerprint(text: Column, n: Int = 8, k: Int = 16): Column = {
+    val norm = normalize(text)
+    val idx = sequence(lit(1), greatest(length(norm) - lit(n - 1), lit(1)))
+    val hashes = transform(idx, i => xxhash64(norm.substr(i, lit(n))))
+    slice(array_sort(array_distinct(hashes)), 1, k)
+  }
+}
+
+/** Heuristic language identification via stopword-hit scoring.
+  *
+  * For each candidate language, score = number of tokens that are in
+  * that language's small stopword list; predict the argmax with a fixed
+  * tie-break order, or "und" if nothing matches. Deterministic, pure
+  * column algebra (higher-order `filter` over the token array) — no
+  * model, no UDF; the shape a real n-gram classifier would take with a
+  * bigger table.
+  */
+object LangId {
+
+  /** Candidate order is also the tie-break order. */
+  val langs: Seq[String] = Seq("en", "es", "de", "fr", "zh")
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu", "den", "mit"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "人", "这", "不")
+  )
+
+  /** Per-language stopword hit count over the lowercased token array. */
+  def score(text: Column, lang: String): Column = {
+    val sw = array(stopwords(lang).map(lit): _*)
+    size(filter(TextAnalysis.tokens(lower(text)), t => array_contains(sw, t)))
+  }
+
+  /** Predicted language code, or "und" when no stopword hits at all. */
+  def langId(text: Column): Column = {
+    val scores = langs.map(l => l -> score(text, l))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((l, s), els) =>
+      when(s === best, lit(l)).otherwise(els)
+    }
+    // foldRight means earlier langs win ties; "und" only when best == 0.
+    when(best === 0, lit("und")).otherwise(pick)
+  }
+}

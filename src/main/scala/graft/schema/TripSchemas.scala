@@ -1,0 +1,165 @@
+package graft.schema
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.types._
+
+/** Canonical schemas of the trip-event domain.
+  *
+  * Derived from the reference's CSV headers and Lambda projections
+  * (reference: data/trip_start.csv:1, data/trip_end.csv:1,
+  * src/lambda_functions/trip_processor.py:43-52,66-76). All money /
+  * measure columns are DoubleType — the reference's float32 cast
+  * (src/glue_scripts/daily_kpi_aggregation.py:93-96) is a precision bug
+  * we deliberately do not copy (SURVEY.md §6).
+  */
+object TripSchemas {
+
+  val tripStartSchema: StructType = StructType(Seq(
+    StructField("trip_id", StringType, nullable = false),
+    StructField("pickup_location_id", IntegerType, nullable = true),
+    StructField("dropoff_location_id", IntegerType, nullable = true),
+    StructField("vendor_id", IntegerType, nullable = true),
+    StructField("pickup_datetime", TimestampType, nullable = true),
+    StructField("estimated_dropoff_datetime", TimestampType, nullable = true),
+    StructField("estimated_fare_amount", DoubleType, nullable = true)
+  ))
+
+  val tripEndSchema: StructType = StructType(Seq(
+    StructField("trip_id", StringType, nullable = false),
+    StructField("dropoff_datetime", TimestampType, nullable = true),
+    StructField("rate_code", IntegerType, nullable = true),
+    StructField("passenger_count", IntegerType, nullable = true),
+    StructField("trip_distance", DoubleType, nullable = true),
+    StructField("fare_amount", DoubleType, nullable = true),
+    StructField("tip_amount", DoubleType, nullable = true),
+    StructField("payment_type", IntegerType, nullable = true),
+    StructField("trip_type", IntegerType, nullable = true)
+  ))
+
+  /** The four end-side telemetry columns that are null together in the
+    * reference data; a null quad marks an incomplete end event that must
+    * not complete a trip (SURVEY.md F4).
+    */
+  val telemetryQuad: Seq[String] =
+    Seq("rate_code", "passenger_count", "payment_type", "trip_type")
+
+  /** Unified stored-trip record: start fields + nullable end fields +
+    * derived `date` (partition column) and `status` lifecycle.
+    * (reference: README.md:73-80, DynamoDB TripData item shape.)
+    */
+  val tripRecordSchema: StructType = StructType(
+    tripStartSchema.fields.toSeq ++
+      tripEndSchema.fields.toSeq.filterNot(_.name == "trip_id") ++ Seq(
+        StructField("date", DateType, nullable = true),
+        StructField("status", StringType, nullable = false)
+      )
+  )
+
+  val StatusStarted = "Started"
+  val StatusCompleted = "Completed"
+  val StatusExpired = "Expired" // engine extension: evicted by state timeout
+}
+
+/** Typed row of a trip-start event. */
+final case class TripStart(
+    trip_id: String,
+    pickup_location_id: Option[Int],
+    dropoff_location_id: Option[Int],
+    vendor_id: Option[Int],
+    pickup_datetime: Option[Timestamp],
+    estimated_dropoff_datetime: Option[Timestamp],
+    estimated_fare_amount: Option[Double])
+
+/** Typed row of a trip-end event. */
+final case class TripEnd(
+    trip_id: String,
+    dropoff_datetime: Option[Timestamp],
+    rate_code: Option[Int],
+    passenger_count: Option[Int],
+    trip_distance: Option[Double],
+    fare_amount: Option[Double],
+    tip_amount: Option[Double],
+    payment_type: Option[Int],
+    trip_type: Option[Int]) {
+
+  /** F4: the all-or-nothing telemetry quad — an end event with a null
+    * quad never completes a trip (SURVEY.md §2.3 F4).
+    */
+  def telemetryComplete: Boolean =
+    rate_code.isDefined && passenger_count.isDefined &&
+      payment_type.isDefined && trip_type.isDefined
+}
+
+/** Union event for the streaming correlator: exactly one of start/end
+  * is set; `kind` tags the originating stream (SURVEY.md S5).
+  */
+final case class TripEvent(
+    trip_id: String,
+    kind: String, // "start" | "end"
+    start: Option[TripStart],
+    end: Option[TripEnd])
+
+object TripEvent {
+  val KindStart = "start"
+  val KindEnd = "end"
+  def ofStart(s: TripStart): TripEvent = TripEvent(s.trip_id, KindStart, Some(s), None)
+  def ofEnd(e: TripEnd): TripEvent = TripEvent(e.trip_id, KindEnd, None, Some(e))
+}
+
+/** Correlated trip record (the DynamoDB TripData analog). */
+final case class TripRecord(
+    trip_id: String,
+    pickup_location_id: Option[Int],
+    dropoff_location_id: Option[Int],
+    vendor_id: Option[Int],
+    pickup_datetime: Option[Timestamp],
+    estimated_dropoff_datetime: Option[Timestamp],
+    estimated_fare_amount: Option[Double],
+    dropoff_datetime: Option[Timestamp],
+    rate_code: Option[Int],
+    passenger_count: Option[Int],
+    trip_distance: Option[Double],
+    fare_amount: Option[Double],
+    tip_amount: Option[Double],
+    payment_type: Option[Int],
+    trip_type: Option[Int],
+    date: Option[java.sql.Date],
+    status: String)
+
+object TripRecord {
+  /** Project a start event into a fresh Started record, deriving `date`
+    * from pickup time (reference: README.md:34,44; SURVEY.md §1.3 —
+    * deployed behavior, not the committed Lambda which omitted it).
+    */
+  def ofStart(s: TripStart): TripRecord = TripRecord(
+    trip_id = s.trip_id,
+    pickup_location_id = s.pickup_location_id,
+    dropoff_location_id = s.dropoff_location_id,
+    vendor_id = s.vendor_id,
+    pickup_datetime = s.pickup_datetime,
+    estimated_dropoff_datetime = s.estimated_dropoff_datetime,
+    estimated_fare_amount = s.estimated_fare_amount,
+    dropoff_datetime = None, rate_code = None, passenger_count = None,
+    trip_distance = None, fare_amount = None, tip_amount = None,
+    payment_type = None, trip_type = None,
+    date = s.pickup_datetime.map(t => java.sql.Date.valueOf(
+      t.toLocalDateTime.toLocalDate)),
+    status = TripSchemas.StatusStarted
+  )
+
+  /** Merge an end event onto a stored record — the put_item overwrite
+    * analog (reference: trip_processor.py:65-78). Last-write-wins.
+    */
+  def complete(r: TripRecord, e: TripEnd): TripRecord = r.copy(
+    dropoff_datetime = e.dropoff_datetime,
+    rate_code = e.rate_code,
+    passenger_count = e.passenger_count,
+    trip_distance = e.trip_distance,
+    fare_amount = e.fare_amount,
+    tip_amount = e.tip_amount,
+    payment_type = e.payment_type,
+    trip_type = e.trip_type,
+    status = TripSchemas.StatusCompleted
+  )
+}
