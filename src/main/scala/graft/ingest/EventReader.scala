@@ -25,13 +25,21 @@ object EventReader {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(path)
 
-  /** S2: trip-end CSV scan with explicit schema. */
+  /** S2: trip-end CSV scan. The physical schema follows the file's
+    * column order (Spark binds explicit CSV schemas positionally) and
+    * reads the telemetry quad as double — the file stores `5.0`-style
+    * floats; we then cast to the logical IntegerType and reorder to the
+    * canonical [[TripSchemas.tripEndSchema]] shape.
+    */
   def readTripEnds(spark: SparkSession, path: String): DataFrame =
     spark.read
-      .schema(TripSchemas.tripEndSchema)
+      .schema(TripSchemas.tripEndCsvSchema)
       .option("header", "true")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(path)
+      .select(TripSchemas.tripEndSchema.fields.map { f =>
+        col(f.name).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
 
   def tripStarts(spark: SparkSession, path: String): Dataset[TripStart] = {
     import spark.implicits._

@@ -37,6 +37,24 @@ object TripSchemas {
     StructField("trip_type", IntegerType, nullable = true)
   ))
 
+  /** Physical schema of `data/trip_end.csv` — Spark binds explicit CSV
+    * schemas POSITIONALLY, so field order must match the file's header
+    * order (reference: data/trip_end.csv:1), and the telemetry quad is
+    * stored as `5.0`-style floats that IntegerType cannot parse: read as
+    * DoubleType first, cast in a projection (FIXTURES.md §2).
+    */
+  val tripEndCsvSchema: StructType = StructType(Seq(
+    StructField("dropoff_datetime", TimestampType, nullable = true),
+    StructField("rate_code", DoubleType, nullable = true),
+    StructField("passenger_count", DoubleType, nullable = true),
+    StructField("trip_distance", DoubleType, nullable = true),
+    StructField("fare_amount", DoubleType, nullable = true),
+    StructField("tip_amount", DoubleType, nullable = true),
+    StructField("payment_type", DoubleType, nullable = true),
+    StructField("trip_type", DoubleType, nullable = true),
+    StructField("trip_id", StringType, nullable = false)
+  ))
+
   /** The four end-side telemetry columns that are null together in the
     * reference data; a null quad marks an incomplete end event that must
     * not complete a trip (SURVEY.md F4).
