@@ -1,13 +1,550 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.KpiAggregation
+import graft.ext.{Dedup, Multimodal, SimilaritySearch, TextAnalysis, LangId}
+
+/** Driver contract — one named query per implemented operator family
+  * (SURVEY.md §2 + the LLM-pipeline extensions), each with a DuckDB
+  * oracle twin in [[oracleSql]] run by the driver on the same parquet
+  * tables at sf0.01.
+  *
+  * Determinism rules (FIXTURES.md §6): every query output carries an
+  * explicit ORDER BY-equivalent sort; DoubleType everywhere; no raw
+  * timestamp outputs (cast to date/string); column names aliased
+  * identically in Spark and SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark only reads as raw nanos (legacy nanosAsLong conf); convert to
+    * a micros TimestampType column (truncation — DuckDB's native
+    * nanos→micros read truncates identically).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** The events table reshaped as a trips-like frame so the KPI
+    * operators (A1-A6, F1/F2) run over harness data: `error` events play
+    * the incomplete (`Started`) role the null-quad trips play in the
+    * reference feed.
+    */
+  private def eventsAsTrips(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      to_date(col("ts")).as("date"),
+      when(col("event_type") === "error", graft.schema.TripSchemas.StatusStarted)
+        .otherwise(graft.schema.TripSchemas.StatusCompleted).as("status"),
+      col("value").as("fare_amount"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    KpiAggregation.dailyKpis(eventsAsTrips(spark, "/root/testdata/sf0.001"))
+      .orderBy("date")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/S9/F-family/P12: scan + pushed filter + projection + computed column
+    "q01_scan_filter_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1998-01-01") && col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // A1-A5: the five fare KPIs in ONE pass (vs the reference's 5 jobs)
+    "q02_kpi_global" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.agg(KpiAggregation.kpiColumns(col("l_extendedprice")).head,
+        KpiAggregation.kpiColumns(col("l_extendedprice")).tail: _*)
+    }),
+
+    // A6: grouped aggregation, multiple aggregates, one shuffle
+    "q03_agg_grouped" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_price"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // A6/F2/P7: per-date KPIs over the trips-shaped events table
+    "q04_daily_kpis" -> ((s, dir) =>
+      KpiAggregation.dailyKpis(eventsAsTrips(s, dir)).orderBy(col("date"))),
+
+    // F1/F2/A1-A5: the reference's exact daily job (partition-pruned day)
+    "q05_kpi_single_date" -> ((s, dir) =>
+      KpiAggregation.kpisForDate(eventsAsTrips(s, dir), "2024-01-15")),
+
+    // J1: inner equi-join + grouped rollup
+    "q06_join_inner" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // J3: anti join (the reference's warned-and-dropped set)
+    "q07_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // F3-shape: semi join (existence gate)
+    "q08_join_semi" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").where(col("l_quantity") >= 45)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // J1 at depth: 4-way join, small dims broadcast
+    "q09_join_multi" -> ((s, dir) => {
+      val r = broadcast(t(s, dir, "region"))
+      val n = broadcast(t(s, dir, "nation"))
+      val c = broadcast(t(s, dir, "customer"))
+      val o = t(s, dir, "orders")
+      r.join(n, r("r_regionkey") === n("n_regionkey"))
+        .join(c, n("n_nationkey") === c("c_nationkey"))
+        .join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("r_name"))
+    }),
+
+    // §2.6: top-k (TakeOrderedAndProject, no global sort)
+    "q10_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // Window ranking (engine extension; zero-custom-code in Spark)
+    "q11_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rank"))
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
+
+    // Distinct aggregates
+    "q12_count_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag"))),
+
+    // A7: describe/summary analog, single-pass
+    "q13_stats_summary" -> ((s, dir) =>
+      KpiAggregation.numericSummary(t(s, dir, "orders"),
+        Seq("o_totalprice", "o_custkey")).orderBy(col("col_name"))),
+
+    // Set ops
+    "q14_set_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.where(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .intersect(o.where(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // JSON column ops over events.props (SURVEY.md §7.2 step 4)
+    "q15_json_extract" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("int")).as("sum_k"))
+        .orderBy(col("event_type"))),
+
+    // P8: previous-day computation (anchored to the data's max ts)
+    "q16_prev_day" -> ((s, dir) =>
+      events(s, dir).agg(max(col("ts")).as("m"))
+        .select(KpiAggregation.previousDay(col("m")).as("prev_day"))),
+
+    // Exact dedup, row-keeping form (null-safe fingerprint)
+    "q17_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Exact dedup, group view (multi-column key)
+    "q18_dedup_groups" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), Seq("lang", "source"), "doc_id")
+        .orderBy(col("lang"), col("source"))),
+
+    // Document fingerprinting (md5 of normalized text)
+    "q19_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // Token counting: whitespace + BPE-ish
+    "q20_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
+        .orderBy(col("doc_id"))),
+
+    // Composite quality score (pure column algebra)
+    "q21_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // Language ID (stopword-hit heuristic), rolled up
+    "q22_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(LangId.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred"))),
+
+    // Brute-force cosine top-k against one query vector
+    "q23_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      SimilaritySearch.topKByCosine(e, "vec_id", "embedding", q, 10, excludeId = Some(0L))
+        .select(col("vec_id"), col("cosine_sim"))
+    }),
+
+    // Embedding near-dup pairs, exact (oracle-checkable form)
+    "q24_embedding_neardup" -> ((s, dir) =>
+      SimilaritySearch.bruteForceNearDupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Batch k-NN via the bounded-heap top-k aggregate
+    "q25_topk_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      SimilaritySearch.topKJoin(e, "vec_id", "embedding", q, "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Multimodal envelope metadata (no-decode fast path)
+    "q26_envelope_meta" -> ((s, dir) =>
+      Multimodal.envelopeMeta(
+          Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("content_md5"))
+        .orderBy(col("media_id"))),
+
+    // Exact unigram Jaccard near-dup pairs (inverted-index join)
+    "q27_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 1, minJaccard = 0.8, maxDocFreq = 0L)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // MinHash LSH near-dup pairs (banded candidates + signature verify)
+    "q28_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.7, numHashes = 64, bands = 16, shingleSize = 1)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // SimHash near-dup pairs (16-bit chunk pigeonhole blocking)
+    "q29_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Duplicate clustering: distributed connected components
+    "q30_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 1, minJaccard = 0.8, maxDocFreq = 0L)
+      Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs)
+        .orderBy(col("id"))
+    }),
+
+    // LSH ANN top-k (recall-lossy scale path)
+    "q31_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      SimilaritySearch.annTopK(e, "vec_id", "embedding", q, 10,
+          numPlanes = 4, excludeId = Some(0L))
+        .select(col("vec_id"), col("cosine_sim"))
+    }),
+
+    // Multimodal decode plumbing (stub decoder, real pipeline)
+    "q32_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeFeatures(media)
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"), col("duration_ms"))
+        .orderBy(col("media_id"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. q28-q32 are omitted deliberately:
+    * xxhash64/LSH-seed/FNV arithmetic has no DuckDB twin (driver records
+    * the weaker rows-only check).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         l_extendedprice * (1 - l_discount) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_returnflag = 'A'
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q02_kpi_global" ->
+      """SELECT sum(l_extendedprice) AS total_fare, count(*) AS count_trips,
+         avg(l_extendedprice) AS average_fare, max(l_extendedprice) AS max_fare,
+         min(l_extendedprice) AS min_fare FROM lineitem""",
+
+    "q03_agg_grouped" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         sum(l_extendedprice) AS sum_price, avg(l_discount) AS avg_disc,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q04_daily_kpis" ->
+      """SELECT CAST(ts AS DATE) AS date, sum(value) AS total_fare,
+         count(*) AS count_trips, avg(value) AS average_fare,
+         max(value) AS max_fare, min(value) AS min_fare
+         FROM events WHERE event_type <> 'error'
+         GROUP BY CAST(ts AS DATE) ORDER BY date""",
+
+    "q05_kpi_single_date" ->
+      """SELECT sum(value) AS total_fare, count(*) AS count_trips,
+         avg(value) AS average_fare, max(value) AS max_fare,
+         min(value) AS min_fare
+         FROM events
+         WHERE event_type <> 'error' AND CAST(ts AS DATE) = DATE '2024-01-15'""",
+
+    "q06_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q07_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+
+    "q08_join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+         ORDER BY o_orderkey""",
+
+    "q09_join_multi" ->
+      """SELECT r_name, count(*) AS n_orders, sum(o_totalprice) AS revenue
+         FROM region
+         JOIN nation ON r_regionkey = n_regionkey
+         JOIN customer ON n_nationkey = c_nationkey
+         JOIN orders ON c_custkey = o_custkey
+         GROUP BY r_name ORDER BY r_name""",
+
+    "q10_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q11_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rank
+           FROM orders)
+         WHERE rank <= 3 ORDER BY o_custkey, rank""",
+
+    "q12_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q13_stats_summary" ->
+      """SELECT 'o_totalprice' AS col_name, count(o_totalprice) AS count,
+              avg(o_totalprice) AS mean, stddev_samp(o_totalprice) AS stddev,
+              CAST(min(o_totalprice) AS DOUBLE) AS min,
+              CAST(max(o_totalprice) AS DOUBLE) AS max FROM orders
+         UNION ALL
+         SELECT 'o_custkey', count(o_custkey), avg(o_custkey),
+              stddev_samp(o_custkey), CAST(min(o_custkey) AS DOUBLE),
+              CAST(max(o_custkey) AS DOUBLE) FROM orders
+         ORDER BY col_name""",
+
+    "q14_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_custkey""",
+
+    "q15_json_extract" ->
+      """SELECT event_type,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q16_prev_day" ->
+      """SELECT strftime(CAST(max(ts) AS DATE) - INTERVAL 1 DAY, '%Y-%m-%d') AS prev_day
+         FROM events""",
+
+    "q17_dedup_exact" ->
+      """SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars,
+                  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn = 1 ORDER BY doc_id""",
+
+    "q18_dedup_groups" ->
+      """SELECT lang, source, min(doc_id) AS representative, count(*) AS n_copies
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
+
+    "q19_fingerprint" ->
+      """SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+
+    "q20_token_counts" ->
+      """SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish
+         FROM documents ORDER BY doc_id""",
+
+    "q21_quality_score" ->
+      """WITH x AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+             length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE
+               / length(text)::DOUBLE AS punct_ratio
+           FROM documents),
+         y AS (
+           SELECT doc_id,
+             len(toks)::DOUBLE AS ntok,
+             len(list_filter(ltoks, t -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], t)))::DOUBLE
+               / len(toks)::DOUBLE AS sw_ratio,
+             list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+               / len(toks)::DOUBLE AS avg_len,
+             punct_ratio
+           FROM x)
+         SELECT doc_id, round(
+             least(ntok / 64.0, 1.0) * 0.3
+           + least(sw_ratio * 4.0, 1.0) * 0.3
+           + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2
+           + greatest(1.0 - abs(avg_len - 5.0) / 10.0, 0.0) * 0.2, 6) AS quality
+         FROM y ORDER BY doc_id""",
+
+    "q22_lang_id" ->
+      """WITH x AS (
+           SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT
+             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS s_en,
+             len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','los','se','del','las'], t))) AS s_es,
+             len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','zu','den','mit'], t))) AS s_de,
+             len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], t))) AS s_fr,
+             len(list_filter(toks, t -> list_contains(['的','是','在','了','我','有','和','人','这','不'], t))) AS s_zh
+           FROM x),
+         p AS (
+           SELECT CASE
+             WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+             WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+             WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+             ELSE 'zh' END AS lang_pred
+           FROM s)
+         SELECT lang_pred, count(*) AS n FROM p
+         GROUP BY lang_pred ORDER BY lang_pred""",
+
+    "q23_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         z AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+                      unnest(q.qe)::DOUBLE AS y
+               FROM embeddings e, q WHERE e.vec_id <> 0),
+         c AS (SELECT vec_id,
+                      sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cosine_sim
+               FROM z GROUP BY vec_id)
+         SELECT vec_id, cosine_sim FROM c
+         ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
+
+    "q24_embedding_neardup" ->
+      """WITH z AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      unnest(a.embedding)::DOUBLE AS x,
+                      unnest(b.embedding)::DOUBLE AS y
+               FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+         c AS (SELECT id_a, id_b,
+                      sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cosine_sim
+               FROM z GROUP BY id_a, id_b)
+         SELECT id_a, id_b, cosine_sim FROM c
+         WHERE cosine_sim >= 0.4 ORDER BY id_a, id_b""",
+
+    "q25_topk_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                    FROM embeddings WHERE vec_id < 5),
+         z AS (SELECT q.query_id, e.vec_id AS id,
+                      unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+               FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         c AS (SELECT query_id, id,
+                      sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cosine_sim
+               FROM z GROUP BY query_id, id),
+         r AS (SELECT query_id, id, cosine_sim,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine_sim DESC, id) AS rank
+               FROM c)
+         SELECT query_id, id, cosine_sim, rank FROM r
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q26_envelope_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS content_md5
+         FROM documents ORDER BY media_id""",
+
+    "q27_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id,
+                      list_distinct(regexp_split_to_array(
+                        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                        ' ')) AS words
+               FROM documents),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      len(list_intersect(a.words, b.words))::DOUBLE AS c,
+                      len(a.words)::DOUBLE AS na, len(b.words)::DOUBLE AS nb
+               FROM w a, w b WHERE a.doc_id < b.doc_id)
+         SELECT id_a, id_b, c / (na + nb - c) AS jaccard FROM p
+         WHERE c / (na + nb - c) >= 0.8 ORDER BY id_a, id_b"""
+  )
+
+  /** Headline bench subset: every query that is sf0.1-safe by design
+    * (the brute-force O(n²) oracle-twin forms q24/q27/q30 are excluded —
+    * their scale paths q28/q29/q31 run instead).
+    */
+  def benchQueries: Seq[String] = Seq(
+    "q01_scan_filter_project", "q02_kpi_global", "q03_agg_grouped",
+    "q04_daily_kpis", "q05_kpi_single_date", "q06_join_inner",
+    "q07_join_anti", "q08_join_semi", "q09_join_multi", "q10_topk",
+    "q11_window_rank", "q12_count_distinct", "q13_stats_summary",
+    "q14_set_intersect", "q15_json_extract", "q16_prev_day",
+    "q17_dedup_exact", "q18_dedup_groups", "q19_fingerprint",
+    "q20_token_counts", "q21_quality_score", "q22_lang_id",
+    "q23_cosine_topk", "q25_topk_join", "q26_envelope_meta",
+    "q28_minhash_pairs", "q29_simhash_pairs", "q31_ann_topk",
+    "q32_multimodal_features")
 }

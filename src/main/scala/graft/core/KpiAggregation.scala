@@ -47,6 +47,41 @@ object KpiAggregation {
         col("status") === TripSchemas.StatusCompleted)
       .agg(kpiColumns(col("fare_amount")).head, kpiColumns(col("fare_amount")).tail: _*)
 
+  /** P8: previous-day string, `yyyy-MM-dd` (reference:
+    * daily_kpi_aggregation.py:33-36 — `datetime.now() - timedelta(1)`).
+    * Pass a different `asOf` for deterministic tests.
+    */
+  def previousDay(asOf: Column = current_date()): Column =
+    date_format(date_sub(asOf.cast("date"), 1), "yyyy-MM-dd")
+
+  /** A7: `describe(include='all')` analog (reference: eda.ipynb cells
+    * 6-7). Spark's own `df.summary()` is the direct passthrough; this
+    * variant is the deterministic, oracle-friendly form — one row per
+    * column with count/mean/stddev/min/max, computed in a single pass
+    * (one agg, 5·k aggregate expressions, then an unpivot).
+    */
+  def numericSummary(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = columns.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__count"),
+        avg(col(c)).as(s"${c}__mean"),
+        stddev_samp(col(c)).as(s"${c}__stddev"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = columns.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"${c}__count").as("count"),
+        col(s"${c}__mean").as("mean"),
+        col(s"${c}__stddev").as("stddev"),
+        col(s"${c}__min").as("min"),
+        col(s"${c}__max").as("max"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** KPI output document: the nested JSON envelope the reference
     * publishes (reference: daily_kpi_aggregation.py:120-125; schema in
     * FIXTURES.md §4). One row per day.

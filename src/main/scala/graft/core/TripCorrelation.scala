@@ -46,10 +46,21 @@ object TripCorrelation {
     */
   def correlate(starts: DataFrame, ends: DataFrame, faithful: Boolean = true): DataFrame = {
     val gatedEnds = if (faithful) ends.where(telemetryComplete(ends)) else ends
+    // Redelivered / duplicate end events: the reference's put_item keeps
+    // exactly one record per trip (last write wins, trip_processor.py:78).
+    // Keep the latest dropoff per trip_id so a duplicate feed cannot
+    // multiply join output rows.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("trip_id"))
+      .orderBy(col("dropoff_datetime").desc_nulls_last, col("fare_amount").desc_nulls_last)
+    val dedupedEnds = gatedEnds
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
     // left join keeps every start (Started until completed), drops
     // unmatched ends — exactly the reference's store-then-merge shape.
     starts
-      .join(gatedEnds, Seq("trip_id"), "left_outer")
+      .join(dedupedEnds, Seq("trip_id"), "left_outer")
       .withColumn("date", to_date(col("pickup_datetime")))
       .withColumn(
         "status",
@@ -80,19 +91,26 @@ object TripCorrelation {
     * Completed on merge) — Update output semantics, last-write-wins at
     * the sink, exactly the reference's put_item overwrite.
     *
-    * State is bounded: with `timeoutMs > 0` a group that stays
-    * incomplete is evicted and emitted once with status `Expired` — the
-    * fix for the reference's unbounded DynamoDB table (SURVEY.md §7.4.2).
+    * State is bounded by EVENT time: with `timeoutMs > 0` the input is
+    * watermarked on `event_ts` (`watermarkDelay` tolerates the
+    * producer's 5-minute start/end skew, send_to_kinesis.py:73-75) and a
+    * group that stays incomplete past watermark+timeout is evicted and
+    * emitted once with status `Expired` — the fix for the reference's
+    * unbounded DynamoDB table (SURVEY.md §7.4.2). Event-time, not
+    * wall-clock: a backlog replay advances the watermark with the data,
+    * so trips never expire mid-replay.
     */
   def correlateStream(
       events: Dataset[TripEvent],
       faithful: Boolean = true,
-      timeoutMs: Long = 0L): Dataset[TripRecord] = {
+      timeoutMs: Long = 0L,
+      watermarkDelay: String = "10 minutes"): Dataset[TripRecord] = {
     import events.sparkSession.implicits._
-    val timeoutConf =
-      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
-      else GroupStateTimeout.NoTimeout
-    events
+    val (input, timeoutConf) =
+      if (timeoutMs > 0)
+        (events.withWatermark("event_ts", watermarkDelay), GroupStateTimeout.EventTimeTimeout)
+      else (events, GroupStateTimeout.NoTimeout)
+    input
       .groupByKey(_.trip_id)
       .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
         processGroup(faithful, timeoutMs))
@@ -145,7 +163,11 @@ object TripCorrelation {
       }
       if (st.record.isDefined || st.bufferedEnd.isDefined) {
         state.update(st)
-        if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+        // Event-time timeout: fire once the watermark passes
+        // (current watermark + timeoutMs). Monotone per trigger, always
+        // strictly ahead of the watermark as the API requires.
+        if (timeoutMs > 0)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeoutMs)
       }
       out.result().iterator
     }
@@ -159,7 +181,7 @@ object TripCorrelation {
       ev: TripEvent,
       faithful: Boolean): (CorrelationState, Seq[TripRecord]) = ev match {
 
-    case TripEvent(_, TripEvent.KindStart, Some(s), _) =>
+    case TripEvent(_, TripEvent.KindStart, Some(s), _, _) =>
       // put_item overwrite: a duplicate start resets the record
       // (last-write-wins, trip_processor.py:54).
       val rec = TripRecord.ofStart(s)
@@ -171,7 +193,7 @@ object TripCorrelation {
           (st.copy(record = Some(rec)), Seq(rec))
       }
 
-    case TripEvent(_, TripEvent.KindEnd, _, Some(e)) =>
+    case TripEvent(_, TripEvent.KindEnd, _, Some(e), _) =>
       st.record match {
         case Some(rec) =>
           if (faithful && !e.telemetryComplete) (st, Nil) // F4: stays Started

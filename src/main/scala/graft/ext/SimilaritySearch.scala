@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -53,9 +54,34 @@ object SimilaritySearch {
     filtered.orderBy(col("cosine_sim").desc, col(idCol).asc).limit(k)
   }
 
+  /** One scored neighbor candidate. */
+  final case class Scored(id: Long, score: Double)
+
+  /** Bounded-heap top-k typed aggregate (SURVEY.md §7.3): each task
+    * keeps at most k candidates per query, merged map-side before the
+    * shuffle — so the exchange carries O(tasks · k) rows per query
+    * instead of the full n·q scored cross-product that a row_number
+    * window would sort and shuffle.
+    */
+  final class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def ord(s: Scored): (Double, Long) = (-s.score, s.id)
+    private val tOrd = implicitly[Ordering[(Double, Long)]]
+    override def zero: Seq[Scored] = Nil
+    override def reduce(buf: Seq[Scored], a: Scored): Seq[Scored] =
+      if (buf.size < k || tOrd.lt(ord(a), ord(buf.last))) (a +: buf).sortBy(ord).take(k)
+      else buf
+    override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
+      (b1 ++ b2).sortBy(ord).take(k)
+    override def finish(b: Seq[Scored]): Seq[Scored] = b.sortBy(ord)
+    override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+  }
+
   /** Batch k-NN: top-k neighbors for every row of `queries` (a small
     * DataFrame broadcast to every executor). Output: (query_id, id,
-    * cosine_sim, rank). The big side streams once; no O(n²) shuffle.
+    * cosine_sim, rank). The big side streams once; the per-query state
+    * is a k-element heap with map-side combine — no window sort over the
+    * cross-product (ids must be integral; they are carried as long).
     */
   def topKJoin(
       corpus: DataFrame,
@@ -65,19 +91,28 @@ object SimilaritySearch {
       queryId: String,
       queryVec: String,
       k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val q = broadcast(queries.select(
-      col(queryId).as("query_id"), col(queryVec).as("__qv")))
+      col(queryId).cast("long").as("query_id"), col(queryVec).as("__qv")))
     val scored = corpus
-      .select(col(corpusId).as("id"), col(corpusVec).as("__cv"))
+      .select(col(corpusId).cast("long").as("id"), col(corpusVec).as("__cv"))
       .crossJoin(q)
       .where(col("id") =!= col("query_id"))
-      .withColumn("cosine_sim", cosine(col("__cv"), col("__qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("id").asc)
+      .select(col("query_id"), col("id"),
+        cosine(col("__cv"), col("__qv")).as("cosine_sim"))
+      .as[(Long, Long, Double)]
+    val agg = new TopKAgg(k).toColumn
     scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "id", "cosine_sim", "rank")
+      .groupByKey(_._1)
+      .mapValues(r => Scored(r._2, r._3))
+      .agg(agg.name("top"))
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case (s, i) =>
+          (qid, s.id, s.score, (i + 1).toLong)
+        }
+      }
+      .toDF("query_id", "id", "cosine_sim", "rank")
   }
 
   // -------------------------------------------------------------------
@@ -141,9 +176,19 @@ object SimilaritySearch {
       vecCol: String,
       minCosine: Double = 0.95,
       numPlanes: Int = 8,
-      dim: Int = 64,
+      dim: Int = -1,
       seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim, seed)
+    // dim <= 0: derive from the data (one 1-row job) — a mismatched
+    // literal dim would null-poison every zip_with dot product.
+    val d =
+      if (dim > 0) dim
+      else df.select(size(col(vecCol))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    if (d == 0) {
+      import df.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cosine_sim")
+    }
+    val planes = hyperplanes(numPlanes, d, seed)
     val withBucket = df.select(
       col(idCol).as("__id"), col(vecCol).as("__v"),
       lshBucket(col(vecCol), planes).as("__bucket"))

@@ -32,14 +32,20 @@ object EventReader {
     * canonical [[TripSchemas.tripEndSchema]] shape.
     */
   def readTripEnds(spark: SparkSession, path: String): DataFrame =
-    spark.read
-      .schema(TripSchemas.tripEndCsvSchema)
-      .option("header", "true")
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-      .csv(path)
-      .select(TripSchemas.tripEndSchema.fields.map { f =>
-        col(f.name).cast(f.dataType).as(f.name)
-      }.toSeq: _*)
+    castToCanonicalEnd(
+      spark.read
+        .schema(TripSchemas.tripEndCsvSchema)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path))
+
+  /** Project any end frame (CSV-physical or JSON-wire order, double
+    * quad) onto the canonical [[TripSchemas.tripEndSchema]] shape.
+    */
+  private def castToCanonicalEnd(df: DataFrame): DataFrame =
+    df.select(TripSchemas.tripEndSchema.fields.map { f =>
+      col(f.name).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
 
   def tripStarts(spark: SparkSession, path: String): Dataset[TripStart] = {
     import spark.implicits._
@@ -83,9 +89,12 @@ object EventReader {
     decodeJson(lines, TripSchemas.tripStartSchema).as[TripStart]
   }
 
-  /** Streaming S4: JSON value stream → typed end events. */
+  /** Streaming S4: JSON value stream → typed end events. Decodes
+    * against the DoubleType-quad wire schema, then casts to canonical —
+    * a producer emitting the raw `5.0`-style floats round-trips intact.
+    */
   def decodeEndStream(spark: SparkSession, lines: DataFrame): Dataset[TripEnd] = {
     import spark.implicits._
-    decodeJson(lines, TripSchemas.tripEndSchema).as[TripEnd]
+    castToCanonicalEnd(decodeJson(lines, TripSchemas.tripEndWireSchema)).as[TripEnd]
   }
 }

@@ -62,6 +62,17 @@ object TripSchemas {
   val telemetryQuad: Seq[String] =
     Seq("rate_code", "passenger_count", "payment_type", "trip_type")
 
+  /** Wire schema of trip-end JSON payloads: the telemetry quad is
+    * emitted as `5.0`-style floats (the CSV's physical encoding survives
+    * `to_json`), so the stream decoder must accept DoubleType and cast —
+    * an IntegerType `from_json` would silently null the quad and mark
+    * every completion telemetry-incomplete.
+    */
+  val tripEndWireSchema: StructType = StructType(
+    tripEndSchema.fields.map { f =>
+      if (telemetryQuad.contains(f.name)) f.copy(dataType = DoubleType) else f
+    })
+
   /** Unified stored-trip record: start fields + nullable end fields +
     * derived `date` (partition column) and `status` lifecycle.
     * (reference: README.md:73-80, DynamoDB TripData item shape.)
@@ -111,18 +122,25 @@ final case class TripEnd(
 
 /** Union event for the streaming correlator: exactly one of start/end
   * is set; `kind` tags the originating stream (SURVEY.md S5).
+  * `event_ts` is the event-time column (pickup time for starts, dropoff
+  * time for ends) — the watermark/timeout clock for streaming state
+  * eviction (SURVEY.md §2.7: event-time, never wall-clock, so backlog
+  * replay does not spuriously expire trips).
   */
 final case class TripEvent(
     trip_id: String,
     kind: String, // "start" | "end"
     start: Option[TripStart],
-    end: Option[TripEnd])
+    end: Option[TripEnd],
+    event_ts: Option[Timestamp])
 
 object TripEvent {
   val KindStart = "start"
   val KindEnd = "end"
-  def ofStart(s: TripStart): TripEvent = TripEvent(s.trip_id, KindStart, Some(s), None)
-  def ofEnd(e: TripEnd): TripEvent = TripEvent(e.trip_id, KindEnd, None, Some(e))
+  def ofStart(s: TripStart): TripEvent =
+    TripEvent(s.trip_id, KindStart, Some(s), None, s.pickup_datetime)
+  def ofEnd(e: TripEnd): TripEvent =
+    TripEvent(e.trip_id, KindEnd, None, Some(e), e.dropoff_datetime)
 }
 
 /** Correlated trip record (the DynamoDB TripData analog). */

@@ -1,8 +1,10 @@
 package graft.sink
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.schema.TripSchemas
 
 /** Keyed upsert sink for the trips table (SURVEY.md §2.1 S7/S8).
   *
@@ -12,15 +14,38 @@ import org.apache.spark.sql.functions._
   * PruneFileSourcePartitions replaces the reference's manual
   * KeyConditionExpression, daily_kpi_aggregation.py:45-56).
   *
-  * Merge strategy: each micro-batch rewrites only the partitions it
-  * touches (dynamic partition overwrite), merging batch rows over
-  * existing rows per key. On a production cluster the same interface
-  * targets a Delta/Iceberg MERGE; plain parquet keeps the engine
-  * dependency-free here.
+  * Two write strategies:
+  *  - [[upsert]] — read-merge-rewrite of touched date partitions. Simple
+  *    and compact, but O(partition) I/O per micro-batch: fine for daily
+  *    batch loads, wrong for a 100 s streaming trigger.
+  *  - [[appendDelta]] + [[readMerged]] + [[compact]] — the scale path:
+  *    each micro-batch APPENDS its rows (epoch-stamped); readers apply
+  *    last-write-wins merge-on-read; periodic [[compact]] folds deltas.
+  *    Per-trigger I/O is O(batch), not O(day²). On a production cluster
+  *    the same interface targets a Delta/Iceberg MERGE; plain parquet
+  *    keeps the engine dependency-free here.
   */
 object TripTableSink {
 
   private val seqCol = "__graft_seq"
+
+  /** Row precedence within one epoch: a Completed record must never be
+    * shadowed by the Started emitted in the same micro-batch (Update
+    * mode emits both), and a real terminal state beats an eviction.
+    */
+  private def statusRank: Column =
+    when(col("status") === TripSchemas.StatusCompleted, 3)
+      .when(col("status") === TripSchemas.StatusExpired, 2)
+      .otherwise(1)
+
+  private def lastWriteWins(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("trip_id"))
+      .orderBy(col(seqCol).desc, statusRank.desc,
+        col("dropoff_datetime").desc_nulls_last)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
 
   /** Full-snapshot write, date-partitioned. */
   def writeSnapshot(trips: DataFrame, path: String): Unit =
@@ -33,7 +58,7 @@ object TripTableSink {
   def upsert(spark: SparkSession, batch: DataFrame, path: String, epoch: Long): Unit = {
     val incoming = batch.withColumn(seqCol, lit(epoch))
     val merged =
-      if (!tableExists(spark, path)) incoming
+      if (!tableExists(spark, path)) lastWriteWins(incoming)
       else {
         val existing = spark.read.parquet(path).withColumn(seqCol, lit(-1L))
         // Prune to touched dates only: tiny broadcast semi-join against
@@ -42,11 +67,7 @@ object TripTableSink {
         val touched = incoming.select("date").distinct()
         val existingTouched =
           existing.join(broadcast(touched), Seq("date"), "left_semi")
-        val w = Window.partitionBy(col("trip_id")).orderBy(col(seqCol).desc)
-        existingTouched.unionByName(incoming)
-          .withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1)
-          .drop("__rn")
+        lastWriteWins(existingTouched.unionByName(incoming))
       }
     val out = merged.drop(seqCol)
     val conf = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -55,7 +76,9 @@ object TripTableSink {
     finally conf.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
   }
 
-  /** foreachBatch hook for a streaming correlation query. */
+  /** foreachBatch hook for a streaming correlation query (merge-rewrite
+    * strategy; prefer [[foreachBatchAppend]] for short triggers).
+    */
   def foreachBatchUpsert(path: String): (DataFrame, Long) => Unit =
     (batch, epoch) => {
       // Materialize first: foreachBatch re-evaluates the batch plan per
@@ -65,6 +88,42 @@ object TripTableSink {
       try upsert(spark, cached, path, epoch)
       finally cached.unpersist()
     }
+
+  // -------------------------------------------------------------------
+  // Delta-append strategy (scale path)
+  // -------------------------------------------------------------------
+
+  /** Append one epoch's rows — O(batch) I/O, no read of existing data. */
+  def appendDelta(batch: DataFrame, path: String, epoch: Long): Unit =
+    batch.withColumn(seqCol, lit(epoch))
+      .write.mode(SaveMode.Append).partitionBy("date").parquet(path)
+
+  /** Merge-on-read view: latest record per trip_id across all appended
+    * epochs. The window shuffle is by trip_id over only the rows of the
+    * dates actually read — combine with a `date` filter for pruning.
+    */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    lastWriteWins(spark.read.parquet(path)).drop(seqCol)
+
+  /** Fold all deltas into a single epoch (run periodically, e.g. daily).
+    * Writes the merged snapshot to a fresh directory then swaps it in —
+    * readers never observe a half-compacted table.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val tmp = path + ".compact.tmp"
+    lastWriteWins(spark.read.parquet(path))
+      .withColumn(seqCol, lit(0L))
+      .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(tmp)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val hTmp = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+    fs.rename(hTmp, hPath)
+  }
+
+  /** foreachBatch hook using the append strategy. */
+  def foreachBatchAppend(path: String): (DataFrame, Long) => Unit =
+    (batch, epoch) => appendDelta(batch, path, epoch)
 
   private def tableExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
