@@ -155,7 +155,8 @@ object TripCorrelation {
       val out = Seq.newBuilder[TripRecord]
       // Starts first within a micro-batch: both kinds can land in the
       // same trigger and the merge needs the stored record to exist.
-      val (starts, rest) = events.toSeq.partition(_.kind == TripEvent.KindStart)
+      val evs = events.toSeq
+      val (starts, rest) = evs.partition(_.kind == TripEvent.KindStart)
       (starts ++ rest).foreach { ev =>
         val (next, emitted) = step(st, ev, faithful)
         st = next
@@ -163,11 +164,17 @@ object TripCorrelation {
       }
       if (st.record.isDefined || st.bufferedEnd.isDefined) {
         state.update(st)
-        // Event-time timeout: fire once the watermark passes
-        // (current watermark + timeoutMs). Monotone per trigger, always
-        // strictly ahead of the watermark as the API requires.
-        if (timeoutMs > 0)
-          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeoutMs)
+        // Event-time timeout anchored to the GROUP's own event time
+        // (not the stream watermark: before the first watermark update
+        // that is epoch 0, which would expire every young group on the
+        // next trigger). Clamped above the current watermark as the API
+        // requires.
+        if (timeoutMs > 0) {
+          val maxEventMs = evs.flatMap(_.event_ts).map(_.getTime)
+            .maxOption.getOrElse(0L)
+          val base = math.max(maxEventMs, state.getCurrentWatermarkMs())
+          state.setTimeoutTimestamp(base + timeoutMs)
+        }
       }
       out.result().iterator
     }

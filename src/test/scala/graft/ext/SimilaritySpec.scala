@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  import SimilaritySearch._
+
+  // Deterministic pseudo-random unit-ish vectors.
+  private def vec(seed: Int, dim: Int = 8): Seq[Float] =
+    (0 until dim).map { d =>
+      val x = math.sin(seed * 7919.0 + d * 104729.0)
+      x.toFloat
+    }
+
+  private def corpusDf(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, vec(i))).toDF("id", "v")
+  }
+
+  test("cosine of a vector with itself is 1.0") {
+    import spark.implicits._
+    val df = Seq((1L, vec(42))).toDF("id", "v")
+    val c = df.select(cosine(col("v"), col("v")).as("c")).head.getDouble(0)
+    c shouldBe 1.0 +- 1e-12
+  }
+
+  test("topKByCosine returns k rows in descending score order") {
+    val df = corpusDf(30)
+    val q = vec(3).map(_.toDouble)
+    val out = topKByCosine(df, "id", "v", q, 5, excludeId = Some(3L)).collect()
+    out should have size 5
+    out.map(_.getLong(0)) should not contain 3L
+    val scores = out.map(_.getDouble(1))
+    scores.sorted.reverse shouldBe scores
+  }
+
+  test("topKJoin (bounded-heap) matches a driver-side brute force") {
+    val corpus = corpusDf(40)
+    val queries = corpusDf(3)
+    val out = topKJoin(corpus, "id", "v", queries, "id", "v", 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1)))
+      .sortBy(t => (t._1, t._2))
+
+    // expected: plain Scala brute force
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val vs = (0 until 40).map(i => i.toLong -> vec(i)).toMap
+    val expected = (0 until 3).flatMap { qi =>
+      val scored = vs.toSeq.filter(_._1 != qi.toLong)
+        .map { case (id, v) => (id, cos(vs(qi.toLong), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(4)
+      scored.zipWithIndex.map { case ((id, _), r) =>
+        (qi.toLong, (r + 1).toLong, id)
+      }
+    }.sortBy(t => (t._1, t._2))
+    out.toSeq shouldBe expected
+  }
+
+  test("TopKAgg reduce/merge keep the k best with deterministic ties") {
+    val agg = new TopKAgg(3)
+    val items = Seq(
+      Scored(5L, 0.5), Scored(1L, 0.9), Scored(2L, 0.9),
+      Scored(7L, 0.1), Scored(9L, 0.7))
+    val b = items.foldLeft(agg.zero)(agg.reduce)
+    agg.finish(b).map(_.id) shouldBe Seq(1L, 2L, 9L) // ties by id asc
+    val merged = agg.merge(
+      Seq(Scored(1L, 0.9), Scored(9L, 0.7), Scored(5L, 0.5)),
+      Seq(Scored(2L, 0.9), Scored(7L, 0.1)))
+    agg.finish(merged).map(_.id) shouldBe Seq(1L, 2L, 9L)
+  }
+
+  test("annTopK returns at most k bucket-mates, scores descending") {
+    val df = corpusDf(60)
+    val q = vec(7).map(_.toDouble)
+    val out = annTopK(df, "id", "v", q, 5, numPlanes = 2, excludeId = Some(7L)).collect()
+    out.length should be <= 5
+    val scores = out.map(_.getDouble(1))
+    scores.sorted.reverse shouldBe scores
+  }
+
+  test("embeddingNearDupPairs finds a planted duplicate and derives dim") {
+    import spark.implicits._
+    val base = corpusDf(20)
+    val dup = Seq((100L, vec(5))).toDF("id", "v") // exact dup of id=5
+    val pairs = embeddingNearDupPairs(base.unionByName(dup), "id", "v",
+      minCosine = 0.999) // dim derived from data
+      .collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1))) should contain((5L, 100L))
+  }
+
+  test("embeddingNearDupPairs on empty input returns empty frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("id", "v")
+    embeddingNearDupPairs(empty, "id", "v").count() shouldBe 0
+  }
+}

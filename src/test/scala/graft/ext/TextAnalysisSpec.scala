@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  import TextAnalysis._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(c.as("r")).head.getAs[T]("r")
+  }
+
+  test("tokenCount counts whitespace tokens") {
+    one[Int](tokenCount(col("t")), "the quick  brown\tfox") shouldBe 4
+  }
+
+  test("bpeishTokenCount splits letter runs, digits, punctuation") {
+    // "hello," -> hello + ","  ; "42" -> 4 + 2 ; "world" -> world
+    one[Int](bpeishTokenCount(col("t")), "hello, 42 world") shouldBe 5
+  }
+
+  test("normalize lowercases and collapses separators") {
+    one[String](normalize(col("t")), "  Hello,   WORLD!! 7 ") shouldBe "hello world 7"
+  }
+
+  test("fingerprintMd5 is invariant to case and punctuation noise") {
+    val a = one[String](fingerprintMd5(col("t")), "Hello, World!")
+    val b = one[String](fingerprintMd5(col("t")), "hello world")
+    a shouldBe b
+  }
+
+  test("qualityScore stays in [0,1] and ranks prose above garbage") {
+    val prose = "the quick brown fox jumps over the lazy dog and it is a fine day for running in the park with friends who enjoy long walks"
+    val garbage = "@@!! ## $$%% ^^&& ** (()) {{}} [[]] || \\\\ ~~``"
+    val ps = one[Double](qualityScore(col("t")), prose)
+    val gs = one[Double](qualityScore(col("t")), garbage)
+    ps should be >= 0.0
+    ps should be <= 1.0
+    gs should be >= 0.0
+    gs should be <= 1.0
+    ps should be > gs
+  }
+
+  test("langId picks the stopword-dominant language, und on no hits") {
+    one[String](LangId.langId(col("t")), "the cat is in the house and it is warm") shouldBe "en"
+    one[String](LangId.langId(col("t")), "el perro y la casa de los vecinos en la calle") shouldBe "es"
+    one[String](LangId.langId(col("t")), "der hund und die katze sind nicht zu hause mit den") shouldBe "de"
+    one[String](LangId.langId(col("t")), "le chat est dans les maisons et une porte pour") shouldBe "fr"
+    one[String](LangId.langId(col("t")), "xyzzy plugh qwerty") shouldBe "und"
+  }
+
+  test("shingleFingerprint is robust to a distant edit") {
+    import spark.implicits._
+    def fp(text: String): Seq[Long] =
+      Seq(text).toDF("t")
+        .select(shingleFingerprint(col("t"), n = 4, k = 8).as("r"))
+        .head.getSeq[Long](0)
+    val a = fp("abcdefghijklmnopqrstuvwxyz0123456789")
+    val b = fp("abcdefghijklmnopqrstuvwxyz012345678X")
+    // one trailing edit perturbs at most n of the shingles; the k-min
+    // sketch keeps most elements in common
+    a.intersect(b).size should be >= 4
+  }
+}
