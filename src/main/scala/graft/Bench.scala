@@ -20,6 +20,10 @@ object Bench {
       shufflePartitions = cpus
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT + codegen + parquet reader paths, so the first
+    // timed query doesn't carry JVM cold-start noise.
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().queryExecution.toRdd.count()
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -47,6 +47,25 @@ object KpiAggregation {
         col("status") === TripSchemas.StatusCompleted)
       .agg(kpiColumns(col("fare_amount")).head, kpiColumns(col("fare_amount")).tail: _*)
 
+  /** Streaming generalization of A6 (SURVEY.md §2.7): incremental daily
+    * KPIs over the completed-trip stream via a watermarked 1-day tumbling
+    * window on `dropoff_datetime`. The reference computes "daily" as a
+    * nightly batch job; this is the same logical query kept continuously
+    * up to date, with the watermark bounding aggregation state. Output
+    * (Update mode) upserts one row per day.
+    */
+  def dailyKpisStream(
+      completedTrips: DataFrame,
+      watermarkDelay: String = "1 day"): DataFrame =
+    completedTrips
+      .where(col("status") === TripSchemas.StatusCompleted)
+      .withWatermark("dropoff_datetime", watermarkDelay)
+      .groupBy(window(col("dropoff_datetime"), "1 day").as("w"))
+      .agg(kpiColumns(col("fare_amount")).head, kpiColumns(col("fare_amount")).tail: _*)
+      .select(to_date(col("w.start")).as("date"),
+        col("total_fare"), col("count_trips"), col("average_fare"),
+        col("max_fare"), col("min_fare"))
+
   /** P8: previous-day string, `yyyy-MM-dd` (reference:
     * daily_kpi_aggregation.py:33-36 — `datetime.now() - timedelta(1)`).
     * Pass a different `asOf` for deterministic tests.

@@ -216,6 +216,29 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Materialized (id, simhash) frame, computed the scale-friendly way:
+    * explode tokens, then 64 codegen'd conditional-sum bit counters plus
+    * a token count, majority-vote per bit on the aggregated row. Same
+    * result as the scalar [[simhash64]] (equivalence is unit-tested) but
+    * runs in WholeStageCodegen instead of the interpreted nested-lambda
+    * path, and the localCheckpoint stops downstream self-joins from
+    * re-inlining the computation (8× re-evaluation otherwise).
+    */
+  def simhashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val bitAggs = (0 until 64).map(b =>
+      sum(when(col("__h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(0)).as(s"__b$b"))
+    toks.groupBy(col("__id"))
+      .agg(bitAggs.head, (bitAggs.tail :+ count(lit(1)).as("__n")): _*)
+      .select(col("__id"),
+        (0 until 64).map(b =>
+          when(col(s"__b$b") * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("__sh"))
+      .localCheckpoint()
+  }
+
   /** SimHash near-dup candidate pairs: bucket on 16-bit chunks (any
     * pair within Hamming distance 3 shares at least one of 4 chunks),
     * verify with exact Hamming distance.
@@ -225,8 +248,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val hashes = df.select(col(idCol).as("__id"),
-      simhash64(col(textCol)).as("__sh"))
+    val hashes = simhashFrame(df, idCol, textCol)
     val chunked = hashes.select(
       col("__id"), col("__sh"),
       explode(sequence(lit(0), lit(3))).as("__chunk"))

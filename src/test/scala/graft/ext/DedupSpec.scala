@@ -64,6 +64,20 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     pairs.head.getDouble(2) shouldBe 1.0
   }
 
+  test("simhash: aggregate-path frame equals the scalar expression") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "sphinx of black quartz judge my vow")).toDF("id", "text")
+    val viaAgg = simhashFrame(docs, "id", "text")
+      .select(col("__id").as("id"), col("__sh"))
+    val viaExpr = docs.select(col("id"), simhash64(col("text")).as("__sh"))
+    viaAgg.alias("a").join(viaExpr.alias("e"), "id")
+      .where(col("a.__sh") =!= col("e.__sh"))
+      .count() shouldBe 0
+  }
+
   test("simhash: identical docs collide; hamming bound respected") {
     import spark.implicits._
     val docs = Seq(
