@@ -32,7 +32,12 @@ object GraftSession {
     val s = configure(
       SparkSession.builder().master(s"local[$cores]").appName(appName),
       shufflePartitions = math.max(cores, 4)
-    ).getOrCreate()
+    )
+      // isolated warehouse so saveAsTable (bucketed layouts) never
+      // writes into the repo working directory
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -284,6 +284,11 @@ object SparkEntry {
         .select(col("vec_id"), col("cosine_sim"))
     }),
 
+    // TF-IDF term weighting (explode + two aggs + broadcast-able df join)
+    "q33_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdf(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("term"))),
+
     // Multimodal decode plumbing (stub decoder, real pipeline)
     "q32_multimodal_features" -> ((s, dir) => {
       import s.implicits._
@@ -518,6 +523,21 @@ object SparkEntry {
          md5(text) AS content_md5
          FROM documents ORDER BY media_id""",
 
+    "q33_tfidf" ->
+      """WITH terms AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS nn FROM documents)
+         SELECT doc_id, term, tf,
+                tf::DOUBLE * (ln((nn + 1)::DOUBLE / (dfreq + 1)::DOUBLE) + 1.0) AS weight
+         FROM tf JOIN dfq USING (term), n
+         ORDER BY doc_id, term""",
+
     "q27_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id,
                       list_distinct(regexp_split_to_array(
@@ -546,5 +566,5 @@ object SparkEntry {
     "q20_token_counts", "q21_quality_score", "q22_lang_id",
     "q23_cosine_topk", "q25_topk_join", "q26_envelope_meta",
     "q28_minhash_pairs", "q29_simhash_pairs", "q31_ann_topk",
-    "q32_multimodal_features")
+    "q32_multimodal_features", "q33_tfidf")
 }

@@ -165,6 +165,33 @@ object SimilaritySearch {
     topKByCosine(bucketed, idCol, vecCol, query, k, excludeId)
   }
 
+  /** Multi-probe ANN top-k: probes the query's bucket PLUS every bucket
+    * at Hamming distance 1 in sign-bit space (numPlanes+1 probes). Each
+    * flipped bit admits the candidates on the far side of one
+    * hyperplane — the standard multi-probe recall lift (for cosine≥c
+    * pairs, per-bucket miss probability θ/π per plane concentrates in
+    * single-plane disagreements). Still one scan: the probe set is a
+    * literal IN-list pushed into the bucket filter.
+    */
+  def annTopKMultiProbe(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      numPlanes: Int = 8,
+      seed: Long = 42L,
+      excludeId: Option[Long] = None): DataFrame = {
+    val planes = hyperplanes(numPlanes, query.size, seed)
+    val qBucket = planes.zipWithIndex.map { case (plane, p) =>
+      val d = plane.zip(query).map { case (a, b) => a * b }.sum
+      if (d >= 0) 1L << p else 0L
+    }.sum
+    val probes = qBucket +: (0 until numPlanes).map(p => qBucket ^ (1L << p))
+    val bucketed = df.where(lshBucket(col(vecCol), planes).isin(probes: _*))
+    topKByCosine(bucketed, idCol, vecCol, query, k, excludeId)
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ `minCosine`, LSH-blocked:
     * pairs must agree on the bucket, then exact cosine verifies. With p
     * planes, recall for cosine≥c pairs is (1-θ/π)^p per probe where

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: tokenization,
@@ -69,6 +69,32 @@ object TextAnalysis {
     * (group/shuffle on the 32-hex key instead of the full document).
     */
   def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  /** Smoothed TF-IDF weights per (doc, term) over normalized tokens:
+    * `tf` = term count within the doc, `idf = ln((N+1)/(df+1)) + 1`
+    * (sklearn-style smoothing), `weight = tf · idf`.
+    *
+    * Shape at scale: one explode (linear), two hash aggregations
+    * (doc,term) and (term), and a join on `term` — document frequency is
+    * a per-term table orders of magnitude smaller than the corpus, so
+    * Catalyst/AQE broadcasts it. The corpus size N rides along as a
+    * broadcast 1-row cross join, keeping the whole plan lazy.
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df.select(col(idCol).as("doc_id"),
+      explode(split(normalize(col(textCol)), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    val n = df.agg(count(lit(1)).as("__N"))
+    tf.join(docFreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf").cast("double") *
+          (log((col("__N") + 1).cast("double") / (col("__df") + 1).cast("double"))
+            + 1.0)).as("weight"))
+  }
 
   /** Winnowing-style shingle fingerprint: the k smallest 64-bit hashes
     * of the document's character n-grams, as a sorted array. Robust to

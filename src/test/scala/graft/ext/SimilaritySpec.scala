@@ -87,6 +87,18 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     scores.sorted.reverse shouldBe scores
   }
 
+  test("multi-probe ANN candidates are a superset of single-probe") {
+    val df = corpusDf(80)
+    val q = vec(11).map(_.toDouble)
+    // k large enough to return every candidate either probe admits
+    val single = annTopK(df, "id", "v", q, 1000, numPlanes = 4).collect()
+      .map(_.getLong(0)).toSet
+    val multi = annTopKMultiProbe(df, "id", "v", q, 1000, numPlanes = 4).collect()
+      .map(_.getLong(0)).toSet
+    single.subsetOf(multi) shouldBe true
+    multi.size should be >= single.size
+  }
+
   test("embeddingNearDupPairs finds a planted duplicate and derives dim") {
     import spark.implicits._
     val base = corpusDf(20)

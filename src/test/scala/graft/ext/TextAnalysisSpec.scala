@@ -54,6 +54,20 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     one[String](LangId.langId(col("t")), "xyzzy plugh qwerty") shouldBe "und"
   }
 
+  test("tfIdf: smoothed weights match hand computation") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(docs, "doc_id", "text")
+      .orderBy("doc_id", "term")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // N=2; a: df=2 -> idf=ln(3/3)+1=1; b,c: df=1 -> idf=ln(3/2)+1
+    val idf1 = math.log(3.0 / 2.0) + 1.0
+    out shouldBe Array(
+      (1L, "a", 2L, 2.0), (1L, "b", 1L, idf1),
+      (2L, "a", 1L, 1.0), (2L, "c", 1L, idf1))
+  }
+
   test("shingleFingerprint is robust to a distant edit") {
     import spark.implicits._
     def fp(text: String): Seq[Long] =
