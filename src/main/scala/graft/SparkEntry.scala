@@ -289,6 +289,17 @@ object SparkEntry {
       TextAnalysis.tfIdf(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"), col("term"))),
 
+    // IVF ANN: coarse-quantized probe (sampled centroids, 2-cell probe)
+    "q34_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      val centroids = SimilaritySearch.learnCentroids(e, "embedding", k = 16)
+      SimilaritySearch.ivfTopK(e, "vec_id", "embedding", q, 10, centroids,
+          nProbe = 4, excludeId = Some(0L))
+        .select(col("vec_id"), col("cosine_sim"))
+    }),
+
     // Multimodal decode plumbing (stub decoder, real pipeline)
     "q32_multimodal_features" -> ((s, dir) => {
       import s.implicits._

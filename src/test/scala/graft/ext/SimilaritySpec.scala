@@ -109,6 +109,28 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     pairs.map(r => (r.getLong(0), r.getLong(1))) should contain((5L, 100L))
   }
 
+  test("IVF: probing all cells is exact; one cell is a subset") {
+    import spark.implicits._
+    // clustered corpus: three tight clusters around distinct anchors
+    def around(anchor: Int, jitter: Int, dim: Int = 8): Seq[Float] =
+      vec(anchor).zip(vec(jitter)).map { case (a, j) => a + 0.05f * j }
+    val rows = (0 until 30).map { i =>
+      ((i / 10) * 1000 + i).toLong -> around(i / 10 * 97, i)
+    }
+    val df = rows.toDF("id", "v")
+    val centroids = SimilaritySearch.learnCentroids(df, "v", k = 3, sampleN = 30)
+    centroids should have size 3
+    val q = vec(0 * 97).map(_.toDouble) // near cluster 0's anchor
+    val exact = topKByCosine(df, "id", "v", q, 5).collect().map(_.getLong(0))
+    val allProbes = ivfTopK(df, "id", "v", q, 5, centroids, nProbe = 3)
+      .collect().map(_.getLong(0))
+    allProbes shouldBe exact
+    val oneProbe = ivfTopK(df, "id", "v", q, 5, centroids, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    oneProbe.subsetOf(exact.toSet ++ rows.map(_._1)) shouldBe true
+    oneProbe.size should be <= 5
+  }
+
   test("embeddingNearDupPairs on empty input returns empty frame") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Float])].toDF("id", "v")
