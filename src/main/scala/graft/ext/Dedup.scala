@@ -169,9 +169,9 @@ object Dedup {
       .join(sigs.withColumnRenamed("__id", "id_a").withColumnRenamed("__sig", "__sig_a"), Seq("id_a"))
       .join(sigs.withColumnRenamed("__id", "id_b").withColumnRenamed("__sig", "__sig_b"), Seq("id_b"))
       .withColumn("est_jaccard",
-        aggregate(
-          zip_with(col("__sig_a"), col("__sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
+        graft.functions.GraftFunctions
+          .sigMatchCount(col("__sig_a"), col("__sig_b"))
+          .cast("double") / lit(numHashes.toDouble))
       .where(col("est_jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
