@@ -289,6 +289,31 @@ object SparkEntry {
       TextAnalysis.tfIdf(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"), col("term"))),
 
+    // Sessionization: 30-min-gap sessions per user over the event stream
+    // (lag + cumulative-sum window — the batch form of session windows)
+    "q35_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      events(s, dir)
+        .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("__new_session",
+          when(col("__prev").isNull ||
+            col("ts").cast("long") - col("__prev").cast("long") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_seq",
+          sum(col("__new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // Rollup: KPIs at (returnflag, linestatus), (returnflag), and total
+    "q36_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
     // IVF ANN: coarse-quantized probe (sampled centroids, 2-cell probe)
     "q34_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -534,6 +559,35 @@ object SparkEntry {
          md5(text) AS content_md5
          FROM documents ORDER BY media_id""",
 
+    "q35_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, ts, value,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         y AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN prev IS NULL
+                            OR date_diff('second', prev, ts) > 1800
+                       THEN 1 ELSE 0 END AS new_session
+           FROM x),
+         z AS (
+           SELECT user_id, value,
+                  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS session_seq
+           FROM y)
+         SELECT user_id, session_seq, count(*) AS n_events,
+                sum(value) AS session_value
+         FROM z GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
+
+    "q36_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+              count(*) AS n
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
     "q33_tfidf" ->
       """WITH terms AS (
            SELECT doc_id,
@@ -577,5 +631,6 @@ object SparkEntry {
     "q20_token_counts", "q21_quality_score", "q22_lang_id",
     "q23_cosine_topk", "q25_topk_join", "q26_envelope_meta",
     "q28_minhash_pairs", "q29_simhash_pairs", "q31_ann_topk",
-    "q32_multimodal_features", "q33_tfidf")
+    "q32_multimodal_features", "q33_tfidf", "q34_ivf_topk",
+    "q35_sessionize", "q36_rollup")
 }

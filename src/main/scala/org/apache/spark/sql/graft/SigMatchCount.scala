@@ -69,4 +69,23 @@ object SigMatchCount {
   def column(a: Column, b: Column): Column =
     ExpressionUtils.column(SigMatchCount(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private[graft] val descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("sig_match_count"),
+      new ExpressionInfo(classOf[SigMatchCount].getName, "sig_match_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sig_match_count takes exactly 2 arguments")
+        SigMatchCount(args(0), args(1))
+      })
+
+  /** Imperative registration onto an existing session (REPL / tests). */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = descriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
 }

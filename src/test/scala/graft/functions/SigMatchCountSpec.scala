@@ -24,6 +24,12 @@ class SigMatchCountSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.map(_.getInt(1)).toSeq shouldBe Seq(3, 2, 0)
   }
 
+  test("registered SQL function works end-to-end") {
+    org.apache.spark.sql.graft.SigMatchCount.register(spark)
+    spark.sql("SELECT sig_match_count(array(1L,2L,3L), array(1L,9L,3L)) AS c")
+      .head.getInt(0) shouldBe 2
+  }
+
   test("null input yields null; interpreted path agrees with codegen") {
     import spark.implicits._
     val df = Seq(
