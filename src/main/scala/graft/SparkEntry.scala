@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.KpiAggregation
-import graft.ext.{Dedup, Multimodal, SimilaritySearch, TextAnalysis, LangId}
+import graft.ext.{Dedup, Multimodal, Sampling, SimilaritySearch, TextAnalysis, LangId}
 
 /** Driver contract — one named query per implemented operator family
   * (SURVEY.md §2 + the LLM-pipeline extensions), each with a DuckDB
@@ -314,6 +314,19 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // Deterministic content-hash sampling (reproducible, layout-stable)
+    "q37_content_sample" -> ((s, dir) =>
+      Sampling.contentSample(t(s, dir, "documents"), "text", "20")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic train/val/test split by content hash
+    "q38_content_split" -> ((s, dir) =>
+      Sampling.contentSplit(t(s, dir, "documents"), "text")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))),
+
     // IVF ANN: coarse-quantized probe (sampled centroids, 2-cell probe)
     "q34_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -559,6 +572,16 @@ object SparkEntry {
          md5(text) AS content_md5
          FROM documents ORDER BY media_id""",
 
+    "q37_content_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE md5(text) < '20' ORDER BY doc_id""",
+
+    "q38_content_split" ->
+      """SELECT CASE WHEN md5(text) < '0d' THEN 'test'
+                     WHEN md5(text) < '1a' THEN 'val'
+                     ELSE 'train' END AS split, count(*) AS n
+         FROM documents GROUP BY 1 ORDER BY split""",
+
     "q35_sessionize" ->
       """WITH x AS (
            SELECT user_id, ts, value,
@@ -632,5 +655,5 @@ object SparkEntry {
     "q23_cosine_topk", "q25_topk_join", "q26_envelope_meta",
     "q28_minhash_pairs", "q29_simhash_pairs", "q31_ann_topk",
     "q32_multimodal_features", "q33_tfidf", "q34_ivf_topk",
-    "q35_sessionize", "q36_rollup")
+    "q35_sessionize", "q36_rollup", "q37_content_sample", "q38_content_split")
 }

@@ -35,17 +35,21 @@ object Dedup {
       Map("ignoreNullFields" -> "false")))
 
   /** Keep exactly one row per distinct value of `on`, choosing the row
-    * with the smallest `tieBreak` (deterministic, unlike
-    * `dropDuplicates`). The window partitions by a fingerprint of the
-    * key columns so the shuffle is fingerprint-sized; md5 collisions
-    * (~2⁻⁶⁴ at 10¹² docs) are accepted and documented.
+    * with the smallest `tieBreak` (fully deterministic — ties on
+    * `tieBreak` break lexicographically on the remaining columns,
+    * unlike `dropDuplicates`). Implemented as ONE hash aggregation of
+    * `min(struct(tieBreak, row))` keyed by the md5 fingerprint of the
+    * key columns: no sort, map-side combine, and the shuffle carries one
+    * candidate row per key per task — the shape that survives 100 TB
+    * where a row_number window (sort within every partition) does not.
+    * md5 collisions (~2⁻⁶⁴ at 10¹² docs) are accepted and documented.
     */
   def exact(df: DataFrame, on: Seq[String], tieBreak: String): DataFrame = {
-    val fp = keyFingerprint(on)
-    val w = Window.partitionBy(fp).orderBy(col(tieBreak))
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+    val cols = df.columns.toSeq
+    val ordered = struct((col(tieBreak) +: cols.filterNot(_ == tieBreak).map(col)): _*)
+    df.groupBy(keyFingerprint(on).as("__fp"))
+      .agg(min(ordered).as("__r"))
+      .select(cols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
   /** Group view of exact dedup: one row per distinct key with the

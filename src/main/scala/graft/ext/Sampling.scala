@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-keyed sampling and dataset splitting.
+  *
+  * Training-data pipelines need samples and train/val/test splits that
+  * are (a) reproducible across runs and cluster layouts — `rand()` is
+  * neither — and (b) keyed on CONTENT, so the same document lands in the
+  * same split even after re-crawls or repartitioning. Both are built on
+  * the md5 hex prefix of the key column: uniformly distributed, engine-
+  * independent, and comparable as a plain string, so thresholds are
+  * lexicographic hex bounds (each leading hex pair = 1/256 of mass).
+  * Pure codegen column algebra; at scale this is a free filter pushed
+  * into the scan projection.
+  */
+object Sampling {
+
+  /** md5-hex of the key column — the sampling/splitting coordinate. */
+  def contentKey(key: Column): Column = md5(key.cast("string"))
+
+  /** Keep rows whose content key is below `hexUpperBound` (e.g. "0d" ≈
+    * 13/256 ≈ 5.1% of rows). Stable under any repartitioning.
+    */
+  def contentSample(df: DataFrame, keyCol: String, hexUpperBound: String): DataFrame =
+    df.where(contentKey(col(keyCol)) < lit(hexUpperBound.toLowerCase))
+
+  /** Assign a deterministic split label from hex bounds: key < testBound
+    * → "test", < valBound → "val", else "train". Bounds are two-char hex
+    * prefixes; e.g. ("0d", "1a") ≈ 5% test, 5% val, 90% train.
+    */
+  def contentSplit(
+      df: DataFrame,
+      keyCol: String,
+      testBound: String = "0d",
+      valBound: String = "1a",
+      labelCol: String = "split"): DataFrame = {
+    val k = contentKey(col(keyCol))
+    df.withColumn(labelCol,
+      when(k < lit(testBound.toLowerCase), "test")
+        .when(k < lit(valBound.toLowerCase), "val")
+        .otherwise("train"))
+  }
+}

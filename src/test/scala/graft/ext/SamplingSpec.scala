@@ -1,0 +1,40 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private def docs = {
+    import spark.implicits._
+    (1 to 2000).map(i => (i.toLong, s"document number $i content")).toDF("id", "text")
+  }
+
+  test("contentSample is stable under repartitioning and ~rate-sized") {
+    val a = Sampling.contentSample(docs, "text", "20")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.contentSample(docs.repartition(13), "text", "20")
+      .select("id").collect().map(_.getLong(0)).toSet
+    a shouldBe b
+    // "20" hex ≈ 32/256 = 12.5%; allow generous tolerance at n=2000
+    a.size.toDouble should be(250.0 +- 100.0)
+  }
+
+  test("contentSplit partitions every row exactly once, deterministically") {
+    import org.apache.spark.sql.functions._
+    val split = Sampling.contentSplit(docs, "text")
+    split.count() shouldBe 2000
+    val counts = split.groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.keySet shouldBe Set("train", "val", "test")
+    counts.values.sum shouldBe 2000L
+    counts("train").toDouble should be > counts("val").toDouble
+    // same doc always lands in the same split
+    val again = Sampling.contentSplit(docs.repartition(7), "text")
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    again shouldBe counts
+  }
+}
