@@ -53,11 +53,20 @@ object Dedup {
   }
 
   /** Group view of exact dedup: one row per distinct key with the
-    * representative id (min of `idCol`) and the copy count.
+    * representative id (min of `idCol`) and the copy count. Groups by
+    * the 16-byte fingerprint (not the key columns themselves) so the
+    * aggregation hash table and shuffle stay small even when the key is
+    * a full document; the key values ride along as a once-per-group
+    * struct.
     */
   def exactGroups(df: DataFrame, on: Seq[String], idCol: String): DataFrame =
-    df.groupBy(on.map(col): _*)
-      .agg(min(col(idCol)).as("representative"), count(lit(1)).as("n_copies"))
+    df.groupBy(keyFingerprint(on).as("__fp"))
+      .agg(
+        min(struct(on.map(col): _*)).as("__k"),
+        min(col(idCol)).as("representative"),
+        count(lit(1)).as("n_copies"))
+      .select(on.map(c => col(s"__k.$c").as(c)) ++
+        Seq(col("representative"), col("n_copies")): _*)
 
   // -------------------------------------------------------------------
   // Word n-gram shingles (shared by MinHash and exact Jaccard)
