@@ -74,6 +74,19 @@ object EventReader {
       .where(col("r").isNotNull && col("r.trip_id").isNotNull)
       .select(col("r.*"))
 
+  /** DLQ side output (SURVEY.md §2.7): the value lines that fail to
+    * decode against `schema` — the records the reference's per-record
+    * try/except silently swallowed (trip_processor.py:82-84), exposed as
+    * a queryable stream/frame instead. Works on the same input frame as
+    * [[decodeJson]]; together they partition it.
+    */
+  def corruptRecords(df: DataFrame, schema: StructType): DataFrame = {
+    val r = from_json(col("value"), schema)
+    df.where(col("value").isNotNull &&
+        (r.isNull || r.getField("trip_id").isNull))
+      .select(col("value").as("raw"))
+  }
+
   /** S5: tag + union the two event kinds into the single correlator
     * input (the `eventSourceARN` split analog,
     * reference: trip_processor.py:39).

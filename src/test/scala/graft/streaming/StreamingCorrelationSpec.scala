@@ -74,6 +74,29 @@ class StreamingCorrelationSpec extends AnyFunSuite with Matchers with SparkTestB
     } finally query.stop()
   }
 
+  test("robust mode: an early end is buffered and completes on late start") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[TripEvent]
+    val records = TripCorrelation.correlateStream(input.toDS(), faithful = false)
+    val query = records.toDF().writeStream
+      .format("memory").queryName("robust_out").outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt").toString)
+      .start()
+    try {
+      input.addData(TripEvent.ofEnd(mkEnd("r1", "2024-05-25 10:25:00")))
+      query.processAllAvailable()
+      spark.table("robust_out").count() shouldBe 0 // buffered, not emitted
+      input.addData(TripEvent.ofStart(mkStart("r1", "2024-05-25 10:00:00")))
+      query.processAllAvailable()
+      val rows = spark.table("robust_out")
+        .select("trip_id", "status", "fare_amount").collect()
+      rows.map(r => (r.getString(0), r.getString(1))) should contain(
+        ("r1", TripSchemas.StatusCompleted))
+    } finally query.stop()
+  }
+
   test("TripStreamJob: JSON streams through decode/union/state/append sink") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
