@@ -338,6 +338,17 @@ object SparkEntry {
         .select(col("vec_id"), col("cosine_sim"))
     }),
 
+    // The composed corpus-cleaning pipeline (quality gate → lang filter
+    // → exact dedup → MinHash near-dedup → deterministic split)
+    "q39_clean_corpus" -> ((s, dir) =>
+      graft.ext.TextPipeline.cleanCorpus(
+          t(s, dir, "documents"), "doc_id", "text",
+          graft.ext.TextPipeline.Config(minQuality = 0.2,
+            langs = Seq("en"), nearDupJaccard = 0.9,
+            numHashes = 64, bands = 16, shingleSize = 3))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
     // Multimodal decode plumbing (stub decoder, real pipeline)
     "q32_multimodal_features" -> ((s, dir) => {
       import s.implicits._
@@ -655,5 +666,6 @@ object SparkEntry {
     "q23_cosine_topk", "q25_topk_join", "q26_envelope_meta",
     "q28_minhash_pairs", "q29_simhash_pairs", "q31_ann_topk",
     "q32_multimodal_features", "q33_tfidf", "q34_ivf_topk",
-    "q35_sessionize", "q36_rollup", "q37_content_sample", "q38_content_split")
+    "q35_sessionize", "q36_rollup", "q37_content_sample", "q38_content_split",
+    "q39_clean_corpus")
 }

@@ -189,6 +189,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** Apply MinHash dedup to the corpus: keep one representative row per
+    * near-duplicate cluster (the smallest id). The component assignment
+    * shuffles only (id, component) pairs; the document bodies move once,
+    * in the final semi join.
+    */
+  def minhashDedupApply(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    val comp = minhashDedup(df, idCol, textCol, minJaccard, numHashes, bands, shingleSize)
+    val reps = comp.where(col("id") === col("component")).select(col("id"))
+    df.join(reps.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+  }
+
   /** Full MinHash dedup: returns (id, component) where `component` is
     * the smallest id in the duplicate cluster (component == id for
     * uniques and representatives).

@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+class TextPipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  test("cleanCorpus gates quality/lang, dedupes exact + near, splits") {
+    import spark.implicits._
+    val prose = "the quick brown fox jumps over the lazy dog and it " +
+      "is a fine day in the park for a long walk with friends"
+    val docs = Seq(
+      (1L, prose), // keeper (representative of 1,2,3)
+      (2L, prose), // exact dup of 1
+      (3L, prose + " indeed"), // near dup of 1
+      (4L, "@@!! ## $$%% ^^&& ** (())"), // quality reject
+      (5L, "el perro y la casa de los vecinos en la calle para el dia"), // lang reject
+      (6L, "a completely different keeper document that talks about the " +
+        "weather in the mountains and the sea for many days and it is nice")
+    ).toDF("doc_id", "text")
+    val out = TextPipeline.cleanCorpus(docs, "doc_id", "text",
+      TextPipeline.Config(nearDupJaccard = 0.5, numHashes = 64, bands = 16,
+        shingleSize = 2))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(1L, 6L)
+    out.columns should contain("split")
+    out.select("split").collect().foreach(r =>
+      Set("train", "val", "test") should contain(r.getString(0)))
+  }
+
+  test("minhashDedupApply keeps exactly one representative per cluster") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (20L, "one two three four five six seven eight nine")).toDF("id", "text")
+    val kept = Dedup.minhashDedupApply(docs, "id", "text",
+        minJaccard = 0.9, numHashes = 32, bands = 8, shingleSize = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(10L, 20L)
+  }
+}
