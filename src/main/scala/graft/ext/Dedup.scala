@@ -37,12 +37,14 @@ object Dedup {
   /** Keep exactly one row per distinct value of `on`, choosing the row
     * with the smallest `tieBreak` (fully deterministic — ties on
     * `tieBreak` break lexicographically on the remaining columns,
-    * unlike `dropDuplicates`). Implemented as ONE hash aggregation of
+    * unlike `dropDuplicates`). Implemented as ONE aggregation of
     * `min(struct(tieBreak, row))` keyed by the md5 fingerprint of the
-    * key columns: no sort, map-side combine, and the shuffle carries one
-    * candidate row per key per task — the shape that survives 100 TB
-    * where a row_number window (sort within every partition) does not.
-    * md5 collisions (~2⁻⁶⁴ at 10¹² docs) are accepted and documented.
+    * key columns. Struct min isn't hash-bufferable so Spark plans a
+    * SortAggregate, but the partial side still combines map-side: the
+    * shuffle carries ONE candidate row per key per task — the property
+    * that survives 100 TB, where a row_number window ships and sorts
+    * every input row. md5 collisions (~2⁻⁶⁴ at 10¹² docs) are accepted
+    * and documented.
     */
   def exact(df: DataFrame, on: Seq[String], tieBreak: String): DataFrame = {
     val cols = df.columns.toSeq
