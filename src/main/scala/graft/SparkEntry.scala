@@ -362,9 +362,9 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. q28-q32 are omitted deliberately:
-    * xxhash64/LSH-seed/FNV arithmetic has no DuckDB twin (driver records
-    * the weaker rows-only check).
+    * the same parquet tables. q28-q32, q34, and q39 are omitted
+    * deliberately: xxhash64/LSH-seed/FNV/sampled-centroid arithmetic has
+    * no DuckDB twin (driver records the weaker rows-only check).
     */
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter_project" ->
@@ -529,6 +529,7 @@ object SparkEntry {
            FROM x),
          p AS (
            SELECT CASE
+             WHEN s_en IS NULL THEN 'und'
              WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
              WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
              WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'

@@ -29,8 +29,12 @@ object DailyKpiJob {
       date: Option[String] = None): Seq[String] = {
     val target = date.getOrElse(
       spark.range(1).select(KpiAggregation.previousDay()).head.getString(0))
-    val day = spark.read.parquet(tablePath)
-      .where(col("date") === to_date(lit(target)))
+    // Prune to the day FIRST, then apply the last-write-wins view: on an
+    // append-delta table a redelivered completion appends a second row
+    // per trip, and aggregating raw rows would double-count it.
+    val day = graft.sink.TripTableSink.mergedView(
+      spark.read.parquet(tablePath)
+        .where(col("date") === to_date(lit(target))))
     val docs = KpiAggregation.kpiDocument(KpiAggregation.dailyKpis(day))
     KpiJsonSink.writeDaily(docs, outDir)
   }

@@ -46,20 +46,24 @@ object TripCorrelation {
     */
   def correlate(starts: DataFrame, ends: DataFrame, faithful: Boolean = true): DataFrame = {
     val gatedEnds = if (faithful) ends.where(telemetryComplete(ends)) else ends
-    // Redelivered / duplicate end events: the reference's put_item keeps
+    // Redelivered / duplicate events: the reference's put_item keeps
     // exactly one record per trip (last write wins, trip_processor.py:78).
-    // Keep the latest dropoff per trip_id so a duplicate feed cannot
-    // multiply join output rows.
+    // Keep the latest event per trip_id on BOTH sides so a duplicate
+    // feed cannot multiply join output rows.
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("trip_id"))
-      .orderBy(col("dropoff_datetime").desc_nulls_last, col("fare_amount").desc_nulls_last)
-    val dedupedEnds = gatedEnds
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+    def latestPer(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val w = Window.partitionBy(col("trip_id")).orderBy(orderCols: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .drop("__rn")
+    }
+    val dedupedEnds = latestPer(gatedEnds,
+      Seq(col("dropoff_datetime").desc_nulls_last, col("fare_amount").desc_nulls_last))
+    val dedupedStarts = latestPer(starts,
+      Seq(col("pickup_datetime").desc_nulls_last, col("estimated_fare_amount").desc_nulls_last))
     // left join keeps every start (Started until completed), drops
     // unmatched ends — exactly the reference's store-then-merge shape.
-    starts
+    dedupedStarts
       .join(dedupedEnds, Seq("trip_id"), "left_outer")
       .withColumn("date", to_date(col("pickup_datetime")))
       .withColumn(
@@ -145,9 +149,15 @@ object TripCorrelation {
       events: Iterator[TripEvent],
       state: GroupState[CorrelationState]): Iterator[TripRecord] = {
     if (state.hasTimedOut) {
-      val expired = state.getOption.flatMap(_.record)
-        .filter(_.status != StatusCompleted)
-        .map(_.copy(status = StatusExpired))
+      // Evict: an incomplete stored record becomes Expired; a robust-mode
+      // buffered end with no record becomes an end-only Expired record
+      // (its fare must not silently vanish with the state).
+      val expired = state.getOption.flatMap { st =>
+        st.record
+          .filter(_.status != StatusCompleted)
+          .map(_.copy(status = StatusExpired))
+          .orElse(st.bufferedEnd.map(TripRecord.ofEndOnly))
+      }
       state.remove()
       expired.iterator
     } else {

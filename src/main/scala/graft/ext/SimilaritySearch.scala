@@ -67,9 +67,15 @@ object SimilaritySearch {
     private def ord(s: Scored): (Double, Long) = (-s.score, s.id)
     private val tOrd = implicitly[Ordering[(Double, Long)]]
     override def zero: Seq[Scored] = Nil
+    // buf is kept sorted; accepting a row is an O(k) sorted insert (one
+    // pass, one allocation), not a re-sort — this is the innermost loop
+    // of the k-NN join.
     override def reduce(buf: Seq[Scored], a: Scored): Seq[Scored] =
-      if (buf.size < k || tOrd.lt(ord(a), ord(buf.last))) (a +: buf).sortBy(ord).take(k)
-      else buf
+      if (buf.size >= k && !tOrd.lt(ord(a), ord(buf.last))) buf
+      else {
+        val (better, worse) = buf.span(s => tOrd.lteq(ord(s), ord(a)))
+        ((better :+ a) ++ worse).take(k)
+      }
     override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
       (b1 ++ b2).sortBy(ord).take(k)
     override def finish(b: Seq[Scored]): Seq[Scored] = b.sortBy(ord)

@@ -45,10 +45,12 @@ object Layout {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
-  /** True when the compiled physical plan contains no shuffle exchange —
-    * the assertion that a bucketed or pre-partitioned join really is
-    * co-located.
+  /** True when the compiled physical plan contains no shuffle exchange
+    * of any kind (hash, range, or single-partition) — the assertion that
+    * a bucketed or pre-partitioned join really is co-located. Broadcast
+    * exchanges don't count: they replicate, they don't repartition.
     */
   def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+    !df.queryExecution.executedPlan.toString.linesIterator.exists(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
 }

@@ -184,6 +184,29 @@ object TripRecord {
     status = TripSchemas.StatusStarted
   )
 
+  /** Eviction record for a robust-mode buffered end whose start never
+    * arrived: end fields only, `date` derived from dropoff time, status
+    * Expired — so the fare is visible in the eviction side output
+    * instead of silently vanishing with the state.
+    */
+  def ofEndOnly(e: TripEnd): TripRecord = TripRecord(
+    trip_id = e.trip_id,
+    pickup_location_id = None, dropoff_location_id = None, vendor_id = None,
+    pickup_datetime = None, estimated_dropoff_datetime = None,
+    estimated_fare_amount = None,
+    dropoff_datetime = e.dropoff_datetime,
+    rate_code = e.rate_code,
+    passenger_count = e.passenger_count,
+    trip_distance = e.trip_distance,
+    fare_amount = e.fare_amount,
+    tip_amount = e.tip_amount,
+    payment_type = e.payment_type,
+    trip_type = e.trip_type,
+    date = e.dropoff_datetime.map(t => java.sql.Date.valueOf(
+      t.toLocalDateTime.toLocalDate)),
+    status = TripSchemas.StatusExpired
+  )
+
   /** Merge an end event onto a stored record — the put_item overwrite
     * analog (reference: trip_processor.py:65-78). Last-write-wins.
     */

@@ -103,22 +103,40 @@ object TripTableSink {
     * dates actually read — combine with a `date` filter for pruning.
     */
   def readMerged(spark: SparkSession, path: String): DataFrame =
-    lastWriteWins(spark.read.parquet(path)).drop(seqCol)
+    mergedView(spark.read.parquet(path))
+
+  /** Last-write-wins view over an already-loaded (and possibly
+    * date-pruned) frame. Snapshot/upsert tables carry no epoch column
+    * and are already one-row-per-key; append-delta frames are merged.
+    * Readers that prune first (the daily KPI job) use this so pruning
+    * happens before the merge window.
+    */
+  def mergedView(df: DataFrame): DataFrame =
+    if (df.columns.contains(seqCol)) lastWriteWins(df).drop(seqCol) else df
 
   /** Fold all deltas into a single epoch (run periodically, e.g. daily).
-    * Writes the merged snapshot to a fresh directory then swaps it in —
-    * readers never observe a half-compacted table.
+    * Writes the merged snapshot aside, then swaps via two renames (old
+    * table aside, snapshot in) — there is no delete-before-publish
+    * window, so a crash strands at worst a `.old` directory, never the
+    * data. Single-writer maintenance op: concurrent readers can still
+    * glimpse the brief gap between the two renames on non-atomic stores;
+    * a production deployment would swap via a catalog/manifest pointer
+    * (Delta/Iceberg) instead.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val tmp = path + ".compact.tmp"
+    val old = path + ".compact.old"
     lastWriteWins(spark.read.parquet(path))
       .withColumn(seqCol, lit(0L))
       .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(tmp)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val hTmp = new org.apache.hadoop.fs.Path(tmp)
+    val hOld = new org.apache.hadoop.fs.Path(old)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hPath, true)
+    fs.delete(hOld, true)
+    fs.rename(hPath, hOld)
     fs.rename(hTmp, hPath)
+    fs.delete(hOld, true)
   }
 
   /** foreachBatch hook using the append strategy. */

@@ -101,6 +101,18 @@ class TripCorrelationSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.head.getAs[Double]("fare_amount") shouldBe 50.0 // latest dropoff wins
   }
 
+  test("batch correlate: duplicate start events also yield one row per trip") {
+    import spark.implicits._
+    val starts = Seq(
+      mkStart("t6", pickup = "2024-05-25 09:00:00"),
+      mkStart("t6", pickup = "2024-05-25 10:00:00")).toDF()
+    val ends = Seq(mkEnd("t6")).toDF()
+    val out = TripCorrelation.correlate(starts, ends).collect()
+    out should have size 1
+    out.head.getAs[java.sql.Timestamp]("pickup_datetime") shouldBe
+      ts("2024-05-25 10:00:00") // latest start wins
+  }
+
   test("batch correlate matches reference counts on tiny mixed input") {
     import spark.implicits._
     val starts = Seq(mkStart("a"), mkStart("b"), mkStart("c")).toDF()

@@ -45,6 +45,24 @@ class KpiJsonSinkSpec extends AnyFunSuite with Matchers with SparkTestBase {
     Files.exists(Paths.get(out, "2024-05", "2024-05-25.json")) shouldBe true
   }
 
+  test("DailyKpiJob on an append-delta table does not double-count redeliveries") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-kpi").resolve("trips").toString
+    val out = Files.createTempDirectory("graft-kpi-out").toString
+    def completed(fare: Double) = Seq(
+      ("t1", TripSchemas.StatusCompleted, fare, Date.valueOf("2024-05-25")))
+      .toDF("trip_id", "status", "fare_amount", "date")
+      .withColumn("dropoff_datetime",
+        org.apache.spark.sql.functions.lit(Timestamp.valueOf("2024-05-25 10:25:00")))
+    TripTableSink.appendDelta(completed(24.5), table, epoch = 0L)
+    TripTableSink.appendDelta(completed(24.5), table, epoch = 1L) // redelivery
+    val paths = DailyKpiJob.run(spark, table, out, Some("2024-05-25"))
+    paths should have size 1
+    val json = Files.readString(Paths.get(paths.head))
+    json should include(""""count_trips":1""") // merged, not double-counted
+    json should include(""""total_fare":24.5""")
+  }
+
   test("F5: an empty day produces no output file") {
     val table = Files.createTempDirectory("graft-kpi").resolve("trips").toString
     val out = Files.createTempDirectory("graft-kpi-out").toString

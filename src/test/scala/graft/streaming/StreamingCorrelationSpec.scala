@@ -97,6 +97,33 @@ class StreamingCorrelationSpec extends AnyFunSuite with Matchers with SparkTestB
     } finally query.stop()
   }
 
+  test("robust mode: a buffered end with no start evicts as an Expired record") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[TripEvent]
+    val records = TripCorrelation.correlateStream(input.toDS(), faithful = false,
+      timeoutMs = 60000L, watermarkDelay = "1 minute")
+    val query = records.toDF().writeStream
+      .format("memory").queryName("robust_evict").outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt").toString)
+      .start()
+    try {
+      input.addData(TripEvent.ofEnd(mkEnd("b1", "2024-05-25 10:00:00")))
+      query.processAllAvailable()
+      // advance watermark far past the buffered end's timeout
+      input.addData(TripEvent.ofStart(mkStart("z1", "2024-05-25 13:00:00")))
+      query.processAllAvailable()
+      input.addData(TripEvent.ofStart(mkStart("z2", "2024-05-25 13:30:00")))
+      query.processAllAvailable()
+      val evicted = spark.table("robust_evict")
+        .where($"trip_id" === "b1").collect()
+      evicted should have size 1
+      evicted.head.getAs[String]("status") shouldBe TripSchemas.StatusExpired
+      evicted.head.getAs[Double]("fare_amount") shouldBe 24.5 // fare not lost
+    } finally query.stop()
+  }
+
   test("TripStreamJob: JSON streams through decode/union/state/append sink") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -19,7 +19,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(rows):
-    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+    # Round floats in the sort key so engine-level jitter (last-ulp
+    # differences between Spark and DuckDB) cannot reorder the two sides
+    # differently and mispair rows.
+    def key(x):
+        if isinstance(x, float):
+            return (x is None, f"{x:.6g}")
+        return (x is None, str(x))
+    return sorted(rows, key=lambda r: tuple(key(x) for x in r))
 
 
 def close(a, b):
