@@ -25,6 +25,9 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // harness events.parquet uses TIMESTAMP(NANOS), unreadable by
+      // Spark 4 without this (read as raw nanos, converted by callers)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / tools. */

@@ -25,11 +25,22 @@ object SparkEntry {
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
     * Spark only reads as raw nanos (legacy nanosAsLong conf); convert to
     * a micros TimestampType column (truncation — DuckDB's native
-    * nanos→micros read truncates identically).
+    * nanos→micros read truncates identically). The conf is also set in
+    * [[GraftSession.configure]]; the runtime set here covers the
+    * driver-owned session that calls [[entry]], which we don't build.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Driver-side fetch of one embedding as a literal query vector
+    * (shared by the ANN queries; a missing id is one clear error).
+    */
+  private def queryVector(e: DataFrame, id: Long): Seq[Double] = {
+    val rows = e.where(col("vec_id") === id).select(col("embedding")).take(1)
+    require(rows.nonEmpty, s"embeddings fixture has no vec_id=$id")
+    rows.head.getSeq[Float](0).map(_.toDouble)
   }
 
   /** The events table reshaped as a trips-like frame so the KPI
@@ -40,11 +51,16 @@ object SparkEntry {
   private def eventsAsTrips(s: SparkSession, dir: String): DataFrame =
     events(s, dir).select(
       to_date(col("ts")).as("date"),
-      when(col("event_type") === "error", graft.schema.TripSchemas.StatusStarted)
+      // null-safe: a NULL event_type must NOT count as Completed, or the
+      // engine would diverge from the oracle's `event_type <> 'error'`
+      // (which excludes NULLs) on any fixture with missing types
+      when(col("event_type").isNull || col("event_type") === "error",
+        graft.schema.TripSchemas.StatusStarted)
         .otherwise(graft.schema.TripSchemas.StatusCompleted).as("status"),
       col("value").as("fare_amount"))
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The path
+    * is pinned by the driver contract (entry takes no dir parameter). */
   def entry(spark: SparkSession): DataFrame =
     KpiAggregation.dailyKpis(eventsAsTrips(spark, "/root/testdata/sf0.001"))
       .orderBy("date")
@@ -61,9 +77,8 @@ object SparkEntry {
 
     // A1-A5: the five fare KPIs in ONE pass (vs the reference's 5 jobs)
     "q02_kpi_global" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      li.agg(KpiAggregation.kpiColumns(col("l_extendedprice")).head,
-        KpiAggregation.kpiColumns(col("l_extendedprice")).tail: _*)
+      val ks = KpiAggregation.kpiColumns(col("l_extendedprice"))
+      t(s, dir, "lineitem").agg(ks.head, ks.tail: _*)
     }),
 
     // A6: grouped aggregation, multiple aggregates, one shuffle
@@ -220,8 +235,7 @@ object SparkEntry {
     // Brute-force cosine top-k against one query vector
     "q23_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val q = e.where(col("vec_id") === 0)
-        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      val q = queryVector(e, 0L)
       SimilaritySearch.topKByCosine(e, "vec_id", "embedding", q, 10, excludeId = Some(0L))
         .select(col("vec_id"), col("cosine_sim"))
     }),
@@ -277,8 +291,7 @@ object SparkEntry {
     // LSH ANN top-k (recall-lossy scale path)
     "q31_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val q = e.where(col("vec_id") === 0)
-        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      val q = queryVector(e, 0L)
       SimilaritySearch.annTopK(e, "vec_id", "embedding", q, 10,
           numPlanes = 4, excludeId = Some(0L))
         .select(col("vec_id"), col("cosine_sim"))
@@ -330,8 +343,7 @@ object SparkEntry {
     // IVF ANN: coarse-quantized probe (sampled centroids, 2-cell probe)
     "q34_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val q = e.where(col("vec_id") === 0)
-        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      val q = queryVector(e, 0L)
       val centroids = SimilaritySearch.learnCentroids(e, "embedding", k = 16)
       SimilaritySearch.ivfTopK(e, "vec_id", "embedding", q, 10, centroids,
           nProbe = 4, excludeId = Some(0L))
@@ -362,7 +374,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. q28-q32, q34, and q39 are omitted
+    * the same parquet tables. q28/q29/q31/q32, q34, and q39 are omitted
     * deliberately: xxhash64/LSH-seed/FNV/sampled-centroid arithmetic has
     * no DuckDB twin (driver records the weaker rows-only check).
     */
@@ -649,7 +661,28 @@ object SparkEntry {
                       len(a.words)::DOUBLE AS na, len(b.words)::DOUBLE AS nb
                FROM w a, w b WHERE a.doc_id < b.doc_id)
          SELECT id_a, id_b, c / (na + nb - c) AS jaccard FROM p
-         WHERE c / (na + nb - c) >= 0.8 ORDER BY id_a, id_b"""
+         WHERE c / (na + nb - c) >= 0.8 ORDER BY id_a, id_b""",
+
+    "q30_components" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id,
+                 list_distinct(regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                   ' ')) AS words
+               FROM documents),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM w a, w b
+               WHERE a.doc_id < b.doc_id
+                 AND len(list_intersect(a.words, b.words))::DOUBLE
+                     / (len(a.words) + len(b.words)
+                        - len(list_intersect(a.words, b.words)))::DOUBLE >= 0.8),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+         SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
