@@ -32,39 +32,53 @@ object KpiAggregation {
     * shuffle on `date`; map-side partial aggregation makes the shuffle
     * five doubles per date per task regardless of input size.
     */
-  def dailyKpis(trips: DataFrame): DataFrame =
+  def dailyKpis(trips: DataFrame): DataFrame = {
+    val ks = kpiColumns(col("fare_amount"))
     trips
       .where(col("status") === TripSchemas.StatusCompleted)
       .groupBy(col("date"))
-      .agg(kpiColumns(col("fare_amount")).head, kpiColumns(col("fare_amount")).tail: _*)
+      .agg(ks.head, ks.tail: _*)
+  }
 
   /** The reference's exact job: one day, global aggregate
     * (F1 partition prune + F2 status filter + A1-A5).
     */
-  def kpisForDate(trips: DataFrame, date: String): DataFrame =
+  def kpisForDate(trips: DataFrame, date: String): DataFrame = {
+    val ks = kpiColumns(col("fare_amount"))
     trips
       .where(col("date") === to_date(lit(date)) &&
         col("status") === TripSchemas.StatusCompleted)
-      .agg(kpiColumns(col("fare_amount")).head, kpiColumns(col("fare_amount")).tail: _*)
+      .agg(ks.head, ks.tail: _*)
+  }
 
   /** Streaming generalization of A6 (SURVEY.md §2.7): incremental daily
     * KPIs over the completed-trip stream via a watermarked 1-day tumbling
-    * window on `dropoff_datetime`. The reference computes "daily" as a
-    * nightly batch job; this is the same logical query kept continuously
-    * up to date, with the watermark bounding aggregation state. Output
-    * (Update mode) upserts one row per day.
+    * window. The reference computes "daily" as a nightly batch job; this
+    * is the same logical query kept continuously up to date, with the
+    * watermark bounding aggregation state. Output (Update mode) upserts
+    * one row per day.
+    *
+    * `eventCol` defaults to `pickup_datetime` so a cross-midnight trip
+    * lands in the SAME day the batch path assigns it (`TripRecord.date`
+    * derives from pickup, README.md:34) — bucketing on dropoff would make
+    * the streaming and nightly documents disagree for every trip that
+    * crosses midnight. The watermark delay must therefore cover trip
+    * duration plus delivery skew (completions arrive after pickup).
     */
   def dailyKpisStream(
       completedTrips: DataFrame,
-      watermarkDelay: String = "1 day"): DataFrame =
+      watermarkDelay: String = "1 day",
+      eventCol: String = "pickup_datetime"): DataFrame = {
+    val ks = kpiColumns(col("fare_amount"))
     completedTrips
       .where(col("status") === TripSchemas.StatusCompleted)
-      .withWatermark("dropoff_datetime", watermarkDelay)
-      .groupBy(window(col("dropoff_datetime"), "1 day").as("w"))
-      .agg(kpiColumns(col("fare_amount")).head, kpiColumns(col("fare_amount")).tail: _*)
+      .withWatermark(eventCol, watermarkDelay)
+      .groupBy(window(col(eventCol), "1 day").as("w"))
+      .agg(ks.head, ks.tail: _*)
       .select(to_date(col("w.start")).as("date"),
         col("total_fare"), col("count_trips"), col("average_fare"),
         col("max_fare"), col("min_fare"))
+  }
 
   /** P8: previous-day string, `yyyy-MM-dd` (reference:
     * daily_kpi_aggregation.py:33-36 — `datetime.now() - timedelta(1)`).

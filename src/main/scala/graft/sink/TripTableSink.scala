@@ -60,13 +60,22 @@ object TripTableSink {
     val merged =
       if (!tableExists(spark, path)) lastWriteWins(incoming)
       else {
-        val existing = spark.read.parquet(path).withColumn(seqCol, lit(-1L))
+        val existing0 = spark.read.parquet(path)
+        // An append-delta table already carries real epochs — keep them
+        // so merge order stays correct if upsert runs over one (e.g. a
+        // backfill); snapshot tables get a below-everything sentinel.
+        val existing =
+          if (existing0.columns.contains(seqCol)) existing0
+          else existing0.withColumn(seqCol, lit(-1L))
         // Prune to touched dates only: tiny broadcast semi-join against
         // the batch's date set, so a day's upsert never reads the table's
-        // full history.
-        val touched = incoming.select("date").distinct()
-        val existingTouched =
-          existing.join(broadcast(touched), Seq("date"), "left_semi")
+        // full history. Null-safe equality: date can be null (unparsable
+        // pickup time) and a plain equi-join would EXCLUDE stored
+        // null-date rows from the merge, then overwrite their partition
+        // without them — silent deletion.
+        val touched = incoming.select(col("date").as("__touched_date")).distinct()
+        val existingTouched = existing
+          .join(broadcast(touched), existing("date") <=> touched("__touched_date"), "left_semi")
         lastWriteWins(existingTouched.unionByName(incoming))
       }
     val out = merged.drop(seqCol)
@@ -118,24 +127,39 @@ object TripTableSink {
     * Writes the merged snapshot aside, then swaps via two renames (old
     * table aside, snapshot in) — there is no delete-before-publish
     * window, so a crash strands at worst a `.old` directory, never the
-    * data. Single-writer maintenance op: concurrent readers can still
-    * glimpse the brief gap between the two renames on non-atomic stores;
-    * a production deployment would swap via a catalog/manifest pointer
-    * (Delta/Iceberg) instead.
+    * data. Rows are stamped with the table's CURRENT max epoch, so
+    * post-compaction appends with higher batchIds still win last-write-
+    * wins (stamping 0 would let stale compacted rows beat fresh writes
+    * after a checkpoint reset ties the epochs).
+    *
+    * EXCLUSIVE-ACCESS maintenance op: pause the streaming appender
+    * first. The directory rename moves whatever is in the table at that
+    * instant — an epoch appended mid-swap would be lost with the `.old`
+    * cleanup. (A production deployment swaps a catalog/manifest pointer
+    * — Delta/Iceberg — precisely to avoid this constraint.) Renames are
+    * checked: Hadoop reports most failures as `false`, and an unchecked
+    * failed first rename would nest the snapshot INSIDE the live table,
+    * doubling every row.
     */
   def compact(spark: SparkSession, path: String): Unit = {
+    val current0 = spark.read.parquet(path)
+    val current =
+      if (current0.columns.contains(seqCol)) current0
+      else current0.withColumn(seqCol, lit(0L))
+    val maxSeq: Long = current.agg(max(col(seqCol))).head.getLong(0)
     val tmp = path + ".compact.tmp"
     val old = path + ".compact.old"
-    lastWriteWins(spark.read.parquet(path))
-      .withColumn(seqCol, lit(0L))
+    lastWriteWins(current)
+      .withColumn(seqCol, lit(maxSeq))
       .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(tmp)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val hTmp = new org.apache.hadoop.fs.Path(tmp)
     val hOld = new org.apache.hadoop.fs.Path(old)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(hOld, true)
-    fs.rename(hPath, hOld)
-    fs.rename(hTmp, hPath)
+    require(fs.rename(hPath, hOld), s"compact: failed to move $path aside")
+    require(fs.rename(hTmp, hPath),
+      s"compact: failed to publish snapshot to $path (old data at $old)")
     fs.delete(hOld, true)
   }
 

@@ -72,6 +72,34 @@ class KpiJsonSinkSpec extends AnyFunSuite with Matchers with SparkTestBase {
     Files.list(Paths.get(out)).count() shouldBe 0
   }
 
+  test("a null-date KPI row is skipped, not a publish-aborting NPE") {
+    import spark.implicits._
+    val trips = Seq(
+      ("t1", TripSchemas.StatusCompleted, 10.0, Some(Date.valueOf("2024-05-25"))),
+      ("t2", TripSchemas.StatusCompleted, 30.0, None: Option[Date]))
+      .toDF("trip_id", "status", "fare_amount", "date")
+    val out = Files.createTempDirectory("graft-kpi").toString
+    val docs = KpiAggregation.kpiDocument(KpiAggregation.dailyKpis(trips))
+    val paths = KpiJsonSink.writeDaily(docs, out)
+    paths should have size 1 // the valid day published, null group skipped
+    paths.head should endWith("2024-05-25.json")
+  }
+
+  test("upsert preserves previously stored null-date rows") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-sink").resolve("trips").toString
+    def row(id: String, date: Option[Date]) = Seq((id, TripSchemas.StatusStarted, 0.0, date))
+      .toDF("trip_id", "status", "fare_amount", "date")
+      .withColumn("dropoff_datetime",
+        org.apache.spark.sql.functions.lit(null).cast("timestamp"))
+    TripTableSink.upsert(spark, row("x", None), path, epoch = 0L)
+    TripTableSink.upsert(spark, row("y", None), path, epoch = 1L)
+    // a plain equi-join date prune would have dropped x when y's batch
+    // rewrote the null partition
+    spark.read.parquet(path).select("trip_id").collect()
+      .map(_.getString(0)).sorted shouldBe Array("x", "y")
+  }
+
   test("P8: previousDay computes yyyy-MM-dd minus one day") {
     import spark.implicits._
     val prev = Seq(Timestamp.valueOf("2024-03-01 05:00:00")).toDF("ts")

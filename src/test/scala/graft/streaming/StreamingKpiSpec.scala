@@ -16,7 +16,7 @@ import graft.core.KpiAggregation
 case class Trip(
     trip_id: String,
     status: String,
-    dropoff_datetime: Timestamp,
+    pickup_datetime: Timestamp,
     fare_amount: Double)
 
 /** Incremental daily KPIs: the A6 aggregation as a watermarked
