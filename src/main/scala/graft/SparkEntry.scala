@@ -529,7 +529,8 @@ object SparkEntry {
 
     "q22_lang_id" ->
       """WITH x AS (
-           SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           SELECT text AS txt,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
            FROM documents),
          s AS (
            SELECT
@@ -537,7 +538,8 @@ object SparkEntry {
              len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','los','se','del','las'], t))) AS s_es,
              len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','zu','den','mit'], t))) AS s_de,
              len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], t))) AS s_fr,
-             len(list_filter(toks, t -> list_contains(['的','是','在','了','我','有','和','人','这','不'], t))) AS s_zh
+             len(list_filter(['的','是','在','了','我','有','和','人','这','不'],
+                             w -> contains(txt, w))) AS s_zh
            FROM x),
          p AS (
            SELECT CASE

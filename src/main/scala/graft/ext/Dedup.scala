@@ -324,13 +324,18 @@ object Dedup {
     val sh = df.select(col(idCol).as("__id"),
       wordShingles(col(textCol), n).as("__sh"))
     val inv0 = sh.select(col("__id"), explode(col("__sh")).as("__g"))
-    val inv =
+    // Pin the inverted index: it feeds the size aggregate AND both join
+    // sides (plus the hot-shingle scan) — left lazy, the shingle
+    // explode (the expensive normalize+split+slice pass) re-inlines
+    // into every consumer, same trap the signature paths checkpoint
+    // against.
+    val inv = (
       if (maxDocFreq <= 0) inv0
       else {
         val hot = inv0.groupBy("__g").agg(count(lit(1)).as("__df"))
           .where(col("__df") > maxDocFreq).select("__g")
         inv0.join(broadcast(hot), Seq("__g"), "left_anti")
-      }
+      }).localCheckpoint()
     val sizes = inv.groupBy("__id").agg(count(lit(1)).as("__n"))
     val common = inv.as("x").join(inv.as("y"), col("x.__g") === col("y.__g"))
       .where(col("x.__id") < col("y.__id"))
@@ -383,6 +388,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: labels still changing after $maxIter " +
+          "iterations — components with diameter > maxIter carry partial " +
+          "labels (raise maxIter for deep duplicate chains)")
     labels
   }
 }

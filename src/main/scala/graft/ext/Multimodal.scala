@@ -26,12 +26,16 @@ object Multimodal {
       kind: String, // "image" | "audio" | "video" | "blob"
       payload: Array[Byte])
 
-  /** Extracted features for one media payload. */
+  /** Extracted features for one media payload. `payload_fnv1a` is the
+    * decoder-side FNV-1a hash — deliberately NOT named `content_hash`:
+    * [[envelopeMeta]]'s `content_hash` is xxhash64 and the two are never
+    * equal, so sharing a name would invite a silently-empty join.
+    */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
       n_bytes: Long,
-      content_hash: Long,
+      payload_fnv1a: Long,
       width: Int, // fake-decoded dimensions (stub)
       height: Int,
       duration_ms: Long, // 0 for images
@@ -110,7 +114,7 @@ object MediaCodec {
       media_id = row.media_id,
       kind = row.kind,
       n_bytes = row.payload.length.toLong,
-      content_hash = h,
+      payload_fnv1a = h,
       width = width,
       height = height,
       duration_ms = duration,

@@ -96,17 +96,24 @@ object SimilaritySearch {
       queries: DataFrame,
       queryId: String,
       queryVec: String,
-      k: Int): DataFrame = {
+      k: Int,
+      excludeSelfId: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val q = broadcast(queries.select(
       col(queryId).cast("long").as("query_id"), col(queryVec).as("__qv")))
-    val scored = corpus
+    val base = corpus
       .select(col(corpusId).cast("long").as("id"), col(corpusVec).as("__cv"))
       .crossJoin(q)
-      .where(col("id") =!= col("query_id"))
+    // excludeSelfId only makes sense when queries share the corpus id
+    // namespace (self-kNN); pass false for cross-table queries.
+    val filtered = if (excludeSelfId) base.where(col("id") =!= col("query_id")) else base
+    val scored = filtered
       .select(col("query_id"), col("id"),
         cosine(col("__cv"), col("__qv")).as("cosine_sim"))
+      // zero-norm or null vectors score NULL (Spark division returns
+      // null); drop them — a null would NPE the non-nullable encoder
+      .where(col("cosine_sim").isNotNull)
       .as[(Long, Long, Double)]
     val agg = new TopKAgg(k).toColumn
     scored
@@ -212,10 +219,12 @@ object SimilaritySearch {
       dim: Int = -1,
       seed: Long = 42L): DataFrame = {
     // dim <= 0: derive from the data (one 1-row job) — a mismatched
-    // literal dim would null-poison every zip_with dot product.
+    // literal dim would null-poison every zip_with dot product. Null
+    // vectors are skipped for the probe (and score null downstream).
     val d =
       if (dim > 0) dim
-      else df.select(size(col(vecCol))).limit(1).collect()
+      else df.where(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).limit(1).collect()
         .headOption.map(_.getInt(0)).getOrElse(0)
     if (d == 0) {
       import df.sparkSession.implicits._
@@ -270,7 +279,11 @@ object SimilaritySearch {
       sampleN: Int = 2000,
       iters: Int = 5,
       seed: Long = 42L): Seq[Seq[Double]] = {
-    val sample = df.select(col(vecCol)).limit(sampleN).collect()
+    // Uniform reservoir sample across ALL partitions — limit(N) would
+    // take the head of the first partitions, biasing centroids to one
+    // region of a sorted/clustered corpus.
+    val sample = df.where(col(vecCol).isNotNull).select(col(vecCol))
+      .rdd.takeSample(withReplacement = false, sampleN, seed)
       .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq)
     require(sample.nonEmpty, "cannot learn centroids from an empty frame")
     val rnd = new scala.util.Random(seed)

@@ -132,11 +132,19 @@ object LangId {
     "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "人", "这", "不")
   )
 
-  /** Per-language stopword hit count over the lowercased token array. */
-  def score(text: Column, lang: String): Column = {
-    val sw = array(stopwords(lang).map(lit): _*)
-    size(filter(TextAnalysis.tokens(lower(text)), t => array_contains(sw, t)))
-  }
+  /** Per-language stopword hit count. Whitespace-tokenized languages
+    * count tokens equal to a stopword; zh is unsegmented (a "token" is
+    * the whole clause), so it counts stopword CHARACTERS contained in
+    * the text instead.
+    */
+  def score(text: Column, lang: String): Column =
+    if (lang == "zh") {
+      val sw = array(stopwords("zh").map(lit): _*)
+      size(filter(sw, w => contains(text, w)))
+    } else {
+      val sw = array(stopwords(lang).map(lit): _*)
+      size(filter(TextAnalysis.tokens(lower(text)), t => array_contains(sw, t)))
+    }
 
   /** Predicted language code, or "und" when no stopword hits at all. */
   def langId(text: Column): Column = {

@@ -17,13 +17,18 @@ import graft.schema._
   */
 object EventReader {
 
-  /** S1: trip-start CSV scan with explicit schema. */
+  /** S1: trip-start CSV scan with explicit schema. Malformed lines parse
+    * to all-null rows (PERMISSIVE); drop them by the non-null key so one
+    * poison line cannot crash the typed path — the batch analog of the
+    * reference's per-record try/except skip.
+    */
   def readTripStarts(spark: SparkSession, path: String): DataFrame =
     spark.read
       .schema(TripSchemas.tripStartSchema)
       .option("header", "true")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(path)
+      .where(col("trip_id").isNotNull)
 
   /** S2: trip-end CSV scan. The physical schema follows the file's
     * column order (Spark binds explicit CSV schemas positionally) and
@@ -37,7 +42,8 @@ object EventReader {
         .schema(TripSchemas.tripEndCsvSchema)
         .option("header", "true")
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-        .csv(path))
+        .csv(path)
+        .where(col("trip_id").isNotNull))
 
   /** Project any end frame (CSV-physical or JSON-wire order, double
     * quad) onto the canonical [[TripSchemas.tripEndSchema]] shape.
@@ -82,8 +88,10 @@ object EventReader {
     */
   def corruptRecords(df: DataFrame, schema: StructType): DataFrame = {
     val r = from_json(col("value"), schema)
-    df.where(col("value").isNotNull &&
-        (r.isNull || r.getField("trip_id").isNull))
+    // includes NULL values (tombstones): every input row lands in
+    // exactly one of decodeJson / corruptRecords — full accountability
+    df.where(col("value").isNull ||
+        r.isNull || r.getField("trip_id").isNull)
       .select(col("value").as("raw"))
   }
 

@@ -31,8 +31,8 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .orderBy("media_id").collect()
     val feats2 = Multimodal.decodeFeatures(media.repartition(5).as[Multimodal.MediaRow])
       .orderBy("media_id").collect()
-    feats1.map(f => (f.media_id, f.content_hash, f.width, f.height, f.duration_ms)) shouldBe
-      feats2.map(f => (f.media_id, f.content_hash, f.width, f.height, f.duration_ms))
+    feats1.map(f => (f.media_id, f.payload_fnv1a, f.width, f.height, f.duration_ms)) shouldBe
+      feats2.map(f => (f.media_id, f.payload_fnv1a, f.width, f.height, f.duration_ms))
     all(feats1.map(_.feature.size)) shouldBe 8
     all(feats1.map(_.duration_ms)) should be > 0L // video kind
   }

@@ -51,6 +51,7 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     one[String](LangId.langId(col("t")), "el perro y la casa de los vecinos en la calle") shouldBe "es"
     one[String](LangId.langId(col("t")), "der hund und die katze sind nicht zu hause mit den") shouldBe "de"
     one[String](LangId.langId(col("t")), "le chat est dans les maisons et une porte pour") shouldBe "fr"
+    one[String](LangId.langId(col("t")), "\u6211\u662f\u5b66\u751f\uff0c\u8fd9\u662f\u6211\u7684\u4e66") shouldBe "zh"
     one[String](LangId.langId(col("t")), "xyzzy plugh qwerty") shouldBe "und"
   }
 

@@ -11,10 +11,11 @@ class EventReaderSpec extends AnyFunSuite with Matchers with SparkTestBase {
   private def lines = {
     import spark.implicits._
     Seq(
-      """{"trip_id":"a1","pickup_datetime":"2024-05-25 10:00:00"}""",
-      """{broken json""",
-      """{"pickup_datetime":"2024-05-25 10:00:00"}""", // no trip_id
-      """{"trip_id":"a2"}""").toDF("value")
+      Some("""{"trip_id":"a1","pickup_datetime":"2024-05-25 10:00:00"}"""),
+      Some("""{broken json"""),
+      Some("""{"pickup_datetime":"2024-05-25 10:00:00"}"""), // no trip_id
+      None, // tombstone: null value must land in the DLQ, not vanish
+      Some("""{"trip_id":"a2"}""")).toDF("value")
   }
 
   test("decodeJson and corruptRecords partition the input") {
@@ -22,7 +23,7 @@ class EventReaderSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val bad = EventReader.corruptRecords(lines, TripSchemas.tripStartSchema)
     good.select("trip_id").collect().map(_.getString(0)).sorted shouldBe
       Array("a1", "a2")
-    bad.count() shouldBe 2
+    bad.count() shouldBe 3
     good.count() + bad.count() shouldBe lines.count()
   }
 
