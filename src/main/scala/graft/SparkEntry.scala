@@ -327,6 +327,15 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // Exact interpolated percentiles per group
+    "q40_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90"))
+        .orderBy(col("o_orderpriority"))),
+
     // Deterministic content-hash sampling (reproducible, layout-stable)
     "q37_content_sample" -> ((s, dir) =>
       Sampling.contentSample(t(s, dir, "documents"), "text", "20")
@@ -598,6 +607,12 @@ object SparkEntry {
          md5(text) AS content_md5
          FROM documents ORDER BY media_id""",
 
+    "q40_percentiles" ->
+      """SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.5) AS p50,
+         quantile_cont(o_totalprice, 0.9) AS p90
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "q37_content_sample" ->
       """SELECT doc_id, n_chars FROM documents
          WHERE md5(text) < '20' ORDER BY doc_id""",
@@ -703,5 +718,5 @@ object SparkEntry {
     "q28_minhash_pairs", "q29_simhash_pairs", "q31_ann_topk",
     "q32_multimodal_features", "q33_tfidf", "q34_ivf_topk",
     "q35_sessionize", "q36_rollup", "q37_content_sample", "q38_content_split",
-    "q39_clean_corpus")
+    "q39_clean_corpus", "q40_percentiles")
 }
