@@ -32,14 +32,22 @@ object GraftSession {
 
   /** Local session for tests / tools. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors(), appName: String = "graft"): SparkSession = {
+    // isolated warehouse so saveAsTable (bucketed layouts) never writes
+    // into the repo working directory; removed on JVM exit so repeated
+    // runs don't leak table copies into the temp dir
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-warehouse")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(warehouse.toFile)
+    }))
     val s = configure(
       SparkSession.builder().master(s"local[$cores]").appName(appName),
       shufflePartitions = math.max(cores, 4)
     )
-      // isolated warehouse so saveAsTable (bucketed layouts) never
-      // writes into the repo working directory
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.warehouse.dir", warehouse.toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

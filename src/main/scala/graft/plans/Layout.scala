@@ -27,6 +27,10 @@ object Layout {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // right/full-outer would emit `salts` null-padded copies of every
+    // unmatched small-side row (it is exploded across all salts)
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val bigS = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
     val smallS = small.withColumn("__salt",

@@ -73,17 +73,12 @@ object TripSchemas {
       if (telemetryQuad.contains(f.name)) f.copy(dataType = DoubleType) else f
     })
 
-  /** Unified stored-trip record: start fields + nullable end fields +
-    * derived `date` (partition column) and `status` lifecycle.
-    * (reference: README.md:73-80, DynamoDB TripData item shape.)
+  /** Unified stored-trip record schema (reference: README.md:73-80,
+    * DynamoDB TripData item shape) — derived from the [[TripRecord]]
+    * encoder so it can never drift from the case class.
     */
-  val tripRecordSchema: StructType = StructType(
-    tripStartSchema.fields.toSeq ++
-      tripEndSchema.fields.toSeq.filterNot(_.name == "trip_id") ++ Seq(
-        StructField("date", DateType, nullable = true),
-        StructField("status", StringType, nullable = false)
-      )
-  )
+  lazy val tripRecordSchema: StructType =
+    org.apache.spark.sql.Encoders.product[TripRecord].schema
 
   val StatusStarted = "Started"
   val StatusCompleted = "Completed"
@@ -179,10 +174,18 @@ object TripRecord {
     dropoff_datetime = None, rate_code = None, passenger_count = None,
     trip_distance = None, fare_amount = None, tip_amount = None,
     payment_type = None, trip_type = None,
-    date = s.pickup_datetime.map(t => java.sql.Date.valueOf(
-      t.toLocalDateTime.toLocalDate)),
+    date = s.pickup_datetime.map(TripRecord.utcDay),
     status = TripSchemas.StatusStarted
   )
+
+  /** Calendar day of an instant in UTC — matching the batch path's
+    * to_date() under the pinned UTC session timezone.
+    * `Timestamp.toLocalDateTime` would use the JVM default zone and
+    * diverge from batch bucketing on any non-UTC machine.
+    */
+  private def utcDay(t: Timestamp): java.sql.Date =
+    java.sql.Date.valueOf(
+      t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
 
   /** Eviction record for a robust-mode buffered end whose start never
     * arrived: end fields only, `date` derived from dropoff time, status
@@ -202,8 +205,7 @@ object TripRecord {
     tip_amount = e.tip_amount,
     payment_type = e.payment_type,
     trip_type = e.trip_type,
-    date = e.dropoff_datetime.map(t => java.sql.Date.valueOf(
-      t.toLocalDateTime.toLocalDate)),
+    date = e.dropoff_datetime.map(TripRecord.utcDay),
     status = TripSchemas.StatusExpired
   )
 
