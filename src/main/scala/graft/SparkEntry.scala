@@ -327,6 +327,39 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // As-of join: latest prior click per purchase (union + sort-window,
+    // one shuffle — no range explosion)
+    "q41_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin
+        .asofJoin(purchases, clicks, "user_id", "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Non-equi join: equi key + range predicate
+    "q42_nonequi_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey") &&
+          li("l_shipdate") > o("o_orderdate"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // HLL sketch: approx distinct per group (rows-only — sketch values
+    // are engine-specific; accuracy asserted in SketchSpec)
+    "q43_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag"))),
+
     // Exact interpolated percentiles per group
     "q40_percentiles" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -607,6 +640,21 @@ object SparkEntry {
          md5(text) AS content_md5
          FROM documents ORDER BY media_id""",
 
+    "q41_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+              c.value AS asof_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
+
+    "q42_nonequi_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+              sum(l_extendedprice) AS sum_price
+         FROM lineitem JOIN orders
+           ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "q40_percentiles" ->
       """SELECT o_orderpriority,
          quantile_cont(o_totalprice, 0.5) AS p50,
@@ -718,5 +766,6 @@ object SparkEntry {
     "q28_minhash_pairs", "q29_simhash_pairs", "q31_ann_topk",
     "q32_multimodal_features", "q33_tfidf", "q34_ivf_topk",
     "q35_sessionize", "q36_rollup", "q37_content_sample", "q38_content_split",
-    "q39_clean_corpus", "q40_percentiles")
+    "q39_clean_corpus", "q40_percentiles", "q41_asof_join",
+    "q42_nonequi_join", "q43_approx_distinct")
 }
