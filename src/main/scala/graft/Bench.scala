@@ -24,7 +24,11 @@ object Bench {
     // timed query doesn't carry JVM cold-start noise.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().queryExecution.toRdd.count()
-    val results = SparkEntry.benchQueries.map { name =>
+    // Optional subset for local iteration (the driver leaves this unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.benchQueries
+      .filter(n => only.forall(_.contains(n))).map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {

@@ -22,6 +22,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Order-insensitive sum for fixed-point money doubles: accumulate as
+    * exact DECIMAL(18,2) (associative — no float accumulation-order
+    * dependence across partitions), emit double. Every money sum below
+    * uses this so results are bit-stable across partitionings and
+    * bit-match any engine doing the same exact math.
+    */
+  private def moneySum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
     * Spark only reads as raw nanos (legacy nanosAsLong conf); convert to
     * a micros TimestampType column (truncation — DuckDB's native
@@ -86,9 +95,10 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
+          // quantity is integral-valued: double sums are exact (< 2^53)
           sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice")).as("sum_price"),
-          avg(col("l_discount")).as("avg_disc"),
+          moneySum(col("l_extendedprice")).as("sum_price"),
+          (moneySum(col("l_discount")) / count(col("l_discount"))).as("avg_disc"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
@@ -105,7 +115,7 @@ object SparkEntry {
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
       o.join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("revenue"))
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
         .orderBy(col("c_mktsegment"))
     }),
 
@@ -137,7 +147,7 @@ object SparkEntry {
         .join(c, n("n_nationkey") === c("c_nationkey"))
         .join(o, c("c_custkey") === o("o_custkey"))
         .groupBy(col("r_name"))
-        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("revenue"))
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
         .orderBy(col("r_name"))
     }),
 
@@ -171,7 +181,8 @@ object SparkEntry {
     // A7: describe/summary analog, single-pass
     "q13_stats_summary" -> ((s, dir) =>
       KpiAggregation.numericSummary(t(s, dir, "orders"),
-        Seq("o_totalprice", "o_custkey")).orderBy(col("col_name"))),
+        Seq("o_totalprice", "o_custkey"),
+        fixedPointScale = Some(2)).orderBy(col("col_name"))),
 
     // Set ops
     "q14_set_intersect" -> ((s, dir) => {
@@ -267,10 +278,11 @@ object SparkEntry {
           n = 1, minJaccard = 0.8, maxDocFreq = 0L)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // MinHash LSH near-dup pairs (banded candidates + signature verify)
+    // MinHash LSH near-dup pairs (banded candidates + signature verify;
+    // banding auto-derived from the threshold: 16 bands × 4 at j=0.7)
     "q28_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-          minJaccard = 0.7, numHashes = 64, bands = 16, shingleSize = 1)
+          minJaccard = 0.7, numHashes = 64, shingleSize = 1)
         .orderBy(col("id_a"), col("id_b"))),
 
     // SimHash near-dup pairs (16-bit chunk pigeonhole blocking)
@@ -316,7 +328,7 @@ object SparkEntry {
           sum(col("__new_session")).over(
             byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
         .groupBy(col("user_id"), col("session_seq"))
-        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("session_value"))
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
@@ -348,7 +360,7 @@ object SparkEntry {
       li.join(o, li("l_orderkey") === o("o_orderkey") &&
           li("l_shipdate") > o("o_orderdate"))
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("sum_price"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -399,7 +411,7 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text",
           graft.ext.TextPipeline.Config(minQuality = 0.2,
             langs = Seq("en"), nearDupJaccard = 0.9,
-            numHashes = 64, bands = 16, shingleSize = 3))
+            numHashes = 64, shingleSize = 3))
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))),
 
@@ -429,33 +441,45 @@ object SparkEntry {
          ORDER BY l_orderkey, l_linenumber""",
 
     "q02_kpi_global" ->
-      """SELECT sum(l_extendedprice) AS total_fare, count(*) AS count_trips,
-         avg(l_extendedprice) AS average_fare, max(l_extendedprice) AS max_fare,
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS total_fare,
+         count(*) AS count_trips,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE)
+           / count(l_extendedprice) AS average_fare,
+         max(l_extendedprice) AS max_fare,
          min(l_extendedprice) AS min_fare FROM lineitem""",
 
     "q03_agg_grouped" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-         sum(l_extendedprice) AS sum_price, avg(l_discount) AS avg_disc,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           / count(l_discount) AS avg_disc,
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
 
     "q04_daily_kpis" ->
-      """SELECT CAST(ts AS DATE) AS date, sum(value) AS total_fare,
-         count(*) AS count_trips, avg(value) AS average_fare,
+      """SELECT CAST(ts AS DATE) AS date,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS total_fare,
+         count(*) AS count_trips,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+           / count(value) AS average_fare,
          max(value) AS max_fare, min(value) AS min_fare
          FROM events WHERE event_type <> 'error'
          GROUP BY CAST(ts AS DATE) ORDER BY date""",
 
     "q05_kpi_single_date" ->
-      """SELECT sum(value) AS total_fare, count(*) AS count_trips,
-         avg(value) AS average_fare, max(value) AS max_fare,
+      """SELECT CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS total_fare,
+         count(*) AS count_trips,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+           / count(value) AS average_fare,
+         max(value) AS max_fare,
          min(value) AS min_fare
          FROM events
          WHERE event_type <> 'error' AND CAST(ts AS DATE) = DATE '2024-01-15'""",
 
     "q06_join_inner" ->
-      """SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice) AS revenue
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
@@ -472,7 +496,8 @@ object SparkEntry {
          ORDER BY o_orderkey""",
 
     "q09_join_multi" ->
-      """SELECT r_name, count(*) AS n_orders, sum(o_totalprice) AS revenue
+      """SELECT r_name, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM region
          JOIN nation ON r_regionkey = n_regionkey
          JOIN customer ON n_nationkey = c_nationkey
@@ -497,15 +522,25 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q13_stats_summary" ->
-      """SELECT 'o_totalprice' AS col_name, count(o_totalprice) AS count,
-              avg(o_totalprice) AS mean, stddev_samp(o_totalprice) AS stddev,
-              CAST(min(o_totalprice) AS DOUBLE) AS min,
-              CAST(max(o_totalprice) AS DOUBLE) AS max FROM orders
-         UNION ALL
-         SELECT 'o_custkey', count(o_custkey), avg(o_custkey),
-              stddev_samp(o_custkey), CAST(min(o_custkey) AS DOUBLE),
-              CAST(max(o_custkey) AS DOUBLE) FROM orders
-         ORDER BY col_name""",
+      """WITH m AS (
+           SELECT 'o_totalprice' AS col_name, count(o_totalprice) AS count,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+             CAST(count(o_totalprice) AS DOUBLE) AS n,
+             CAST(min(o_totalprice) AS DOUBLE) AS min,
+             CAST(max(o_totalprice) AS DOUBLE) AS max FROM orders
+           UNION ALL
+           SELECT 'o_custkey', count(o_custkey),
+             CAST(sum(CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE),
+             CAST(sum(CAST(o_custkey AS DECIMAL(18,2))
+                      * CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE),
+             CAST(count(o_custkey) AS DOUBLE),
+             CAST(min(o_custkey) AS DOUBLE),
+             CAST(max(o_custkey) AS DOUBLE) FROM orders)
+         SELECT col_name, count, s1 / n AS mean,
+                sqrt((s2 - s1 * s1 / n) / (n - 1.0)) AS stddev, min, max
+         FROM m ORDER BY col_name""",
 
     "q14_set_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
@@ -650,7 +685,7 @@ object SparkEntry {
 
     "q42_nonequi_join" ->
       """SELECT o_orderpriority, count(*) AS n,
-              sum(l_extendedprice) AS sum_price
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM lineitem JOIN orders
            ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
@@ -689,7 +724,7 @@ object SparkEntry {
                     AS session_seq
            FROM y)
          SELECT user_id, session_seq, count(*) AS n_events,
-                sum(value) AS session_value
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
          FROM z GROUP BY user_id, session_seq
          ORDER BY user_id, session_seq""",
 

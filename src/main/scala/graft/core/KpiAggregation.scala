@@ -19,14 +19,29 @@ import graft.schema.TripSchemas
   */
 object KpiAggregation {
 
-  /** The five fare KPIs as aggregate columns over `fare_amount`. */
-  def kpiColumns(fare: Column): Seq[Column] = Seq(
-    sum(fare).as("total_fare"),
-    count(lit(1)).as("count_trips"),
-    avg(fare).as("average_fare"),
-    max(fare).as("max_fare"),
-    min(fare).as("min_fare")
-  )
+  /** The five fare KPIs as aggregate columns over `fare_amount`.
+    *
+    * The fare sum accumulates as DECIMAL(38,12): decimal addition is
+    * exact and therefore associative, so the result is independent of
+    * partition/merge order, unlike a double sum whose low bits depend
+    * on accumulation order. Each fare is rounded once at 12 decimals
+    * going in (≈1e-12 relative — fares are dollars; the reference's
+    * own published KPIs carry float64 noise far above that), the sum
+    * is cast back to double at output, and the average derives from it
+    * by one double division — any engine doing the same fixed math
+    * bit-matches. At scale this also removes run-to-run jitter in
+    * published KPI documents.
+    */
+  def kpiColumns(fare: Column): Seq[Column] = {
+    val exactSum = sum(fare.cast("decimal(38,12)")).cast("double")
+    Seq(
+      exactSum.as("total_fare"),
+      count(lit(1)).as("count_trips"),
+      (exactSum / count(fare)).as("average_fare"),
+      max(fare).as("max_fare"),
+      min(fare).as("min_fare")
+    )
+  }
 
   /** A6 generalized form: per-date KPIs over completed trips. One
     * shuffle on `date`; map-side partial aggregation makes the shuffle
@@ -92,13 +107,33 @@ object KpiAggregation {
     * variant is the deterministic, oracle-friendly form — one row per
     * column with count/mean/stddev/min/max, computed in a single pass
     * (one agg, 5·k aggregate expressions, then an unpivot).
+    *
+    * Pass `fixedPointScale = Some(s)` for fixed-point data (money with
+    * s=2, integral keys with any s): the first and second moments then
+    * accumulate as exact decimals — `sum(x)` at scale s and `sum(x·x)`
+    * at scale 2s — and mean/stddev derive from them by a fixed double
+    * expression, making the output independent of accumulation order.
     */
-  def numericSummary(df: DataFrame, columns: Seq[String]): DataFrame = {
+  def numericSummary(
+      df: DataFrame,
+      columns: Seq[String],
+      fixedPointScale: Option[Int] = None): DataFrame = {
     val aggs = columns.flatMap { c =>
+      val (mean, sd) = fixedPointScale match {
+        case Some(sc) =>
+          // exact decimal moments: x fits (18, sc); x·x fits (37, 2·sc)
+          val xd = col(c).cast(s"decimal(18,$sc)")
+          val s1 = sum(xd).cast("double")
+          val s2 = sum(xd * xd).cast("double")
+          val n = count(col(c)).cast("double")
+          (s1 / n, sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))))
+        case None =>
+          (avg(col(c)), stddev_samp(col(c)))
+      }
       Seq(
         count(col(c)).as(s"${c}__count"),
-        avg(col(c)).as(s"${c}__mean"),
-        stddev_samp(col(c)).as(s"${c}__stddev"),
+        mean.as(s"${c}__mean"),
+        sd.as(s"${c}__stddev"),
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"))
     }

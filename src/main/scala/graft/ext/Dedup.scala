@@ -126,31 +126,62 @@ object Dedup {
       .localCheckpoint()
   }
 
+  /** The banding whose S-curve detection threshold best fits
+    * `minJaccard`: among the divisor bandings (b bands × r rows,
+    * b·r = numHashes), pick the largest r whose threshold
+    * t = (1/b)^(1/r) stays ≤ minJaccard. t ≤ j guarantees a pair at
+    * Jaccard j collides with probability ≥ 1-(1-1/b)^b ≈ 0.63, rising
+    * steeply above t (at 64 hashes and j = 0.9 this picks 8×8:
+    * P(collide) ≈ 0.99); maximizing r minimizes the false-candidate
+    * mass that a too-low threshold admits — a fixed banding run at a
+    * high threshold (16 bands at j = 0.9 → t = 0.5) makes the verify
+    * stage do quadratic wasted work.
+    */
+  def bandsFor(numHashes: Int, minJaccard: Double): Int = {
+    val viable = (1 to numHashes).filter { r =>
+      numHashes % r == 0 &&
+        math.pow(1.0 / (numHashes / r), 1.0 / r) <= minJaccard
+    }
+    numHashes / (if (viable.isEmpty) 1 else viable.max)
+  }
+
   /** LSH candidate pairs (idA < idB) from a banded signature frame
     * (as produced by [[minhashSignatures]]).
     *
-    * bands × rowsPerBand must equal the signature width. Two docs
-    * collide if any band of their signatures hashes equal — the
+    * bands × rowsPerBand must equal the signature width. Two docs are
+    * candidates iff some band of their signatures hashes equal — the
     * standard S-curve: P(collide) = 1-(1-j^r)^b for Jaccard j.
     *
     * Emits one (band, bandHash) row per doc per band, self-joins on the
     * bucket — the only shuffle is by bucket key; AQE's skew-join
-    * handling splits hot buckets.
+    * handling splits hot buckets. A colliding pair appears once per
+    * shared band (a near-identical pair in ALL bands), so the join
+    * output needs dedup — done by keeping only the row whose band is
+    * the FIRST band whose hashes agree ([[graft.functions
+    * .GraftFunctions.firstMatchingBand]], codegen'd): exactly-once
+    * emission as a scalar filter, where a `distinct` would shuffle the
+    * entire bands-fold blow-up a second time. The filter compares the
+    * per-doc ARRAY of band hashes (8 bytes per band) rather than the
+    * full signature, keeping the hot join's row payload small — on
+    * dup-heavy corpora the join output is the dominant data volume.
     */
   def candidatesFromSigs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val banded = sigs
-      .select(col("__id"), col("__sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("__band"))
-      .select(col("__id"), col("__band"),
-        xxhash64(col("__band"), slice(col("__sig"), col("__band") * r + 1, lit(r))).as("__bucket"))
-    val a = banded.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
-    val b = banded.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
+    val withBh = sigs.select(col("__id"),
+      array((0 until bands).map(bd =>
+        xxhash64(lit(bd), slice(col("__sig"), bd * r + 1, r))): _*).as("__bh"))
+    val banded = withBh.select(col("__id"), col("__bh"),
+      posexplode(col("__bh")).as(Seq("__band", "__bucket")))
+    val a = banded.select(col("__band"), col("__bucket"),
+      col("__id").as("id_a"), col("__bh").as("__bh_a"))
+    val b = banded.select(col("__band"), col("__bucket"),
+      col("__id").as("id_b"), col("__bh").as("__bh_b"))
     a.join(b, Seq("__band", "__bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+      .where(col("__band") === graft.functions.GraftFunctions
+        .firstMatchingBand(col("__bh_a"), col("__bh_b"), lit(1)))
+      .select(col("id_a"), col("id_b"))
   }
 
   /** LSH candidate pairs straight from a text column. */
@@ -168,7 +199,10 @@ object Dedup {
   /** Candidate pairs with their estimated Jaccard (fraction of equal
     * signature components), filtered at `minJaccard`. Signatures are
     * materialized once and shared by candidate generation and
-    * verification.
+    * verification (re-attached to the already-deduped candidates —
+    * a broadcast-sized join at any realistic dup rate). `bands = 0`
+    * (the default) derives the banding from the threshold via
+    * [[bandsFor]].
     */
   def minhashPairs(
       df: DataFrame,
@@ -176,10 +210,11 @@ object Dedup {
       textCol: String,
       minJaccard: Double,
       numHashes: Int = 128,
-      bands: Int = 16,
+      bands: Int = 0,
       shingleSize: Int = 3): DataFrame = {
+    val b = if (bands > 0) bands else bandsFor(numHashes, minJaccard)
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
-    val cand = candidatesFromSigs(sigs, numHashes, bands)
+    val cand = candidatesFromSigs(sigs, numHashes, b)
     cand
       .join(sigs.withColumnRenamed("__id", "id_a").withColumnRenamed("__sig", "__sig_a"), Seq("id_a"))
       .join(sigs.withColumnRenamed("__id", "id_b").withColumnRenamed("__sig", "__sig_b"), Seq("id_b"))
@@ -202,7 +237,7 @@ object Dedup {
       textCol: String,
       minJaccard: Double = 0.8,
       numHashes: Int = 128,
-      bands: Int = 16,
+      bands: Int = 0,
       shingleSize: Int = 3): DataFrame = {
     val comp = minhashDedup(df, idCol, textCol, minJaccard, numHashes, bands, shingleSize)
     val reps = comp.where(col("id") === col("component")).select(col("id"))
@@ -219,7 +254,7 @@ object Dedup {
       textCol: String,
       minJaccard: Double = 0.8,
       numHashes: Int = 128,
-      bands: Int = 16,
+      bands: Int = 0,
       shingleSize: Int = 3): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, minJaccard, numHashes, bands, shingleSize)
     connectedComponents(df.select(col(idCol).as("id")), pairs)

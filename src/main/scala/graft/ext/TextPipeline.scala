@@ -16,12 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object TextPipeline {
 
+  /** `bands = 0` (the default) derives the LSH banding from
+    * `nearDupJaccard` via [[Dedup.bandsFor]] — a fixed banding run at a
+    * mismatched threshold floods the verify stage with false candidates.
+    */
   final case class Config(
       minQuality: Double = 0.2,
       langs: Seq[String] = Seq("en"),
       nearDupJaccard: Double = 0.8,
       numHashes: Int = 128,
-      bands: Int = 16,
+      bands: Int = 0,
       shingleSize: Int = 3)
 
   /** Clean `df` down to deduplicated, quality-gated, language-filtered

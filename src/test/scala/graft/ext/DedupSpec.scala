@@ -110,6 +110,56 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     comp shouldBe Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L))
   }
 
+  test("bandsFor derives the banding from the detection threshold") {
+    // j=0.9 at 64 hashes: 8 bands × 8 rows (t = 0.125^(1/8) ≈ 0.771);
+    // 16 bands would set t = 0.5 and flood verification.
+    bandsFor(64, 0.9) shouldBe 8
+    bandsFor(64, 0.7) shouldBe 16 // t(r=4,b=16) = 0.5; r=8's 0.771 > 0.7
+    bandsFor(64, 0.99) shouldBe 2 // very high threshold → wide bands
+    bandsFor(64, 0.01) shouldBe 64 // threshold below every divisor curve
+    bandsFor(128, 0.8) shouldBe 16 // t(r=8,b=16) = 0.707
+  }
+
+  test("exactly-once candidate emission matches the distinct-based path") {
+    import spark.implicits._
+    val docs = (1L to 40L).map { i =>
+      // 4 clusters of 10 near-identical docs + per-doc salt
+      val base = s"cluster${i % 4} shared words run common phrase body text"
+      (i, s"$base extra$i")
+    }.toDF("id", "text")
+    val sigs = minhashSignatures(docs, "id", "text", numHashes = 32, shingleSize = 1)
+    val fast = candidatesFromSigs(sigs, numHashes = 32, bands = 8)
+    // reference path: raw bucket join + distinct (what the filter replaces)
+    val r = 32 / 8
+    val banded = sigs
+      .select(col("__id"), explode(sequence(lit(0), lit(7))).as("__band"),
+        col("__sig"))
+      .select(col("__id"), col("__band"),
+        xxhash64(col("__band"), slice(col("__sig"), col("__band") * r + 1, lit(r))).as("__bucket"))
+    val slow = banded.as("a").join(banded.as("b"), Seq("__band", "__bucket"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    fast.count() shouldBe fast.distinct().count() // exactly-once: no dup rows
+    fast.as[(Long, Long)].collect().toSet shouldBe
+      slow.as[(Long, Long)].collect().toSet
+  }
+
+  test("threshold-derived banding returns the same verified pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (4L, "one two three four five six seven eight nine ten")).toDF("id", "text")
+    val auto = minhashPairs(docs, "id", "text", 0.9, numHashes = 64, shingleSize = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fixed = minhashPairs(docs, "id", "text", 0.9, numHashes = 64, bands = 16,
+      shingleSize = 1).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    auto shouldBe fixed
+    auto should contain((1L, 2L))
+  }
+
   test("hot-shingle guard drops stopword shingles from the index") {
     import spark.implicits._
     // "the" appears in every doc; with maxDocFreq=2 it is excluded, so
