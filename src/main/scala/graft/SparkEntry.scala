@@ -415,6 +415,18 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))),
 
+    // The composed pipeline's oracle-checkable twin: same five stages
+    // with exact unigram Jaccard dedup in place of MinHash, so the
+    // whole composition is verified end-to-end against DuckDB (q39
+    // remains its scale twin)
+    "q44_clean_corpus_exact" -> ((s, dir) =>
+      graft.ext.TextPipeline.cleanCorpusExact(
+          t(s, dir, "documents"), "doc_id", "text",
+          graft.ext.TextPipeline.Config(minQuality = 0.2,
+            langs = Seq("en"), nearDupJaccard = 0.9, shingleSize = 1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
     // Multimodal decode plumbing (stub decoder, real pipeline)
     "q32_multimodal_features" -> ((s, dir) => {
       import s.implicits._
@@ -762,6 +774,97 @@ object SparkEntry {
                FROM w a, w b WHERE a.doc_id < b.doc_id)
          SELECT id_a, id_b, c / (na + nb - c) AS jaccard FROM p
          WHERE c / (na + nb - c) >= 0.8 ORDER BY id_a, id_b""",
+
+    // The full pipeline in one statement: quality (q21 body) → lang
+    // (q22 body) → exact dedup (q19 fingerprint) → unigram-Jaccard
+    // components (q27/q30 bodies) → content split (q38 body).
+    "q44_clean_corpus_exact" ->
+      """WITH RECURSIVE
+         qx AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+             length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE
+               / length(text)::DOUBLE AS punct_ratio
+           FROM documents),
+         qy AS (
+           SELECT doc_id,
+             len(toks)::DOUBLE AS ntok,
+             len(list_filter(ltoks, t -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], t)))::DOUBLE
+               / len(toks)::DOUBLE AS sw_ratio,
+             list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+               / len(toks)::DOUBLE AS avg_len,
+             punct_ratio
+           FROM qx),
+         qual AS (
+           SELECT doc_id, round(
+               least(ntok / 64.0, 1.0) * 0.3
+             + least(sw_ratio * 4.0, 1.0) * 0.3
+             + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2
+             + greatest(1.0 - abs(avg_len - 5.0) / 10.0, 0.0) * 0.2, 6) AS quality
+           FROM qy),
+         lx AS (
+           SELECT doc_id, text AS txt,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         ls AS (
+           SELECT doc_id,
+             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS s_en,
+             len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','los','se','del','las'], t))) AS s_es,
+             len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','zu','den','mit'], t))) AS s_de,
+             len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], t))) AS s_fr,
+             len(list_filter(['的','是','在','了','我','有','和','人','这','不'],
+                             w -> contains(txt, w))) AS s_zh
+           FROM lx),
+         lp AS (
+           SELECT doc_id, CASE
+             WHEN s_en IS NULL THEN 'und'
+             WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+             WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+             WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+             ELSE 'zh' END AS lang_pred
+           FROM ls),
+         gated AS (
+           SELECT d.doc_id, d.text
+           FROM documents d
+           JOIN qual ON d.doc_id = qual.doc_id
+           JOIN lp ON d.doc_id = lp.doc_id
+           WHERE qual.quality >= 0.2 AND lp.lang_pred = 'en'),
+         ex AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text, row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+             FROM gated)
+           WHERE rn = 1),
+         w AS (SELECT doc_id,
+                 list_distinct(regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                   ' ')) AS words
+               FROM ex),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM w a, w b
+               WHERE a.doc_id < b.doc_id
+                 AND len(list_intersect(a.words, b.words))::DOUBLE
+                     / (len(a.words) + len(b.words)
+                        - len(list_intersect(a.words, b.words)))::DOUBLE >= 0.9),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM ex
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         SELECT ex.doc_id,
+                CASE WHEN md5(ex.text) < '0d' THEN 'test'
+                     WHEN md5(ex.text) < '1a' THEN 'val'
+                     ELSE 'train' END AS split
+         FROM ex JOIN comp ON ex.doc_id = comp.id
+         WHERE comp.component = ex.doc_id
+         ORDER BY ex.doc_id""",
 
     "q30_components" ->
       """WITH RECURSIVE

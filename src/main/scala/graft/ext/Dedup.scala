@@ -390,15 +390,23 @@ object Dedup {
   // Connected components (duplicate clusters)
   // -------------------------------------------------------------------
 
-  /** Distributed min-label propagation: every node's label converges to
-    * the minimum id reachable through the pair edges. `nodes` has one
-    * `id` column; `pairs` has (id_a, id_b). Returns (id, component).
+  /** Distributed min-label propagation with pointer jumping: every
+    * node's label converges to the minimum id reachable through the
+    * pair edges. `nodes` has one `id` column; `pairs` has (id_a, id_b).
+    * Returns (id, component).
     *
-    * Iterations = O(cluster diameter); duplicate clusters are near-star
-    * shaped, so this converges in 2-4 joins. localCheckpoint cuts the
-    * growing lineage each round.
+    * Each round (1) takes the min label over graph neighbors, then
+    * (2) path-halves: component ← component(component) — the label
+    * table self-joined on the current label. Halving makes the min
+    * label's reach roughly double per round, so convergence is
+    * O(log diameter) rounds instead of O(diameter): a 50-node chain
+    * converges in ~7 rounds where plain propagation needs 49 (a
+    * pathological duplicate chain at 100 TB would otherwise silently
+    * outrun any fixed round budget). localCheckpoint cuts the growing
+    * lineage each round. Non-convergence within `maxIter` THROWS —
+    * partial labels would silently split clusters downstream.
     */
-  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
@@ -410,10 +418,17 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "__nc"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("__nc")).as("__minNeighbor"))
-      val next = labels
+      val propagated = labels
         .join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("component"), coalesce(col("__minNeighbor"), col("component"))).as("component"))
+      // pointer jumping: labels are node ids, so every label has a row
+      // in the table; component(component) ≤ component (labels only
+      // ever decrease), so the inner self-join halves label paths.
+      val next = propagated.as("x")
+        .join(propagated.select(col("id").as("__cid"), col("component").as("__cc")).as("y"),
+          col("x.component") === col("y.__cid"))
+        .select(col("x.id"), col("__cc").as("component"))
         .localCheckpoint()
       val changed = next.as("n")
         .join(labels.as("p"), Seq("id"))
@@ -424,10 +439,11 @@ object Dedup {
       iter += 1
     }
     if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"connectedComponents: labels still changing after $maxIter " +
-          "iterations — components with diameter > maxIter carry partial " +
-          "labels (raise maxIter for deep duplicate chains)")
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — with " +
+          "pointer jumping that needs a component of diameter ~2^" +
+          s"$maxIter; raise maxIter only after checking the pair edges " +
+          "for pathology")
     labels
   }
 }

@@ -28,6 +28,22 @@ object TextPipeline {
       bands: Int = 0,
       shingleSize: Int = 3)
 
+  /** Stages 1-3 (shared by both pipeline variants): quality gate,
+    * language filter, exact dedup on the normalized-content fingerprint.
+    */
+  private def gateAndExactDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      config: Config): DataFrame = {
+    val gated = df
+      .where(TextAnalysis.qualityScore(col(textCol)) >= config.minQuality)
+      .where(LangId.langId(col(textCol)).isin(config.langs: _*))
+    Dedup.exact(
+      gated.withColumn("__fp", TextAnalysis.fingerprintMd5(col(textCol))),
+      on = Seq("__fp"), tieBreak = idCol).drop("__fp")
+  }
+
   /** Clean `df` down to deduplicated, quality-gated, language-filtered
     * rows with a `split` column. Keeps all input columns.
     */
@@ -36,15 +52,36 @@ object TextPipeline {
       idCol: String,
       textCol: String,
       config: Config = Config()): DataFrame = {
-    val gated = df
-      .where(TextAnalysis.qualityScore(col(textCol)) >= config.minQuality)
-      .where(LangId.langId(col(textCol)).isin(config.langs: _*))
-    val exactDeduped = Dedup.exact(
-      gated.withColumn("__fp", TextAnalysis.fingerprintMd5(col(textCol))),
-      on = Seq("__fp"), tieBreak = idCol).drop("__fp")
     val nearDeduped = Dedup.minhashDedupApply(
-      exactDeduped, idCol, textCol,
+      gateAndExactDedup(df, idCol, textCol, config), idCol, textCol,
       config.nearDupJaccard, config.numHashes, config.bands, config.shingleSize)
+    Sampling.contentSplit(nearDeduped, textCol)
+  }
+
+  /** Oracle-checkable twin of [[cleanCorpus]]: the near-dup stage runs
+    * EXACT word n-gram Jaccard (inverted-index join, [[Dedup
+    * .ngramJaccardPairs]] with the hot-shingle guard off) + connected
+    * components instead of MinHash/LSH, so every stage is expressible
+    * in ANSI SQL and the composed pipeline can be verified end-to-end
+    * against an independent engine. Same stages and outputs modulo the
+    * similarity estimator; at scale prefer [[cleanCorpus]] — MinHash
+    * bounds the per-pair work at `numHashes` components, where the
+    * exact index is the right choice up to mid-size corpora or as the
+    * correctness twin of the MinHash run.
+    */
+  def cleanCorpusExact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      config: Config = Config()): DataFrame = {
+    val exactDeduped = gateAndExactDedup(df, idCol, textCol, config)
+    val pairs = Dedup.ngramJaccardPairs(exactDeduped, idCol, textCol,
+      n = config.shingleSize, minJaccard = config.nearDupJaccard, maxDocFreq = 0L)
+    val comp = Dedup.connectedComponents(
+      exactDeduped.select(col(idCol).as("id")), pairs)
+    val reps = comp.where(col("id") === col("component")).select("id")
+    val nearDeduped = exactDeduped.join(
+      reps.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
     Sampling.contentSplit(nearDeduped, textCol)
   }
 }

@@ -110,6 +110,18 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     comp shouldBe Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L))
   }
 
+  test("connected components: 50-node path converges via pointer jumping") {
+    import spark.implicits._
+    // Worst case for plain min-label propagation (diameter 49, needs 49
+    // rounds); pointer jumping must land it within the default budget.
+    val nodes = (1L to 50L).toDF("id")
+    val pairs = (1L to 49L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect()
+    comp.length shouldBe 50
+    all(comp.map(_._2)) shouldBe 1L
+  }
+
   test("bandsFor derives the banding from the detection threshold") {
     // j=0.9 at 64 hashes: 8 bands × 8 rows (t = 0.125^(1/8) ≈ 0.771);
     // 16 bands would set t = 0.5 and flood verification.

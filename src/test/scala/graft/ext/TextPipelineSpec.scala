@@ -30,6 +30,28 @@ class TextPipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
       Set("train", "val", "test") should contain(r.getString(0)))
   }
 
+  test("cleanCorpusExact agrees with cleanCorpus on a clear-cut corpus") {
+    import spark.implicits._
+    val prose = "the quick brown fox jumps over the lazy dog and it " +
+      "is a fine day in the park for a long walk with friends"
+    val docs = Seq(
+      (1L, prose),
+      (2L, prose),
+      (3L, prose + " indeed"),
+      (4L, "@@!! ## $$%% ^^&& ** (())"),
+      (5L, "el perro y la casa de los vecinos en la calle para el dia"),
+      (6L, "a completely different keeper document that talks about the " +
+        "weather in the mountains and the sea for many days and it is nice")
+    ).toDF("doc_id", "text")
+    val cfg = TextPipeline.Config(nearDupJaccard = 0.5, numHashes = 64,
+      shingleSize = 2)
+    val exact = TextPipeline.cleanCorpusExact(docs, "doc_id", "text", cfg)
+    val minhash = TextPipeline.cleanCorpus(docs, "doc_id", "text", cfg)
+    exact.select("doc_id", "split").as[(Long, String)].collect().toSet shouldBe
+      minhash.select("doc_id", "split").as[(Long, String)].collect().toSet
+    exact.select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 6L)
+  }
+
   test("minhashDedupApply keeps exactly one representative per cluster") {
     import spark.implicits._
     val docs = Seq(
