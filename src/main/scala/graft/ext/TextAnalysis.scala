@@ -36,17 +36,24 @@ object TextAnalysis {
     length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") /
       length(text).cast("double")
 
-  /** Mean token length in characters. */
+  /** Mean token length in characters.
+    *
+    * Total token chars == chars left after stripping all whitespace
+    * (tokens are exactly the non-whitespace runs), so this is a single
+    * codegen'd regexp pass — no higher-order `aggregate`, which Spark
+    * interprets and re-inlines into every consumer (see the q21/q22
+    * round-4 regression).
+    */
   def avgTokenLen(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+    length(regexp_replace(text, "\\s", "")).cast("double") /
       size(tokens(text)).cast("double")
 
-  /** Fraction of tokens that are common English stopwords. */
-  def stopwordRatio(text: Column, stopwords: Seq[String] = LangId.stopwords("en")): Column = {
-    val sw = array(stopwords.map(lit): _*)
-    size(filter(tokens(lower(text)), t => array_contains(sw, t))).cast("double") /
+  /** Fraction of tokens that are common English stopwords. Token-exact
+    * membership via one codegen'd regexp pass (see [[LangId.tokenHits]]).
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = LangId.stopwords("en")): Column =
+    LangId.tokenHits(lower(text), stopwords).cast("double") /
       size(tokens(text)).cast("double")
-  }
 
   /** Composite quality score in [0,1]: rewards stopword presence and
     * sane token lengths, penalizes punctuation soup and very short
@@ -132,28 +139,46 @@ object LangId {
     "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "人", "这", "不")
   )
 
+  /** Count of whitespace-delimited tokens equal to any of `words`, as a
+    * single codegen'd `regexp_count` pass. Equivalent to filtering
+    * `split(trim(text), "\\s+")` by membership — the lookarounds assert
+    * start-of-input/whitespace on both sides without consuming it, so
+    * adjacent stopwords ("a of") both count — but stays inside
+    * WholeStageCodegen instead of the interpreted higher-order `filter`
+    * that caused the round-4 q21/q22 regression (expression re-inlined
+    * ~12x per row by projection collapse).
+    */
+  def tokenHits(text: Column, words: Seq[String]): Column = {
+    val pat = "(?<=^|\\s)(" +
+      words.map(java.util.regex.Pattern.quote).mkString("|") + ")(?=\\s|$)"
+    regexp_count(text, lit(pat))
+  }
+
   /** Per-language stopword hit count. Whitespace-tokenized languages
     * count tokens equal to a stopword; zh is unsegmented (a "token" is
-    * the whole clause), so it counts stopword CHARACTERS contained in
-    * the text instead.
+    * the whole clause), so it counts DISTINCT stopword characters
+    * contained in the text instead.
     */
   def score(text: Column, lang: String): Column =
     if (lang == "zh") {
-      val sw = array(stopwords("zh").map(lit): _*)
-      size(filter(sw, w => contains(text, w)))
+      stopwords("zh").map(w => contains(text, lit(w)).cast("int")).reduce(_ + _)
     } else {
-      val sw = array(stopwords(lang).map(lit): _*)
-      size(filter(TextAnalysis.tokens(lower(text)), t => array_contains(sw, t)))
+      tokenHits(lower(text), stopwords(lang))
     }
 
-  /** Predicted language code, or "und" when no stopword hits at all. */
+  /** Predicted language code, or "und" when no stopword hits at all.
+    *
+    * Each language score is a single codegen'd expression; the argmax is
+    * `array_position(scores, array_max(scores))` — first index wins ties,
+    * preserving the `langs` declaration order as tie-break. Codegen CSE
+    * shares the score array across the three references, so every score
+    * is evaluated exactly once per row.
+    */
   def langId(text: Column): Column = {
-    val scores = langs.map(l => l -> score(text, l))
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scores.foldRight(lit("und")) { case ((l, s), els) =>
-      when(s === best, lit(l)).otherwise(els)
-    }
-    // foldRight means earlier langs win ties; "und" only when best == 0.
-    when(best === 0, lit("und")).otherwise(pick)
+    val scoreArr = array(langs.map(l => score(text, l)): _*)
+    val best = array_max(scoreArr)
+    val pick = element_at(array(langs.map(lit): _*),
+      array_position(scoreArr, best).cast("int"))
+    when(text.isNull || best === 0, lit("und")).otherwise(pick)
   }
 }
