@@ -57,6 +57,20 @@ object SimilaritySearch {
   /** One scored neighbor candidate. */
   final case class Scored(id: Long, score: Double)
 
+  /** The heap aggregate carries ids as long; a non-integral id column
+    * (string UUID, decimal) would `cast("long")` to all-null and return
+    * plausible-looking garbage instead of failing. Fail loudly instead.
+    */
+  private def requireIntegralId(df: DataFrame, c: String, who: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"$who: id column '$c' must be an integral type, got ${dt.simpleString}; " +
+          "map non-integral ids (e.g. UUIDs) to a surrogate long first")
+    }
+  }
+
   /** Bounded-heap top-k typed aggregate (SURVEY.md §7.3): each task
     * keeps at most k candidates per query, merged map-side before the
     * shuffle — so the exchange carries O(tasks · k) rows per query
@@ -100,6 +114,8 @@ object SimilaritySearch {
       excludeSelfId: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    requireIntegralId(corpus, corpusId, "topKJoin corpus")
+    requireIntegralId(queries, queryId, "topKJoin queries")
     val q = broadcast(queries.select(
       col(queryId).cast("long").as("query_id"), col(queryVec).as("__qv")))
     val base = corpus

@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   * Right-side ties on (key, time): the later row in (time, tag) order
   * wins — deterministic given a deterministic right-side order; add a
   * tiebreak column to `rightTime` ordering upstream if ties matter.
+  *
+  * Null semantics match DuckDB ASOF JOIN: right rows with a null key or
+  * null `rightTime` never match anything (dropped before the union), and
+  * a left row with a null `leftTime` gets null `asof_*` columns — a null
+  * time is "unknown", not "before everything".
   */
 object AsofJoin {
 
@@ -38,9 +43,11 @@ object AsofJoin {
     val payload = struct(rightValueCols.map(col): _*)
     // side 0 = right, 1 = left: at equal timestamps the right row sorts
     // first, so `rightTime == leftTime` matches (<= semantics).
-    val r = right.select(
-      col(keyCol).as("__k"), col(rightTime).as("__t"),
-      lit(0).as("__side"), payload.as("__rv"))
+    val r = right
+      .where(col(keyCol).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(keyCol).as("__k"), col(rightTime).as("__t"),
+        lit(0).as("__side"), payload.as("__rv"))
     val l = left.select(
       (leftCols.map(col) :+
         col(keyCol).as("__k") :+ col(leftTime).as("__t") :+
@@ -53,7 +60,11 @@ object AsofJoin {
           col("__k") :+ col("__t") :+ col("__side") :+ col("__rv")): _*))
       .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+      // Belt-and-braces for null leftTime: such rows sort nulls-first and
+      // can only see other null-__t left rows (right nulls are filtered),
+      // but make the no-match contract explicit rather than order-derived.
       .select((leftCols.map(col) ++
-        rightValueCols.map(c => col(s"__asof.$c").as(s"asof_$c"))): _*)
+        rightValueCols.map(c =>
+          when(col("__t").isNotNull, col(s"__asof.$c")).as(s"asof_$c"))): _*)
   }
 }

@@ -142,11 +142,17 @@ object TripTableSink {
     * doubling every row.
     */
   def compact(spark: SparkSession, path: String): Unit = {
+    // A scheduled compaction of a not-yet-populated table is a no-op:
+    // missing path, or a table with schema but zero rows (max(seq) is
+    // null — getLong would NPE).
+    if (!tableExists(spark, path)) return
     val current0 = spark.read.parquet(path)
     val current =
       if (current0.columns.contains(seqCol)) current0
       else current0.withColumn(seqCol, lit(0L))
-    val maxSeq: Long = current.agg(max(col(seqCol))).head.getLong(0)
+    val maxSeqRow = current.agg(max(col(seqCol))).head
+    if (maxSeqRow.isNullAt(0)) return
+    val maxSeq: Long = maxSeqRow.getLong(0)
     val tmp = path + ".compact.tmp"
     val old = path + ".compact.old"
     lastWriteWins(current)

@@ -65,6 +65,20 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.toSeq shouldBe expected
   }
 
+  test("topKJoin rejects non-integral id columns instead of nulling them") {
+    import spark.implicits._
+    val corpus = corpusDf(4)
+    val uuidCorpus = corpus.withColumn("id", col("id").cast("string"))
+    val ex = intercept[IllegalArgumentException] {
+      topKJoin(uuidCorpus, "id", "v", corpusDf(2), "id", "v", 2)
+    }
+    ex.getMessage should include("integral")
+    val ex2 = intercept[IllegalArgumentException] {
+      topKJoin(corpus, "id", "v", uuidCorpus, "id", "v", 2)
+    }
+    ex2.getMessage should include("integral")
+  }
+
   test("TopKAgg reduce/merge keep the k best with deterministic ties") {
     val agg = new TopKAgg(3)
     val items = Seq(

@@ -38,6 +38,26 @@ class AsofJoinSpec extends AnyFunSuite with Matchers with SparkTestBase {
       5L -> None)
   }
 
+  test("asofJoin null times and keys never match (DuckDB ASOF semantics)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")), // normal match
+      (2L, "u1", null.asInstanceOf[Timestamp]), // null leftTime -> no match
+      (3L, null.asInstanceOf[String], ts("2024-01-01 10:00:00")) // null key -> no match
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      ("u1", ts("2024-01-01 08:00:00"), 10.0),
+      ("u1", null.asInstanceOf[Timestamp], 99.0), // null rightTime: dropped
+      (null.asInstanceOf[String], ts("2024-01-01 07:00:00"), 98.0) // null key: dropped
+    ).toDF("user_id", "ts", "value")
+    val out = AsofJoin.asofJoin(left, right, "user_id", "ts", "ts", Seq("value"))
+      .orderBy("event_id")
+      .select("event_id", "asof_value")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+    out shouldBe Array(1L -> Some(10.0), 2L -> None, 3L -> None)
+  }
+
   test("asofJoin output is deterministic and keeps all left rows") {
     import spark.implicits._
     val left = (1 to 200).map(i =>

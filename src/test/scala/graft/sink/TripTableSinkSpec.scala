@@ -74,6 +74,18 @@ class TripTableSinkSpec extends AnyFunSuite with Matchers with SparkTestBase {
     merged.head.getAs[String]("status") shouldBe TripSchemas.StatusCompleted
   }
 
+  test("compact on a missing or empty table is a no-op, not an NPE") {
+    val missing = tmp() + "/never-written"
+    noException should be thrownBy TripTableSink.compact(spark, missing)
+
+    // schema-but-zero-rows table: max(seq) is null
+    val path = tmp()
+    trips(("t1", TripSchemas.StatusStarted, None, 0.0))
+      .limit(0).write.parquet(path)
+    noException should be thrownBy TripTableSink.compact(spark, path)
+    spark.read.parquet(path).count() shouldBe 0
+  }
+
   test("compact folds deltas and preserves the merged view") {
     val path = tmp()
     TripTableSink.appendDelta(
