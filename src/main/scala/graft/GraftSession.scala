@@ -26,7 +26,11 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // harness events.parquet uses TIMESTAMP(NANOS), unreadable by
-      // Spark 4 without this (read as raw nanos, converted by callers)
+      // Spark 4 without this (read as raw nanos, converted by callers).
+      // SESSION-GLOBAL: every parquet read on the session sees nanos
+      // columns as LongType; queries needing native nanos-as-timestamp
+      // semantics must use a separate session (SparkEntry.events also
+      // sets this at the call boundary for driver-owned sessions)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

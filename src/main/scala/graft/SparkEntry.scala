@@ -34,14 +34,33 @@ object SparkEntry {
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
     * Spark only reads as raw nanos (legacy nanosAsLong conf); convert to
     * a micros TimestampType column (truncation — DuckDB's native
-    * nanos→micros read truncates identically). The conf is also set in
-    * [[GraftSession.configure]]; the runtime set here covers the
-    * driver-owned session that calls [[entry]], which we don't build.
+    * nanos→micros read truncates identically).
+    *
+    * SESSION-GLOBAL SIDE EFFECT, by contract: the conf below changes
+    * parquet nanos-timestamp semantics for EVERY query on the session,
+    * not just this read. Sessions built via [[GraftSession.configure]]
+    * already carry it; the conditional set covers only the driver-owned
+    * session that calls [[entry]]/[[queries]], which we don't build.
+    * (An explicit conflicting `false` can't be told apart from the
+    * default through RuntimeConfig, so this sets rather than asserts —
+    * co-residents that need nanos-as-timestamp semantics on the same
+    * session are unsupported and documented so in GraftSession.)
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (s.conf.get(key, "false") != "true") s.conf.set(key, "true")
     t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
+
+  /** The q31/q45 LSH hyperplanes as DuckDB DOUBLE[] literals: the same
+    * deterministic doubles [[SimilaritySearch.hyperplanes]] embeds in
+    * the Spark plan, so the q45 oracle reproduces the sign-bucketing
+    * exactly. Dim 64 is the testdata embedding width (all SFs);
+    * queries derive it from data, the SQL twin pins it.
+    */
+  private lazy val annPlaneLits: Seq[String] =
+    SimilaritySearch.hyperplanes(numPlanes = 4, dim = 64, seed = 42L)
+      .map(_.mkString("[", ", ", "]::DOUBLE[]"))
 
   /** Driver-side fetch of one embedding as a literal query vector
     * (shared by the ANN queries; a missing id is one clear error).
@@ -328,7 +347,10 @@ object SparkEntry {
           sum(col("__new_session")).over(
             byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
         .groupBy(col("user_id"), col("session_seq"))
-        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("session_value"))
+        // events.value sums at scale 12 EVERYWHERE (q04/q05/q35): one
+        // scale per column, so no consumer silently rounds if the
+        // fixture ever carries more than 2dp
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value"), 12).as("session_value"))
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
@@ -436,13 +458,77 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("width"), col("height"), col("duration_ms"))
         .orderBy(col("media_id"))
+    }),
+
+    // ANN recall@10: single-probe and multi-probe LSH answer sets
+    // against the exact brute-force top-10, as hash-checkable numbers —
+    // the hyperplanes are literal doubles, so the DuckDB oracle
+    // reproduces the bucketing exactly (sign of a dot product; only
+    // summation order differs and margins are O(1))
+    "q45_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = queryVector(e, 0L)
+      val exact = SimilaritySearch.topKByCosine(e, "vec_id", "embedding", q, 10,
+        excludeId = Some(0L)).select("vec_id")
+      val ann = SimilaritySearch.annTopK(e, "vec_id", "embedding", q, 10,
+        numPlanes = 4, excludeId = Some(0L)).select("vec_id")
+      val annMp = SimilaritySearch.annTopKMultiProbe(e, "vec_id", "embedding", q, 10,
+        numPlanes = 4, excludeId = Some(0L)).select("vec_id")
+      ann.join(exact, Seq("vec_id"))
+        .agg((count(lit(1)).cast("double") / lit(10.0)).as("recall_at_10"))
+        .crossJoin(
+          annMp.join(exact, Seq("vec_id"))
+            .agg((count(lit(1)).cast("double") / lit(10.0)).as("recall_mp_at_10")))
+    }),
+
+    // IVF recall@10 with FIXED probe centroids (the embeddings of
+    // vec_id 0..15): oracle-verifies the probe mechanics — argmin cell
+    // assignment, nProbe cell choice, in-cell top-k — while the
+    // sampled-kmeans learning path stays q34 (rows-only) + KmeansSpec
+    "q46_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = queryVector(e, 0L)
+      val cents = e.where(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      val ivf = SimilaritySearch.ivfTopK(e, "vec_id", "embedding", q, 10, cents,
+        nProbe = 4, excludeId = Some(0L)).select("vec_id")
+      val exact = SimilaritySearch.topKByCosine(e, "vec_id", "embedding", q, 10,
+        excludeId = Some(0L)).select("vec_id")
+      ivf.join(exact, Seq("vec_id"))
+        .agg((count(lit(1)).cast("double") / lit(10.0)).as("recall_at_10"))
+    }),
+
+    // MinHash estimator quality against the exact pair set at the SAME
+    // threshold: n_missed bounds LSH recall, n_false bounds estimator
+    // precision. Rows-only (candidacy depends on xxhash64); floors
+    // asserted in MinhashQualitySpec, measured values in BENCH_NOTES.md
+    "q47_minhash_vs_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 1, minJaccard = 0.7, maxDocFreq = 0L)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__e"))
+      val lsh = Dedup.minhashPairs(docs, "doc_id", "text",
+          minJaccard = 0.7, numHashes = 64, shingleSize = 1)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__l"))
+      exact.join(lsh, Seq("id_a", "id_b"), "full_outer").agg(
+        sum(coalesce(col("__e"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("__l"), lit(0L))).as("n_lsh"),
+        sum(when(col("__e").isNotNull && col("__l").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"),
+        sum(when(col("__e").isNotNull && col("__l").isNull, 1L)
+          .otherwise(0L)).as("n_missed"),
+        sum(when(col("__e").isNull && col("__l").isNotNull, 1L)
+          .otherwise(0L)).as("n_false"))
     })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. q28/q29/q31/q32, q34, and q39 are omitted
-    * deliberately: xxhash64/LSH-seed/FNV/sampled-centroid arithmetic has
-    * no DuckDB twin (driver records the weaker rows-only check).
+    * the same parquet tables. q28/q29/q31/q32, q34, q39, and q47 are
+    * omitted deliberately: xxhash64/LSH-seed/FNV/sampled-centroid
+    * arithmetic has no DuckDB twin (driver records the weaker rows-only
+    * check); their quality is bounded by the oracled q44/q45/q46 twins
+    * and the measured q47 row.
     */
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter_project" ->
@@ -551,7 +637,9 @@ object SparkEntry {
              CAST(min(o_custkey) AS DOUBLE),
              CAST(max(o_custkey) AS DOUBLE) FROM orders)
          SELECT col_name, count, s1 / n AS mean,
-                sqrt((s2 - s1 * s1 / n) / (n - 1.0)) AS stddev, min, max
+                CASE WHEN n > 1.0
+                     THEN sqrt(greatest(s2 - s1 * s1 / n, 0.0) / (n - 1.0))
+                     END AS stddev, min, max
          FROM m ORDER BY col_name""",
 
     "q14_set_intersect" ->
@@ -736,7 +824,7 @@ object SparkEntry {
                     AS session_seq
            FROM y)
          SELECT user_id, session_seq, count(*) AS n_events,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+                CAST(sum(CAST(value AS DECIMAL(18,12))) AS DOUBLE) AS session_value
          FROM z GROUP BY user_id, session_seq
          ORDER BY user_id, session_seq""",
 
@@ -885,7 +973,66 @@ object SparkEntry {
            SELECT doc_id, doc_id FROM documents
            UNION
            SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
-         SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id"""
+         SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""",
+
+    // Full LSH replication: same literal hyperplanes, same sign-bucket,
+    // same Hamming-1 multi-probe set, same top-10-by-cosine — so the
+    // recall numbers are independently recomputed end to end.
+    "q45_ann_recall" ->
+      s"""WITH b AS (
+           SELECT vec_id, embedding,
+               (CASE WHEN list_dot_product(embedding::DOUBLE[], ${annPlaneLits(0)}) >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN list_dot_product(embedding::DOUBLE[], ${annPlaneLits(1)}) >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN list_dot_product(embedding::DOUBLE[], ${annPlaneLits(2)}) >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN list_dot_product(embedding::DOUBLE[], ${annPlaneLits(3)}) >= 0 THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings),
+         qb AS (SELECT bucket AS qbucket, embedding AS qe FROM b WHERE vec_id = 0),
+         ze AS (SELECT e.vec_id, e.bucket, q.qbucket,
+                       unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+                FROM b e, qb q WHERE e.vec_id <> 0),
+         ce AS (SELECT vec_id, any_value(bucket) AS bucket, any_value(qbucket) AS qbucket,
+                       sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cs
+                FROM ze GROUP BY vec_id),
+         ex AS (SELECT vec_id FROM ce ORDER BY cs DESC, vec_id LIMIT 10),
+         ann AS (SELECT vec_id FROM ce WHERE bucket = qbucket
+                 ORDER BY cs DESC, vec_id LIMIT 10),
+         annmp AS (SELECT vec_id FROM ce
+                   WHERE bucket IN (qbucket, xor(qbucket, 1), xor(qbucket, 2),
+                                    xor(qbucket, 4), xor(qbucket, 8))
+                   ORDER BY cs DESC, vec_id LIMIT 10)
+         SELECT
+           (SELECT count(*) FROM ann JOIN ex USING (vec_id))::DOUBLE / 10.0
+             AS recall_at_10,
+           (SELECT count(*) FROM annmp JOIN ex USING (vec_id))::DOUBLE / 10.0
+             AS recall_mp_at_10""",
+
+    // IVF probe mechanics replicated: fixed centroids (vec_id 0..15),
+    // elementwise squared-distance argmin (ties to the lower cell),
+    // 4 nearest cells probed, in-cell top-10 by cosine.
+    "q46_ivf_recall" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         zc AS (SELECT e.vec_id, c.cid,
+                       unnest(e.embedding)::DOUBLE AS x, unnest(c.ce)::DOUBLE AS y
+                FROM embeddings e, c),
+         d AS (SELECT vec_id, cid, sum((x-y)*(x-y)) AS d2 FROM zc GROUP BY vec_id, cid),
+         assign AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM d) WHERE rn = 1),
+         probes AS (SELECT cid FROM d WHERE vec_id = 0 ORDER BY d2, cid LIMIT 4),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         ze AS (SELECT e.vec_id, a.cid,
+                       unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+                FROM embeddings e, assign a, q
+                WHERE e.vec_id = a.vec_id AND e.vec_id <> 0),
+         ce AS (SELECT vec_id, any_value(cid) AS cid,
+                       sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cs
+                FROM ze GROUP BY vec_id),
+         ex AS (SELECT vec_id FROM ce ORDER BY cs DESC, vec_id LIMIT 10),
+         ivf AS (SELECT vec_id FROM ce WHERE cid IN (SELECT cid FROM probes)
+                 ORDER BY cs DESC, vec_id LIMIT 10)
+         SELECT (SELECT count(*) FROM ivf JOIN ex USING (vec_id))::DOUBLE / 10.0
+           AS recall_at_10"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -905,5 +1052,6 @@ object SparkEntry {
     "q32_multimodal_features", "q33_tfidf", "q34_ivf_topk",
     "q35_sessionize", "q36_rollup", "q37_content_sample", "q38_content_split",
     "q39_clean_corpus", "q40_percentiles", "q41_asof_join",
-    "q42_nonequi_join", "q43_approx_distinct")
+    "q42_nonequi_join", "q43_approx_distinct", "q45_ann_recall",
+    "q46_ivf_recall")
 }

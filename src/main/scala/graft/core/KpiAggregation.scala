@@ -121,12 +121,18 @@ object KpiAggregation {
     val aggs = columns.flatMap { c =>
       val (mean, sd) = fixedPointScale match {
         case Some(sc) =>
-          // exact decimal moments: x fits (18, sc); x·x fits (37, 2·sc)
+          // exact decimal moments: x fits (18, sc); x·x fits (37, 2·sc).
+          // The variance operand is clamped at 0: for high-mean/low-
+          // variance data the s2 - s1²/n subtraction can land a hair
+          // negative once the exact decimals hit double, and sqrt of
+          // that is NaN. n = 1 yields NULL (sample stddev undefined),
+          // mirrored in the q13 oracle.
           val xd = col(c).cast(s"decimal(18,$sc)")
           val s1 = sum(xd).cast("double")
           val s2 = sum(xd * xd).cast("double")
           val n = count(col(c)).cast("double")
-          (s1 / n, sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))))
+          val variance = greatest(s2 - s1 * s1 / n, lit(0.0)) / (n - lit(1.0))
+          (s1 / n, when(n > 1.0, sqrt(variance)))
         case None =>
           (avg(col(c)), stddev_samp(col(c)))
       }

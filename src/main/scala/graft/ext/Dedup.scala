@@ -136,11 +136,27 @@ object Dedup {
     * mass that a too-low threshold admits — a fixed banding run at a
     * high threshold (16 bands at j = 0.9 → t = 0.5) makes the verify
     * stage do quadratic wasted work.
+    *
+    * Recall trade-off: maximizing r ALSO lowers detection probability
+    * for pairs sitting exactly at the threshold (at 64 hashes, j = 0.9:
+    * 8×8 detects an exactly-0.9 pair with P ≈ 0.989 where 16×4 is
+    * ≈ 1 − 4e-8) — a deliberate perf-for-borderline-recall trade;
+    * pass an explicit `bands` to the callers to bias recall instead.
+    * Fallback: when even r = 1 can't satisfy t ≤ minJaccard (i.e.
+    * minJaccard < 1/numHashes), this returns bands = numHashes —
+    * best-effort banding whose collision floor holds only down to
+    * t = 1/numHashes, logged as a warning.
     */
   def bandsFor(numHashes: Int, minJaccard: Double): Int = {
     val viable = (1 to numHashes).filter { r =>
       numHashes % r == 0 &&
         math.pow(1.0 / (numHashes / r), 1.0 / r) <= minJaccard
+    }
+    if (viable.isEmpty) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"bandsFor: no banding of $numHashes hashes reaches threshold " +
+          s"$minJaccard (< 1/$numHashes); falling back to $numHashes bands " +
+          "of 1 — pairs below 1/numHashes Jaccard lose the >=0.63 collision floor")
     }
     numHashes / (if (viable.isEmpty) 1 else viable.max)
   }

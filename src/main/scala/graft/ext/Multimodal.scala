@@ -86,17 +86,78 @@ object Multimodal {
         sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)))
 }
 
-/** The decode boundary. REAL IMPLEMENTATION STUBBED — no codec libs in
-  * this environment. `decodeBytes` derives all "decoded" properties
-  * deterministically from the payload bytes so the pipeline around it
-  * is fully testable; a production build replaces this object with
-  * JNI/FFM bindings to actual decoders.
+/** The decode boundary. Image DIMENSIONS are decoded for real — PNG,
+  * JPEG, and GIF store them at fixed or marker-addressed header offsets,
+  * parseable with zero codec dependencies ([[imageDimensions]]). Full
+  * pixel decode and audio/video remain STUBBED (no codec libs in this
+  * environment): payloads that aren't a recognized image fall back to
+  * deterministic fake properties so the pipeline around the boundary is
+  * fully testable. A production build swaps the fallback for JNI/FFM
+  * bindings to actual decoders.
   */
 object MediaCodec {
 
-  /** STUB: deterministic fake decode. A real decoder would parse the
-    * container/codec here (??? in spirit); we derive stable pseudo
-    * dimensions/duration/features from a 64-bit payload hash instead.
+  /** Real image header parse: returns (width, height) for PNG (IHDR at
+    * byte 16), JPEG (first SOFn frame header), or GIF (logical screen
+    * descriptor); None when the payload isn't one of the three.
+    */
+  def imageDimensions(b: Array[Byte]): Option[(Int, Int)] = {
+    // PNG: 8-byte signature, then the IHDR chunk MUST be first —
+    // width/height are the 4-byte big-endian words at offsets 16/20
+    if (b.length >= 24 &&
+        (b(0) & 0xFF) == 0x89 && b(1) == 'P'.toByte && b(2) == 'N'.toByte &&
+        b(3) == 'G'.toByte && b(12) == 'I'.toByte && b(13) == 'H'.toByte &&
+        b(14) == 'D'.toByte && b(15) == 'R'.toByte)
+      Some((be32(b, 16), be32(b, 20)))
+    // JPEG: SOI then a marker walk to the first start-of-frame
+    else if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
+      jpegSofDimensions(b)
+    // GIF87a/89a: width/height are little-endian shorts at 6/8
+    else if (b.length >= 10 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+        b(2) == 'F'.toByte && b(3) == '8'.toByte &&
+        (b(4) == '7'.toByte || b(4) == '9'.toByte) && b(5) == 'a'.toByte)
+      Some((le16(b, 6), le16(b, 8)))
+    else None
+  }
+
+  /** Walk JPEG marker segments from SOI to the first SOFn (C0–CF minus
+    * C4/C8/CC, which aren't frame headers); height/width are big-endian
+    * shorts at segment offsets 5/7. Stops at SOS (entropy-coded data —
+    * a frame header must precede it) or any desync.
+    */
+  private def jpegSofDimensions(b: Array[Byte]): Option[(Int, Int)] = {
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return None
+      val marker = b(i + 1) & 0xFF
+      if (marker == 0xFF) i += 1 // fill byte
+      else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) i += 2 // standalone
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof)
+          return if (len >= 7) Some((be16(b, i + 7), be16(b, i + 5))) else None
+        if (marker == 0xDA) return None
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+
+  /** Decode one payload: real header dimensions when the payload is a
+    * recognized image; otherwise the deterministic STUB fallback (fake
+    * dimensions/duration/features from a 64-bit payload hash) so
+    * non-image media keep exercising the pipeline.
     */
   def decodeBytes(row: Multimodal.MediaRow): Multimodal.MediaFeatures = {
     val h = fnv1a(row.payload)
@@ -105,9 +166,12 @@ object MediaCodec {
       x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
       x
     }
-    val width = 64 + (math.abs(mix(1)) % 1920).toInt
-    val height = 64 + (math.abs(mix(2)) % 1080).toInt
-    val duration = if (row.kind == "image") 0L else 1000L + math.abs(mix(3)) % 600000L
+    val realDims = imageDimensions(row.payload)
+    val width = realDims.map(_._1).getOrElse(64 + (math.abs(mix(1)) % 1920).toInt)
+    val height = realDims.map(_._2).getOrElse(64 + (math.abs(mix(2)) % 1080).toInt)
+    val duration =
+      if (row.kind == "image" || realDims.isDefined) 0L
+      else 1000L + math.abs(mix(3)) % 600000L
     val feature = (0 until 8).map(i =>
       (mix(4 + i).toDouble / Long.MaxValue.toDouble).toFloat)
     Multimodal.MediaFeatures(

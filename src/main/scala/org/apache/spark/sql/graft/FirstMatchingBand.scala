@@ -41,6 +41,10 @@ case class FirstMatchingBand(first: Expression, second: Expression, third: Expre
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val r = rv.asInstanceOf[Int]
+    // r <= 0 would make the inner loop vacuous and report band 0 for
+    // EVERY pair — a caller bug that must fail, not keep all rows
+    if (r <= 0) throw new IllegalArgumentException(
+      s"first_matching_band: rowsPerBand must be positive, got $r")
     val n = math.min(x.numElements(), y.numElements())
     var band = 0
     while (band * r + r <= n) {
@@ -64,6 +68,8 @@ case class FirstMatchingBand(first: Expression, second: Expression, third: Expre
       val all = ctx.freshName("all")
       val res = ctx.freshName("res")
       s"""
+         |if ($r <= 0) throw new IllegalArgumentException(
+         |  "first_matching_band: rowsPerBand must be positive, got " + $r);
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int $res = -1;
          |for (int $band = 0; $res < 0 && $band * $r + $r <= $n; $band++) {

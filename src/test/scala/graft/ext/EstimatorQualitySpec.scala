@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** Quality floors for the approximate operators, measured against their
+  * exact twins on the sf0.001 fixture (deterministic: fixed data, fixed
+  * seeds). The floors sit well under the measured values so they only
+  * trip on structural regressions, not estimator noise:
+  *
+  *  - MinHash@0.7, 64 hashes (16×4 banding): measured recall 0.90,
+  *    precision 0.92 vs exact unigram Jaccard. The ~0.10 loss on each
+  *    side is inherent estimator variance at the threshold — the
+  *    64-hash estimator has std ≈ sqrt(0.7·0.3/64) ≈ 0.057, so pairs
+  *    with true j near 0.7 fall on either side of the est_jaccard cut.
+  *  - ANN@10, 4 planes: measured recall 0.3 single-probe / 0.7
+  *    multi-probe; IVF with the q46 fixed centroids (nProbe 4 of 16)
+  *    measured 1.0. The driver-oracled q45/q46 pin the exact values at
+  *    sf0.01; these floors guard the trend.
+  *  - SimHash ≤3-bit blocking is pigeonhole-EXACT (4 chunks of 16 bits:
+  *    any ≤3-bit-different pair agrees on ≥1 chunk), so blocked output
+  *    must equal the brute-force pair set, not approximate it.
+  */
+class EstimatorQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("minhash pairs vs exact jaccard at the same threshold: recall and precision >= 0.85") {
+    import spark.implicits._
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 1, minJaccard = 0.7, maxDocFreq = 0L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text",
+        minJaccard = 0.7, numHashes = 64, shingleSize = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    exact should not be empty
+    val common = (exact & lsh).size.toDouble
+    (common / exact.size) should be >= 0.85 // measured 0.902
+    (common / lsh.size) should be >= 0.85 // measured 0.915
+  }
+
+  test("simhash chunk blocking finds EXACTLY the brute-force <=3-bit pair set") {
+    import spark.implicits._
+    val sh = Dedup.simhashFrame(docs, "doc_id", "text")
+    val a = sh.select(col("__id").as("id_a"), col("__sh").as("__sa"))
+    val b = sh.select(col("__id").as("id_b"), col("__sh").as("__sb"))
+    val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .where(Dedup.hamming(col("__sa"), col("__sb")) <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val blocked = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    brute should not be empty
+    blocked shouldBe brute
+  }
+
+  test("ann recall@10 floors: single-probe >= 0.2, multi-probe >= 0.5, fixed-centroid ivf >= 0.5") {
+    import spark.implicits._
+    val q = embs.where(col("vec_id") === 0L).select(col("embedding"))
+      .head.getSeq[Float](0).map(_.toDouble)
+    val exact = SimilaritySearch.topKByCosine(embs, "vec_id", "embedding", q, 10, Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    val ann = SimilaritySearch.annTopK(embs, "vec_id", "embedding", q, 10,
+      numPlanes = 4, excludeId = Some(0L)).select("vec_id").as[Long].collect().toSet
+    val annMp = SimilaritySearch.annTopKMultiProbe(embs, "vec_id", "embedding", q, 10,
+      numPlanes = 4, excludeId = Some(0L)).select("vec_id").as[Long].collect().toSet
+    val cents = embs.where(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val ivf = SimilaritySearch.ivfTopK(embs, "vec_id", "embedding", q, 10, cents,
+      nProbe = 4, excludeId = Some(0L)).select("vec_id").as[Long].collect().toSet
+    ((exact & ann).size / 10.0) should be >= 0.2 // measured 0.3
+    ((exact & annMp).size / 10.0) should be >= 0.5 // measured 0.7
+    ((exact & ivf).size / 10.0) should be >= 0.5
+    // multi-probe strictly widens the probe set: it can only add recall
+    (exact & annMp).size should be >= (exact & ann).size
+  }
+}

@@ -41,6 +41,19 @@ class FirstMatchingBandSpec extends AnyFunSuite with Matchers with SparkTestBase
     gen shouldBe 1
   }
 
+  test("rowsPerBand <= 0 throws instead of matching every pair at band 0") {
+    // Spark may wrap the expression's exception; check the cause chain
+    def rootMsg(t: Throwable): String = {
+      var c = t
+      while (c.getCause != null && c.getCause != c) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    rootMsg(intercept[Exception](fmb(Seq(1L, 2L), Seq(3L, 4L), 0))) should
+      include("rowsPerBand must be positive")
+    rootMsg(intercept[Exception](fmb(Seq(1L, 2L), Seq(3L, 4L), -1))) should
+      include("rowsPerBand must be positive")
+  }
+
   test("null input yields null") {
     import spark.implicits._
     val df = Seq((Some(Seq(1L, 2L)), None: Option[Seq[Long]])).toDF("a", "b")
