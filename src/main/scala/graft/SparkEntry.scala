@@ -298,11 +298,15 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     // MinHash LSH near-dup pairs (banded candidates + signature verify;
-    // banding auto-derived from the threshold: 16 bands × 4 at j=0.7)
+    // banding auto-derived from the threshold: 16 bands × 4 at j=0.7).
+    // No ORDER BY, deliberately: the output is a pair SET and the
+    // driver's no-oracle check is a row count — a global sort of every
+    // near-dup pair was half this query's runtime (13 s of 27 at sf0.1)
+    // and at 100 TB would be the single largest shuffle in the job.
+    // The dedup-apply path never sorts pairs either.
     "q28_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-          minJaccard = 0.7, numHashes = 64, shingleSize = 1)
-        .orderBy(col("id_a"), col("id_b"))),
+          minJaccard = 0.7, numHashes = 64, shingleSize = 1)),
 
     // SimHash near-dup pairs (16-bit chunk pigeonhole blocking)
     "q29_simhash_pairs" -> ((s, dir) =>

@@ -39,9 +39,15 @@ object TextPipeline {
     val gated = df
       .where(TextAnalysis.qualityScore(col(textCol)) >= config.minQuality)
       .where(LangId.langId(col(textCol)).isin(config.langs: _*))
+    // Pin the result: BOTH pipeline variants consume it at least twice
+    // (signature/pair generation AND the final representative semi
+    // join) — left lazy, the quality/lang regexp scalars and the dedup
+    // window re-run per consumer (measured ~6 s of q39's 14 s at
+    // sf0.1), the same recompute trap the signature paths checkpoint
+    // against.
     Dedup.exact(
       gated.withColumn("__fp", TextAnalysis.fingerprintMd5(col(textCol))),
-      on = Seq("__fp"), tieBreak = idCol).drop("__fp")
+      on = Seq("__fp"), tieBreak = idCol).drop("__fp").localCheckpoint()
   }
 
   /** Clean `df` down to deduplicated, quality-gated, language-filtered
