@@ -23,13 +23,16 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** Order-insensitive sum for fixed-point money doubles: accumulate as
-    * exact DECIMAL(18,2) (associative — no float accumulation-order
+    * exact DECIMAL(38,scale) (associative — no float accumulation-order
     * dependence across partitions), emit double. Every money sum below
     * uses this so results are bit-stable across partitionings and
-    * bit-match any engine doing the same exact math.
+    * bit-match any engine doing the same exact math. Precision is 38
+    * everywhere: at scale 12 a precision-18 cast leaves only 6 integer
+    * digits, so any value ≥ 1e6 would overflow (ANSI error, or silent
+    * null with ANSI off) in the one query using the narrow cast.
     */
   private def moneySum(c: org.apache.spark.sql.Column, scale: Int = 2) =
-    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+    sum(c.cast(s"decimal(38,$scale)")).cast("double")
 
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
     * Spark only reads as raw nanos (legacy nanosAsLong conf); convert to
@@ -323,7 +326,9 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
-    // LSH ANN top-k (recall-lossy scale path)
+    // LSH ANN top-k via the recommended default entry point (multi-probe
+    // — single-probe at this corpus size measures recall 0.0 and is an
+    // explicit opt-in, annTopKSingleProbe)
     "q31_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = queryVector(e, 0L)
@@ -351,9 +356,9 @@ object SparkEntry {
           sum(col("__new_session")).over(
             byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
         .groupBy(col("user_id"), col("session_seq"))
-        // events.value sums at scale 12 EVERYWHERE (q04/q05/q35): one
-        // scale per column, so no consumer silently rounds if the
-        // fixture ever carries more than 2dp
+        // events.value sums as decimal(38,12) EVERYWHERE (q04/q05/q35):
+        // one precision+scale per column, so no consumer silently rounds
+        // (or overflows) if the fixture ever carries wider values
         .agg(count(lit(1)).as("n_events"), moneySum(col("value"), 12).as("session_value"))
         .orderBy(col("user_id"), col("session_seq"))
     }),
@@ -472,11 +477,18 @@ object SparkEntry {
     "q45_ann_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = queryVector(e, 0L)
+      // The DuckDB twin pins dim-64 hyperplane literals (annPlaneLits);
+      // a fixture with a different embedding width would silently bucket
+      // against wrong-length planes there. Fail loudly here instead.
+      require(q.size == 64,
+        s"q45's oracle embeds dim=64 hyperplane literals but the fixture " +
+          s"embedding width is ${q.size}; regenerate annPlaneLits to match")
       val exact = SimilaritySearch.topKByCosine(e, "vec_id", "embedding", q, 10,
         excludeId = Some(0L)).select("vec_id")
-      val ann = SimilaritySearch.annTopK(e, "vec_id", "embedding", q, 10,
+      val ann = SimilaritySearch.annTopKSingleProbe(e, "vec_id", "embedding", q, 10,
         numPlanes = 4, excludeId = Some(0L)).select("vec_id")
-      val annMp = SimilaritySearch.annTopKMultiProbe(e, "vec_id", "embedding", q, 10,
+      // the recommended default path (annTopK = multi-probe)
+      val annMp = SimilaritySearch.annTopK(e, "vec_id", "embedding", q, 10,
         numPlanes = 4, excludeId = Some(0L)).select("vec_id")
       ann.join(exact, Seq("vec_id"))
         .agg((count(lit(1)).cast("double") / lit(10.0)).as("recall_at_10"))
@@ -506,7 +518,7 @@ object SparkEntry {
     // MinHash estimator quality against the exact pair set at the SAME
     // threshold: n_missed bounds LSH recall, n_false bounds estimator
     // precision. Rows-only (candidacy depends on xxhash64); floors
-    // asserted in MinhashQualitySpec, measured values in BENCH_NOTES.md
+    // asserted in EstimatorQualitySpec, measured values in BENCH_NOTES.md
     "q47_minhash_vs_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
@@ -828,7 +840,7 @@ object SparkEntry {
                     AS session_seq
            FROM y)
          SELECT user_id, session_seq, count(*) AS n_events,
-                CAST(sum(CAST(value AS DECIMAL(18,12))) AS DOUBLE) AS session_value
+                CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS session_value
          FROM z GROUP BY user_id, session_seq
          ORDER BY user_id, session_seq""",
 

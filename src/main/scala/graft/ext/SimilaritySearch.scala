@@ -172,9 +172,24 @@ object SimilaritySearch {
     bits.reduce(_ + _)
   }
 
-  /** Approximate top-k via LSH: only candidates in the query's bucket
-    * are scored. Cheap and recall-lossy by design; raise `numPlanes`
-    * for smaller buckets, lower it for higher recall.
+  /** The query vector's sign bucket against `planes`, computed driver-
+    * side (the query is a literal).
+    */
+  private def querySignBucket(query: Seq[Double], planes: Seq[Seq[Double]]): Long =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val d = plane.zip(query).map { case (a, b) => a * b }.sum
+      if (d >= 0) 1L << p else 0L
+    }.sum
+
+  /** Approximate top-k via LSH — the RECOMMENDED entry point, which is
+    * the multi-probe variant: single-probe recall collapses as the
+    * corpus grows (measured 0.0@10 at the sf0.1 fixture with 4 planes —
+    * the true neighbors sit one hyperplane away from the query's bucket
+    * and a single probe never sees them), while multi-probe at the same
+    * plane count measures ≥ 0.6 there (BENCH_NOTES.md, reproduce via
+    * `runMain graft.AnnRecallAudit`; floor asserted in
+    * EstimatorQualitySpec). Callers who want the 1-bucket probe cost
+    * and accept the recall loss must say so: [[annTopKSingleProbe]].
     */
   def annTopK(
       df: DataFrame,
@@ -184,12 +199,27 @@ object SimilaritySearch {
       k: Int,
       numPlanes: Int = 8,
       seed: Long = 42L,
+      excludeId: Option[Long] = None): DataFrame =
+    annTopKMultiProbe(df, idCol, vecCol, query, k, numPlanes, seed, excludeId)
+
+  /** Single-probe ANN top-k: only candidates in the query's own bucket
+    * are scored. The cheapest probe (1/2^p of the corpus on average) and
+    * the lowest recall — a deliberate opt-in, NOT the default: at 4
+    * planes recall@10 measures 0.3/0.2/0.0 at sf0.001/0.01/0.1
+    * (BENCH_NOTES.md). Raise recall by lowering `numPlanes` (bigger
+    * buckets) or switching to the default [[annTopK]] multi-probe path.
+    */
+  def annTopKSingleProbe(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      numPlanes: Int = 8,
+      seed: Long = 42L,
       excludeId: Option[Long] = None): DataFrame = {
     val planes = hyperplanes(numPlanes, query.size, seed)
-    val qBucket = planes.zipWithIndex.map { case (plane, p) =>
-      val d = plane.zip(query).map { case (a, b) => a * b }.sum
-      if (d >= 0) 1L << p else 0L
-    }.sum
+    val qBucket = querySignBucket(query, planes)
     val bucketed = df.where(lshBucket(col(vecCol), planes) === qBucket)
     topKByCosine(bucketed, idCol, vecCol, query, k, excludeId)
   }
@@ -212,13 +242,46 @@ object SimilaritySearch {
       seed: Long = 42L,
       excludeId: Option[Long] = None): DataFrame = {
     val planes = hyperplanes(numPlanes, query.size, seed)
-    val qBucket = planes.zipWithIndex.map { case (plane, p) =>
-      val d = plane.zip(query).map { case (a, b) => a * b }.sum
-      if (d >= 0) 1L << p else 0L
-    }.sum
+    val qBucket = querySignBucket(query, planes)
     val probes = qBucket +: (0 until numPlanes).map(p => qBucket ^ (1L << p))
     val bucketed = df.where(lshBucket(col(vecCol), planes).isin(probes: _*))
     topKByCosine(bucketed, idCol, vecCol, query, k, excludeId)
+  }
+
+  /** Given the corpus size, the plane count whose multi-probe candidate
+    * set stays large enough for useful recall: the expected probed
+    * fraction is (p+1)/2^p, so p is the largest count keeping the
+    * expected candidate rows ≥ max(128, 64·k) — scanning fewer than
+    * that saves nothing and starves recall (the measured recall@10 at
+    * this constant stays ≥ 0.6 across the fixtures vs 0.5 right at a
+    * 32·k floor). Capped at 20 planes (beyond that the probed fraction
+    * is < 2e-5 and the derivation's constant matters more than the
+    * cap).
+    */
+  def planesForCorpus(n: Long, k: Int): Int = {
+    val target = math.max(128.0, 64.0 * k)
+    var p = 1
+    while (p < 20 && (p + 2.0) / (1L << (p + 1)) * n >= target) p += 1
+    p
+  }
+
+  /** ANN top-k with the plane count derived from the corpus size
+    * ([[planesForCorpus]]) — one metadata-cheap `count()` at call time,
+    * then the multi-probe path. The zero-knobs entry point: recall
+    * stays in the measured ≥ 0.6 band as the corpus grows instead of
+    * collapsing the way a fixed plane count does.
+    */
+  def annTopKAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      seed: Long = 42L,
+      excludeId: Option[Long] = None): DataFrame = {
+    val n = df.count()
+    annTopKMultiProbe(df, idCol, vecCol, query, k,
+      numPlanes = planesForCorpus(n, k), seed = seed, excludeId = excludeId)
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ `minCosine`, LSH-blocked:

@@ -25,7 +25,10 @@ object StreamBench {
 
   def main(args: Array[String]): Unit = {
     val nTrips = args.headOption.map(_.toInt).getOrElse(200000)
-    val shards = 16 // files per side; 4 per trigger → ~8 micro-batches
+    // 16 files per side; both sources admit 4 files per trigger
+    // CONCURRENTLY, so the run drains in 4 micro-batches (each batch
+    // carries 4 start shards + 4 end shards).
+    val shards = 16
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-stream-bench")
     import spark.implicits._

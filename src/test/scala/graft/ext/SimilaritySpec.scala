@@ -101,16 +101,44 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     scores.sorted.reverse shouldBe scores
   }
 
-  test("multi-probe ANN candidates are a superset of single-probe") {
+  test("default annTopK IS multi-probe; single-probe candidates are a subset") {
     val df = corpusDf(80)
     val q = vec(11).map(_.toDouble)
     // k large enough to return every candidate either probe admits
-    val single = annTopK(df, "id", "v", q, 1000, numPlanes = 4).collect()
+    val single = annTopKSingleProbe(df, "id", "v", q, 1000, numPlanes = 4).collect()
       .map(_.getLong(0)).toSet
     val multi = annTopKMultiProbe(df, "id", "v", q, 1000, numPlanes = 4).collect()
       .map(_.getLong(0)).toSet
+    val default = annTopK(df, "id", "v", q, 1000, numPlanes = 4).collect()
+      .map(_.getLong(0)).toSet
     single.subsetOf(multi) shouldBe true
     multi.size should be >= single.size
+    default shouldBe multi // the recommended path is the wide one
+  }
+
+  test("planesForCorpus keeps expected multi-probe candidates above the floor") {
+    // derived p must satisfy (p+1)/2^p · n >= max(128, 64k) whenever p>1 is chosen
+    for (n <- Seq(100L, 1000L, 5000L, 50000L, 1000000L, 100000000L); k <- Seq(1, 10, 100)) {
+      val p = planesForCorpus(n, k)
+      p should be >= 1
+      p should be <= 20
+      if (p > 1) {
+        val target = math.max(128.0, 64.0 * k)
+        ((p + 1.0) / (1L << p) * n) should be >= target
+      }
+    }
+    // monotone-ish sanity: bigger corpus → at least as many planes
+    planesForCorpus(1000000L, 10) should be >= planesForCorpus(5000L, 10)
+  }
+
+  test("annTopKAuto derives planes from the corpus and returns ranked neighbors") {
+    val df = corpusDf(200)
+    val q = vec(13).map(_.toDouble)
+    val out = annTopKAuto(df, "id", "v", q, 5, excludeId = Some(13L)).collect()
+    out.length should be <= 5
+    out.map(_.getLong(0)) should not contain 13L
+    val scores = out.map(_.getDouble(1))
+    scores.sorted.reverse shouldBe scores
   }
 
   test("embeddingNearDupPairs finds a planted duplicate and derives dim") {
