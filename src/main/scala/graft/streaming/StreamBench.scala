@@ -1,73 +1,74 @@
 package graft.streaming
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
 
 import graft.GraftSession
 import graft.ingest.EventReader
 
-/** Streaming-path throughput measurement (BENCH_NOTES.md §streaming).
+/** Streaming-path measurement (BENCH_NOTES.md §streaming), two runs:
   *
-  * Replays a synthetic trip feed — `n` starts + `n` ends as JSON lines,
-  * produced through the same [[EventReader.toJsonStream]] wire encoding
-  * the publisher uses — through the FULL pipeline ([[TripStreamJob]]:
-  * file source → JSON decode → tagged union → flatMapGroupsWithState
-  * correlation → keyed upsert sink) under `Trigger.AvailableNow` with a
-  * files-per-trigger cap, so the run exercises several micro-batches of
-  * realistic size rather than one giant batch.
+  * 1. **Throughput** — `n` starts + `n` ends as JSON lines, hash-sharded
+  *    by trip_id exactly like the publisher
+  *    ([[EventReader.toJsonStream]]), through the FULL pipeline
+  *    ([[TripStreamJob]]: file source → JSON decode → tagged union →
+  *    flatMapGroupsWithState correlation → keyed upsert sink) under
+  *    `Trigger.AvailableNow`. Hash shards span the whole feed's time
+  *    range, so this run measures rows/sec, not state eviction.
   *
-  * Prints ONE JSON line: total rows, wall seconds, rows/sec, batch
-  * count, and peak state-store rows.
+  * 2. **Bounded state** — the same feed sharded into TIME-ORDERED
+  *    slices replayed one file per trigger, with the 10-minute
+  *    event-time timeout enabled: the watermark advances with each
+  *    micro-batch and passes earlier trips, so completed/stale groups
+  *    are evicted as the replay progresses — the measured form of the
+  *    SURVEY §2.7 claim that state is bounded by the watermark+timeout
+  *    horizon (trips-per-~20-minutes), not by corpus size. Reported:
+  *    `evicted_rows` (state removals) and `peak_state_rows` ≪ n.
+  *
+  * Prints ONE JSON line per run. Metrics are accumulated via a
+  * StreamingQueryListener, not `recentProgress` (whose retention is
+  * capped at `spark.sql.streaming.numRecentProgressUpdates` = 100
+  * entries — an undercount once a run has more micro-batches than
+  * that).
   *
   *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.streaming.StreamBench 200000"
   */
 object StreamBench {
 
-  def main(args: Array[String]): Unit = {
-    val nTrips = args.headOption.map(_.toInt).getOrElse(200000)
-    // 16 files per side; both sources admit 4 files per trigger
-    // CONCURRENTLY, so the run drains in 4 micro-batches (each batch
-    // carries 4 start shards + 4 end shards).
-    val shards = 16
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = GraftSession.local(cpus, "graft-stream-bench")
-    import spark.implicits._
+  /** Accumulates progress off the listener bus. Registered BEFORE the
+    * query starts (a fast first micro-batch could otherwise complete
+    * before registration); runs are sequential so no query-id filter is
+    * needed.
+    */
+  private final class Metrics extends StreamingQueryListener {
+    @volatile var inputRows = 0L
+    @volatile var batches = 0L
+    @volatile var peakState = 0L
+    @volatile var removed = 0L
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      inputRows += p.numInputRows
+      if (p.numInputRows > 0) batches += 1
+      p.stateOperators.foreach { so =>
+        peakState = math.max(peakState, so.numRowsTotal)
+        removed += so.numRowsRemoved
+      }
+    }
+  }
 
-    val base = java.nio.file.Files.createTempDirectory("graft-streambench")
-    val startDir = s"$base/starts"
-    val endDir = s"$base/ends"
-
-    // Event time advances 50 ms per trip (~2.8 h of feed at n=200k);
-    // dropoff 5 min after pickup. Deterministic fares via seeded rand.
-    val t0 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00").getTime
-    val starts = spark.range(nTrips).select(
-      concat(lit("trip-"), col("id")).as("trip_id"),
-      (col("id") % 256).cast("int").as("pickup_location_id"),
-      (col("id") % 128).cast("int").as("dropoff_location_id"),
-      (col("id") % 8).cast("int").as("vendor_id"),
-      timestamp_millis(lit(t0) + col("id") * 50).as("pickup_datetime"),
-      timestamp_millis(lit(t0) + col("id") * 50 + 300000L).as("estimated_dropoff_datetime"),
-      round(rand(42) * 50 + 5, 2).as("estimated_fare_amount"))
-    val ends = spark.range(nTrips).select(
-      concat(lit("trip-"), col("id")).as("trip_id"),
-      timestamp_millis(lit(t0) + col("id") * 50 + 300000L).as("dropoff_datetime"),
-      lit(1.0).as("rate_code"),
-      (col("id") % 4 + 1).cast("double").as("passenger_count"),
-      round(rand(43) * 20 + 1, 2).as("trip_distance"),
-      round(rand(44) * 50 + 5, 2).as("fare_amount"),
-      round(rand(45) * 10, 2).as("tip_amount"),
-      lit(1.0).as("payment_type"),
-      lit(1.0).as("trip_type"))
-    EventReader.toJsonStream(starts, "trip_id", shards)
-      .select("value").write.text(startDir)
-    EventReader.toJsonStream(ends, "trip_id", shards)
-      .select("value").write.text(endDir)
-    // The file source admits files in modification-time order, and the
-    // parallel write leaves mtimes racy — an end shard could enter a
-    // trigger BEFORE its start shard and be faithful-dropped. Restamp
-    // both sides with the same increasing per-shard mtimes so start/end
-    // shard k ride the same trigger (same key-hash → same shard index).
-    for (dir <- Seq(startDir, endDir)) {
+  /** Restamp part files with strictly increasing mtimes in name order:
+    * the file source admits files in modification-time order and the
+    * parallel write leaves mtimes racy — an end shard could enter a
+    * trigger BEFORE its start shard and be faithful-dropped. Start/end
+    * shard k share an index on both sides (same key-hash → same shard;
+    * same range → same slice), so equal stamps make them ride the same
+    * trigger.
+    */
+  private def restampInNameOrder(spark: SparkSession, dirs: Seq[String]): Unit =
+    for (dir <- dirs) {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(p).filter(_.getPath.getName.startsWith("part-"))
@@ -77,10 +78,51 @@ object StreamBench {
         }
     }
 
-    def lines(dir: String) = spark.readStream
-      .option("maxFilesPerTrigger", "4")
-      .text(dir)
+  /** The synthetic feed: event time advances 50 ms per trip (~2.8 h at
+    * n=200k); dropoff 5 min after pickup. Deterministic fares via
+    * seeded rand.
+    */
+  private def feed(spark: SparkSession, nTrips: Int): (DataFrame, DataFrame) = {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00").getTime
+    val starts = spark.range(nTrips).select(
+      col("id"),
+      concat(lit("trip-"), col("id")).as("trip_id"),
+      (col("id") % 256).cast("int").as("pickup_location_id"),
+      (col("id") % 128).cast("int").as("dropoff_location_id"),
+      (col("id") % 8).cast("int").as("vendor_id"),
+      timestamp_millis(lit(t0) + col("id") * 50).as("pickup_datetime"),
+      timestamp_millis(lit(t0) + col("id") * 50 + 300000L).as("estimated_dropoff_datetime"),
+      round(rand(42) * 50 + 5, 2).as("estimated_fare_amount"))
+    val ends = spark.range(nTrips).select(
+      col("id"),
+      concat(lit("trip-"), col("id")).as("trip_id"),
+      timestamp_millis(lit(t0) + col("id") * 50 + 300000L).as("dropoff_datetime"),
+      lit(1.0).as("rate_code"),
+      (col("id") % 4 + 1).cast("double").as("passenger_count"),
+      round(rand(43) * 20 + 1, 2).as("trip_distance"),
+      round(rand(44) * 50 + 5, 2).as("fare_amount"),
+      round(rand(45) * 10, 2).as("tip_amount"),
+      lit(1.0).as("payment_type"),
+      lit(1.0).as("trip_type"))
+    (starts, ends)
+  }
 
+  /** One full-pipeline replay; returns the printed JSON line's fields. */
+  private def replay(
+      spark: SparkSession,
+      name: String,
+      startDir: String,
+      endDir: String,
+      base: String,
+      filesPerTrigger: Int,
+      timeoutMs: Long,
+      nTrips: Int,
+      cpus: Int): Unit = {
+    def lines(dir: String) = spark.readStream
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .text(dir)
+    val m = new Metrics
+    spark.streams.addListener(m)
     val wall0 = System.nanoTime()
     val q = TripStreamJob.start(
       spark,
@@ -88,23 +130,65 @@ object StreamBench {
       endLines = lines(endDir),
       tablePath = s"$base/table",
       checkpointDir = s"$base/ckpt",
-      trigger = Trigger.AvailableNow())
+      trigger = Trigger.AvailableNow(),
+      timeoutMs = timeoutMs)
     q.awaitTermination()
     val secs = (System.nanoTime() - wall0) / 1e9
-
-    val progress = q.recentProgress
-    val inputRows = progress.map(_.numInputRows).sum
-    val batches = progress.count(_.numInputRows > 0)
-    val peakState = progress
-      .flatMap(_.stateOperators.map(_.numRowsTotal)).maxOption.getOrElse(0L)
+    // the listener bus is async — drain before reading the counters
+    var waited = 0
+    while (m.inputRows < 2L * nTrips && waited < 100) { Thread.sleep(100); waited += 1 }
+    spark.streams.removeListener(m)
     val completed = graft.sink.TripTableSink.readMerged(spark, s"$base/table")
       .where(col("status") === graft.schema.TripSchemas.StatusCompleted)
       .count()
     println(
-      s"""{"metric":"stream_rows_per_sec","value":${(inputRows / secs).round},""" +
-        s""""unit":"rows/sec","rows":$inputRows,"wall_sec":$secs,""" +
-        s""""batches":$batches,"peak_state_rows":$peakState,""" +
+      s"""{"metric":"$name","value":${(m.inputRows / secs).round},""" +
+        s""""unit":"rows/sec","rows":${m.inputRows},"wall_sec":$secs,""" +
+        s""""batches":${m.batches},"peak_state_rows":${m.peakState},""" +
+        s""""evicted_rows":${m.removed},"timeout_ms":$timeoutMs,""" +
         s""""completed_trips":$completed,"n_trips":$nTrips,"cpus":$cpus}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nTrips = args.headOption.map(_.toInt).getOrElse(200000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus, "graft-stream-bench")
+    val (starts, ends) = feed(spark, nTrips)
+
+    val base = java.nio.file.Files.createTempDirectory("graft-streambench")
+
+    // ---- Run 1: throughput. 16 hash shards per side; both sources
+    // admit 4 files per trigger CONCURRENTLY → 4 micro-batches, each
+    // carrying 4 start shards + 4 end shards. No timeout: hash shards
+    // span the whole feed, so the watermark is near feed-end after
+    // batch 1 and eviction timing would be an artifact of shard order,
+    // not a steady-state property.
+    val hashShards = 16
+    EventReader.toJsonStream(starts.drop("id"), "trip_id", hashShards)
+      .select("value").write.text(s"$base/h-starts")
+    EventReader.toJsonStream(ends.drop("id"), "trip_id", hashShards)
+      .select("value").write.text(s"$base/h-ends")
+    restampInNameOrder(spark, Seq(s"$base/h-starts", s"$base/h-ends"))
+    replay(spark, "stream_rows_per_sec", s"$base/h-starts", s"$base/h-ends",
+      s"$base/run1", filesPerTrigger = 4, timeoutMs = 0L, nTrips, cpus)
+
+    // ---- Run 2: bounded state. The same feed in 32 TIME-ORDERED
+    // slices, one file per trigger, 10-minute event-time timeout: the
+    // watermark advances ~1/32 of the feed per micro-batch and evicts
+    // every group whose timeout (its own max event time + 10 min) has
+    // passed — completed trips included, which is what bounds the state
+    // store at the watermark+timeout horizon instead of corpus size.
+    val slices = 32
+    def sliced(df: DataFrame) = df
+      .withColumn("__slice", (col("id") * slices / nTrips).cast("int"))
+      .repartitionByRange(slices, col("__slice"))
+      .select(to_json(struct(df.columns.filter(_ != "id").map(col): _*)).as("value"))
+    sliced(starts).write.text(s"$base/t-starts")
+    sliced(ends).write.text(s"$base/t-ends")
+    restampInNameOrder(spark, Seq(s"$base/t-starts", s"$base/t-ends"))
+    replay(spark, "stream_bounded_state", s"$base/t-starts", s"$base/t-ends",
+      s"$base/run2", filesPerTrigger = 1, timeoutMs = 600000L, nTrips, cpus)
+
     spark.stop()
   }
 }
