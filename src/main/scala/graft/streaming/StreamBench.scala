@@ -63,9 +63,8 @@ object StreamBench {
     * the file source admits files in modification-time order and the
     * parallel write leaves mtimes racy — an end shard could enter a
     * trigger BEFORE its start shard and be faithful-dropped. Start/end
-    * shard k share an index on both sides (same key-hash → same shard;
-    * same range → same slice), so equal stamps make them ride the same
-    * trigger.
+    * shard k share an index on both sides (same key-hash → same shard),
+    * so equal stamps make them ride the same trigger.
     */
   private def restampInNameOrder(spark: SparkSession, dirs: Seq[String]): Unit =
     for (dir <- dirs) {
@@ -75,6 +74,26 @@ object StreamBench {
         .sortBy(_.getPath.getName).zipWithIndex
         .foreach { case (st, i) =>
           fs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1)
+        }
+    }
+
+  /** Restamp a `partitionBy("__slice")` layout: every file under
+    * `dir/__slice=k/` gets mtime base + k·60 s, so the file source
+    * admits slices strictly in slice order and start/end slice k share
+    * a stamp (→ the same trigger). Slice-by-DIRECTORY is deterministic
+    * by construction — unlike `repartitionByRange`, whose sampled
+    * boundaries could diverge between the two writes and shift part-
+    * file indices (the round-6 ADVICE hole).
+    */
+  private def restampBySliceDir(spark: SparkSession, dirs: Seq[String]): Unit =
+    for (dir <- dirs) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.getPath.getName.startsWith("__slice="))
+        .foreach { d =>
+          val k = d.getPath.getName.stripPrefix("__slice=").toLong
+          fs.listStatus(d.getPath).filter(_.getPath.getName.startsWith("part-"))
+            .foreach(st => fs.setTimes(st.getPath, 1700000000000L + k * 60000L, -1))
         }
     }
 
@@ -179,14 +198,20 @@ object StreamBench {
     // passed — completed trips included, which is what bounds the state
     // store at the watermark+timeout horizon instead of corpus size.
     val slices = 32
+    // One file per slice, deterministically: hash-repartition on the
+    // slice id co-locates each slice in one task, and partitionBy
+    // splits the write into `__slice=k/` dirs — so the start and end
+    // feeds ALWAYS produce the same slice→file mapping (restamped by
+    // directory, not by racy part-file index).
     def sliced(df: DataFrame) = df
-      .withColumn("__slice", (col("id") * slices / nTrips).cast("int"))
-      .repartitionByRange(slices, col("__slice"))
-      .select(to_json(struct(df.columns.filter(_ != "id").map(col): _*)).as("value"))
-    sliced(starts).write.text(s"$base/t-starts")
-    sliced(ends).write.text(s"$base/t-ends")
-    restampInNameOrder(spark, Seq(s"$base/t-starts", s"$base/t-ends"))
-    replay(spark, "stream_bounded_state", s"$base/t-starts", s"$base/t-ends",
+      .select(
+        to_json(struct(df.columns.filter(_ != "id").map(col): _*)).as("value"),
+        (col("id") * slices / nTrips).cast("int").as("__slice"))
+      .repartition(slices, col("__slice"))
+    sliced(starts).write.partitionBy("__slice").text(s"$base/t-starts")
+    sliced(ends).write.partitionBy("__slice").text(s"$base/t-ends")
+    restampBySliceDir(spark, Seq(s"$base/t-starts", s"$base/t-ends"))
+    replay(spark, "stream_bounded_state", s"$base/t-starts/__slice=*", s"$base/t-ends/__slice=*",
       s"$base/run2", filesPerTrigger = 1, timeoutMs = 600000L, nTrips, cpus)
 
     spark.stop()
