@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Plan-regression guard: the PLANS.md audit as CI assertions.
+  *
+  * The round-4 incident class — a text scalar silently falling back to
+  * an interpreted higher-order function (`lambdafunction` nodes, ~5×
+  * slower than the codegen regexp spelling) — was caught by a bench
+  * diff, two rounds late. These tests pin the audited plan properties
+  * so the same regression fails `sbt test` instead:
+  *
+  *  - q21/q22/q39 (the text-scalar hot paths): zero HOF nodes anywhere
+  *    in the optimized or physical plan;
+  *  - q01: the status/date predicates actually reach the parquet scan
+  *    (`PushedFilters` non-empty);
+  *  - q25: the batch k-NN aggregation keeps its map-side combine
+  *    (`partial_topkagg` in the physical plan — losing it would shuffle
+  *    every (query, candidate) pair instead of a bounded heap per task).
+  *
+  * Plan shape does not depend on data scale, so sf0.001 is enough.
+  */
+class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plans(name: String): String = {
+    val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+    qe.optimizedPlan.toString + "\n" + qe.executedPlan.toString
+  }
+
+  for (name <- Seq("q21_quality_score", "q22_lang_id", "q39_clean_corpus"))
+    test(s"$name plan has no interpreted HOF (lambdafunction) nodes") {
+      plans(name).toLowerCase should not include "lambdafunction"
+    }
+
+  test("q01 filters are pushed down to the parquet scan") {
+    // FormattedMode is the only mode that renders the scan's
+    // `PushedFilters: [IsNotNull(...), ...]` untruncated; an empty
+    // list (`PushedFilters: []`) means the scan reads everything.
+    val formatted = SparkEntry.queries("q01_scan_filter_project")(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(formatted)
+    pushed should not be empty
+    pushed.get.group(1).trim should not be ""
+  }
+
+  test("q25 keeps the map-side partial_topkagg combine") {
+    SparkEntry.queries("q25_topk_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString should include("partial_topkagg")
+  }
+}
