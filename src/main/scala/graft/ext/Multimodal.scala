@@ -86,14 +86,15 @@ object Multimodal {
         sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)))
 }
 
-/** The decode boundary. Image DIMENSIONS are decoded for real — PNG,
-  * JPEG, and GIF store them at fixed or marker-addressed header offsets,
-  * parseable with zero codec dependencies ([[imageDimensions]]). Full
-  * pixel decode and audio/video remain STUBBED (no codec libs in this
-  * environment): payloads that aren't a recognized image fall back to
-  * deterministic fake properties so the pipeline around the boundary is
-  * fully testable. A production build swaps the fallback for JNI/FFM
-  * bindings to actual decoders.
+/** The decode boundary. ENVELOPE properties are decoded for real with
+  * zero codec dependencies: image dimensions (PNG/JPEG/GIF header
+  * offsets, [[imageDimensions]]), audio sample rate + duration (WAV
+  * RIFF chunk walk, [[wavInfo]]), and video duration (MP4 `moov/mvhd`
+  * box walk, [[mp4DurationMs]]). Only full SAMPLE decode (pixels, PCM
+  * frames) remains STUBBED — no codec libs in this environment:
+  * unrecognized payloads fall back to deterministic fake properties so
+  * the pipeline around the boundary is fully testable. A production
+  * build swaps the fallback for JNI/FFM bindings to actual decoders.
   */
 object MediaCodec {
 
@@ -146,18 +147,109 @@ object MediaCodec {
     None
   }
 
+  /** Real WAV envelope parse: RIFF/WAVE chunk walk to the `fmt ` chunk
+    * (sample rate, byte rate) and the `data` chunk (payload size);
+    * duration = dataBytes · 1000 / byteRate. Returns (sampleRate,
+    * durationMs); None when the payload isn't RIFF/WAVE or the needed
+    * chunks are absent/inconsistent. The declared data size is trusted
+    * even if the buffer is truncated — it is the header's claim about
+    * stream length, exactly what an envelope sweep wants.
+    */
+  def wavInfo(b: Array[Byte]): Option[(Int, Long)] = {
+    if (b.length < 12 ||
+        b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var sampleRate = 0
+    var byteRate = 0
+    var dataBytes = -1L
+    while (i + 8 <= b.length && (sampleRate == 0 || dataBytes < 0)) {
+      val size = le32(b, i + 4) & 0xFFFFFFFFL
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (size < 16 || i + 8 + 16 > b.length) return None
+        sampleRate = le32(b, i + 12)
+        byteRate = le32(b, i + 16)
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        dataBytes = size
+      }
+      if (size > Int.MaxValue - 16L) return None // implausible chunk size
+      i += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
+    }
+    if (sampleRate > 0 && byteRate > 0 && dataBytes >= 0)
+      Some((sampleRate, dataBytes * 1000L / byteRate))
+    else None
+  }
+
+  /** Real MP4 envelope parse: ISO-BMFF box walk `moov` → `mvhd`;
+    * duration_ms = duration · 1000 / timescale (mvhd v0: 32-bit
+    * creation/modification/duration words; v1: 64-bit). Gated on the
+    * first top-level box being a known ISO-BMFF type so arbitrary
+    * binary can't false-positive.
+    */
+  def mp4DurationMs(b: Array[Byte]): Option[Long] = {
+    val known = Set("ftyp", "styp", "moov", "mdat", "free", "skip", "wide", "pdin")
+    if (b.length < 16 || !known.contains(boxType(b, 0))) return None
+    findBox(b, 0, b.length, List("moov", "mvhd")).flatMap { case (off, end) =>
+      val version = b(off) & 0xFF
+      if (version == 0 && off + 20 <= end) {
+        val timescale = be32(b, off + 12).toLong & 0xFFFFFFFFL
+        val duration = be32(b, off + 16).toLong & 0xFFFFFFFFL
+        if (timescale > 0) Some(duration * 1000L / timescale) else None
+      } else if (version == 1 && off + 32 <= end) {
+        val timescale = be32(b, off + 20).toLong & 0xFFFFFFFFL
+        val duration = be64(b, off + 24)
+        if (timescale > 0 && duration >= 0) Some(duration * 1000L / timescale) else None
+      } else None
+    }
+  }
+
+  /** Walk sibling boxes in [start, end) for `path.head`; recurse into
+    * the match for the rest of the path. Returns the payload span
+    * (after the 8- or 16-byte box header) of the final match.
+    */
+  private def findBox(b: Array[Byte], start: Int, end: Int, path: List[String]): Option[(Int, Int)] = {
+    var i = start
+    while (i + 8 <= end) {
+      var size = be32(b, i).toLong & 0xFFFFFFFFL
+      var hdr = 8
+      if (size == 1) {
+        if (i + 16 > end) return None
+        size = be64(b, i + 8); hdr = 16
+      } else if (size == 0) size = (end - i).toLong // box runs to EOF
+      if (size < hdr || size > end - i) return None
+      if (boxType(b, i) == path.head) {
+        val span = (i + hdr, i + size.toInt)
+        return if (path.tail.isEmpty) Some(span)
+        else findBox(b, span._1, span._2, path.tail)
+      }
+      i += size.toInt
+    }
+    None
+  }
+
+  private def boxType(b: Array[Byte], i: Int): String =
+    new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
   private def be32(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
       ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+  private def be64(b: Array[Byte], i: Int): Long =
+    ((be32(b, i).toLong & 0xFFFFFFFFL) << 32) | (be32(b, i + 4).toLong & 0xFFFFFFFFL)
   private def be16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
   private def le16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
 
-  /** Decode one payload: real header dimensions when the payload is a
-    * recognized image; otherwise the deterministic STUB fallback (fake
-    * dimensions/duration/features from a 64-bit payload hash) so
-    * non-image media keep exercising the pipeline.
+  /** Decode one payload: real header properties when the payload is a
+    * recognized image (dimensions), WAV (duration), or MP4 (duration);
+    * otherwise the deterministic STUB fallback (fake dimensions/
+    * duration/features from a 64-bit payload hash) so unrecognized
+    * media keep exercising the pipeline. Recognized audio/video get
+    * width = height = 0 — visual dimensions genuinely unknown from the
+    * envelope — never fake ones.
     */
   def decodeBytes(row: Multimodal.MediaRow): Multimodal.MediaFeatures = {
     val h = fnv1a(row.payload)
@@ -167,11 +259,16 @@ object MediaCodec {
       x
     }
     val realDims = imageDimensions(row.payload)
-    val width = realDims.map(_._1).getOrElse(64 + (math.abs(mix(1)) % 1920).toInt)
-    val height = realDims.map(_._2).getOrElse(64 + (math.abs(mix(2)) % 1080).toInt)
+    val realDuration =
+      if (realDims.isDefined) None
+      else wavInfo(row.payload).map(_._2).orElse(mp4DurationMs(row.payload))
+    def dim(fake: => Int) =
+      if (realDuration.isDefined) 0 else fake
+    val width = realDims.map(_._1).getOrElse(dim(64 + (math.abs(mix(1)) % 1920).toInt))
+    val height = realDims.map(_._2).getOrElse(dim(64 + (math.abs(mix(2)) % 1080).toInt))
     val duration =
       if (row.kind == "image" || realDims.isDefined) 0L
-      else 1000L + math.abs(mix(3)) % 600000L
+      else realDuration.getOrElse(1000L + math.abs(mix(3)) % 600000L)
     val feature = (0 until 8).map(i =>
       (mix(4 + i).toDouble / Long.MaxValue.toDouble).toFloat)
     Multimodal.MediaFeatures(

@@ -64,6 +64,31 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
   private def be32(v: Int): Array[Byte] =
     Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
   private def be16(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+  private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+
+  /** Canonical PCM WAV: RIFF header, 16-byte fmt chunk, data chunk. */
+  private def wavBytes(sampleRate: Int, byteRate: Int, dataSize: Int): Array[Byte] =
+    "RIFF".getBytes ++ le32(36 + dataSize) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(sampleRate) ++ le32(byteRate) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(dataSize) ++ Array.fill[Byte](dataSize)(0)
+
+  /** Minimal ISO-BMFF: ftyp box then moov{mvhd}. */
+  private def mp4Bytes(timescale: Int, duration: Long, version: Int): Array[Byte] = {
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0x200)
+    val mvhdPayload =
+      if (version == 0)
+        Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+          be32(timescale) ++ be32(duration.toInt)
+      else
+        Array[Byte](1, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0) ++
+          be32(timescale) ++ be32((duration >>> 32).toInt) ++ be32(duration.toInt)
+    val mvhd = be32(8 + mvhdPayload.length) ++ "mvhd".getBytes ++ mvhdPayload
+    val moov = be32(8 + mvhd.length) ++ "moov".getBytes ++ mvhd
+    ftyp ++ moov
+  }
 
   test("imageDimensions parses real PNG/JPEG/GIF headers") {
     MediaCodec.imageDimensions(pngBytes(1920, 1080)) shouldBe Some((1920, 1080))
@@ -73,6 +98,48 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     MediaCodec.imageDimensions(Array[Byte](0xFF.toByte, 0xD8.toByte)) shouldBe None
     // truncated JPEG: SOF length field runs past the buffer
     MediaCodec.imageDimensions(jpegBytes(640, 480).take(22)) shouldBe None
+  }
+
+  test("wavInfo parses sample rate and duration from RIFF chunks") {
+    // 44.1 kHz stereo 16-bit: byteRate 176400; 352800 data bytes = 2 s
+    MediaCodec.wavInfo(wavBytes(44100, 176400, 352800)) shouldBe Some((44100, 2000L))
+    MediaCodec.wavInfo(wavBytes(16000, 32000, 8000)) shouldBe Some((16000, 250L))
+    MediaCodec.wavInfo("RIFFxxxxWAVE".getBytes) shouldBe None // no chunks
+    MediaCodec.wavInfo("not audio at all".getBytes) shouldBe None
+    // data-chunk size is trusted even when the buffer is truncated
+    MediaCodec.wavInfo(wavBytes(44100, 176400, 352800).take(60)) shouldBe
+      Some((44100, 2000L))
+  }
+
+  test("mp4DurationMs parses mvhd v0 and v1 boxes") {
+    MediaCodec.mp4DurationMs(mp4Bytes(1000, 5000L, version = 0)) shouldBe Some(5000L)
+    MediaCodec.mp4DurationMs(mp4Bytes(90000, 90000L * 127, version = 1)) shouldBe
+      Some(127000L)
+    MediaCodec.mp4DurationMs("not a video container".getBytes) shouldBe None
+    // moov without an mvhd child
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0x200)
+    val emptyMoov = be32(8) ++ "moov".getBytes
+    MediaCodec.mp4DurationMs(ftyp ++ emptyMoov) shouldBe None
+    // truncated: mvhd box size runs past the buffer
+    MediaCodec.mp4DurationMs(mp4Bytes(1000, 5000L, version = 0).dropRight(4)) shouldBe None
+  }
+
+  test("decodeFeatures emits real duration for planted WAV/MP4 payloads") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wavBytes(44100, 176400, 352800)),
+      Multimodal.MediaRow(2L, "video", mp4Bytes(1000, 7500L, version = 0)),
+      Multimodal.MediaRow(3L, "audio", "plain text, stub fallback".getBytes))
+    val out = Multimodal.decodeFeatures(spark.createDataset(rows))
+      .orderBy("media_id").collect()
+    out(0).duration_ms shouldBe 2000L
+    out(1).duration_ms shouldBe 7500L
+    // recognized envelopes report no (fake) visual dimensions
+    (out(0).width, out(0).height) shouldBe ((0, 0))
+    (out(1).width, out(1).height) shouldBe ((0, 0))
+    // unrecognized payload keeps the deterministic stub duration
+    out(2).duration_ms should be >= 1000L
+    out(2).width should be >= 64
   }
 
   test("decodeFeatures emits true dimensions for planted image payloads") {
