@@ -536,13 +536,38 @@ object SparkEntry {
           .otherwise(0L)).as("n_missed"),
         sum(when(col("__e").isNull && col("__l").isNotNull, 1L)
           .otherwise(0L)).as("n_false"))
-    })
+    }),
+
+    // q28 on a realistic-profile corpus (SyntheticCorpus: 10k-word
+    // Zipf vocabulary, ~8% planted near-dups) of the same size as the
+    // sf's documents table: the degenerate-fixture twin whose output is
+    // ~75% of all pairs makes the headline number mostly "emit 5M true
+    // pairs"; this row shows the SAME plan at a real corpus's pair
+    // density. Rows-only (generated input + xxhash64 candidacy).
+    "q48_minhash_realistic" -> ((s, dir) =>
+      Dedup.minhashPairs(
+        graft.ext.SyntheticCorpus.realistic(s, t(s, dir, "documents").count()),
+        "doc_id", "text", minJaccard = 0.7, numHashes = 64, shingleSize = 1)),
+
+    // q39's five-stage pipeline on the same realistic-profile corpus
+    // (trigram shingles, j≥0.9 — the planted 1%-mutation dups straddle
+    // the exact-dedup and near-dedup stages by design). Rows-only.
+    "q49_clean_corpus_realistic" -> ((s, dir) =>
+      graft.ext.TextPipeline.cleanCorpus(
+          graft.ext.SyntheticCorpus.realistic(s, t(s, dir, "documents").count()),
+          "doc_id", "text",
+          graft.ext.TextPipeline.Config(minQuality = 0.2,
+            langs = Seq("en"), nearDupJaccard = 0.9,
+            numHashes = 64, shingleSize = 3))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. q28/q29/q31/q32, q34, q39, and q47 are
-    * omitted deliberately: xxhash64/LSH-seed/FNV/sampled-centroid
-    * arithmetic has no DuckDB twin (driver records the weaker rows-only
+    * the same parquet tables. q28/q29/q31/q32, q34, q39, q47, and the
+    * generated-corpus rows q48/q49 are omitted deliberately:
+    * xxhash64/LSH-seed/FNV/sampled-centroid arithmetic (and a
+    * generator-produced input table) has no DuckDB twin (driver records the weaker rows-only
     * check); their quality is bounded by the oracled q44/q45/q46 twins
     * and the measured q47 row.
     */
@@ -1069,5 +1094,5 @@ object SparkEntry {
     "q35_sessionize", "q36_rollup", "q37_content_sample", "q38_content_split",
     "q39_clean_corpus", "q40_percentiles", "q41_asof_join",
     "q42_nonequi_join", "q43_approx_distinct", "q45_ann_recall",
-    "q46_ivf_recall")
+    "q46_ivf_recall", "q48_minhash_realistic", "q49_clean_corpus_realistic")
 }

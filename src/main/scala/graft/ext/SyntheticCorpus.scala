@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic realistic-profile corpus generator for benchmarking
+  * the text-dedup operators on a NON-degenerate fixture.
+  *
+  * The driver's synthetic `documents` table draws every word from a
+  * ~50-word shared vocabulary, so ~75% of ALL doc pairs are genuine
+  * near-duplicates — the q28/q39 bench numbers on it mostly measure
+  * emitting ~5M true pairs (BENCH_NOTES.md). This generator produces
+  * the profile a real training corpus has: a 10k-word content
+  * vocabulary under a Zipf-ish draw (`u²` biases toward low indices),
+  * ~1/3 English stopwords (which is also what lets the docs pass the
+  * clean-corpus language gate), 30–150-word docs, and a planted ~8%
+  * near-dup rate — each dup copies a non-dup source doc in its block
+  * and mutates ~1% of words, so some dups stay byte-identical (caught
+  * by exact dedup) and the rest sit just under Jaccard 1.0 (caught by
+  * MinHash at j≥0.9 even on trigram shingles).
+  *
+  * Everything is keyed off (seed, doc id): the same inputs produce the
+  * byte-identical corpus on any partitioning or cluster size, so bench
+  * runs are reproducible without materializing the fixture.
+  */
+object SyntheticCorpus {
+
+  /** splitmix64 finalizer — a cheap, well-mixed non-negative hash. */
+  private def splitmix(v: Long): Long = {
+    var x = v + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    (x ^ (x >>> 31)) & Long.MaxValue
+  }
+
+  private val stop = Array(
+    "the", "of", "and", "to", "a", "in", "is", "it", "that", "for",
+    "was", "on", "are", "as", "with", "his", "they", "at", "be", "this")
+
+  def realistic(
+      spark: SparkSession,
+      nDocs: Long,
+      vocab: Int = 10000,
+      dupPct: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(nDocs).mapPartitions { ids =>
+      ids.map { boxed =>
+        val id: Long = boxed
+        // Ids with block offset < dupPct duplicate a NON-dup id (offset
+        // ≥ dupPct) of the same 100-id block — never another dup, whose
+        // actual text differs from its base-seed text (a dup-of-dup
+        // would be a near-dup of nothing). Several dups picking the
+        // same source form a dup CLUSTER, as real corpora have.
+        val block = (id / 100) * 100
+        val srcOffset = dupPct + (splitmix(seed ^ id) % (100 - dupPct))
+        val isDup = id % 100 < dupPct && block + srcOffset < nDocs
+        val srcId = if (isDup) block + srcOffset else id
+        val rnd = new scala.util.Random(seed ^ (srcId * 0x9E3779B97F4A7C15L))
+        val len = 30 + rnd.nextInt(121)
+        val words = Array.fill(len) {
+          if (rnd.nextInt(100) < 35) stop(rnd.nextInt(stop.length))
+          else {
+            val u = rnd.nextDouble()
+            "w" + (u * u * vocab).toInt
+          }
+        }
+        if (isDup) {
+          val mut = new scala.util.Random(seed ^ (id * 0xC2B2AE3D27D4EB4FL))
+          var i = 0
+          while (i < words.length) {
+            if (mut.nextInt(100) == 0) words(i) = "w" + mut.nextInt(vocab)
+            i += 1
+          }
+        }
+        (id, words.mkString(" "))
+      }
+    }.toDF("doc_id", "text")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+class SyntheticCorpusSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  test("realistic corpus is deterministic across partitionings") {
+    val a = SyntheticCorpus.realistic(spark, 300).orderBy("doc_id").collect()
+    val b = SyntheticCorpus.realistic(spark, 300).repartition(7)
+      .orderBy("doc_id").collect()
+    a.map(r => (r.getLong(0), r.getString(1))) shouldBe
+      b.map(r => (r.getLong(0), r.getString(1)))
+  }
+
+  test("realistic corpus has a wide vocabulary, unlike the degenerate fixture") {
+    val docs = SyntheticCorpus.realistic(spark, 1000)
+    val distinctWords = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select(countDistinct("w")).head.getLong(0)
+    // the degenerate documents fixture has ~50; realistic English-like
+    // corpora have thousands of distinct tokens at this size
+    distinctWords should be > 2000L
+    // near-dup pair density is SPARSE: candidates come from the planted
+    // ~8% dups, not from 75% of all pairs
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      minJaccard = 0.7, numHashes = 64, shingleSize = 1).count()
+    // ~80 planted dups → roughly one pair each (plus intra-cluster
+    // pairs when dups share a source), and ≪ n²/2 = 500k possible
+    pairs should be > 50L
+    pairs should be < 500L
+  }
+
+  test("planted dups straddle exact and near-dup dedup stages") {
+    val docs = SyntheticCorpus.realistic(spark, 1000)
+    val n = docs.count()
+    val exactDeduped = Dedup.exact(
+      docs.withColumn("__fp", TextAnalysis.fingerprintMd5(col("text"))),
+      on = Seq("__fp"), tieBreak = "doc_id").count()
+    // some dups are byte-identical (zero mutations drawn)
+    exactDeduped should be < n
+    // and some survive exact dedup but fall to the near-dup stage
+    val cleaned = TextPipeline.cleanCorpus(docs, "doc_id", "text",
+      TextPipeline.Config(minQuality = 0.2, langs = Seq("en"),
+        nearDupJaccard = 0.9, numHashes = 64, shingleSize = 3)).count()
+    cleaned should be < exactDeduped
+    // the language gate keeps the corpus (stopword mix reads as English)
+    cleaned should be > n / 2
+  }
+}
