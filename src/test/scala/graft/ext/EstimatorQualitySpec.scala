@@ -7,9 +7,12 @@ import org.scalatest.matchers.should.Matchers
 import graft.SparkTestBase
 
 /** Quality floors for the approximate operators, measured against their
-  * exact twins on the sf0.001 fixture (deterministic: fixed data, fixed
-  * seeds). The floors sit well under the measured values so they only
-  * trip on structural regressions, not estimator noise:
+  * exact twins (deterministic: fixed data, fixed seeds) — on the
+  * sf0.001 fixture, plus sf0.01/sf0.1 variants for the floors whose
+  * failure modes are scale-dependent (minhash at the driver-oracle SF,
+  * ANN at the bench SF where single-probe collapses). The floors sit
+  * well under the measured values so they only trip on structural
+  * regressions, not estimator noise:
   *
   *  - MinHash@0.7, 64 hashes (16×4 banding): measured recall 0.90,
   *    precision 0.92 vs exact unigram Jaccard. The ~0.10 loss on each
@@ -100,5 +103,24 @@ class EstimatorQualitySpec extends AnyFunSuite with Matchers with SparkTestBase 
     val auto = SimilaritySearch.annTopKAuto(embs, "vec_id", "embedding", q, 10,
       excludeId = Some(0L)).select("vec_id").as[Long].collect().toSet
     ((exact & auto).size / 10.0) should be >= 0.5
+  }
+
+  test("ann recall floors hold at sf0.1 — the scale where single-probe collapses") {
+    // The failure mode that motivated the multi-probe default is
+    // scale-dependent (single-probe: 0.3 at sf0.001 but 0.0 at sf0.1),
+    // so the BENCH_NOTES floor for the recommended path is asserted at
+    // the driver's bench SF too, not just on the n=500 fixture.
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val q = e.where(col("vec_id") === 0L).select(col("embedding"))
+      .head.getSeq[Float](0).map(_.toDouble)
+    val exact = SimilaritySearch.topKByCosine(e, "vec_id", "embedding", q, 10, Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    val default = SimilaritySearch.annTopK(e, "vec_id", "embedding", q, 10,
+      numPlanes = 4, excludeId = Some(0L)).select("vec_id").as[Long].collect().toSet
+    ((exact & default).size / 10.0) should be >= 0.5 // measured 0.6
+    val auto = SimilaritySearch.annTopKAuto(e, "vec_id", "embedding", q, 10,
+      excludeId = Some(0L)).select("vec_id").as[Long].collect().toSet
+    ((exact & auto).size / 10.0) should be >= 0.5 // measured 0.8
   }
 }

@@ -92,7 +92,7 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     agg.finish(merged).map(_.id) shouldBe Seq(1L, 2L, 9L)
   }
 
-  test("annTopK returns at most k bucket-mates, scores descending") {
+  test("annTopK returns at most k multi-probe candidates, scores descending") {
     val df = corpusDf(60)
     val q = vec(7).map(_.toDouble)
     val out = annTopK(df, "id", "v", q, 5, numPlanes = 2, excludeId = Some(7L)).collect()
