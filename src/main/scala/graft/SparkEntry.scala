@@ -560,7 +560,32 @@ object SparkEntry {
             langs = Seq("en"), nearDupJaccard = 0.9,
             numHashes = 64, shingleSize = 3))
         .select(col("doc_id"), col("split"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // PII scrub: the documents text salted with deterministic synthetic
+    // PII (email/URL/phone/IP/SSN shapes derived from doc_id — the
+    // fixture itself has none), then redacted. The oracle builds the
+    // SAME salted text and runs the SAME RE2-safe patterns, so the
+    // whole redaction chain is hash-verified end-to-end.
+    "q50_pii_redact" -> ((s, dir) => {
+      val salted = concat(
+        col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@mail.example.com via https://ex.example/u/"),
+        col("doc_id").cast("string"),
+        lit(" or +1555"), lpad(col("doc_id").cast("string"), 7, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".17 id 123-45-6789"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.redactPii(salted).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus vocabulary heavy hitters: top 50 normalized tokens by
+    // frequency, (cnt desc, token asc) tie-broken so the k-boundary is
+    // deterministic in both engines
+    "q51_token_topk" -> ((s, dir) =>
+      TextAnalysis.topTokens(t(s, dir, "documents"), "text", 50))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1073,7 +1098,39 @@ object SparkEntry {
          ivf AS (SELECT vec_id FROM ce WHERE cid IN (SELECT cid FROM probes)
                  ORDER BY cs DESC, vec_id LIMIT 10)
          SELECT (SELECT count(*) FROM ivf JOIN ex USING (vec_id))::DOUBLE / 10.0
-           AS recall_at_10"""
+           AS recall_at_10""",
+
+    "q50_pii_redact" ->
+      """WITH x AS (
+           SELECT doc_id,
+             text || ' contact u' || doc_id::VARCHAR
+               || '@mail.example.com via https://ex.example/u/' || doc_id::VARCHAR
+               || ' or +1555' || lpad(doc_id::VARCHAR, 7, '0')
+               || ' from 10.0.' || (doc_id % 256)::VARCHAR
+               || '.17 id 123-45-6789' AS t
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             t,
+             'https?://[^\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+             '\+[0-9]{7,15}\b|\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g')
+           AS redacted
+         FROM x ORDER BY doc_id""",
+
+    "q51_token_topk" ->
+      """WITH toks AS (
+           SELECT unnest(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+             ' ')) AS token
+           FROM documents)
+         SELECT token, count(*) AS cnt FROM toks
+         WHERE token <> ''
+         GROUP BY token
+         ORDER BY cnt DESC, token
+         LIMIT 50"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -1094,5 +1151,6 @@ object SparkEntry {
     "q35_sessionize", "q36_rollup", "q37_content_sample", "q38_content_split",
     "q39_clean_corpus", "q40_percentiles", "q41_asof_join",
     "q42_nonequi_join", "q43_approx_distinct", "q45_ann_recall",
-    "q46_ivf_recall", "q48_minhash_realistic", "q49_clean_corpus_realistic")
+    "q46_ivf_recall", "q48_minhash_realistic", "q49_clean_corpus_realistic",
+    "q50_pii_redact", "q51_token_topk")
 }

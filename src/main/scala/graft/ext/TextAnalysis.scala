@@ -77,6 +77,49 @@ object TextAnalysis {
     */
   def fingerprintMd5(text: Column): Column = md5(normalize(text))
 
+  /** PII redaction pass order: URL before email (URLs may carry
+    * userinfo '@'), email before the number patterns (domains contain
+    * digits), SSN before phone (both dashed digit runs, disjoint
+    * groupings 3-2-4 vs 3-3-4). Each is (pattern, replacement).
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "https?://[^\\s]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<ID>",
+    "\\+[0-9]{7,15}\\b|\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b" -> "<PHONE>")
+
+  /** Redact common PII shapes (URLs, emails, IPv4s, SSN-style ids,
+    * phone numbers) to typed placeholder tags — the cheap structural
+    * scrub a training corpus gets before model-based PII detection.
+    *
+    * Chained codegen `regexp_replace` passes, one per PII class. The
+    * patterns deliberately use no lookaround or backreferences, so the
+    * SAME strings run under RE2 (DuckDB/Go/C++ pipelines) — the driver
+    * oracle executes them verbatim.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** Top-k corpus vocabulary by token frequency over normalized text —
+    * the "what is this corpus made of" diagnostic (it is how the
+    * degenerate bench fixture was diagnosed in the first place).
+    *
+    * Shape at scale: explode (linear) → hash aggregate with map-side
+    * partial counts (the shuffle carries one row per DISTINCT token per
+    * task, not per occurrence) → `TakeOrderedAndProject` with the
+    * deterministic (count desc, token asc) tie-break, so only k rows
+    * reach the driver side of the sort.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(normalize(col(textCol)), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
   /** Smoothed TF-IDF weights per (doc, term) over normalized tokens:
     * `tf` = term count within the doc, `idf = ln((N+1)/(df+1)) + 1`
     * (sklearn-style smoothing), `weight = tf · idf`.

@@ -69,6 +69,30 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
       (2L, "a", 1L, 1.0), (2L, "c", 1L, idf1))
   }
 
+  test("redactPii replaces each PII class with its typed tag") {
+    def red(s: String): String = one[String](TextAnalysis.redactPii(col("t")), s)
+    red("mail me at jo.an+x@sub.example.org please") shouldBe
+      "mail me at <EMAIL> please"
+    red("see https://a.example/path?q=1#f and http://b.example") shouldBe
+      "see <URL> and <URL>"
+    red("host 192.168.001.17 is up") shouldBe "host <IP> is up"
+    red("ssn 123-45-6789 on file") shouldBe "ssn <ID> on file"
+    red("call +4915123456789 or 555-123-4567") shouldBe "call <PHONE> or <PHONE>"
+    // URL userinfo is consumed by the URL pass, not half-eaten as email
+    red("ftp via https://user@host.example/x done") shouldBe "ftp via <URL> done"
+    // plain text and bare numbers survive
+    red("version 1.2 of 3 things") shouldBe "version 1.2 of 3 things"
+  }
+
+  test("topTokens counts normalized tokens with deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq("b a a", "C! b?", "a c").toDF("text")
+    val out = TextAnalysis.topTokens(docs, "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // a:3, b:2, c:2 — ties at the k-boundary break token-ascending
+    out shouldBe Array(("a", 3L), ("b", 2L))
+  }
+
   test("shingleFingerprint is robust to a distant edit") {
     import spark.implicits._
     def fp(text: String): Seq[Long] =
