@@ -22,16 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
 
-  /** Dot product of two array columns, computed in double. */
+  /** Dot product of two array columns, computed in double.
+    *
+    * Native codegen expression ([[org.apache.spark.sql.graft.DotF64]]),
+    * not the HOF spelling `aggregate(zip_with(...))` — same doubles in
+    * the same order (bit-identical scores, oracle-invisible), but the
+    * interpreted lambda environment and per-row zipped-array allocation
+    * in the scoring inner loop are gone (the q21/q22 lesson applied to
+    * the vector paths).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.VectorOps.dot(a, b)
 
-  /** L2 norm of an array column, in double. */
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  /** L2 norm of an array column, in double — the dot loop with itself. */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity of two array columns, in double. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
@@ -327,14 +331,12 @@ object SimilaritySearch {
   // IVF (inverted-file) coarse quantization
   // -------------------------------------------------------------------
 
-  /** Squared euclidean distance of an array column to a literal vector. */
+  /** Squared euclidean distance of an array column to a literal vector
+    * (codegen'd — the HOF spelling ran one interpreted fold per
+    * centroid per row in the argmin).
+    */
   private def dist2(vec: Column, center: Seq[Double]): Column =
-    aggregate(
-      zip_with(vec, typedLit(center), (x, y) => {
-        val d = x.cast("double") - y
-        d * d
-      }),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.VectorOps.sqdist(vec, typedLit(center))
 
   /** Cell id of the nearest centroid (ties to the lower index): the
     * struct-array min trick keeps the whole argmin a single expression.

@@ -10,6 +10,9 @@ import org.apache.spark.sql.SparkSessionExtensions
   * are the only injection so far.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(SigMatchCount.descriptor)
+    ext.injectFunction(VectorOps.dotDescriptor)
+    ext.injectFunction(VectorOps.sqdistDescriptor)
+  }
 }
