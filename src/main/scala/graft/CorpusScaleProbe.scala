@@ -1,0 +1,33 @@
+package graft
+
+import graft.ext.{Dedup, SyntheticCorpus}
+
+/** Scale-linearity probe for the near-dup path on a realistic corpus:
+  * runs `minhashPairs` over `SyntheticCorpus.realistic` at increasing
+  * doc counts (generation excluded from timing via localCheckpoint) and
+  * prints one JSON line per size. The thing to check: wall time grows
+  * ~linearly with docs at fixed dup rate — the banded LSH never touches
+  * the O(n²) pair space, which the degenerate fixture can't demonstrate
+  * (BENCH_NOTES "degenerate vs realistic").
+  *
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.CorpusScaleProbe 5000 50000"
+  */
+object CorpusScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(5000, 50000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    for (n <- sizes) {
+      val docs = SyntheticCorpus.realistic(spark, n).localCheckpoint()
+      val t0 = System.nanoTime()
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        minJaccard = 0.7, numHashes = 64, shingleSize = 1)
+        .queryExecution.toRdd.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(s"""{"metric":"minhash_realistic","n_docs":$n,""" +
+        s""""pairs":$pairs,"sec":$secs,"cpus":$cpus}""")
+    }
+    spark.stop()
+  }
+}

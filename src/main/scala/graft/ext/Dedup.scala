@@ -70,6 +70,27 @@ object Dedup {
       .select(on.map(c => col(s"__k.$c").as(c)) ++
         Seq(col("representative"), col("n_copies")): _*)
 
+  /** Streaming exact dedup: drop any row whose key was already seen
+    * within the watermark horizon — the ingestion-time form of
+    * [[exact]] for a continuously-arriving corpus (at-least-once
+    * delivery, re-crawls, replays). First arrival wins; state is keyed
+    * by `on` and EVICTED once the watermark passes first-seen + delay
+    * (`dropDuplicatesWithinWatermark`), so steady-state size is
+    * keys-per-horizon, not corpus size — the same bounded-state
+    * discipline as the trip correlator (SURVEY §2.7, measured in
+    * StreamBench run 2). For content dedup, key on a fingerprint
+    * column ([[graft.ext.TextAnalysis.fingerprintMd5]]) computed in
+    * the select upstream — the state store then holds 32 hex chars
+    * per in-horizon key instead of full documents.
+    */
+  def streamingExact(
+      df: DataFrame,
+      on: Seq[String],
+      eventTimeCol: String,
+      delay: String = "10 minutes"): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(on)
+
   // -------------------------------------------------------------------
   // Word n-gram shingles (shared by MinHash and exact Jaccard)
   // -------------------------------------------------------------------

@@ -32,7 +32,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     qe.optimizedPlan.toString + "\n" + qe.executedPlan.toString
   }
 
-  for (name <- Seq("q21_quality_score", "q22_lang_id", "q39_clean_corpus"))
+  // q21/q22/q39: the text-scalar hot paths (the round-4 incident);
+  // q23/q25: the vector-scoring hot paths, HOF-free since dot_f64
+  for (name <- Seq("q21_quality_score", "q22_lang_id", "q39_clean_corpus",
+      "q23_cosine_topk", "q25_topk_join"))
     test(s"$name plan has no interpreted HOF (lambdafunction) nodes") {
       plans(name).toLowerCase should not include "lambdafunction"
     }
