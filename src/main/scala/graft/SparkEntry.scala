@@ -585,7 +585,15 @@ object SparkEntry {
     // frequency, (cnt desc, token asc) tie-broken so the k-boundary is
     // deterministic in both engines
     "q51_token_topk" -> ((s, dir) =>
-      TextAnalysis.topTokens(t(s, dir, "documents"), "text", 50))
+      TextAnalysis.topTokens(t(s, dir, "documents"), "text", 50)),
+
+    // Balanced per-group sampling: 3 docs per source, chosen by the
+    // engine-independent md5 coordinate — the oracle selects the
+    // IDENTICAL rows (rand()-based sampleBy could never hash-match)
+    "q52_group_sample" -> ((s, dir) =>
+      Sampling.sampleByGroup(t(s, dir, "documents"), "source", "doc_id", 3)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1130,7 +1138,16 @@ object SparkEntry {
          WHERE token <> ''
          GROUP BY token
          ORDER BY cnt DESC, token
-         LIMIT 50"""
+         LIMIT 50""",
+
+    "q52_group_sample" ->
+      """WITH r AS (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+           FROM documents)
+         SELECT source, doc_id FROM r WHERE rk <= 3
+         ORDER BY source, doc_id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -1152,5 +1169,5 @@ object SparkEntry {
     "q39_clean_corpus", "q40_percentiles", "q41_asof_join",
     "q42_nonequi_join", "q43_approx_distinct", "q45_ann_recall",
     "q46_ivf_recall", "q48_minhash_realistic", "q49_clean_corpus_realistic",
-    "q50_pii_redact", "q51_token_topk")
+    "q50_pii_redact", "q51_token_topk", "q52_group_sample")
 }

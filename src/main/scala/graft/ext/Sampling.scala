@@ -42,4 +42,25 @@ object Sampling {
         .when(k < lit(valBound.toLowerCase), "val")
         .otherwise("train"))
   }
+
+  /** Deterministic k-per-group sample: for each value of `groupCol`,
+    * keep the `k` rows ranking lowest by md5(keyCol) (ties by key) —
+    * the balanced-sampling primitive (k docs per language / domain /
+    * source) that `rand()`-based `sampleBy` can't reproduce across
+    * runs or partitionings. The md5 coordinate makes the choice
+    * pseudo-random but engine-independent, so an external system (or
+    * the DuckDB oracle) selects the identical rows.
+    *
+    * Shape at scale: one shuffle on `groupCol` + a rank window; rows
+    * beyond rank k are dropped at the window, so only k·|groups| rows
+    * survive the stage.
+    */
+  def sampleByGroup(df: DataFrame, groupCol: String, keyCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(contentKey(col(keyCol)), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

@@ -37,4 +37,22 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     again shouldBe counts
   }
+
+  test("sampleByGroup keeps exactly k per group, deterministically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 100L).map(i => (s"g${i % 4}", i)).toDF("grp", "id")
+    val out = Sampling.sampleByGroup(df, "grp", "id", 5)
+    out.groupBy("grp").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1)) shouldBe Array.fill(4)(5L)
+    // stable under repartitioning — the md5 coordinate, not layout,
+    // picks the rows
+    val a = out.select("id").as[Long].collect().sorted
+    val b = Sampling.sampleByGroup(df.repartition(13), "grp", "id", 5)
+      .select("id").as[Long].collect().sorted
+    a shouldBe b
+    // a group smaller than k keeps all its rows
+    val tiny = Seq(("g", 1L), ("g", 2L)).toDF("grp", "id")
+    Sampling.sampleByGroup(tiny, "grp", "id", 5).count() shouldBe 2
+  }
 }

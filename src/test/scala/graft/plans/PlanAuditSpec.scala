@@ -55,4 +55,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     SparkEntry.queries("q25_topk_join")(spark, sfDir)
       .queryExecution.executedPlan.toString should include("partial_topkagg")
   }
+
+  test("q51 takes its top-k without a global sort") {
+    SparkEntry.queries("q51_token_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString should include("TakeOrderedAndProject")
+  }
 }
