@@ -27,6 +27,17 @@ object CorpusScaleProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       println(s"""{"metric":"minhash_realistic","n_docs":$n,""" +
         s""""pairs":$pairs,"sec":$secs,"cpus":$cpus}""")
+      // The composed pipeline, same corpus: its 5k-doc cost is a fixed
+      // stage-scaffolding floor (BENCH_NOTES) — this line measures how
+      // that floor amortizes as docs grow
+      val t1 = System.nanoTime()
+      val kept = graft.ext.TextPipeline.cleanCorpus(docs, "doc_id", "text",
+        graft.ext.TextPipeline.Config(minQuality = 0.2, langs = Seq("en"),
+          nearDupJaccard = 0.9, numHashes = 64, shingleSize = 3))
+        .queryExecution.toRdd.count()
+      val secs1 = (System.nanoTime() - t1) / 1e9
+      println(s"""{"metric":"clean_corpus_realistic","n_docs":$n,""" +
+        s""""kept":$kept,"sec":$secs1,"cpus":$cpus}""")
     }
     spark.stop()
   }

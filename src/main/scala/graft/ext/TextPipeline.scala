@@ -90,4 +90,30 @@ object TextPipeline {
       reps.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
     Sampling.contentSplit(nearDeduped, textCol)
   }
+
+  /** Streaming corpus ingestion: the stateless prefix of [[cleanCorpus]]
+    * (quality gate → language filter — both pure scan-projection
+    * scalars, legal in any streaming plan) plus watermark-bounded exact
+    * dedup on the content fingerprint ([[Dedup.streamingExact]]), with
+    * the split label stamped on the survivors. Near-dup dedup stays in
+    * the BATCH pipeline, run periodically over the ingested table — LSH
+    * banding is a corpus-wide self-join, which streaming can't express
+    * incrementally without unbounded state; the standard split is to
+    * decide everything a single pass CAN decide at ingestion (gate,
+    * language, exact dup, split) so the periodic near-dedup reads an
+    * already-reduced table.
+    */
+  def cleanStream(
+      df: DataFrame,
+      textCol: String,
+      eventTimeCol: String,
+      config: Config = Config(),
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    Sampling.contentSplit(
+      Dedup.streamingExact(
+        df.where(TextAnalysis.qualityScore(col(textCol)) >= config.minQuality)
+          .where(LangId.langId(col(textCol)).isin(config.langs: _*))
+          .withColumn("__fp", TextAnalysis.fingerprintMd5(col(textCol))),
+        on = Seq("__fp"), eventTimeCol = eventTimeCol, delay = watermarkDelay),
+      textCol).drop("__fp")
 }
