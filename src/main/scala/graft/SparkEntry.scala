@@ -593,7 +593,17 @@ object SparkEntry {
     "q52_group_sample" -> ((s, dir) =>
       Sampling.sampleByGroup(t(s, dir, "documents"), "source", "doc_id", 3)
         .select(col("source"), col("doc_id"))
-        .orderBy(col("source"), col("doc_id")))
+        .orderBy(col("source"), col("doc_id"))),
+
+    // Language-ID confusion matrix against the fixture's ground-truth
+    // lang label: measured classifier quality as an oracled query (the
+    // oracle replicates the stopword argmax, q22 form, and DuckDB
+    // cross-checks every cell count)
+    "q53_langid_confusion" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), graft.ext.LangId.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1147,7 +1157,34 @@ object SparkEntry {
                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
            FROM documents)
          SELECT source, doc_id FROM r WHERE rk <= 3
-         ORDER BY source, doc_id"""
+         ORDER BY source, doc_id""",
+
+    "q53_langid_confusion" ->
+      """WITH x AS (
+           SELECT lang, text AS txt,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT lang,
+             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS s_en,
+             len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','los','se','del','las'], t))) AS s_es,
+             len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','zu','den','mit'], t))) AS s_de,
+             len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], t))) AS s_fr,
+             len(list_filter(['的','是','在','了','我','有','和','人','这','不'],
+                             w -> contains(txt, w))) AS s_zh
+           FROM x),
+         p AS (
+           SELECT lang, CASE
+             WHEN s_en IS NULL THEN 'und'
+             WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+             WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+             WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+             ELSE 'zh' END AS lang_pred
+           FROM s)
+         SELECT lang, lang_pred, count(*) AS n FROM p
+         GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -1169,5 +1206,6 @@ object SparkEntry {
     "q39_clean_corpus", "q40_percentiles", "q41_asof_join",
     "q42_nonequi_join", "q43_approx_distinct", "q45_ann_recall",
     "q46_ivf_recall", "q48_minhash_realistic", "q49_clean_corpus_realistic",
-    "q50_pii_redact", "q51_token_topk", "q52_group_sample")
+    "q50_pii_redact", "q51_token_topk", "q52_group_sample",
+    "q53_langid_confusion")
 }
