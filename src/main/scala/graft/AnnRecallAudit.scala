@@ -34,10 +34,20 @@ object AnnRecallAudit {
     val auto = recall(SimilaritySearch.annTopKAuto(
       e, "vec_id", "embedding", q, 10, excludeId = Some(0L)))
     val autoPlanes = SimilaritySearch.planesForCorpus(n, 10)
+    // learned-IVF, both geometries (q34 path vs the spherical fix)
+    val l2Cents = SimilaritySearch.learnCentroids(e, "embedding", k = 16)
+    val ivfL2 = recall(SimilaritySearch.ivfTopK(
+      e, "vec_id", "embedding", q, 10, l2Cents, nProbe = 4, excludeId = Some(0L)))
+    val sphCents = SimilaritySearch.learnCentroids(e, "embedding", k = 16,
+      spherical = true)
+    val ivfSph = recall(SimilaritySearch.ivfTopK(
+      e, "vec_id", "embedding", q, 10, sphCents, nProbe = 4,
+      excludeId = Some(0L), spherical = true))
     println(
       s"""{"metric":"ann_recall_at_10","sf_dir":"$sfDir","n":$n,""" +
         s""""single_probe_4p":$single,"default_multi_probe_4p":$default4,""" +
-        s""""auto_${autoPlanes}p":$auto}""")
+        s""""auto_${autoPlanes}p":$auto,""" +
+        s""""ivf_learned_l2":$ivfL2,"ivf_learned_spherical":$ivfSph}""")
     spark.stop()
   }
 }

@@ -340,10 +340,22 @@ object SimilaritySearch {
 
   /** Cell id of the nearest centroid (ties to the lower index): the
     * struct-array min trick keeps the whole argmin a single expression.
+    *
+    * `spherical = true` assigns by MAXIMUM dot product against unit
+    * centroids instead of minimum L2 — the cosine-aligned geometry
+    * (the row vector needs no normalization: its norm is constant
+    * across candidates, so argmax dot == argmin angle). Use with
+    * [[learnCentroids]]`(spherical = true)`; L2 cells on unnormalized
+    * vectors split cosine neighborhoods across cell boundaries, which
+    * is exactly the learned-IVF recall loss in BENCH_NOTES.
     */
-  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+  def nearestCentroid(
+      vec: Column,
+      centroids: Seq[Seq[Double]],
+      spherical: Boolean = false): Column =
     array_min(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(vec, c).as("d"), lit(i).as("i"))
+      val d = if (spherical) dot(vec, typedLit(c)) * lit(-1.0) else dist2(vec, c)
+      struct(d.as("d"), lit(i).as("i"))
     }: _*)).getField("i")
 
   /** Learn `k` coarse centroids with a few Lloyd iterations over a
@@ -359,14 +371,23 @@ object SimilaritySearch {
       k: Int,
       sampleN: Int = 2000,
       iters: Int = 5,
-      seed: Long = 42L): Seq[Seq[Double]] = {
+      seed: Long = 42L,
+      spherical: Boolean = false): Seq[Seq[Double]] = {
+    def unit(v: IndexedSeq[Double]): IndexedSeq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
     // Uniform reservoir sample across ALL partitions — limit(N) would
     // take the head of the first partitions, biasing centroids to one
     // region of a sorted/clustered corpus.
-    val sample = df.where(col(vecCol).isNotNull).select(col(vecCol))
+    val raw = df.where(col(vecCol).isNotNull).select(col(vecCol))
       .rdd.takeSample(withReplacement = false, sampleN, seed)
       .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq)
-    require(sample.nonEmpty, "cannot learn centroids from an empty frame")
+    require(raw.nonEmpty, "cannot learn centroids from an empty frame")
+    // Spherical k-means: learn on the unit sphere and keep centroids
+    // unit — with unit centroids, the L2 argmin below is the same
+    // assignment as max-dot, so one Lloyd loop serves both modes.
+    val sample = if (spherical) raw.map(unit) else raw
     val rnd = new scala.util.Random(seed)
     var centroids = rnd.shuffle(sample.toVector).take(math.min(k, sample.length))
     for (_ <- 1 to iters) {
@@ -382,7 +403,8 @@ object SimilaritySearch {
         assigned.get(i) match {
           case Some(vs) =>
             val dim = vs.head.length
-            IndexedSeq.tabulate(dim)(d => vs.map(_(d)).sum / vs.length)
+            val mean = IndexedSeq.tabulate(dim)(d => vs.map(_(d)).sum / vs.length)
+            if (spherical) unit(mean) else mean
           case None => centroids(i) // empty cell keeps its centroid
         }
       }.toVector
@@ -403,12 +425,14 @@ object SimilaritySearch {
       k: Int,
       centroids: Seq[Seq[Double]],
       nProbe: Int = 2,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None,
+      spherical: Boolean = false): DataFrame = {
     val probeCells = centroids.zipWithIndex.map { case (c, i) =>
-      val d2 = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
-      (d2, i)
+      val d = if (spherical) -c.zip(query).map { case (a, b) => a * b }.sum
+        else c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+      (d, i)
     }.sortBy(identity).take(math.max(1, nProbe)).map(_._2)
-    val cell = nearestCentroid(col(vecCol), centroids)
+    val cell = nearestCentroid(col(vecCol), centroids, spherical)
     topKByCosine(df.where(cell.isin(probeCells: _*)), idCol, vecCol, query, k, excludeId)
   }
 

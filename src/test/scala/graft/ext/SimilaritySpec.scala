@@ -173,6 +173,32 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     oneProbe.size should be <= 5
   }
 
+  test("spherical IVF cells group by direction, not magnitude") {
+    import spark.implicits._
+    // two DIRECTIONS, each at wildly different magnitudes: cosine
+    // neighborhoods are the directions; L2 cells split by magnitude
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.01f)), (2L, Seq(100.0f, 1.0f)), (3L, Seq(50.0f, 0.5f)),
+      (4L, Seq(0.01f, 1.0f)), (5L, Seq(1.0f, 100.0f)), (6L, Seq(0.5f, 50.0f)))
+    val df = rows.toDF("id", "v")
+    val cents = SimilaritySearch.learnCentroids(df, "v", k = 2, sampleN = 6,
+      spherical = true)
+    // unit centroids by construction
+    all(cents.map(c => math.sqrt(c.map(x => x * x).sum))) shouldBe 1.0 +- 1e-9
+    val cells = df.select(col("id"),
+        SimilaritySearch.nearestCentroid(col("v"), cents, spherical = true).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // ids 1-3 share a direction → one cell; 4-6 the other
+    Set(cells(1L), cells(2L), cells(3L)) should have size 1
+    Set(cells(4L), cells(5L), cells(6L)) should have size 1
+    cells(1L) should not be cells(4L)
+    // spherical probe returns the cosine neighbors of the query's
+    // direction regardless of the magnitudes involved
+    val out = ivfTopK(df, "id", "v", Seq(1.0, 0.02), 3, cents,
+      nProbe = 1, spherical = true).collect().map(_.getLong(0)).toSet
+    out shouldBe Set(1L, 2L, 3L)
+  }
+
   test("embeddingNearDupPairs on empty input returns empty frame") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Float])].toDF("id", "v")
