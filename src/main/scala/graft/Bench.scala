@@ -31,7 +31,7 @@ object Bench {
       .filter(n => only.forall(_.contains(n))).map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try {
+      val rows = try {
         val df = fn(spark, sfDir)
         df.queryExecution.toRdd.count() // full materialization of all columns
       } catch {
@@ -39,12 +39,30 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           throw e
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Each query pays its OWN localCheckpoints inside its timed
+      // region; dropping them afterwards keeps a later query's timing
+      // independent of 40+ earlier queries' accumulated cached blocks
+      // (storage eviction / GC churn showed up as per-query outliers in
+      // cross-environment runs).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      (name, sec, rows)
     }
-    val qs = results.map { case (k, v) => JsonUtil.quote(k) + ":" + v }
+    // q48 stage breakdown (untimed, after the bench): carried to stderr
+    // so the density story (pairs emitted per stage-second) lands in the
+    // run's captured log next to the metric line.
+    if (only.isEmpty)
+      SparkEntry.q48StageBreakdown(spark, sfDir).foreach { case (st, sec, rows) =>
+        System.err.println(
+          f"""[bench-stages] {"query":"q48_minhash_realistic","stage":"$st%s","sec":$sec%.3f,"rows":$rows%d}""")
+      }
+    val qs = results.map { case (k, v, _) => JsonUtil.quote(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val rs = results.map { case (k, _, r) => JsonUtil.quote(k) + ":" + r }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${JsonUtil.quote(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"sf":${JsonUtil.quote(sfDir)}}""")
     spark.stop()
   }
 }

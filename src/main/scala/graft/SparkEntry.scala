@@ -603,6 +603,22 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("lang"), graft.ext.LangId.langId(col("text")).as("lang_pred"))
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")),
+
+    // q53's confusion matrix on a fixture whose labels MEAN something:
+    // the lang-weighted realistic corpus salts each source doc's
+    // stopword mass from its label's stopword list, so a working
+    // classifier shows a dominant diagonal here where a broken one
+    // cannot (the driver fixture's lang label is text-independent —
+    // q53 verifies only the matrix mechanics). Rows-only (generated
+    // input); diagonal dominance (per-lang recall ≥ 0.9) is asserted
+    // in SyntheticCorpusSpec.
+    "q54_langid_confusion_realistic" -> ((s, dir) =>
+      graft.ext.SyntheticCorpus.realistic(s, t(s, dir, "documents").count(),
+          langWeights = Seq("en" -> 40, "es" -> 20, "de" -> 15,
+            "fr" -> 15, "zh" -> 10))
+        .select(col("lang"), graft.ext.LangId.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_pred"))
   )
 
@@ -1191,6 +1207,35 @@ object SparkEntry {
     * (the brute-force O(n²) oracle-twin forms q24/q27/q30 are excluded —
     * their scale paths q28/q29/q31 run instead).
     */
+  /** In-bench stage timing for q48_minhash_realistic (round-7 verdict
+    * ask #1): splits the query into corpus generation, signature
+    * computation, and banding+verify+emission, each fully materialized,
+    * so the bench artifact itself records where the time goes and the
+    * emitted-pair density (the pairs/s story behind the q28-vs-q48
+    * comparison). Stage attribution pins each stage's input with
+    * `localCheckpoint` — the sum tracks the q48 wall time to within the
+    * (sub-second) generation cost q48 re-pays inside its signature scan.
+    * Returns (stage, seconds, rows-materialized).
+    */
+  def q48StageBreakdown(s: SparkSession, dir: String): Seq[(String, Double, Long)] = {
+    import graft.ext.{Dedup, SyntheticCorpus}
+    val nDocs = t(s, dir, "documents").count()
+    var t0 = System.nanoTime()
+    val corpus = SyntheticCorpus.realistic(s, nDocs).localCheckpoint()
+    val genSec = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val sigs = // localCheckpoint inside minhashSignatures forces the job
+      Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 64, shingleSize = 1)
+    val sigSec = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val nPairs = Dedup.pairsFromSigs(sigs, minJaccard = 0.7, numHashes = 64)
+      .queryExecution.toRdd.count()
+    val pairSec = (System.nanoTime() - t0) / 1e9
+    Seq(("corpus_gen", genSec, nDocs),
+      ("signatures", sigSec, nDocs),
+      ("band_verify_emit", pairSec, nPairs))
+  }
+
   def benchQueries: Seq[String] = Seq(
     "q01_scan_filter_project", "q02_kpi_global", "q03_agg_grouped",
     "q04_daily_kpis", "q05_kpi_single_date", "q06_join_inner",
@@ -1207,5 +1252,5 @@ object SparkEntry {
     "q42_nonequi_join", "q43_approx_distinct", "q45_ann_recall",
     "q46_ivf_recall", "q48_minhash_realistic", "q49_clean_corpus_realistic",
     "q50_pii_redact", "q51_token_topk", "q52_group_sample",
-    "q53_langid_confusion")
+    "q53_langid_confusion", "q54_langid_confusion_realistic")
 }

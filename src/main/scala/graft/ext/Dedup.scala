@@ -256,8 +256,21 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 0,
       shingleSize: Int = 3): DataFrame = {
+    pairsFromSigs(minhashSignatures(df, idCol, textCol, numHashes, shingleSize),
+      minJaccard, numHashes, bands)
+  }
+
+  /** The banding + verify + emission tail of [[minhashPairs]], over an
+    * already-materialized signature frame — exposed separately so the
+    * bench's stage breakdown can time it apart from signature
+    * computation (the two together ARE `minhashPairs`).
+    */
+  def pairsFromSigs(
+      sigs: DataFrame,
+      minJaccard: Double,
+      numHashes: Int,
+      bands: Int = 0): DataFrame = {
     val b = if (bands > 0) bands else bandsFor(numHashes, minJaccard)
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
     val cand = candidatesFromSigs(sigs, numHashes, b)
     cand
       .join(sigs.withColumnRenamed("__id", "id_a").withColumnRenamed("__sig", "__sig_a"), Seq("id_a"))

@@ -36,13 +36,33 @@ object SyntheticCorpus {
     "the", "of", "and", "to", "a", "in", "is", "it", "that", "for",
     "was", "on", "are", "as", "with", "his", "they", "at", "be", "this")
 
+  /** Generate the corpus. `langWeights` empty (the default) keeps the
+    * round-7 byte-identical English-only corpus (every row labeled
+    * `lang = "en"`, stopwords from a fixed 20-word list). A non-empty
+    * weighting, e.g. `Seq("en" -> 40, "es" -> 20, ...)`, assigns each
+    * SOURCE doc a language by a deterministic weighted draw and salts
+    * its stopword mass from [[LangId.stopwords]] for that language —
+    * dups inherit their source's language (their text IS the source's
+    * text), so the `lang` column stays a true label through the planted
+    * near-dup structure. This makes lang-ID quality MEASURABLE on the
+    * generated corpus: unlike the driver's documents fixture (whose
+    * `lang` label is independent of its text — COVERAGE.md), a
+    * classifier that works and one that guesses produce visibly
+    * different confusion matrices here.
+    */
   def realistic(
       spark: SparkSession,
       nDocs: Long,
       vocab: Int = 10000,
       dupPct: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      langWeights: Seq[(String, Int)] = Nil): DataFrame = {
     import spark.implicits._
+    require(langWeights.forall { case (l, w) =>
+      LangId.stopwords.contains(l) && w > 0 },
+      s"langWeights must name LangId languages with positive weights: $langWeights")
+    val weights = langWeights // stable local for the closure
+    val totalW = weights.map(_._2).sum
     spark.range(nDocs).mapPartitions { ids =>
       ids.map { boxed =>
         val id: Long = boxed
@@ -55,10 +75,19 @@ object SyntheticCorpus {
         val srcOffset = dupPct + (splitmix(seed ^ id) % (100 - dupPct))
         val isDup = id % 100 < dupPct && block + srcOffset < nDocs
         val srcId = if (isDup) block + srcOffset else id
+        // Language keyed off srcId so a dup's label matches its text
+        val (lang, stopPool) =
+          if (weights.isEmpty) ("en", stop)
+          else {
+            var roll = (splitmix(seed ^ (srcId * 0xA24BAED4963EE407L)) % totalW).toInt
+            val picked = weights.find { case (_, w) =>
+              roll -= w; roll < 0 }.get._1
+            (picked, LangId.stopwords(picked).toArray)
+          }
         val rnd = new scala.util.Random(seed ^ (srcId * 0x9E3779B97F4A7C15L))
         val len = 30 + rnd.nextInt(121)
         val words = Array.fill(len) {
-          if (rnd.nextInt(100) < 35) stop(rnd.nextInt(stop.length))
+          if (rnd.nextInt(100) < 35) stopPool(rnd.nextInt(stopPool.length))
           else {
             val u = rnd.nextDouble()
             "w" + (u * u * vocab).toInt
@@ -72,8 +101,8 @@ object SyntheticCorpus {
             i += 1
           }
         }
-        (id, words.mkString(" "))
+        (id, words.mkString(" "), lang)
       }
-    }.toDF("doc_id", "text")
+    }.toDF("doc_id", "text", "lang")
   }
 }

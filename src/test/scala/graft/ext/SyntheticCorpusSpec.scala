@@ -34,6 +34,42 @@ class SyntheticCorpusSpec extends AnyFunSuite with Matchers with SparkTestBase {
     pairs should be < 500L
   }
 
+  test("lang-weighted corpus makes lang-ID quality measurable: diagonal dominance") {
+    val docs = SyntheticCorpus.realistic(spark, 2000, langWeights =
+      Seq("en" -> 40, "es" -> 20, "de" -> 15, "fr" -> 15, "zh" -> 10))
+    val perLang = docs
+      .select(col("lang"), LangId.langId(col("text")).as("pred"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("lang") === col("pred"), 1L).otherwise(0L)).as("hit"))
+      .collect()
+    perLang.map(_.getString(0)).sorted shouldBe Array("de", "en", "es", "fr", "zh")
+    perLang.foreach { r =>
+      val recall = r.getLong(2).toDouble / r.getLong(1)
+      withClue(s"lang ${r.getString(0)} recall $recall (n=${r.getLong(1)}): ") {
+        recall should be >= 0.9
+      }
+    }
+    // a label-independent fixture (like the driver's documents table)
+    // could never produce this: the es/fr stopword overlap is 3 of 10,
+    // every other pair overlaps less, so argmax follows the salt
+  }
+
+  test("lang-weighted corpus is deterministic and dups inherit their source's language") {
+    val w = Seq("en" -> 50, "fr" -> 50)
+    val a = SyntheticCorpus.realistic(spark, 400, langWeights = w)
+      .orderBy("doc_id").collect()
+    val b = SyntheticCorpus.realistic(spark, 400, langWeights = w)
+      .repartition(5).orderBy("doc_id").collect()
+    a.map(r => (r.getLong(0), r.getString(1), r.getString(2))) shouldBe
+      b.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // both languages actually appear
+    a.map(_.getString(2)).toSet shouldBe Set("en", "fr")
+    // legacy path: no weights → every label is "en" (round-7 corpus)
+    SyntheticCorpus.realistic(spark, 100).select("lang").distinct()
+      .collect().map(_.getString(0)) shouldBe Array("en")
+  }
+
   test("planted dups straddle exact and near-dup dedup stages") {
     val docs = SyntheticCorpus.realistic(spark, 1000)
     val n = docs.count()
