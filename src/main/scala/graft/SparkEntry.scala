@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.KpiAggregation
-import graft.ext.{Dedup, Multimodal, Sampling, SimilaritySearch, TextAnalysis, LangId}
+import graft.ext.{Dedup, MediaCodec, Multimodal, Sampling, SimilaritySearch, TextAnalysis, LangId}
 
 /** Driver contract — one named query per implemented operator family
   * (SURVEY.md §2 + the LLM-pipeline extensions), each with a DuckDB
@@ -458,14 +458,27 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))),
 
-    // Multimodal decode plumbing (stub decoder, real pipeline)
+    // Multimodal decode plumbing. Text-derived payloads exercise the
+    // stub fallback; four planted REAL-format payloads (16-bit PCM WAV,
+    // 24-bpp BMP — negative ids) run the real sample decode
+    // (MediaCodec.wavPcmStats / bmpPixelStats), so RMS/clip/pixel-mean
+    // features are driver-visible, not only spec'd. f0..f3 carry the
+    // feature head: [rms, peak, clip, zcr] for audio, [r, g, b, luma]
+    // for images, the deterministic fake for stub rows.
     "q32_multimodal_features" -> ((s, dir) => {
       import s.implicits._
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
         .as[Multimodal.MediaRow]
-      Multimodal.decodeFeatures(media)
+      val planted = s.createDataset(Seq(
+        Multimodal.MediaRow(-1L, "audio", MediaCodec.Fixtures.sineWav(440, 0.5)),
+        Multimodal.MediaRow(-2L, "audio", MediaCodec.Fixtures.sineWav(100, 1.0)),
+        Multimodal.MediaRow(-3L, "image", MediaCodec.Fixtures.gradientBmp(64, 32)),
+        Multimodal.MediaRow(-4L, "image", MediaCodec.Fixtures.gradientBmp(16, 16))))
+      Multimodal.decodeFeatures(media.union(planted))
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("width"), col("height"), col("duration_ms"))
+          col("width"), col("height"), col("duration_ms"),
+          round(col("feature")(0), 6).as("f0"), round(col("feature")(1), 6).as("f1"),
+          round(col("feature")(2), 6).as("f2"), round(col("feature")(3), 6).as("f3"))
         .orderBy(col("media_id"))
     }),
 

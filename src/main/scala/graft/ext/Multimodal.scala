@@ -118,7 +118,101 @@ object MediaCodec {
         b(2) == 'F'.toByte && b(3) == '8'.toByte &&
         (b(4) == '7'.toByte || b(4) == '9'.toByte) && b(5) == 'a'.toByte)
       Some((le16(b, 6), le16(b, 8)))
+    // BMP: BITMAPFILEHEADER "BM", width/height LE words at 18/22
+    // (height may be negative = top-down row order)
+    else if (isBmp(b))
+      Some((le32(b, 18), math.abs(le32(b, 22))))
     else None
+  }
+
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
+      (le32(b, 14) & 0xFFFFFFFFL) >= 40 // BITMAPINFOHEADER or later
+
+  /** Per-channel means of an uncompressed 24-bpp BMP, normalized to
+    * [0,1] — REAL sample (pixel) decode, zero codec dependencies: BMP
+    * rows are raw B,G,R triples padded to 4-byte boundaries, so the
+    * whole raster is plain byte math. Returns (meanR, meanG, meanB);
+    * None when the payload isn't such a BMP or the raster is truncated.
+    * Means are row-order-independent, so bottom-up vs top-down storage
+    * needs no branch.
+    */
+  def bmpPixelStats(b: Array[Byte]): Option[(Double, Double, Double)] = {
+    if (!isBmp(b)) return None
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    val w = le32(b, 18)
+    val h = math.abs(le32(b, 22))
+    val off = le32(b, 10)
+    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0 || off < 54) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (off.toLong + stride.toLong * h > b.length) return None
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var i = off + y * stride
+      val rowEnd = i + w * 3
+      while (i < rowEnd) {
+        sb += b(i) & 0xFF; sg += b(i + 1) & 0xFF; sr += b(i + 2) & 0xFF
+        i += 3
+      }
+      y += 1
+    }
+    val n = w.toLong * h * 255L
+    Some((sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+  }
+
+  /** Sample-level PCM statistics of a 16-bit PCM WAV — REAL audio
+    * sample decode, zero codec dependencies (int16 little-endian math
+    * over the `data` chunk): RMS and peak normalized to [0,1] by
+    * full-scale 32768, clip ratio = fraction of samples at ±full-scale,
+    * zero-crossing rate = sign changes per sample transition. Works on
+    * however much of the declared data chunk is present in the buffer
+    * (a truncated tail payload yields stats of its prefix). None when
+    * the payload isn't RIFF/WAVE, isn't format 1 (integer PCM) at 16
+    * bits, or carries no samples.
+    */
+  def wavPcmStats(b: Array[Byte]): Option[(Double, Double, Double, Double)] = {
+    if (b.length < 12 ||
+        b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = 0
+    while (i + 8 <= b.length && (!fmtOk || dataOff < 0)) {
+      val size = le32(b, i + 4) & 0xFFFFFFFFL
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (size < 16 || i + 8 + 16 > b.length) return None
+        fmtOk = le16(b, i + 8) == 1 && le16(b, i + 22) == 16 // PCM, 16-bit
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        dataOff = i + 8
+        dataLen = math.min(size, (b.length - dataOff).toLong).toInt
+      }
+      if (size > Int.MaxValue - 16L) return None
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    val n = dataLen / 2
+    if (!fmtOk || dataOff < 0 || n == 0) return None
+    var sumSq = 0.0; var peak = 0; var clipped = 0L; var crossings = 0L
+    var prevSign = 0
+    var s = 0
+    while (s < n) {
+      val v = ((b(dataOff + 2 * s) & 0xFF) |
+        (b(dataOff + 2 * s + 1) << 8)).toShort.toInt
+      val a = math.abs(v)
+      sumSq += v.toDouble * v
+      if (a > peak) peak = a
+      if (a >= 32767) clipped += 1
+      val sign = Integer.signum(v)
+      if (sign != 0) {
+        if (prevSign != 0 && sign != prevSign) crossings += 1
+        prevSign = sign
+      }
+      s += 1
+    }
+    Some((math.sqrt(sumSq / n) / 32768.0, peak / 32768.0,
+      clipped.toDouble / n, if (n > 1) crossings.toDouble / (n - 1) else 0.0))
   }
 
   /** Walk JPEG marker segments from SOI to the first SOFn (C0–CF minus
@@ -250,6 +344,17 @@ object MediaCodec {
     * media keep exercising the pipeline. Recognized audio/video get
     * width = height = 0 — visual dimensions genuinely unknown from the
     * envelope — never fake ones.
+    *
+    * SAMPLE decode is real for one format per modality (the formats
+    * whose samples are raw integers, so no codec library is needed):
+    *  - 16-bit PCM WAV → `feature = [rms, peak, clip_ratio,
+    *    zero_cross_rate, 0, 0, 0, 0]` ([[wavPcmStats]]);
+    *  - uncompressed 24-bpp BMP → `feature = [mean_r, mean_g, mean_b,
+    *    mean_luma, 0, 0, 0, 0]` ([[bmpPixelStats]], BT.601 luma).
+    * Compressed formats (PNG/JPEG/GIF pixels, MP3/AAC frames, H.26x)
+    * keep the deterministic fake feature — decoding them needs real
+    * codec libraries, absent here; a production build swaps exactly
+    * this fallback.
     */
   def decodeBytes(row: Multimodal.MediaRow): Multimodal.MediaFeatures = {
     val h = fnv1a(row.payload)
@@ -269,8 +374,15 @@ object MediaCodec {
     val duration =
       if (row.kind == "image" || realDims.isDefined) 0L
       else realDuration.getOrElse(1000L + math.abs(mix(3)) % 600000L)
-    val feature = (0 until 8).map(i =>
-      (mix(4 + i).toDouble / Long.MaxValue.toDouble).toFloat)
+    val realFeature: Option[Seq[Float]] =
+      wavPcmStats(row.payload).map { case (rms, peak, clip, zcr) =>
+        Seq(rms.toFloat, peak.toFloat, clip.toFloat, zcr.toFloat, 0f, 0f, 0f, 0f)
+      }.orElse(bmpPixelStats(row.payload).map { case (r, g, b) =>
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        Seq(r.toFloat, g.toFloat, b.toFloat, luma.toFloat, 0f, 0f, 0f, 0f)
+      })
+    val feature = realFeature.getOrElse((0 until 8).map(i =>
+      (mix(4 + i).toDouble / Long.MaxValue.toDouble).toFloat))
     Multimodal.MediaFeatures(
       media_id = row.media_id,
       kind = row.kind,
@@ -280,6 +392,58 @@ object MediaCodec {
       height = height,
       duration_ms = duration,
       feature = feature)
+  }
+
+  /** Deterministic zero-dependency real-format payload builders — tiny
+    * valid 16-bit-PCM WAV and 24-bpp BMP byte arrays, so driver-visible
+    * queries (q32) exercise the REAL sample-decode path
+    * ([[wavPcmStats]]/[[bmpPixelStats]]) on genuine formats, not only
+    * the unit specs.
+    */
+  object Fixtures {
+    /** `seconds` of an `amp`-full-scale `freq` Hz mono sine at 16 kHz. */
+    def sineWav(freq: Int, amp: Double, seconds: Double = 0.25): Array[Byte] = {
+      val sr = 16000
+      val n = (sr * seconds).toInt
+      val out = new java.io.ByteArrayOutputStream(44 + 2 * n)
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+      out.write("RIFF".getBytes); le32(36 + 2 * n); out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); le32(16); le16(1); le16(1)
+      le32(sr); le32(sr * 2); le16(2); le16(16)
+      out.write("data".getBytes); le32(2 * n)
+      var i = 0
+      while (i < n) {
+        le16(math.round(amp * 32767.0 *
+          math.sin(2 * math.Pi * freq * i / sr)).toInt & 0xFFFF)
+        i += 1
+      }
+      out.toByteArray
+    }
+
+    /** `w`×`h` 24-bpp BMP whose red channel ramps left→right and green
+      * channel bottom→top (blue constant) — known channel means.
+      */
+    def gradientBmp(w: Int, h: Int, blue: Int = 32): Array[Byte] = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      val out = new java.io.ByteArrayOutputStream(54 + stride * h)
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+      out.write("BM".getBytes); le32(54 + stride * h); le32(0); le32(54)
+      le32(40); le32(w); le32(h); le16(1); le16(24)
+      le32(0); le32(stride * h); le32(2835); le32(2835); le32(0); le32(0)
+      // raster is bottom-up rows of B,G,R triples, zero-padded to stride
+      val raster = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        raster(y * stride + 3 * x) = blue.toByte
+        raster(y * stride + 3 * x + 1) =
+          (if (h == 1) 0 else y * 255 / (h - 1)).toByte
+        raster(y * stride + 3 * x + 2) =
+          (if (w == 1) 0 else x * 255 / (w - 1)).toByte
+      }
+      out.write(raster)
+      out.toByteArray
+    }
   }
 
   /** FNV-1a 64-bit — tiny, allocation-free, stable across JVMs. */

@@ -157,6 +157,102 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(2).width should be >= 64
   }
 
+  /** Mono 16-bit PCM WAV around explicit samples. */
+  private def pcmWav(samples: Array[Short], sampleRate: Int = 16000): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xFF).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(sampleRate) ++ le32(sampleRate * 2) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+  }
+
+  /** Uncompressed 24-bpp BMP with the given rows of (B,G,R) triples. */
+  private def bmpBytes(w: Int, h: Int, pixels: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val raster = new Array[Byte](stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (bb, gg, rr) = pixels(y)(x)
+      raster(y * stride + 3 * x) = bb.toByte
+      raster(y * stride + 3 * x + 1) = gg.toByte
+      raster(y * stride + 3 * x + 2) = rr.toByte
+    }
+    "BM".getBytes ++ le32(54 + raster.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(raster.length) ++ le32(2835) ++ le32(2835) ++
+      le32(0) ++ le32(0) ++ raster
+  }
+
+  test("wavPcmStats: real RMS/peak/clip/zero-cross from a synthetic sine wave") {
+    // 0.5-full-scale 100 Hz sine at 16 kHz: rms = 0.5/sqrt(2), peak = 0.5
+    // (160 samples/cycle hits the crest exactly), no clipping, and a
+    // sign change every half-cycle (2*100 per second of transitions)
+    val sine = Array.tabulate[Short](16000)(i =>
+      math.round(16384.0 * math.sin(2 * math.Pi * 100 * i / 16000.0)).toShort)
+    val Some((rms, peak, clip, zcr)) = MediaCodec.wavPcmStats(pcmWav(sine))
+    rms shouldBe (0.5 / math.sqrt(2)) +- 0.001
+    peak shouldBe 0.5 +- 0.0001
+    clip shouldBe 0.0
+    zcr shouldBe (200.0 / 15999) +- 0.001
+    // full-scale alternating square wave: everything clips, zcr = 1
+    val square = Array.tabulate[Short](1000)(i => if (i % 2 == 0) 32767 else -32767)
+    val Some((rms2, peak2, clip2, zcr2)) = MediaCodec.wavPcmStats(pcmWav(square))
+    rms2 shouldBe (32767.0 / 32768.0) +- 1e-6
+    peak2 shouldBe (32767.0 / 32768.0) +- 1e-9
+    clip2 shouldBe 1.0
+    zcr2 shouldBe 1.0
+    // non-PCM-16 and non-WAV payloads refuse rather than fake
+    MediaCodec.wavPcmStats("not audio".getBytes) shouldBe None
+    MediaCodec.wavPcmStats(wavBytes(44100, 176400, 0)) shouldBe None // no samples
+  }
+
+  test("bmpPixelStats: real per-channel means from a gradient BMP") {
+    val px = Array(
+      Array((10, 20, 30), (40, 50, 60)),
+      Array((70, 80, 90), (100, 110, 120)))
+    val bmp = bmpBytes(2, 2, px)
+    MediaCodec.imageDimensions(bmp) shouldBe Some((2, 2))
+    val Some((r, g, b)) = MediaCodec.bmpPixelStats(bmp)
+    r shouldBe (75.0 / 255) +- 1e-12 // (30+60+90+120)/4
+    g shouldBe (65.0 / 255) +- 1e-12
+    b shouldBe (55.0 / 255) +- 1e-12
+    // truncated raster / unsupported depth refuse rather than fake
+    MediaCodec.bmpPixelStats(bmp.dropRight(1)) shouldBe None
+    val bpp8 = bmp.clone(); bpp8(28) = 8
+    MediaCodec.bmpPixelStats(bpp8) shouldBe None
+  }
+
+  test("decodeFeatures carries real sample stats for WAV/BMP payloads") {
+    import spark.implicits._
+    val sine = Array.tabulate[Short](4000)(i =>
+      math.round(16384.0 * math.sin(2 * math.Pi * 100 * i / 16000.0)).toShort)
+    val px = Array(Array((0, 0, 255), (0, 0, 255))) // two pure-red pixels
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", pcmWav(sine)),
+      Multimodal.MediaRow(2L, "image", bmpBytes(2, 1, px)),
+      Multimodal.MediaRow(3L, "audio", "stub fallback".getBytes))
+    val out = Multimodal.decodeFeatures(spark.createDataset(rows))
+      .orderBy("media_id").collect()
+    // WAV: [rms, peak, clip, zcr, 0...]
+    out(0).feature(0) shouldBe (0.5f / math.sqrt(2).toFloat) +- 0.001f
+    out(0).feature(1) shouldBe 0.5f +- 0.001f
+    out(0).feature(2) shouldBe 0.0f
+    out(0).duration_ms shouldBe 250L // 4000 samples at 16 kHz
+    // BMP: [meanR, meanG, meanB, luma, 0...]
+    (out(1).width, out(1).height) shouldBe ((2, 1))
+    out(1).feature(0) shouldBe 1.0f +- 1e-6f
+    out(1).feature(1) shouldBe 0.0f
+    out(1).feature(2) shouldBe 0.0f
+    out(1).feature(3) shouldBe 0.299f +- 1e-6f
+    // unrecognized payloads keep the deterministic stub vector
+    out(2).feature.size shouldBe 8
+  }
+
   test("frameSamplePlan emits timestamps every interval within duration") {
     import spark.implicits._
     val feats = Multimodal.decodeFeatures(media.as[Multimodal.MediaRow]).toDF()
