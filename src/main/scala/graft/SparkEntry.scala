@@ -632,12 +632,44 @@ object SparkEntry {
             "fr" -> 15, "zh" -> 10))
         .select(col("lang"), graft.ext.LangId.langId(col("text")).as("lang_pred"))
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
-        .orderBy("lang", "lang_pred"))
+        .orderBy("lang", "lang_pred")),
+
+    // The RECOMMENDED production ANN path: annTopKAuto derives the plane
+    // count from the corpus size (planesForCorpus — one metadata count)
+    // and multi-probes; measured recall@10 1.0/1.0/0.8 at
+    // sf0.001/0.01/0.1 vs the fixed-4-plane default q31's 0.7/0.6/0.6.
+    // Rows-only (the derived plane count varies with the corpus, so no
+    // fixed hyperplane literals for a DuckDB twin); recall floors
+    // asserted at sf0.001 AND sf0.1 in EstimatorQualitySpec.
+    "q55_ann_topk_auto" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = queryVector(e, 0L)
+      SimilaritySearch.annTopKAuto(e, "vec_id", "embedding", q, 10,
+          excludeId = Some(0L))
+        .select(col("vec_id"), col("cosine_sim"))
+    }),
+
+    // q45's recall measurement for the auto path: recall@10 of
+    // annTopKAuto's answer set against the exact brute-force top-10 —
+    // the driver-visible number for the recommended configuration.
+    // Rows-only for the same reason as q55; bounded by q45 (oracled, the
+    // same measurement mechanics with fixed planes) + the spec floors.
+    "q56_ann_recall_auto" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = queryVector(e, 0L)
+      val exact = SimilaritySearch.topKByCosine(e, "vec_id", "embedding", q, 10,
+        excludeId = Some(0L)).select("vec_id")
+      val auto = SimilaritySearch.annTopKAuto(e, "vec_id", "embedding", q, 10,
+        excludeId = Some(0L)).select("vec_id")
+      auto.join(exact, Seq("vec_id"))
+        .agg((count(lit(1)).cast("double") / lit(10.0)).as("recall_auto_at_10"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. q28/q29/q31/q32, q34, q39, q47, and the
-    * generated-corpus rows q48/q49 are omitted deliberately:
+    * the same parquet tables. q28/q29/q31/q32, q34, q39, q47, q55/q56
+    * (corpus-size-derived plane count → no fixed hyperplane literals),
+    * and the generated-corpus rows q48/q49 are omitted deliberately:
     * xxhash64/LSH-seed/FNV/sampled-centroid arithmetic (and a
     * generator-produced input table) has no DuckDB twin (driver records the weaker rows-only
     * check); their quality is bounded by the oracled q44/q45/q46 twins
@@ -1265,5 +1297,6 @@ object SparkEntry {
     "q42_nonequi_join", "q43_approx_distinct", "q45_ann_recall",
     "q46_ivf_recall", "q48_minhash_realistic", "q49_clean_corpus_realistic",
     "q50_pii_redact", "q51_token_topk", "q52_group_sample",
-    "q53_langid_confusion", "q54_langid_confusion_realistic")
+    "q53_langid_confusion", "q54_langid_confusion_realistic",
+    "q55_ann_topk_auto", "q56_ann_recall_auto")
 }

@@ -98,12 +98,39 @@ object Dedup {
   /** Distinct word n-gram shingles of the normalized text, as an array
     * column. Documents shorter than n words yield a single shingle of
     * the whole text.
+    *
+    * Construction is capture-free: higher-order functions here run
+    * INTERPRETED, and any non-lambda expression inside a lambda body is
+    * re-evaluated per element — the obvious
+    * `transform(sequence(...), i => concat_ws(" ", slice(toks, i+1, n)))`
+    * re-runs the regexp normalize + split once PER SHINGLE (measured
+    * 4.2 s vs 0.3 s for the tokenize pass itself at sf0.1). Instead the
+    * token array is bound ONCE as a lambda variable (`transform` over a
+    * single-element array), and shingles are built by a zip chain over
+    * the tokens and their shifted slices — every lambda body touches
+    * only bound arguments, so per-element work is O(n) concat of
+    * already-computed tokens. Output is order- and byte-identical to
+    * the index-slice form (shingle i = tokens i..i+n-1, first-occurrence
+    * distinct; a document shorter than n words yields the whole text).
     */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = split(TextAnalysis.normalize(text), " ")
-    val count = greatest(size(toks) - lit(n - 1), lit(1))
-    array_distinct(transform(sequence(lit(0), count - 1), i =>
-      concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    if (n == 1) array_distinct(toks)
+    else {
+      val shingled = transform(array(toks), t => {
+        // zip the tokens with their k-shifted slices: element i of the
+        // result is tokens[i..i+n-1] joined by " "; the last n-1
+        // elements go null (zip_with pads the shorter side) and are
+        // filtered out below.
+        val joined = (2 to n).foldLeft(t) { (acc, k) =>
+          zip_with(acc, slice(t, lit(k), greatest(size(t) - (k - 1), lit(1))),
+            (a, b) => concat(a, lit(" "), b))
+        }
+        when(size(t) < n, array(concat_ws(" ", t)))
+          .otherwise(filter(joined, x => x.isNotNull))
+      })
+      array_distinct(element_at(shingled, 1))
+    }
   }
 
   // -------------------------------------------------------------------
