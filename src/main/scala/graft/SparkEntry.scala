@@ -459,12 +459,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // Multimodal decode plumbing. Text-derived payloads exercise the
-    // stub fallback; four planted REAL-format payloads (16-bit PCM WAV,
-    // 24-bpp BMP — negative ids) run the real sample decode
-    // (MediaCodec.wavPcmStats / bmpPixelStats), so RMS/clip/pixel-mean
-    // features are driver-visible, not only spec'd. f0..f3 carry the
-    // feature head: [rms, peak, clip, zcr] for audio, [r, g, b, luma]
-    // for images, the deterministic fake for stub rows.
+    // stub fallback; six planted REAL-format payloads (16-bit PCM WAV,
+    // 24-bpp BMP, binary PGM/PPM — negative ids) run the real sample
+    // decode (MediaCodec.wavPcmStats / bmpPixelStats / pnmPixelStats),
+    // so RMS/clip/pixel-mean features are driver-visible, not only
+    // spec'd. f0..f3 carry the feature head: [rms, peak, clip, zcr]
+    // for audio, [r, g, b, luma] for images, the deterministic fake
+    // for stub rows.
     "q32_multimodal_features" -> ((s, dir) => {
       import s.implicits._
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
@@ -473,7 +474,9 @@ object SparkEntry {
         Multimodal.MediaRow(-1L, "audio", MediaCodec.Fixtures.sineWav(440, 0.5)),
         Multimodal.MediaRow(-2L, "audio", MediaCodec.Fixtures.sineWav(100, 1.0)),
         Multimodal.MediaRow(-3L, "image", MediaCodec.Fixtures.gradientBmp(64, 32)),
-        Multimodal.MediaRow(-4L, "image", MediaCodec.Fixtures.gradientBmp(16, 16))))
+        Multimodal.MediaRow(-4L, "image", MediaCodec.Fixtures.gradientBmp(16, 16)),
+        Multimodal.MediaRow(-5L, "image", MediaCodec.Fixtures.gradientPgm(64, 32)),
+        Multimodal.MediaRow(-6L, "image", MediaCodec.Fixtures.gradientPpm(16, 16))))
       Multimodal.decodeFeatures(media.union(planted))
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("width"), col("height"), col("duration_ms"),
@@ -620,12 +623,15 @@ object SparkEntry {
 
     // q53's confusion matrix on a fixture whose labels MEAN something:
     // the lang-weighted realistic corpus salts each source doc's
-    // stopword mass from its label's stopword list, so a working
-    // classifier shows a dominant diagonal here where a broken one
-    // cannot (the driver fixture's lang label is text-independent —
-    // q53 verifies only the matrix mechanics). Rows-only (generated
-    // input); diagonal dominance (per-lang recall ≥ 0.9) is asserted
-    // in SyntheticCorpusSpec.
+    // stopword mass from the HELD-OUT 30-word lexicon of its label's
+    // language (the classifier's 10-word list is a strict subset —
+    // SyntheticCorpus.lexicon), so a working classifier shows a
+    // dominant diagonal with genuine es/fr confusion mass here where a
+    // broken one cannot (the driver fixture's lang label is
+    // text-independent — q53 verifies only the matrix mechanics).
+    // Rows-only (generated input); diagonal dominance (per-lang recall
+    // ≥ 0.9) AND the off-diagonal es/fr structure are asserted in
+    // SyntheticCorpusSpec.
     "q54_langid_confusion_realistic" -> ((s, dir) =>
       graft.ext.SyntheticCorpus.realistic(s, t(s, dir, "documents").count(),
           langWeights = Seq("en" -> 40, "es" -> 20, "de" -> 15,

@@ -122,7 +122,9 @@ object MediaCodec {
     // (height may be negative = top-down row order)
     else if (isBmp(b))
       Some((le32(b, 18), math.abs(le32(b, 22))))
-    else None
+    // binary netpbm (P5 grayscale / P6 RGB): ASCII header tokens
+    else
+      pnmHeader(b).map { case (_, w, h, _, _) => (w, h) }
   }
 
   private def isBmp(b: Array[Byte]): Boolean =
@@ -161,6 +163,78 @@ object MediaCodec {
     val n = w.toLong * h * 255L
     Some((sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
   }
+
+  /** Parsed binary-netpbm header: (isColor, width, height, maxval,
+    * rasterOffset). P5 = grayscale (1 sample/pixel), P6 = RGB
+    * (3 samples/pixel); samples are 1 byte (maxval ≤ 255) or 2-byte
+    * big-endian (maxval ≤ 65535). Header tokens are ASCII separated by
+    * whitespace, `#` comments run to end-of-line, and exactly ONE
+    * whitespace byte separates maxval from the raster.
+    */
+  private def pnmHeader(b: Array[Byte]): Option[(Boolean, Int, Int, Int, Int)] = {
+    if (b.length < 2 || b(0) != 'P' || (b(1) != '5' && b(1) != '6')) return None
+    val isColor = b(1) == '6'
+    var i = 2
+    val vals = new Array[Int](3)
+    var v = 0
+    while (v < 3) {
+      // skip whitespace and comments
+      var skipping = true
+      while (skipping && i < b.length) {
+        val c = b(i)
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+        else skipping = false
+      }
+      if (i >= b.length || b(i) < '0' || b(i) > '9') return None
+      var x = 0L
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        x = x * 10 + (b(i) - '0')
+        if (x > Int.MaxValue) return None
+        i += 1
+      }
+      vals(v) = x.toInt
+      v += 1
+    }
+    // exactly one whitespace byte before the raster
+    if (i >= b.length) return None
+    val c = b(i)
+    if (c != ' ' && c != '\t' && c != '\n' && c != '\r') return None
+    val (w, h, maxval) = (vals(0), vals(1), vals(2))
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 65535) return None
+    Some((isColor, w, h, maxval, i + 1))
+  }
+
+  /** Per-channel means of a binary netpbm raster (P5 grayscale / P6
+    * RGB), normalized to [0,1] by the header's maxval — the same
+    * zero-dependency REAL pixel decode as [[bmpPixelStats]] (netpbm
+    * rasters are raw samples, no compression): returns
+    * (meanR, meanG, meanB), with the gray mean on all three channels
+    * for P5. Handles both 1-byte and big-endian 2-byte samples. None
+    * when the payload isn't binary netpbm or the raster is truncated.
+    */
+  def pnmPixelStats(b: Array[Byte]): Option[(Double, Double, Double)] =
+    pnmHeader(b).flatMap { case (isColor, w, h, maxval, off) =>
+      val bytesPerSample = if (maxval > 255) 2 else 1
+      val samplesPerPixel = if (isColor) 3 else 1
+      val nPix = w.toLong * h
+      if (off + nPix * samplesPerPixel * bytesPerSample > b.length) None
+      else {
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = off
+        def next(): Int =
+          if (bytesPerSample == 1) { val s = b(i) & 0xFF; i += 1; s }
+          else { val s = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF); i += 2; s }
+        var p = 0L
+        while (p < nPix) {
+          if (isColor) { sr += next(); sg += next(); sb += next() }
+          else { val g = next(); sr += g; sg += g; sb += g }
+          p += 1
+        }
+        val n = nPix.toDouble * maxval
+        Some((sr / n, sg / n, sb / n))
+      }
+    }
 
   /** Sample-level PCM statistics of a 16-bit PCM WAV — REAL audio
     * sample decode, zero codec dependencies (int16 little-endian math
@@ -350,7 +424,10 @@ object MediaCodec {
     *  - 16-bit PCM WAV → `feature = [rms, peak, clip_ratio,
     *    zero_cross_rate, 0, 0, 0, 0]` ([[wavPcmStats]]);
     *  - uncompressed 24-bpp BMP → `feature = [mean_r, mean_g, mean_b,
-    *    mean_luma, 0, 0, 0, 0]` ([[bmpPixelStats]], BT.601 luma).
+    *    mean_luma, 0, 0, 0, 0]` ([[bmpPixelStats]], BT.601 luma);
+    *  - binary netpbm (P5 grayscale / P6 RGB) → the same channel-mean
+    *    feature head ([[pnmPixelStats]]; gray mean on all three
+    *    channels for P5).
     * Compressed formats (PNG/JPEG/GIF pixels, MP3/AAC frames, H.26x)
     * keep the deterministic fake feature — decoding them needs real
     * codec libraries, absent here; a production build swaps exactly
@@ -377,10 +454,11 @@ object MediaCodec {
     val realFeature: Option[Seq[Float]] =
       wavPcmStats(row.payload).map { case (rms, peak, clip, zcr) =>
         Seq(rms.toFloat, peak.toFloat, clip.toFloat, zcr.toFloat, 0f, 0f, 0f, 0f)
-      }.orElse(bmpPixelStats(row.payload).map { case (r, g, b) =>
-        val luma = 0.299 * r + 0.587 * g + 0.114 * b
-        Seq(r.toFloat, g.toFloat, b.toFloat, luma.toFloat, 0f, 0f, 0f, 0f)
-      })
+      }.orElse(bmpPixelStats(row.payload).orElse(pnmPixelStats(row.payload))
+        .map { case (r, g, b) =>
+          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          Seq(r.toFloat, g.toFloat, b.toFloat, luma.toFloat, 0f, 0f, 0f, 0f)
+        })
     val feature = realFeature.getOrElse((0 until 8).map(i =>
       (mix(4 + i).toDouble / Long.MaxValue.toDouble).toFloat))
     Multimodal.MediaFeatures(
@@ -442,6 +520,34 @@ object MediaCodec {
           (if (w == 1) 0 else x * 255 / (w - 1)).toByte
       }
       out.write(raster)
+      out.toByteArray
+    }
+
+    /** `w`×`h` binary PGM (P5, maxval 255) whose gray ramps left→right
+      * — known mean: avg of x·255/(w−1) over columns.
+      */
+    def gradientPgm(w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(32 + w * h)
+      out.write(s"P5\n# graft fixture\n$w $h\n255\n".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII))
+      for (_ <- 0 until h; x <- 0 until w)
+        out.write(if (w == 1) 0 else x * 255 / (w - 1))
+      out.toByteArray
+    }
+
+    /** `w`×`h` binary PPM (P6, maxval 255): red ramps left→right,
+      * green ramps top→bottom, blue constant — the [[gradientBmp]]
+      * channel-mean profile on the netpbm raster layout.
+      */
+    def gradientPpm(w: Int, h: Int, blue: Int = 32): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(32 + 3 * w * h)
+      out.write(s"P6\n$w $h\n255\n".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII))
+      for (y <- 0 until h; x <- 0 until w) {
+        out.write(if (w == 1) 0 else x * 255 / (w - 1))
+        out.write(if (h == 1) 0 else y * 255 / (h - 1))
+        out.write(blue)
+      }
       out.toByteArray
     }
   }

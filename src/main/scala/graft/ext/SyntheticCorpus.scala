@@ -36,19 +36,54 @@ object SyntheticCorpus {
     "the", "of", "and", "to", "a", "in", "is", "it", "that", "for",
     "was", "on", "are", "as", "with", "his", "they", "at", "be", "this")
 
+  /** Held-out per-language function-word pools (30 entries each) that
+    * the lang-weighted generator salts from. Deliberately WIDER than
+    * [[LangId.stopwords]] (each classifier list is a 10-word subset,
+    * asserted in SyntheticCorpusSpec): a generator that salts exactly
+    * the classifier's feature list makes any recall floor near-
+    * tautological — the classifier must generalize from 1/3 of the
+    * planted signal here, and the genuine cross-language overlaps
+    * (es/fr share de/la/que/le/un/les) put real mass off the diagonal.
+    * Words are the standard high-frequency function words of each
+    * language; zh is a character pool (the classifier scores distinct
+    * contained characters — it is unsegmented).
+    */
+  val lexicon: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that",
+      "for", "was", "on", "are", "as", "with", "his", "they", "at", "be",
+      "this", "have", "from", "or", "had", "by", "but", "not", "what",
+      "all", "were"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se", "del",
+      "las", "un", "una", "por", "con", "no", "para", "es", "al", "lo",
+      "como", "mas", "pero", "sus", "le", "ya", "o", "este", "si",
+      "porque", "les"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu",
+      "den", "mit", "von", "sie", "auf", "fur", "auch", "es", "an",
+      "werden", "aus", "er", "hat", "dass", "nach", "wird", "bei",
+      "einer", "um", "am", "sind", "oder"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que",
+      "pour", "dans", "en", "du", "des", "il", "qui", "ne", "sur", "se",
+      "pas", "plus", "par", "avec", "son", "au", "ce", "cette", "mais",
+      "ou", "si"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "人", "这", "不",
+      "一", "大", "中", "上", "们", "来", "到", "时", "地", "为",
+      "子", "说", "生", "国", "年", "着", "就", "那", "要", "出"))
+
   /** Generate the corpus. `langWeights` empty (the default) keeps the
     * round-7 byte-identical English-only corpus (every row labeled
     * `lang = "en"`, stopwords from a fixed 20-word list). A non-empty
     * weighting, e.g. `Seq("en" -> 40, "es" -> 20, ...)`, assigns each
     * SOURCE doc a language by a deterministic weighted draw and salts
-    * its stopword mass from [[LangId.stopwords]] for that language —
-    * dups inherit their source's language (their text IS the source's
-    * text), so the `lang` column stays a true label through the planted
-    * near-dup structure. This makes lang-ID quality MEASURABLE on the
-    * generated corpus: unlike the driver's documents fixture (whose
-    * `lang` label is independent of its text — COVERAGE.md), a
-    * classifier that works and one that guesses produce visibly
-    * different confusion matrices here.
+    * its stopword mass from the HELD-OUT [[lexicon]] for that language
+    * (30 function words of which the classifier's [[LangId.stopwords]]
+    * are a 10-word subset) — dups inherit their source's language
+    * (their text IS the source's text), so the `lang` column stays a
+    * true label through the planted near-dup structure. This makes
+    * lang-ID quality MEASURABLE on the generated corpus, and not
+    * tautologically: the classifier sees only a third of the planted
+    * function words, and the es/fr pool overlap puts genuine confusion
+    * mass off the diagonal (unlike the driver's documents fixture,
+    * whose `lang` label is independent of its text — COVERAGE.md).
     */
   def realistic(
       spark: SparkSession,
@@ -59,8 +94,8 @@ object SyntheticCorpus {
       langWeights: Seq[(String, Int)] = Nil): DataFrame = {
     import spark.implicits._
     require(langWeights.forall { case (l, w) =>
-      LangId.stopwords.contains(l) && w > 0 },
-      s"langWeights must name LangId languages with positive weights: $langWeights")
+      lexicon.contains(l) && w > 0 },
+      s"langWeights must name lexicon languages with positive weights: $langWeights")
     val weights = langWeights // stable local for the closure
     val totalW = weights.map(_._2).sum
     spark.range(nDocs).mapPartitions { ids =>
@@ -82,7 +117,7 @@ object SyntheticCorpus {
             var roll = (splitmix(seed ^ (srcId * 0xA24BAED4963EE407L)) % totalW).toInt
             val picked = weights.find { case (_, w) =>
               roll -= w; roll < 0 }.get._1
-            (picked, LangId.stopwords(picked).toArray)
+            (picked, lexicon(picked).toArray)
           }
         val rnd = new scala.util.Random(seed ^ (srcId * 0x9E3779B97F4A7C15L))
         val len = 30 + rnd.nextInt(121)

@@ -227,6 +227,42 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     MediaCodec.bmpPixelStats(bpp8) shouldBe None
   }
 
+  test("pnmPixelStats: real channel means from binary PGM/PPM rasters") {
+    // P5 2x2 grayscale, values 10/20/30/40 — mean 25; header carries a
+    // comment line, which the parser must skip
+    val pgm = "P5\n# c\n2 2\n255\n".getBytes ++ Array[Byte](10, 20, 30, 40)
+    MediaCodec.imageDimensions(pgm) shouldBe Some((2, 2))
+    val Some((r, g, b)) = MediaCodec.pnmPixelStats(pgm)
+    r shouldBe (25.0 / 255) +- 1e-12
+    g shouldBe r +- 1e-15; b shouldBe r +- 1e-15 // gray on all channels
+    // P6 2x1 RGB: (10,20,30), (40,50,60) — per-channel means 25/35/45
+    val ppm = "P6\n2 1\n255\n".getBytes ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    MediaCodec.imageDimensions(ppm) shouldBe Some((2, 1))
+    val Some((r2, g2, b2)) = MediaCodec.pnmPixelStats(ppm)
+    r2 shouldBe (25.0 / 255) +- 1e-12
+    g2 shouldBe (35.0 / 255) +- 1e-12
+    b2 shouldBe (45.0 / 255) +- 1e-12
+    // 16-bit samples (maxval > 255) are big-endian: 0x0000 and 0xFFFF
+    val pgm16 = "P5\n2 1\n65535\n".getBytes ++
+      Array[Byte](0, 0, -1, -1)
+    val Some((r3, _, _)) = MediaCodec.pnmPixelStats(pgm16)
+    r3 shouldBe 0.5 +- 1e-12
+    // the generator fixtures agree with their closed-form means
+    val Some((gr, _, _)) =
+      MediaCodec.pnmPixelStats(MediaCodec.Fixtures.gradientPgm(64, 32))
+    gr shouldBe ((0 until 64).map(x => x * 255 / 63).sum / 64.0 / 255) +- 1e-12
+    val Some((pr, pg, pb)) =
+      MediaCodec.pnmPixelStats(MediaCodec.Fixtures.gradientPpm(16, 16))
+    pr shouldBe ((0 until 16).map(x => x * 255 / 15).sum / 16.0 / 255) +- 1e-12
+    pg shouldBe pr +- 1e-12 // same ramp on rows
+    pb shouldBe (32.0 / 255) +- 1e-12
+    // truncated raster / ASCII netpbm / non-netpbm refuse rather than fake
+    MediaCodec.pnmPixelStats(ppm.dropRight(1)) shouldBe None
+    MediaCodec.pnmPixelStats("P3\n2 1\n255\n10 20 30 40 50 60".getBytes) shouldBe None
+    MediaCodec.pnmPixelStats("plain text".getBytes) shouldBe None
+  }
+
   test("decodeFeatures carries real sample stats for WAV/BMP payloads") {
     import spark.implicits._
     val sine = Array.tabulate[Short](4000)(i =>

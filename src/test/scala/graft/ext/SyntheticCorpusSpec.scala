@@ -50,9 +50,49 @@ class SyntheticCorpusSpec extends AnyFunSuite with Matchers with SparkTestBase {
         recall should be >= 0.9
       }
     }
-    // a label-independent fixture (like the driver's documents table)
-    // could never produce this: the es/fr stopword overlap is 3 of 10,
-    // every other pair overlaps less, so argmax follows the salt
+    // and this is NOT guaranteed-by-construction: the generator salts
+    // from the held-out 30-word lexicon, of which the classifier's
+    // feature list is a strict 10-word subset per language
+    SyntheticCorpus.lexicon.keySet shouldBe LangId.stopwords.keySet
+    LangId.stopwords.foreach { case (l, ws) =>
+      withClue(s"lang $l: ") {
+        ws.toSet.subsetOf(SyntheticCorpus.lexicon(l).toSet) shouldBe true
+        SyntheticCorpus.lexicon(l).size should be > (2 * ws.size)
+      }
+    }
+  }
+
+  test("lang-weighted corpus confusion is structured: es/fr overlap, nothing else") {
+    // The held-out es and fr pools genuinely share function words
+    // (de/la/que/le/un/les/se/si/en), so a correct classifier confuses
+    // SOME es<->fr docs — measured 7% each way at n=2000 — while every
+    // other language pair stays clean. A broken classifier (wrong
+    // argmax, tokenizer, or scoring) cannot reproduce this shape:
+    // uniform guessing smears mass everywhere, and a tautological
+    // fixture (salt = exactly the classifier's list) would have NO
+    // off-diagonal mass at all.
+    val docs = SyntheticCorpus.realistic(spark, 2000, langWeights =
+      Seq("en" -> 40, "es" -> 20, "de" -> 15, "fr" -> 15, "zh" -> 10))
+    val cells = docs
+      .select(col("lang"), LangId.langId(col("text")).as("pred"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    cells.getOrElse(("es", "fr"), 0L) should be > 0L
+    cells.getOrElse(("fr", "es"), 0L) should be > 0L
+    // every other off-diagonal cell carries less mass than either es/fr
+    // confusion cell ("und" excepted — short docs may miss the
+    // classifier's subset entirely)
+    val esFrFloor = math.min(
+      cells.getOrElse(("es", "fr"), 0L), cells.getOrElse(("fr", "es"), 0L))
+    cells.foreach { case ((lang, pred), n) =>
+      if (lang != pred && pred != "und" &&
+          Set(lang, pred) != Set("es", "fr")) {
+        withClue(s"confusion cell $lang->$pred (n=$n): ") {
+          n should be < esFrFloor
+        }
+      }
+    }
   }
 
   test("lang-weighted corpus is deterministic and dups inherit their source's language") {
