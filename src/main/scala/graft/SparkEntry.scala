@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.KpiAggregation
-import graft.ext.{Dedup, MediaCodec, Multimodal, Sampling, SimilaritySearch, TextAnalysis, LangId}
+import graft.ext.{Dedup, MediaCodec, Multimodal, Sampling, SimilaritySearch, TextAnalysis, TextPipeline, LangId}
 
 /** Driver contract — one named query per implemented operator family
   * (SURVEY.md §2 + the LLM-pipeline extensions), each with a DuckDB
@@ -669,6 +669,27 @@ object SparkEntry {
         excludeId = Some(0L)).select("vec_id")
       auto.join(exact, Seq("vec_id"))
         .agg((count(lit(1)).cast("double") / lit(10.0)).as("recall_auto_at_10"))
+    }),
+
+    // Repetition / boilerplate quality signals (Gopher-style
+    // structural filters): duplicate-line fraction, duplicate-line
+    // character fraction, duplicate-word fraction, top-bigram
+    // character coverage — every metric plain SQL over the same
+    // splits, oracled end-to-end
+    "q57_repetition_scores" -> ((s, dir) =>
+      TextAnalysis.repetitionScores(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Eval-set contamination report: training docs sharing any word
+    // 5-gram with the "benchmark" (every 50th doc plays the eval set —
+    // which therefore flags itself: its grams are in both sides, the
+    // expected fixture self-hit). The benchmark gram set broadcasts;
+    // the corpus side is scan + explode, no text shuffle.
+    "q58_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextPipeline.contaminatedIds(docs, "doc_id", "text",
+          docs.where(col("doc_id") % 50 === 0), "text", n = 5)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1251,7 +1272,74 @@ object SparkEntry {
              ELSE 'zh' END AS lang_pred
            FROM s)
          SELECT lang, lang_pred, count(*) AS n FROM p
-         GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""
+         GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
+
+    // Repetition signals: the same newline/normalized-word splits, the
+    // same (doc, line) / (doc, bigram) aggregations; the <2-word
+    // single-shingle edge is the CASE in the gram source
+    "q57_repetition_scores" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+           FROM documents),
+         scalars AS (
+           SELECT doc_id,
+             round(1.0 - len(list_distinct(string_split(text, chr(10))))::DOUBLE
+                       / len(string_split(text, chr(10))), 6) AS dup_line_frac,
+             round(1.0 - len(list_distinct(string_split(norm, ' ')))::DOUBLE
+                       / len(string_split(norm, ' ')), 6) AS dup_word_frac,
+             length(norm) AS nchars
+           FROM base),
+         lc AS (
+           SELECT doc_id, l, count(*) AS cnt, length(l) AS llen
+           FROM base, unnest(string_split(text, chr(10))) AS u(l)
+           GROUP BY doc_id, l),
+         linefrac AS (
+           SELECT doc_id,
+             round(CASE WHEN sum(llen * cnt) > 0
+               THEN sum(CASE WHEN cnt > 1 THEN llen * cnt ELSE 0 END)::DOUBLE
+                    / sum(llen * cnt)::DOUBLE
+               ELSE 0.0 END, 6) AS dup_line_char_frac
+           FROM lc GROUP BY doc_id),
+         ws AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM base),
+         grams AS (
+           SELECT doc_id,
+                  CASE WHEN len(w) < 2 THEN norm
+                       ELSE w[g.i] || ' ' || w[g.i + 1] END AS g
+           FROM ws, unnest(generate_series(1, greatest(len(w) - 1, 1))) AS g(i)),
+         topg AS (
+           SELECT doc_id, max(length(g) * cnt) AS cov FROM (
+             SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY doc_id, g)
+           GROUP BY doc_id)
+         SELECT s.doc_id, s.dup_line_frac, f.dup_line_char_frac,
+                s.dup_word_frac,
+                round(CASE WHEN s.nchars > 0
+                  THEN t.cov::DOUBLE / s.nchars ELSE 0.0 END, 6)
+                  AS top_bigram_char_frac
+         FROM scalars s
+         JOIN linefrac f USING (doc_id)
+         JOIN topg t USING (doc_id)
+         ORDER BY s.doc_id""",
+
+    // Contamination: the same DISTINCT-5-gram construction on both
+    // sides; n_overlapping = distinct corpus-doc grams present in the
+    // benchmark gram set
+    "q58_contamination" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+           FROM documents),
+         ws AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM base),
+         grams AS (
+           SELECT DISTINCT doc_id,
+                  CASE WHEN len(w) < 5 THEN norm
+                       ELSE w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2]
+                            || ' ' || w[g.i + 3] || ' ' || w[g.i + 4] END AS g
+           FROM ws, unnest(generate_series(1, greatest(len(w) - 4, 1))) AS g(i)),
+         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+         SELECT doc_id, count(*) AS n_overlapping
+         FROM grams JOIN bench USING (g)
+         GROUP BY doc_id ORDER BY doc_id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -1304,5 +1392,6 @@ object SparkEntry {
     "q46_ivf_recall", "q48_minhash_realistic", "q49_clean_corpus_realistic",
     "q50_pii_redact", "q51_token_topk", "q52_group_sample",
     "q53_langid_confusion", "q54_langid_confusion_realistic",
-    "q55_ann_topk_auto", "q56_ann_recall_auto")
+    "q55_ann_topk_auto", "q56_ann_recall_auto", "q57_repetition_scores",
+    "q58_contamination")
 }

@@ -113,9 +113,16 @@ object Dedup {
     * the index-slice form (shingle i = tokens i..i+n-1, first-occurrence
     * distinct; a document shorter than n words yields the whole text).
     */
-  def wordShingles(text: Column, n: Int): Column = {
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordShinglesAll(text, n))
+
+  /** [[wordShingles]] WITHOUT the distinct — every shingle occurrence
+    * in document order (repetition analysis needs the multiset where
+    * set-similarity wants the set).
+    */
+  def wordShinglesAll(text: Column, n: Int): Column = {
     val toks = split(TextAnalysis.normalize(text), " ")
-    if (n == 1) array_distinct(toks)
+    if (n == 1) toks
     else {
       val shingled = transform(array(toks), t => {
         // zip the tokens with their k-shifted slices: element i of the
@@ -129,7 +136,7 @@ object Dedup {
         when(size(t) < n, array(concat_ws(" ", t)))
           .otherwise(filter(joined, x => x.isNotNull))
       })
-      array_distinct(element_at(shingled, 1))
+      element_at(shingled, 1)
     }
   }
 

@@ -120,6 +120,73 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Per-document repetition / boilerplate signals — the standard
+    * Gopher-style structural filters a corpus gets before training
+    * (machine-generated and template text is dominated by repeated
+    * lines and n-grams that perplexity-free heuristics catch cheaply):
+    *
+    *  - `dup_line_frac`: fraction of raw newline-split lines that are
+    *    repeats of an earlier line (1 − distinct/total);
+    *  - `dup_line_char_frac`: fraction of line characters living in
+    *    lines that occur more than once (all occurrences counted);
+    *  - `dup_word_frac`: fraction of normalized words that are repeats
+    *    (1 − distinct/total);
+    *  - `top_bigram_char_frac`: largest share of the normalized text's
+    *    characters covered by a single word bigram — occurrences ×
+    *    (bigram length incl. its inner space) / normalized length,
+    *    maximized over bigrams. Deterministic (max over coverage, no
+    *    most-frequent tie ambiguity); a document shorter than two
+    *    words is its own single shingle, so the fraction reads ~1 —
+    *    degenerate-short docs ARE maximally repetitive for filtering
+    *    purposes.
+    *
+    * Shape at scale: two scalar codegen passes plus two explode →
+    * hash-aggregate branches keyed on (doc, line) / (doc, bigram) then
+    * doc — all map-side combined, joined back on the id. Every metric
+    * is plain ANSI SQL over the same splits, so the whole operator is
+    * DuckDB-oracle-checkable (q57).
+    */
+  def repetitionScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val norm = normalize(col(textCol))
+    val words = split(norm, " ")
+    val scalars = df.select(col(idCol),
+      round(lit(1.0) -
+        size(array_distinct(lines)).cast("double") / size(lines), 6)
+        .as("dup_line_frac"),
+      round(lit(1.0) -
+        size(array_distinct(words)).cast("double") / size(words), 6)
+        .as("dup_word_frac"),
+      length(norm).as("__nchars"))
+    val lineChars = df
+      .select(col(idCol), explode(lines).as("__l"))
+      .groupBy(col(idCol), col("__l"))
+      .agg(count(lit(1)).as("__cnt"), first(length(col("__l"))).as("__len"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__len") * col("__cnt")).as("__total"),
+        sum(when(col("__cnt") > 1, col("__len") * col("__cnt"))
+          .otherwise(0L)).as("__dup"))
+      .select(col(idCol),
+        round(when(col("__total") > 0,
+            col("__dup").cast("double") / col("__total"))
+          .otherwise(lit(0.0)), 6).as("dup_line_char_frac"))
+    val topBigram = df
+      .select(col(idCol), explode(Dedup.wordShinglesAll(col(textCol), 2)).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol))
+      .agg(max(length(col("__g")) * col("__cnt")).as("__cov"))
+    scalars
+      .join(lineChars, Seq(idCol))
+      .join(topBigram, Seq(idCol))
+      .select(col(idCol), col("dup_line_frac"), col("dup_line_char_frac"),
+        col("dup_word_frac"),
+        round(when(col("__nchars") > 0,
+            col("__cov").cast("double") / col("__nchars"))
+          .otherwise(lit(0.0)), 6).as("top_bigram_char_frac"))
+  }
+
   /** Smoothed TF-IDF weights per (doc, term) over normalized tokens:
     * `tf` = term count within the doc, `idf = ln((N+1)/(df+1)) + 1`
     * (sklearn-style smoothing), `weight = tf · idf`.

@@ -91,6 +91,55 @@ object TextPipeline {
     Sampling.contentSplit(nearDeduped, textCol)
   }
 
+  /** Ids of corpus documents sharing at least one word `n`-gram with
+    * the benchmark set — the standard eval-set contamination test
+    * (exact n-gram collision at n ≈ 8-13): one row per contaminated
+    * id, with the number of distinct colliding n-grams as
+    * `n_overlapping`.
+    *
+    * Shape at scale: the benchmark's distinct n-gram set is tiny next
+    * to a training corpus (thousands of eval docs vs billions of
+    * training docs), so Catalyst/AQE broadcasts it and the corpus side
+    * is a single scan + explode with NO shuffle of document text; the
+    * aggregation shuffles only (id, gram-hit) pairs. Sub-`n`-word
+    * documents are their own single shingle ([[Dedup.wordShingles]]),
+    * so a short doc is contaminated only by an exact normalized-text
+    * match.
+    */
+  def contaminatedIds(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 8): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(Dedup.wordShingles(col(benchTextCol), n)).as("__g"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(Dedup.wordShingles(col(textCol), n)).as("__g"))
+      .join(benchGrams, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlapping"))
+  }
+
+  /** Drop corpus documents that share any word `n`-gram with the
+    * benchmark set ([[contaminatedIds]]) — run AFTER dedup (fewer docs
+    * to test) and BEFORE split, the standard ordering for training-
+    * corpus preparation against eval leakage.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 8): DataFrame =
+    corpus.join(
+      contaminatedIds(corpus, idCol, textCol, benchmark, benchTextCol, n)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Streaming corpus ingestion: the stateless prefix of [[cleanCorpus]]
     * (quality gate → language filter — both pure scan-projection
     * scalars, legal in any streaming plan) plus watermark-bounded exact

@@ -105,4 +105,25 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // sketch keeps most elements in common
     a.intersect(b).size should be >= 4
   }
+
+  test("repetitionScores: hand-computed line/word/bigram repetition fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaa\nbbb ccc\naaa\nddd"), // repeated line, all bigrams unique
+      (2L, "x y x y x y"),            // single line, heavy bigram repetition
+      (3L, "hello")                   // sub-bigram doc: its own shingle
+    ).toDF("doc_id", "text")
+    val out = repetitionScores(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // doc 1: lines [aaa, bbb ccc, aaa, ddd] -> 1-3/4; dup line chars
+    // 3*2 of 3*2+7+3; words aaa bbb ccc aaa ddd -> 1-4/5; every bigram
+    // unique, len 7, norm len 19
+    out(0) shouldBe ((1L, 0.25, 0.375, 0.2, 0.368421))
+    // doc 2: one line; words 6 with 2 distinct; "x y" x3 covers 9 of 11
+    out(1) shouldBe ((2L, 0.0, 0.0, 0.666667, 0.818182))
+    // doc 3: single word -> whole text is its own shingle, coverage 1
+    out(2) shouldBe ((3L, 0.0, 0.0, 0.0, 1.0))
+  }
 }

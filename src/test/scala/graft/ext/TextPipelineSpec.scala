@@ -63,4 +63,32 @@ class TextPipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .select("id").collect().map(_.getLong(0)).toSet
     kept shouldBe Set(10L, 20L)
   }
+
+  test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      // shares the 4-gram "the quick brown fox" with bench doc 100
+      (1L, "we saw the quick brown fox jumping over things"),
+      // same words, different order: no shared 4-gram
+      (2L, "brown the fox quick saw we things over jumping"),
+      // clean
+      (3L, "an entirely unrelated sentence about database engines"),
+      // sub-n doc, exact normalized match of short bench doc 101
+      (4L, "Tiny doc!"),
+      // sub-n doc, no match
+      (5L, "other tiny")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "tiny doc")
+    ).toDF("bid", "btext")
+    val flagged = TextPipeline.contaminatedIds(
+        corpus, "doc_id", "text", bench, "btext", n = 4)
+      .as[(Long, Long)].collect().toMap
+    flagged.keySet shouldBe Set(1L, 4L)
+    flagged(1L) shouldBe 1L // exactly one shared 4-gram
+    flagged(4L) shouldBe 1L // whole-text shingle match
+    TextPipeline.decontaminate(corpus, "doc_id", "text", bench, "btext", n = 4)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(2L, 3L, 5L)
+  }
 }

@@ -60,4 +60,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     SparkEntry.queries("q51_token_topk")(spark, sfDir)
       .queryExecution.executedPlan.toString should include("TakeOrderedAndProject")
   }
+
+  test("q58 broadcasts the benchmark gram set — no corpus-side text shuffle") {
+    // The contamination join's whole scale story is that the benchmark
+    // n-gram set is broadcast-small; a sort-merge join here would
+    // shuffle the exploded gram stream of the ENTIRE corpus.
+    SparkEntry.queries("q58_contamination")(spark, sfDir)
+      .queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+  }
 }
