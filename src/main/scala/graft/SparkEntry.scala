@@ -690,7 +690,20 @@ object SparkEntry {
       TextPipeline.contaminatedIds(docs, "doc_id", "text",
           docs.where(col("doc_id") % 50 === 0), "text", n = 5)
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Unigram cross-entropy vs the corpus's own model — the
+    // perplexity-proxy quality signal, fully oracled (ln parity with
+    // DuckDB already proven by q33's idf)
+    "q59_unigram_xent" -> ((s, dir) =>
+      TextAnalysis.unigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Per-source dataset card: docs / tokens / mean quality / English
+    // share — the shard summary a training corpus publishes
+    "q60_source_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1339,7 +1352,69 @@ object SparkEntry {
          bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
          SELECT doc_id, count(*) AS n_overlapping
          FROM grams JOIN bench USING (g)
-         GROUP BY doc_id ORDER BY doc_id"""
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    // Unigram cross-entropy: same normalized split, same
+    // (doc,term)/(term) aggregations, ln on the identical double ratio
+    "q59_unigram_xent" ->
+      """WITH terms AS (
+           SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               ' ')) AS t
+           FROM documents),
+         tf AS (SELECT doc_id, t, count(*) AS tf FROM terms GROUP BY doc_id, t),
+         model AS (SELECT t, count(*) AS c FROM terms GROUP BY t),
+         n AS (SELECT count(*) AS nn FROM terms)
+         SELECT doc_id,
+                sum(tf)::BIGINT AS n_tokens,
+                round((sum(tf * ln(c::DOUBLE / nn::DOUBLE)) * -1.0)
+                      / sum(tf), 6) AS xent_nats
+         FROM tf JOIN model USING (t), n
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    // Dataset card: exact counts + the q21 quality formula averaged
+    "q60_source_stats" ->
+      """WITH x AS (
+           SELECT source, text AS txt,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+             length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE
+               / length(text)::DOUBLE AS punct_ratio
+           FROM documents),
+         y AS (
+           SELECT source, txt, ltoks,
+             len(toks)::BIGINT AS ntok_i,
+             len(toks)::DOUBLE AS ntok,
+             len(list_filter(ltoks, t -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], t)))::DOUBLE
+               / len(toks)::DOUBLE AS sw_ratio,
+             list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+               / len(toks)::DOUBLE AS avg_len,
+             punct_ratio
+           FROM x),
+         q AS (
+           SELECT source, ntok_i,
+             round(
+               least(ntok / 64.0, 1.0) * 0.3
+             + least(sw_ratio * 4.0, 1.0) * 0.3
+             + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2
+             + greatest(1.0 - abs(avg_len - 5.0) / 10.0, 0.0) * 0.2, 6) AS quality,
+             len(list_filter(ltoks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS s_en,
+             len(list_filter(ltoks, t -> list_contains(['el','la','de','que','y','en','los','se','del','las'], t))) AS s_es,
+             len(list_filter(ltoks, t -> list_contains(['der','die','und','das','ist','nicht','ein','zu','den','mit'], t))) AS s_de,
+             len(list_filter(ltoks, t -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], t))) AS s_fr,
+             len(list_filter(['的','是','在','了','我','有','和','人','这','不'],
+                             w -> contains(txt, w))) AS s_zh
+           FROM y)
+         SELECT source,
+                count(*)::BIGINT AS n_docs,
+                sum(ntok_i)::BIGINT AS n_tokens,
+                round(avg(quality), 6) AS avg_quality,
+                sum(CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) > 0
+                          AND s_en = greatest(s_en, s_es, s_de, s_fr, s_zh)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_pred_en
+         FROM q GROUP BY source ORDER BY source"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -1393,5 +1468,5 @@ object SparkEntry {
     "q50_pii_redact", "q51_token_topk", "q52_group_sample",
     "q53_langid_confusion", "q54_langid_confusion_realistic",
     "q55_ann_topk_auto", "q56_ann_recall_auto", "q57_repetition_scores",
-    "q58_contamination")
+    "q58_contamination", "q59_unigram_xent", "q60_source_stats")
 }

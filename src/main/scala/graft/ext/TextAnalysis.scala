@@ -187,6 +187,51 @@ object TextAnalysis {
           .otherwise(lit(0.0)), 6).as("top_bigram_char_frac"))
   }
 
+  /** Per-document unigram cross-entropy against the corpus's own
+    * unigram model — the oracle-able proxy for LM-perplexity quality
+    * filtering (CCNet-style): documents whose tokens are
+    * corpus-improbable score high (gibberish, other-language, OCR
+    * noise), template/boilerplate text scores low. `xent_nats` =
+    * −(1/n) Σ_tokens ln p(w) with p(w) = corpus count / corpus total;
+    * no smoothing needed — every scored token is in the model by
+    * construction.
+    *
+    * Shape at scale: one explode, two hash aggregations ((doc,term)
+    * and (term) — the term table is vocabulary-sized, orders of
+    * magnitude smaller than the corpus), a join on `term`, and the
+    * corpus total riding along as a broadcast 1-row cross join. The
+    * per-doc Σ runs over (term, tf) pairs, so the double summation is
+    * vocabulary-bounded per doc, not token-bounded.
+    */
+  def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df.select(col(idCol),
+      explode(split(normalize(col(textCol)), " ")).as("__t"))
+    val tf = terms.groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val model = terms.groupBy(col("__t")).agg(count(lit(1)).as("__cnt"))
+    val total = terms.agg(count(lit(1)).as("__N"))
+    tf.join(model, Seq("__t")).crossJoin(total)
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__tf")).as("n_tokens"),
+        round((sum(col("__tf") * log(col("__cnt") / col("__N"))) * lit(-1.0))
+          / sum(col("__tf")), 6).as("xent_nats"))
+  }
+
+  /** Per-group "dataset card" rollup — the summary a corpus shard gets
+    * before training: document and token counts, mean quality score,
+    * and the count of English-predicted documents (composition). All
+    * counts exact integers; the mean is the only float.
+    */
+  def corpusStats(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        round(avg(qualityScore(col(textCol))), 6).as("avg_quality"),
+        sum(when(LangId.langId(col(textCol)) === "en", 1L).otherwise(0L))
+          .as("n_pred_en"))
+
   /** Smoothed TF-IDF weights per (doc, term) over normalized tokens:
     * `tf` = term count within the doc, `idf = ln((N+1)/(df+1)) + 1`
     * (sklearn-style smoothing), `weight = tf · idf`.

@@ -126,4 +126,43 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // doc 3: single word -> whole text is its own shingle, coverage 1
     out(2) shouldBe ((3L, 0.0, 0.0, 0.0, 1.0))
   }
+
+  test("unigramCrossEntropy: hand-computed corpus-model surprisal") {
+    import spark.implicits._
+    // corpus counts: a:2 b:2 c:1, N=5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = unigramCrossEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 1: all three tokens have p = 2/5 -> xent = -ln(0.4)
+    out(0)._1 shouldBe 1L
+    out(0)._2 shouldBe 3L
+    out(0)._3 shouldBe (-math.log(0.4) +- 1e-6)
+    // doc 2: -(ln(2/5) + ln(1/5)) / 2
+    out(1)._2 shouldBe 2L
+    out(1)._3 shouldBe (-(math.log(0.4) + math.log(0.2)) / 2 +- 1e-6)
+    // boilerplate scores LOWER than rare-token text: common tokens are
+    // corpus-probable
+    out(0)._3 should be < out(1)._3
+  }
+
+  test("corpusStats rolls up exact counts and the mean quality per group") {
+    import spark.implicits._
+    val docs = Seq(
+      ("web", "the quick brown fox jumps over the lazy dog"),
+      ("web", "a small document for the test"),
+      ("book", "el perro y la casa de los vecinos en la calle")
+    ).toDF("source", "text")
+    val out = corpusStats(docs, "source", "text").orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    out.map(x => (x._1, x._2, x._3)) shouldBe
+      Array(("book", 1L, 11L), ("web", 2L, 15L))
+    // the es doc is not English-predicted; both web docs are
+    out.map(x => (x._1, x._5)) shouldBe Array(("book", 0L), ("web", 2L))
+    // mean quality agrees with averaging the per-doc scalar
+    val perDoc = docs.where(col("source") === "web")
+      .select(qualityScore(col("text")).as("q")).collect().map(_.getDouble(0))
+    out(1)._4 shouldBe
+      (BigDecimal(perDoc.sum / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9)
+  }
 }
