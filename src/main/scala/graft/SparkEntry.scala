@@ -703,7 +703,20 @@ object SparkEntry {
     // share — the shard summary a training corpus publishes
     "q60_source_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(t(s, dir, "documents"), "source", "text")
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // Corpus mixing: per-source token budgets drawn deterministically
+    // in md5-coordinate order (src2's budget never bites = whole
+    // source; src3's budget of 1 keeps exactly its first doc —
+    // the always-keep-first overflow rule; unlisted sources drop)
+    "q61_token_budget_mix" -> ((s, dir) =>
+      Sampling.sampleByTokenBudget(
+          t(s, dir, "documents").withColumn("n_tokens",
+            TextAnalysis.tokenCount(col("text")).cast("long")),
+          "source", "doc_id", "n_tokens",
+          Map("src0" -> 500L, "src1" -> 800L, "src2" -> 100000L, "src3" -> 1L))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .orderBy(col("doc_id")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1414,7 +1427,28 @@ object SparkEntry {
                 sum(CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) > 0
                           AND s_en = greatest(s_en, s_es, s_de, s_fr, s_zh)
                     THEN 1 ELSE 0 END)::BIGINT AS n_pred_en
-         FROM q GROUP BY source ORDER BY source"""
+         FROM q GROUP BY source ORDER BY source""",
+
+    // Token-budget mixing: same md5 ordering as q52, running sum of
+    // tokens BEFORE each row must be under the source's budget
+    "q61_token_budget_mix" ->
+      """WITH x AS (
+           SELECT doc_id, source,
+                  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+                  CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 800
+                              WHEN 'src2' THEN 100000 WHEN 'src3' THEN 1
+                  END AS budget
+           FROM documents),
+         r AS (
+           SELECT doc_id, source, n_tokens, budget,
+                  coalesce(sum(n_tokens) OVER (
+                    PARTITION BY source
+                    ORDER BY md5(doc_id::VARCHAR), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS before_toks
+           FROM x WHERE budget IS NOT NULL)
+         SELECT doc_id, source, n_tokens FROM r
+         WHERE before_toks < budget ORDER BY doc_id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -1468,5 +1502,6 @@ object SparkEntry {
     "q50_pii_redact", "q51_token_topk", "q52_group_sample",
     "q53_langid_confusion", "q54_langid_confusion_realistic",
     "q55_ann_topk_auto", "q56_ann_recall_auto", "q57_repetition_scores",
-    "q58_contamination", "q59_unigram_xent", "q60_source_stats")
+    "q58_contamination", "q59_unigram_xent", "q60_source_stats",
+    "q61_token_budget_mix")
 }

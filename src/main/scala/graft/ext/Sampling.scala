@@ -63,4 +63,44 @@ object Sampling {
       .where(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Token-budget sampling — the corpus-MIXING primitive: per group
+    * (source / language / domain), keep documents in md5-coordinate
+    * order while the RUNNING token total stays within that group's
+    * budget. This is how a training mixture is drawn ("web 60B tokens,
+    * code 20B, books 10B…"): deterministic (same docs chosen on any
+    * partitioning or engine — no `rand()`), content-keyed (a re-crawl
+    * keeps the same selection), and budgeted in tokens, not documents.
+    *
+    * The first document of a group is always kept even when it alone
+    * overflows the budget (a mixture spec of N tokens means "roughly
+    * N", never zero). `budgets` misses drop the group — an explicit
+    * mixture is a whitelist.
+    *
+    * Shape at scale: one shuffle on the group key + a running-sum
+    * window; the window's sort is per-group, so skewed sources are the
+    * only long poles (salt upstream via [[graft.plans.Layout]] if a
+    * single source dominates).
+    */
+  def sampleByTokenBudget(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      tokenCol: String,
+      budgets: Map[String, Long]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(contentKey(col(keyCol)), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val budget = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (g, b)) => when(col(groupCol) === g, b).otherwise(acc)
+    }
+    df.withColumn("__budget", budget)
+      .where(col("__budget").isNotNull)
+      // tokens BEFORE this row: the row is kept while the budget is
+      // not yet exhausted when it starts (first row: 0 < budget)
+      .withColumn("__before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .where(col("__before") < col("__budget"))
+      .drop("__budget", "__before")
+  }
 }

@@ -55,4 +55,31 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val tiny = Seq(("g", 1L), ("g", 2L)).toDF("grp", "id")
     Sampling.sampleByGroup(tiny, "grp", "id", 5).count() shouldBe 2
   }
+
+  test("sampleByTokenBudget draws each group up to its token budget, deterministically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 10 docs of 10 tokens per group
+    val df = (1L to 30L).map(i => (s"g${i % 3}", i, 10L)).toDF("grp", "id", "toks")
+    val out = Sampling.sampleByTokenBudget(df, "grp", "id", "toks",
+      Map("g0" -> 35L, "g1" -> 1L, "g2" -> 1000L))
+    val perGroup = out.groupBy("grp").agg(count(lit(1)).as("n"), sum("toks").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // g0: rows kept while tokens-before < 35 -> 4 docs (40 tokens: the
+    // budget-crossing doc is kept, the next is not)
+    perGroup("g0") shouldBe ((4L, 40L))
+    // g1: budget smaller than any doc still keeps the first doc
+    perGroup("g1") shouldBe ((1L, 10L))
+    // g2: budget never bites -> whole group
+    perGroup("g2") shouldBe ((10L, 100L))
+    // unlisted groups drop: the mixture is a whitelist
+    Sampling.sampleByTokenBudget(df, "grp", "id", "toks", Map("g0" -> 35L))
+      .select("grp").distinct().collect().map(_.getString(0)) shouldBe Array("g0")
+    // layout-independent: same ids chosen on any partitioning
+    val a = out.select("id").as[Long].collect().sorted
+    val b = Sampling.sampleByTokenBudget(df.repartition(11), "grp", "id", "toks",
+        Map("g0" -> 35L, "g1" -> 1L, "g2" -> 1000L))
+      .select("id").as[Long].collect().sorted
+    a shouldBe b
+  }
 }
