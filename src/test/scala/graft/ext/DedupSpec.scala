@@ -37,6 +37,47 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
       Array(("x", 2L, 2L), ("y", 8L, 1L))
   }
 
+  test("wordShingles: zip-chain construction equals the naive sliding window") {
+    // The capture-free zip-chain spelling (round 9 — the index-slice
+    // lambda re-ran normalize+split per shingle) must stay
+    // byte-identical to the definition: shingle i = tokens i..i+n-1
+    // joined by " ", first-occurrence distinct, whole text when the
+    // doc is shorter than n words.
+    import spark.implicits._
+    def naive(text: String, n: Int): Seq[String] = {
+      val norm = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      val toks = norm.split(" ", -1).toSeq
+      val all =
+        if (toks.size < n) Seq(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      all.distinct
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("a", "bb", "ccc", "Dd", "e!", "ff9", "")
+    val texts = (1 to 60).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    } :+ "" :+ "one" :+ "one two" :+ "x x x x x"
+    for (n <- 1 to 4) {
+      val got = texts.toDF("t")
+        .select(col("t"), wordShinglesAll(col("t"), n).as("all"),
+          wordShingles(col("t"), n).as("dist"))
+        .collect()
+      got.foreach { r =>
+        val text = r.getString(0)
+        val norm = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        val toks = norm.split(" ", -1).toSeq
+        val expAll =
+          if (toks.size < n) Seq(toks.mkString(" "))
+          else toks.sliding(n).map(_.mkString(" ")).toSeq
+        withClue(s"n=$n text='$text': ") {
+          r.getSeq[String](1) shouldBe expAll
+          r.getSeq[String](2) shouldBe naive(text, n)
+        }
+      }
+    }
+  }
+
   test("minhash: aggregate-path signatures equal the scalar expression") {
     import spark.implicits._
     val docs = Seq(
