@@ -412,6 +412,20 @@ object SparkEntry {
           percentile(col("o_totalprice"), lit(0.9)).as("p90"))
         .orderBy(col("o_orderpriority"))),
 
+    // Approximate percentiles (Greenwald-Khanna summaries, merge-able
+    // partial sketches — the percentile form that survives 100 TB,
+    // where q40's exact `percentile` buffers every value per group).
+    // Rows-only: the sketch's merge order isn't an oracle contract;
+    // accuracy is bounded against the oracled exact q40 in SketchSpec
+    // (same groups, same column, rank error ≤ 1/accuracy).
+    "q62_approx_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90"))
+        .orderBy(col("o_orderpriority"))),
+
     // Deterministic content-hash sampling (reproducible, layout-stable)
     "q37_content_sample" -> ((s, dir) =>
       Sampling.contentSample(t(s, dir, "documents"), "text", "20")
@@ -1503,5 +1517,5 @@ object SparkEntry {
     "q53_langid_confusion", "q54_langid_confusion_realistic",
     "q55_ann_topk_auto", "q56_ann_recall_auto", "q57_repetition_scores",
     "q58_contamination", "q59_unigram_xent", "q60_source_stats",
-    "q61_token_budget_mix")
+    "q61_token_budget_mix", "q62_approx_percentiles")
 }

@@ -21,4 +21,27 @@ class SketchSpec extends AnyFunSuite with Matchers with SparkTestBase {
     exact shouldBe 20000L
     math.abs(approx - exact).toDouble / exact should be < 0.03
   }
+
+  test("percentile_approx (q62) within GK rank error of exact q40 per group") {
+    // Bounds the rows-only q62 against the oracled exact q40 on the
+    // driver fixture itself: for every (group, percentile), the approx
+    // value's RANK within the group differs from the target rank by
+    // at most accuracy-bound fraction of the group (GK guarantee is
+    // 1/accuracy = 1e-4; assert a conservative 1e-3).
+    val dir = "/root/testdata/sf0.01"
+    val approx = graft.SparkEntry.queries("q62_approx_percentiles")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sorted }
+    approx.keySet shouldBe orders.keySet
+    for ((g, vals) <- orders; (q, got) <- Seq((0.5, approx(g)._1), (0.9, approx(g)._2))) {
+      val n = vals.length
+      val rank = vals.count(_ <= got).toDouble / n
+      withClue(s"group $g p$q (n=$n, got=$got): ") {
+        math.abs(rank - q) should be <= math.max(1e-3, 2.0 / n)
+      }
+    }
+  }
 }
