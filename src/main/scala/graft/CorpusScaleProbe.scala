@@ -38,6 +38,26 @@ object CorpusScaleProbe {
       val secs1 = (System.nanoTime() - t1) / 1e9
       println(s"""{"metric":"clean_corpus_realistic","n_docs":$n,""" +
         s""""kept":$kept,"sec":$secs1,"cpus":$cpus}""")
+      // Eval-set contamination: the benchmark side is FIXED-size (every
+      // 500th doc), so the corpus side should scale linearly — the
+      // broadcast join never shuffles the exploded corpus grams
+      val t2 = System.nanoTime()
+      import org.apache.spark.sql.functions.col
+      val flagged = graft.ext.TextPipeline.contaminatedIds(docs, "doc_id",
+        "text", docs.where(col("doc_id") % 500 === 0), "text", n = 5)
+        .queryExecution.toRdd.count()
+      val secs2 = (System.nanoTime() - t2) / 1e9
+      println(s"""{"metric":"contamination_realistic","n_docs":$n,""" +
+        s""""flagged":$flagged,"sec":$secs2,"cpus":$cpus}""")
+      // Unigram cross-entropy: explode + two hash aggs + a
+      // vocabulary-sized join — the model table grows sublinearly
+      // (Zipf), the doc side linearly
+      val t3 = System.nanoTime()
+      val scored = graft.ext.TextAnalysis.unigramCrossEntropy(
+        docs, "doc_id", "text").queryExecution.toRdd.count()
+      val secs3 = (System.nanoTime() - t3) / 1e9
+      println(s"""{"metric":"unigram_xent_realistic","n_docs":$n,""" +
+        s""""scored":$scored,"sec":$secs3,"cpus":$cpus}""")
     }
     spark.stop()
   }

@@ -1390,14 +1390,13 @@ object SparkEntry {
                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
                ' ')) AS t
            FROM documents),
-         tf AS (SELECT doc_id, t, count(*) AS tf FROM terms GROUP BY doc_id, t),
          model AS (SELECT t, count(*) AS c FROM terms GROUP BY t),
          n AS (SELECT count(*) AS nn FROM terms)
          SELECT doc_id,
-                sum(tf)::BIGINT AS n_tokens,
-                round((sum(tf * ln(c::DOUBLE / nn::DOUBLE)) * -1.0)
-                      / sum(tf), 6) AS xent_nats
-         FROM tf JOIN model USING (t), n
+                count(*)::BIGINT AS n_tokens,
+                round((sum(ln(c::DOUBLE / nn::DOUBLE)) * -1.0)
+                      / count(*), 6) AS xent_nats
+         FROM terms JOIN model USING (t), n
          GROUP BY doc_id ORDER BY doc_id""",
 
     // Dataset card: exact counts + the q21 quality formula averaged

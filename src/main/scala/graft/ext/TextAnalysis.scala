@@ -196,26 +196,27 @@ object TextAnalysis {
     * no smoothing needed — every scored token is in the model by
     * construction.
     *
-    * Shape at scale: one explode, two hash aggregations ((doc,term)
-    * and (term) — the term table is vocabulary-sized, orders of
-    * magnitude smaller than the corpus), a join on `term`, and the
-    * corpus total riding along as a broadcast 1-row cross join. The
-    * per-doc Σ runs over (term, tf) pairs, so the double summation is
-    * vocabulary-bounded per doc, not token-bounded.
+    * Shape at scale: one explode, a vocabulary-sized model aggregation
+    * (count by term combines map-side down to ≤ |vocab| rows per task
+    * — a tiny shuffle), a broadcast join of the token stream against
+    * the model, and ONE aggregation by document whose map-side combine
+    * collapses each task's tokens to its resident docs. The obvious
+    * alternative — pre-aggregating (doc, term) term frequencies —
+    * shuffles a near-distinct (doc,term) stream the size of the corpus
+    * and measured 6.9× wall at 4× docs; this form measured ~linear
+    * (CorpusScaleProbe).
     */
   def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val terms = df.select(col(idCol),
       explode(split(normalize(col(textCol)), " ")).as("__t"))
-    val tf = terms.groupBy(col(idCol), col("__t"))
-      .agg(count(lit(1)).as("__tf"))
     val model = terms.groupBy(col("__t")).agg(count(lit(1)).as("__cnt"))
     val total = terms.agg(count(lit(1)).as("__N"))
-    tf.join(model, Seq("__t")).crossJoin(total)
+    terms.join(model, Seq("__t")).crossJoin(total)
       .groupBy(col(idCol))
       .agg(
-        sum(col("__tf")).as("n_tokens"),
-        round((sum(col("__tf") * log(col("__cnt") / col("__N"))) * lit(-1.0))
-          / sum(col("__tf")), 6).as("xent_nats"))
+        count(lit(1)).as("n_tokens"),
+        round((sum(log(col("__cnt") / col("__N"))) * lit(-1.0))
+          / count(lit(1)), 6).as("xent_nats"))
   }
 
   /** Per-group "dataset card" rollup — the summary a corpus shard gets
