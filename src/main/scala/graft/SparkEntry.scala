@@ -426,6 +426,23 @@ object SparkEntry {
           percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90"))
         .orderBy(col("o_orderpriority"))),
 
+    // Symmetric int8 quantization of the embedding corpus — exact
+    // integer/double arithmetic, so the quantized bytes and scales are
+    // hash-verified against DuckDB end-to-end
+    "q63_quantize_int8" -> ((s, dir) =>
+      SimilaritySearch.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), col("qscale"), col("qvec"))
+        .orderBy(col("vec_id"))),
+
+    // Top-k by cosine over the quantized vectors (scales cancel — pure
+    // int dot through the codegen dot_f64 loop); oracled: DuckDB
+    // re-derives the same quantization and scores identically
+    "q64_quantized_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.quantizedTopKByCosine(
+        e, "vec_id", "embedding", queryVector(e, 0L), 10, excludeId = Some(0L))
+    }),
+
     // Deterministic content-hash sampling (reproducible, layout-stable)
     "q37_content_sample" -> ((s, dir) =>
       Sampling.contentSample(t(s, dir, "documents"), "text", "20")
@@ -1381,6 +1398,48 @@ object SparkEntry {
          FROM grams JOIN bench USING (g)
          GROUP BY doc_id ORDER BY doc_id""",
 
+    // Int8 quantization: same per-row scale rule, same round/clamp;
+    // the TINYINT cast is of an already-integral double on both sides
+    "q63_quantize_int8" ->
+      """WITH s AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+                    / 127.0 AS qscale
+           FROM embeddings)
+         SELECT vec_id, qscale,
+                CASE WHEN qscale = 0
+                  THEN list_transform(embedding, x -> 0::TINYINT)
+                  ELSE list_transform(embedding, x ->
+                    least(greatest(round(x::DOUBLE / qscale), -127.0),
+                          127.0)::TINYINT) END AS qvec
+         FROM s ORDER BY vec_id""",
+
+    // Quantized cosine top-k: re-derive the quantization, score by the
+    // integer dot (scales cancel), same tie-break as q23
+    "q64_quantized_topk" ->
+      """WITH s AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+                    / 127.0 AS sc
+           FROM embeddings),
+         qv AS (
+           SELECT vec_id,
+                  CASE WHEN sc = 0
+                    THEN list_transform(embedding, x -> 0.0)
+                    ELSE list_transform(embedding, x ->
+                      least(greatest(round(x::DOUBLE / sc), -127.0), 127.0))
+                  END AS qe
+           FROM s),
+         q AS (SELECT qe AS qq FROM qv WHERE vec_id = 0),
+         z AS (SELECT e.vec_id, unnest(e.qe)::DOUBLE AS x,
+                      unnest(q.qq)::DOUBLE AS y
+               FROM qv e, q WHERE e.vec_id <> 0),
+         c AS (SELECT vec_id,
+                      sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cosine_sim
+               FROM z GROUP BY vec_id)
+         SELECT vec_id, cosine_sim FROM c
+         ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
+
     // Unigram cross-entropy: same normalized split, same
     // (doc,term)/(term) aggregations, ln on the identical double ratio
     "q59_unigram_xent" ->
@@ -1516,5 +1575,6 @@ object SparkEntry {
     "q53_langid_confusion", "q54_langid_confusion_realistic",
     "q55_ann_topk_auto", "q56_ann_recall_auto", "q57_repetition_scores",
     "q58_contamination", "q59_unigram_xent", "q60_source_stats",
-    "q61_token_budget_mix", "q62_approx_percentiles")
+    "q61_token_budget_mix", "q62_approx_percentiles",
+    "q63_quantize_int8", "q64_quantized_topk")
 }

@@ -40,6 +40,68 @@ object SimilaritySearch {
   /** Cosine similarity of two array columns, in double. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× storage/bandwidth cut for vector corpora at scale: per row,
+    * `qscale = max|v| / 127` and `qvec[i] = clamp(round(v[i]/qscale))`
+    * in [-127, 127] (an all-zero vector quantizes to zeros with scale
+    * 0). Exact integer/double arithmetic end-to-end, so an external
+    * engine reproduces the quantized bytes bit-for-bit (q63's DuckDB
+    * oracle does).
+    *
+    * Cosine needs NO dequantization: the per-row scales cancel, so
+    * `cos(dequant(a), dequant(b)) = intdot(qa, qb) / (|qa|·|qb|)` —
+    * see [[quantizedTopKByCosine]]. Round-trip error is bounded by
+    * qscale/2 per component (spec-asserted).
+    *
+    * The lambda body divides by the already-projected `qscale`
+    * ATTRIBUTE — per-element re-evaluation of an attribute reference
+    * is free, unlike the expensive-captured-expression trap
+    * [[graft.ext.Dedup.wordShingles]] documents.
+    */
+  def quantizeInt8(
+      df: DataFrame,
+      vecCol: String,
+      qvecCol: String = "qvec",
+      scaleCol: String = "qscale"): DataFrame =
+    df.withColumn(scaleCol,
+        (array_max(transform(col(vecCol), x => abs(x))).cast("double") / lit(127.0)))
+      .withColumn(qvecCol,
+        when(col(scaleCol) === 0.0,
+          transform(col(vecCol), _ => lit(0).cast("tinyint")))
+        .otherwise(transform(col(vecCol), x =>
+          least(greatest(round(x.cast("double") / col(scaleCol)), lit(-127.0)),
+            lit(127.0)).cast("tinyint"))))
+
+  /** Brute-force top-k by cosine over int8-quantized vectors — the
+    * memory-bandwidth-bound form of [[topKByCosine]]: scores are
+    * computed directly on the quantized integers (scales cancel in
+    * cosine), through the same codegen `dot_f64` inner loop after a
+    * native array cast (no lambda in the hot path). Agreement with the
+    * full-precision top-k is spec-asserted (recall@10 ≥ 0.9 on the
+    * fixture; measured 1.0).
+    */
+  def quantizedTopKByCosine(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val quantized = quantizeInt8(df, vecCol)
+    // quantize the query with the same rule, driver-side
+    val qmax = query.map(math.abs).foldLeft(0.0)(math.max)
+    val qs = qmax / 127.0
+    val qq: Seq[Double] =
+      if (qs == 0.0) query.map(_ => 0.0)
+      else query.map(x => math.min(math.max(math.round(x / qs).toDouble, -127.0), 127.0))
+    val qd = col("qvec").cast("array<double>")
+    val scored = quantized
+      .select(col(idCol), (dot(qd, typedLit(qq)) /
+        (l2norm(qd) * lit(math.sqrt(qq.map(x => x * x).sum)))).as("cosine_sim"))
+    val filtered = excludeId.fold(scored)(x => scored.where(col(idCol) =!= x))
+    filtered.orderBy(col("cosine_sim").desc, col(idCol).asc).limit(k)
+  }
+
   /** Brute-force top-k by cosine against one literal query vector.
     * Ties broken by id for determinism. Excludes `excludeId` (typically
     * the query's own row).
