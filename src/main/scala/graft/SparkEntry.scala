@@ -747,6 +747,24 @@ object SparkEntry {
           "source", "doc_id", "n_tokens",
           Map("src0" -> 500L, "src1" -> 800L, "src2" -> 100000L, "src3" -> 1L))
         .select(col("doc_id"), col("source"), col("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // Sequence packing: every doc's (pack, offset, span) under
+    // 512-token concat-and-chunk in md5 order — distributed prefix sum
+    // (shard totals + per-shard window), no global sort
+    "q65_pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(
+          t(s, dir, "documents").withColumn("n_tokens",
+            TextAnalysis.tokenCount(col("text")).cast("long")),
+          "doc_id", "n_tokens", 512L)
+        .select(col("doc_id"), col("n_tokens"), col("pack_id"),
+          col("pack_offset"), col("n_packs"))
+        .orderBy(col("doc_id"))),
+
+    // Cross-document duplicate 3-gram fraction — corpus-level
+    // repetition (within-doc repeats don't count; q57 covers those)
+    "q66_cross_dup_ngrams" -> ((s, dir) =>
+      TextAnalysis.crossDocDupFraction(t(s, dir, "documents"), "doc_id", "text", n = 3)
         .orderBy(col("doc_id")))
   )
 
@@ -1520,7 +1538,51 @@ object SparkEntry {
                     AS before_toks
            FROM x WHERE budget IS NOT NULL)
          SELECT doc_id, source, n_tokens FROM r
-         WHERE before_toks < budget ORDER BY doc_id"""
+         WHERE before_toks < budget ORDER BY doc_id""",
+
+    // Sequence packing: the global running sum over md5 order IS the
+    // shard-prefix-sum result (the shard key is a prefix of the order
+    // key), so a plain window reproduces it exactly
+    "q65_pack_sequences" ->
+      """WITH x AS (
+           SELECT doc_id,
+                  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+                  md5(doc_id::VARCHAR) AS k
+           FROM documents),
+         r AS (
+           SELECT doc_id, n_tokens,
+                  coalesce(sum(n_tokens) OVER (ORDER BY k, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                    AS s
+           FROM x)
+         SELECT doc_id, n_tokens,
+                (s // 512)::BIGINT AS pack_id,
+                (s % 512)::BIGINT AS pack_offset,
+                ((s + greatest(n_tokens, 1) - 1) // 512 - s // 512 + 1)::BIGINT
+                  AS n_packs
+         FROM r ORDER BY doc_id""",
+
+    // Cross-doc duplicate 3-grams: same normalization and short-doc
+    // whole-text rule as q58; occurrences (no DISTINCT), gram weight =
+    // its distinct-doc count
+    "q66_cross_dup_ngrams" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+           FROM documents),
+         ws AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM base),
+         grams AS (
+           SELECT doc_id,
+                  CASE WHEN len(w) < 3 THEN norm
+                       ELSE w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2]
+                  END AS g
+           FROM ws, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS g(i)),
+         nd AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY g)
+         SELECT doc_id, count(*)::BIGINT AS n_grams,
+                round(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*), 6) AS cross_dup_frac
+         FROM grams JOIN nd USING (g)
+         GROUP BY doc_id ORDER BY doc_id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -1576,5 +1638,6 @@ object SparkEntry {
     "q55_ann_topk_auto", "q56_ann_recall_auto", "q57_repetition_scores",
     "q58_contamination", "q59_unigram_xent", "q60_source_stats",
     "q61_token_budget_mix", "q62_approx_percentiles",
-    "q63_quantize_int8", "q64_quantized_topk")
+    "q63_quantize_int8", "q64_quantized_topk",
+    "q65_pack_sequences", "q66_cross_dup_ngrams")
 }

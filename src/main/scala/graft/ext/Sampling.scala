@@ -82,6 +82,59 @@ object Sampling {
     * only long poles (salt upstream via [[graft.plans.Layout]] if a
     * single source dominates).
     */
+  /** Sequence packing — concat-and-chunk bookkeeping for LLM training:
+    * documents are laid end-to-end in md5-coordinate order and the
+    * resulting token stream is sliced into fixed `seqLen` windows; each
+    * document learns which pack it starts in (`pack_id`), at which
+    * offset (`pack_offset`), and how many packs it spans (`n_packs`).
+    * Deterministic on any partitioning or engine — the order is the
+    * same content-keyed coordinate every sampler here uses — so the
+    * packing layout is reproducible across runs and re-crawls.
+    *
+    * Shape at scale: a naive global running sum is a single-partition
+    * sort — a non-starter at 100 TB. Instead the classic distributed
+    * prefix sum: the md5 coordinate's first two hex chars shard the
+    * corpus into 256 ranges whose concatenation IS the global order, so
+    * (1) per-shard token totals (a 256-row aggregate) get exclusive
+    * prefix-summed by a trivially small window, and (2) a per-shard
+    * running-sum window plus the broadcast shard base yields every
+    * document's global start offset with no global sort and no driver
+    * round-trip. Two passes over (key, tokens) — both column-pruned
+    * scans — and a 32-way-parallel window.
+    */
+  def packSequences(
+      df: DataFrame,
+      keyCol: String,
+      tokenCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val W = org.apache.spark.sql.expressions.Window
+    val kd = df
+      .withColumn("__k", contentKey(col(keyCol)))
+      .withColumn("__shard", substring(col("__k"), 1, 2))
+    // Exclusive prefix sum over the ≤256 shard totals: the window is a
+    // single tiny partition by construction, then broadcast back.
+    val bases = kd.groupBy(col("__shard"))
+      .agg(sum(col(tokenCol)).as("__tot"))
+      .withColumn("__base",
+        coalesce(sum(col("__tot")).over(
+          W.orderBy(col("__shard")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__shard"), col("__base"))
+    val wIn = W.partitionBy(col("__shard"))
+      .orderBy(col("__k"), col(keyCol))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val start = col("__base") + coalesce(sum(col(tokenCol)).over(wIn), lit(0L))
+    // A zero-token document still occupies its start point (spans 1).
+    val lastTok = col("__start") + greatest(col(tokenCol), lit(1L)) - lit(1L)
+    kd.join(broadcast(bases), "__shard")
+      .withColumn("__start", start)
+      .withColumn("pack_id", floor(col("__start") / lit(seqLen)).cast("long"))
+      .withColumn("pack_offset", pmod(col("__start"), lit(seqLen)).cast("long"))
+      .withColumn("n_packs",
+        (floor(lastTok / lit(seqLen)) - col("pack_id") + lit(1L)).cast("long"))
+      .drop("__k", "__shard", "__base", "__start")
+  }
+
   def sampleByTokenBudget(
       df: DataFrame,
       groupCol: String,

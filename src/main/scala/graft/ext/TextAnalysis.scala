@@ -219,6 +219,53 @@ object TextAnalysis {
           / count(lit(1)), 6).as("xent_nats"))
   }
 
+  /** Cross-document duplicate n-gram fraction — the corpus-level
+    * repetition signal (RefinedWeb/Dolma-style): for each document, the
+    * fraction of its n-gram OCCURRENCES whose gram also appears in at
+    * least one OTHER document. Complements [[repetitionScores]], which
+    * measures repetition WITHIN a document: a boilerplate footer
+    * repeated across the corpus scores high here even if each document
+    * contains it once. A gram repeated only inside one document does
+    * NOT count (its distinct-doc count stays 1) — within-doc and
+    * cross-doc repetition stay separable signals.
+    *
+    * Documents shorter than `n` words contribute their whole normalized
+    * text as a single gram (same rule as the decontamination and
+    * Jaccard operators), so exact short-document duplicates are caught.
+    *
+    * Shape at scale: one scan/explode of the shingle stream, a
+    * (gram, doc) pre-aggregation whose map-side combine collapses
+    * within-doc repeats, a per-gram doc count, and an equi-join of the
+    * two on gram. The join form is deliberate: a `count over
+    * (partition by gram)` window would funnel each hot gram (web
+    * boilerplate is EXACTLY a hot gram) into one partition with no
+    * remedy, while the join broadcasts the per-gram counts at moderate
+    * vocabulary sizes and degrades to a sort-merge join whose hot
+    * partitions AQE's skew-join CAN split. The gram extraction is
+    * evaluated once per join side (self-join shape, like
+    * [[unigramCrossEntropy]]'s model/stream split) — pure codegen
+    * regexp work that scales with input splits, measured linear on the
+    * same probe. No all-pairs anything; the widest stream is the
+    * near-distinct (gram, doc) set.
+    */
+  def crossDocDupFraction(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(Dedup.wordShinglesAll(col(textCol), n)).as("__g"))
+    val perDocGram = grams.groupBy(col("__g"), col(idCol))
+      .agg(count(lit(1)).as("__occ"))
+    val ndocs = perDocGram.groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
+    perDocGram.join(ndocs, "__g")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__occ")).as("n_grams"),
+        round(sum(when(col("__nd") >= 2, col("__occ")).otherwise(0L)).cast("double")
+          / sum(col("__occ")).cast("double"), 6).as("cross_dup_frac"))
+  }
+
   /** Per-group "dataset card" rollup — the summary a corpus shard gets
     * before training: document and token counts, mean quality score,
     * and the count of English-predicted documents (composition). All

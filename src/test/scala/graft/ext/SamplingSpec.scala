@@ -82,4 +82,36 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .select("id").as[Long].collect().sorted
     a shouldBe b
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("packSequences matches a driver-side global concat-and-chunk") {
+    import spark.implicits._
+    // token counts include zeros (a zero-token doc still occupies its
+    // start point and spans exactly one pack)
+    val rows = (1L to 50L).map(i => (i, i % 7))
+    val df = rows.toDF("id", "toks")
+    val seqLen = 10L
+    // driver-side truth: global md5 order, running sum
+    var acc = 0L
+    val expected = rows.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .map { case (id, tok) =>
+        val start = acc; acc += tok
+        val last = start + math.max(tok, 1L) - 1L
+        id -> ((start / seqLen, start % seqLen, last / seqLen - start / seqLen + 1L))
+      }.toMap
+    val out = Sampling.packSequences(df, "id", "toks", seqLen)
+      .select("id", "pack_id", "pack_offset", "n_packs")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out shouldBe expected
+    // at least one doc must straddle a pack boundary in this fixture
+    out.values.map(_._3).max should be >= 2L
+    // layout-independent: identical on any input partitioning
+    val rep = Sampling.packSequences(df.repartition(13), "id", "toks", seqLen)
+      .select("id", "pack_id", "pack_offset", "n_packs")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    rep shouldBe expected
+  }
 }

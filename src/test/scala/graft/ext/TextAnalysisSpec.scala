@@ -165,4 +165,26 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(1)._4 shouldBe
       (BigDecimal(perDoc.sum / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9)
   }
+
+  test("crossDocDupFraction counts cross-doc grams only; within-doc repeats excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),       // grams: [alpha beta gamma, beta gamma delta]
+      (2L, "x alpha beta gamma y"),         // shares "alpha beta gamma" with doc 1
+      (3L, "unique words only here now"),   // nothing shared
+      (4L, "rep rep rep rep"),              // "rep rep rep" twice — SAME doc only
+      (5L, "hi"),                           // short doc: whole text is the gram
+      (6L, "hi")                            // exact short-doc duplicate of 5
+    ).toDF("doc_id", "text")
+    val out = crossDocDupFraction(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out shouldBe Array(
+      (1L, 2L, 0.5),      // 1 of 2 grams cross-duplicated
+      (2L, 3L, 0.333333), // 1 of 3
+      (3L, 3L, 0.0),
+      (4L, 2L, 0.0),      // within-doc repetition does NOT count
+      (5L, 1L, 1.0),
+      (6L, 1L, 1.0))
+  }
 }
