@@ -765,7 +765,24 @@ object SparkEntry {
     // repetition (within-doc repeats don't count; q57 covers those)
     "q66_cross_dup_ngrams" -> ((s, dir) =>
       TextAnalysis.crossDocDupFraction(t(s, dir, "documents"), "doc_id", "text", n = 3)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Overlapping token-window chunking (30-token windows, 5 shared):
+    // the RAG/context-window prep step, one codegen projection
+    "q67_chunk_tokens" -> ((s, dir) =>
+      TextAnalysis.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 30, overlapTokens = 5)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Per-source embedding centroids (embeddings ⋈ documents on
+    // vec_id = doc_id, broadcast dim side at this SF)
+    "q68_group_centroids" -> ((s, dir) => {
+      val joined = t(s, dir, "embeddings")
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("vec_id") === col("doc_id"))
+      SimilaritySearch.groupCentroids(joined, "source", "embedding")
+        .orderBy(col("source"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1582,7 +1599,37 @@ object SparkEntry {
                 round(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::DOUBLE
                       / count(*), 6) AS cross_dup_frac
          FROM grams JOIN nd USING (g)
-         GROUP BY doc_id ORDER BY doc_id"""
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    // Token-window chunking: same whitespace split, starts advance by
+    // chunk - overlap = 25; list slice end is inclusive in DuckDB so
+    // [s+1 : s+30] is the same 30-token window
+    "q67_chunk_tokens" ->
+      """WITH x AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         c AS (
+           SELECT doc_id, w, g.i AS s
+           FROM x, unnest(generate_series(0, greatest(len(w) - 1, 0), 25)) AS g(i))
+         SELECT doc_id, (s / 25)::BIGINT AS chunk_idx,
+                least(30, len(w) - s)::BIGINT AS chunk_tokens,
+                array_to_string(w[s + 1 : s + 30], ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_idx""",
+
+    // Per-source centroids: identical join, componentwise avg rounded
+    // to 6, list rebuilt in position order
+    "q68_group_centroids" ->
+      """WITH e AS (
+           SELECT d.source, g.i AS i, em.embedding[g.i]::DOUBLE AS x
+           FROM embeddings em
+           JOIN documents d ON em.vec_id = d.doc_id,
+                unnest(generate_series(1, len(em.embedding))) AS g(i)),
+         p AS (
+           SELECT source, i, round(avg(x), 6) AS m, count(*) AS n
+           FROM e GROUP BY source, i)
+         SELECT source, max(n)::BIGINT AS n_vectors,
+                list(m ORDER BY i) AS centroid
+         FROM p GROUP BY source ORDER BY source"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -1639,5 +1686,6 @@ object SparkEntry {
     "q58_contamination", "q59_unigram_xent", "q60_source_stats",
     "q61_token_budget_mix", "q62_approx_percentiles",
     "q63_quantize_int8", "q64_quantized_topk",
-    "q65_pack_sequences", "q66_cross_dup_ngrams")
+    "q65_pack_sequences", "q66_cross_dup_ngrams",
+    "q67_chunk_tokens", "q68_group_centroids")
 }

@@ -72,6 +72,28 @@ object SimilaritySearch {
           least(greatest(round(x.cast("double") / col(scaleCol)), lit(-127.0)),
             lit(127.0)).cast("tinyint"))))
 
+  /** Per-group embedding centroids — mean vector per source / domain /
+    * cluster: the building block for domain-level similarity, drift
+    * monitoring, and seeding IVF-style partitions from real group
+    * structure. Componentwise means are computed on the exploded
+    * (group, position, value) stream — one shuffle whose map-side
+    * partial aggregation collapses each task to `|groups| × dim` rows,
+    * then a per-group fold back into an ordered array (sort by
+    * position inside the row, not a sort of the data). Means are
+    * rounded to 6 decimals so the result is engine-reproducible
+    * (established float-aggregation practice here, q59/q60).
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .groupBy(col(groupCol), col("__pos"))
+      .agg(round(avg(col("__x").cast("double")), 6).as("__m"),
+        count(lit(1)).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("__n")).as("n_vectors"),
+        transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          s => s.getField("__m")).as("centroid"))
+
   /** Brute-force top-k by cosine over int8-quantized vectors — the
     * memory-bandwidth-bound form of [[topKByCosine]]: scores are
     * computed directly on the quantized integers (scales cancel in

@@ -266,6 +266,38 @@ object TextAnalysis {
           / sum(col("__occ")).cast("double"), 6).as("cross_dup_frac"))
   }
 
+  /** Overlapping token-window chunking — the context-window prep step
+    * (RAG indexing, long-doc training): each document becomes
+    * ceil-many chunks of at most `chunkTokens` whitespace tokens,
+    * consecutive chunks sharing `overlapTokens`. Chunk starts advance
+    * by `chunkTokens - overlapTokens`; every token position is covered
+    * and the final chunk may be short (kept — truncating it would drop
+    * tail tokens). One row in, `O(n_tokens / step)` rows out, all
+    * computed inside a single codegen projection (split once, slices
+    * of the bound array) — no shuffle at all until something downstream
+    * asks for one.
+    */
+  def chunkByTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlap < chunk, got chunk=$chunkTokens overlap=$overlapTokens")
+    val step = chunkTokens - overlapTokens
+    df.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol), col("__w"),
+        posexplode(sequence(lit(0), greatest(size(col("__w")) - 1, lit(0)), lit(step))))
+      .select(
+        col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        least(lit(chunkTokens), size(col("__w")) - col("col")).cast("long")
+          .as("chunk_tokens"),
+        array_join(slice(col("__w"), col("col") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** Per-group "dataset card" rollup — the summary a corpus shard gets
     * before training: document and token counts, mean quality score,
     * and the count of English-predicted documents (composition). All

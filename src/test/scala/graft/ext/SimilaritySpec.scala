@@ -243,4 +243,21 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     // stays high (measured 1.0 here — floor at 0.9 for seed drift)
     ((exact & quant).size / 10.0) should be >= 0.9
   }
+
+  test("groupCentroids: componentwise means in position order, per group") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(1.0f, 2.0f, 3.0f)),
+      ("a", Seq(3.0f, 0.0f, 5.0f)),
+      ("b", Seq(10.0f, 20.0f, 30.0f))
+    ).toDF("grp", "v")
+    val out = groupCentroids(df, "grp", "v").orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Double](2)))
+    out(0) shouldBe (("a", 2L, Seq(2.0, 1.0, 4.0)))
+    out(1) shouldBe (("b", 1L, Seq(10.0, 20.0, 30.0)))
+    // layout-independent (partial aggregation + rounding)
+    val rep = groupCentroids(df.repartition(7), "grp", "v").orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Double](2)))
+    rep shouldBe out
+  }
 }

@@ -187,4 +187,26 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
       (5L, 1L, 1.0),
       (6L, 1L, 1.0))
   }
+
+  test("chunkByTokens: full coverage, overlap shared, short tail kept") {
+    import spark.implicits._
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val out = chunkByTokens(df, "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // step 3: starts 0,3,6,9 — last chunk is the single tail token
+    out.filter(_._1 == 1L) shouldBe Array(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10"),
+      (1L, 3L, 1L, "t10"))
+    // consecutive chunks share exactly the overlap token
+    out.filter(_._1 == 1L).sliding(2).foreach { case Array(a, b) =>
+      a._4.split(" ").last shouldBe b._4.split(" ").head
+    }
+    // sub-chunk doc -> one short chunk; empty text -> one empty chunk
+    out.filter(_._1 == 2L) shouldBe Array((2L, 0L, 1L, "solo"))
+    out.filter(_._1 == 3L).length shouldBe 1
+  }
 }
