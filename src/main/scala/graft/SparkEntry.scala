@@ -782,6 +782,21 @@ object SparkEntry {
           col("vec_id") === col("doc_id"))
       SimilaritySearch.groupCentroids(joined, "source", "embedding")
         .orderBy(col("source"))
+    }),
+
+    // Keep-best dedup policy: one representative per exact-Jaccard
+    // cluster, by length (n_chars) with id tie-break — the oracle-able
+    // demo of the policy (the scale path plugs the same selector into
+    // the MinHash cluster labels)
+    "q69_cluster_representatives" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 1, minJaccard = 0.8, maxDocFreq = 0L)
+      val comps = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs)
+      Dedup.keepBestPerCluster(docs, "doc_id", comps, "n_chars")
+        .select(col("doc_id"), col("component"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1629,12 +1644,44 @@ object SparkEntry {
            FROM e GROUP BY source, i)
          SELECT source, max(n)::BIGINT AS n_vectors,
                 list(m ORDER BY i) AS centroid
-         FROM p GROUP BY source ORDER BY source"""
+         FROM p GROUP BY source ORDER BY source""",
+
+    // Keep-best per cluster: q30's component labeling + argmax by
+    // (n_chars, id) — rank-1 row per component
+    "q69_cluster_representatives" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id,
+                 list_distinct(regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                   ' ')) AS words
+               FROM documents),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM w a, w b
+               WHERE a.doc_id < b.doc_id
+                 AND len(list_intersect(a.words, b.words))::DOUBLE
+                     / (len(a.words) + len(b.words)
+                        - len(list_intersect(a.words, b.words)))::DOUBLE >= 0.8),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+         lab AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         j AS (SELECT d.doc_id, lab.component, d.n_chars
+               FROM documents d JOIN lab ON lab.id = d.doc_id),
+         rk AS (SELECT doc_id, component, n_chars,
+                       row_number() OVER (PARTITION BY component
+                         ORDER BY n_chars DESC, doc_id) AS rn
+                FROM j)
+         SELECT doc_id, component, n_chars FROM rk
+         WHERE rn = 1 ORDER BY doc_id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
-    * (the brute-force O(n²) oracle-twin forms q24/q27/q30 are excluded —
-    * their scale paths q28/q29/q31 run instead).
+    * (the brute-force O(n²) oracle-twin forms q24/q27/q30/q69 are
+    * excluded — their scale paths q28/q29/q31 and the pipeline's
+    * MinHash clusters run instead).
     */
   /** In-bench stage timing for q48_minhash_realistic (round-7 verdict
     * ask #1): splits the query into corpus generation, signature

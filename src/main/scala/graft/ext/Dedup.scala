@@ -537,4 +537,32 @@ object Dedup {
           "for pathology")
     labels
   }
+
+  /** Representative selection for duplicate clusters: keep, per
+    * component, the row maximizing `scoreCol` (ties broken by id) —
+    * the keep-BEST dedup policy (longest version, highest quality
+    * score) real pipelines use where keep-first is the cheap default.
+    * `clusters` is any (id, component) labeling: the exact-Jaccard
+    * [[connectedComponents]] output, or the MinHash cluster labels the
+    * clean-corpus pipeline derives at scale — the policy is
+    * independent of how the clusters were found.
+    *
+    * Shape at scale: an equi-join on id (both sides partitioned the
+    * same way) and a rank window per component; components are
+    * near-duplicate clusters, so partitions are tiny by construction
+    * and rows beyond rank 1 drop at the window.
+    */
+  def keepBestPerCluster(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      scoreCol: String): DataFrame = {
+    val labeled = df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    labeled.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .drop("__rk")
+  }
 }

@@ -225,4 +225,18 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
       maxDocFreq = 2L)
     pairs.count() shouldBe 0
   }
+
+  test("keepBestPerCluster keeps the argmax-score row per component, id tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a dup", 30L), (3L, "a dup too", 30L), // cluster {1,2,3}
+      (4L, "alone", 5L)                                           // singleton
+    ).toDF("doc_id", "text", "len")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)).toDF("id", "component")
+    val kept = keepBestPerCluster(docs, "doc_id", clusters, "len")
+      .select("doc_id", "component", "len").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    // 2 beats 3 on the id tie at score 30; 1 loses on score; 4 survives alone
+    kept shouldBe Array((2L, 1L, 30L), (4L, 4L, 5L))
+  }
 }
