@@ -797,6 +797,16 @@ object SparkEntry {
       Dedup.keepBestPerCluster(docs, "doc_id", comps, "n_chars")
         .select(col("doc_id"), col("component"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Centroid coherence: every doc's cosine to its own source
+    // centroid — the outlier/curation signal over q68's centroids
+    "q70_centroid_outliers" -> ((s, dir) => {
+      val joined = t(s, dir, "embeddings")
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("vec_id") === col("doc_id"))
+      SimilaritySearch.centroidSimilarity(joined, "source", "vec_id", "embedding")
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1675,7 +1685,29 @@ object SparkEntry {
                          ORDER BY n_chars DESC, doc_id) AS rn
                 FROM j)
          SELECT doc_id, component, n_chars FROM rk
-         WHERE rn = 1 ORDER BY doc_id"""
+         WHERE rn = 1 ORDER BY doc_id""",
+
+    // Centroid coherence: recompute q68's rounded centroids, then each
+    // vector's cosine to its source centroid, rounded like every ratio
+    "q70_centroid_outliers" ->
+      """WITH e AS (
+           SELECT em.vec_id, d.source, g.i AS i, em.embedding[g.i]::DOUBLE AS x
+           FROM embeddings em
+           JOIN documents d ON em.vec_id = d.doc_id,
+                unnest(generate_series(1, len(em.embedding))) AS g(i)),
+         p AS (
+           SELECT source, i, round(avg(x), 6) AS m
+           FROM e GROUP BY source, i),
+         sc AS (
+           SELECT e.vec_id, e.source,
+                  sum(e.x * p.m) AS dp,
+                  sqrt(sum(e.x * e.x)) AS nx,
+                  sqrt(sum(p.m * p.m)) AS nm
+           FROM e JOIN p ON e.source = p.source AND e.i = p.i
+           GROUP BY e.vec_id, e.source)
+         SELECT vec_id, source,
+                round(dp / (nx * nm), 6) AS centroid_sim
+         FROM sc ORDER BY vec_id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -1734,5 +1766,5 @@ object SparkEntry {
     "q61_token_budget_mix", "q62_approx_percentiles",
     "q63_quantize_int8", "q64_quantized_topk",
     "q65_pack_sequences", "q66_cross_dup_ngrams",
-    "q67_chunk_tokens", "q68_group_centroids")
+    "q67_chunk_tokens", "q68_group_centroids", "q70_centroid_outliers")
 }

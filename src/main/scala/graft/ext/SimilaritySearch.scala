@@ -94,6 +94,28 @@ object SimilaritySearch {
         transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
           s => s.getField("__m")).as("centroid"))
 
+  /** Cosine of every vector to its OWN group's centroid — the
+    * centroid-coherence curation signal: documents far from their
+    * domain/source centroid are outliers (mislabeled source, boilerplate,
+    * embedding failures) and the usual drop/re-route candidates.
+    * Composes [[groupCentroids]]; the centroid table is |groups| rows,
+    * so the join back is a broadcast and the scoring is one codegen
+    * dot-product pass over the corpus. Scores are rounded like every
+    * float ratio here, so an external engine reproduces them.
+    */
+  def centroidSimilarity(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val cents = groupCentroids(df, groupCol, vecCol)
+      .select(col(groupCol), col("centroid"))
+    df.join(broadcast(cents), groupCol)
+      .select(col(idCol), col(groupCol),
+        round(cosine(col(vecCol).cast("array<double>"), col("centroid")), 6)
+          .as("centroid_sim"))
+  }
+
   /** Brute-force top-k by cosine over int8-quantized vectors — the
     * memory-bandwidth-bound form of [[topKByCosine]]: scores are
     * computed directly on the quantized integers (scales cancel in

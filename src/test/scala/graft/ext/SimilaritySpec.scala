@@ -260,4 +260,20 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getSeq[Double](2)))
     rep shouldBe out
   }
+
+  test("centroidSimilarity: coherent group scores 1.0, outlier scores lowest") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Seq(1.0f, 0.0f)),
+      (2L, "a", Seq(2.0f, 0.0f)),   // same direction as 1 — coherent
+      (3L, "a", Seq(-1.0f, 0.5f)),  // points away — the outlier
+      (4L, "b", Seq(0.0f, 3.0f))    // singleton group: sim 1.0 by definition
+    ).toDF("id", "grp", "v")
+    val out = centroidSimilarity(df, "grp", "id", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out(1) shouldBe out(2)
+    out(1) should be > out(3)
+    out(4) shouldBe 1.0 +- 1e-9
+    out.values.min shouldBe out(3)
+  }
 }
