@@ -241,12 +241,14 @@ object TextAnalysis {
     * boilerplate is EXACTLY a hot gram) into one partition with no
     * remedy, while the join broadcasts the per-gram counts at moderate
     * vocabulary sizes and degrades to a sort-merge join whose hot
-    * partitions AQE's skew-join CAN split. The gram extraction is
-    * evaluated once per join side (self-join shape, like
-    * [[unigramCrossEntropy]]'s model/stream split) — pure codegen
-    * regexp work that scales with input splits, measured linear on the
-    * same probe. No all-pairs anything; the widest stream is the
-    * near-distinct (gram, doc) set.
+    * partitions AQE's skew-join CAN split. The (gram, doc) stream is
+    * pinned with localCheckpoint before fanning into both join sides —
+    * a self-join over a lazy frame re-runs the regexp normalize +
+    * shingle pass per side (measured 25% of the query at sf0.1), and
+    * the shuffle materializes the stream anyway, so pinning trades no
+    * extra I/O class for the second scan (the [[graft.ext.Dedup]]
+    * inverted-index lesson). No all-pairs anything; the widest stream
+    * is the near-distinct (gram, doc) set.
     */
   def crossDocDupFraction(
       df: DataFrame,
@@ -257,6 +259,7 @@ object TextAnalysis {
       explode(Dedup.wordShinglesAll(col(textCol), n)).as("__g"))
     val perDocGram = grams.groupBy(col("__g"), col(idCol))
       .agg(count(lit(1)).as("__occ"))
+      .localCheckpoint()
     val ndocs = perDocGram.groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
     perDocGram.join(ndocs, "__g")
       .groupBy(col(idCol))
