@@ -807,8 +807,68 @@ object SparkEntry {
           col("vec_id") === col("doc_id"))
       SimilaritySearch.centroidSimilarity(joined, "source", "vec_id", "embedding")
         .orderBy(col("vec_id"))
+    }),
+
+    // C4-style span-level dedup: every doc gets the same 20-token
+    // boilerplate prefix (2 exact 10-token spans), so the boilerplate
+    // survives only in doc 0 and the reassembled texts prove the
+    // keep-first-occurrence rule end-to-end
+    "q71_span_dedup" -> ((s, dir) => {
+      val salted = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit(SpanBoilerplate + " "), col("text")).as("text"))
+      Dedup.dedupSpans(salted, "doc_id", "text", spanTokens = 10)
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance weights: target model = the docs labeled
+    // lang='en', raw model = the whole corpus; positive scores mean
+    // "looks English" — the importance-resampling coordinate
+    "q72_dsir_weights" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy(col("doc_id"))),
+
+    // Per-domain provenance rollup over planted URLs (the fixture text
+    // has none): hostname extraction → docs + URL occurrences per
+    // domain; the cdn domain appears twice per doc so n_urls ≠ n_docs
+    "q73_url_domains" -> ((s, dir) => {
+      val salted = concat(
+        col("text"),
+        lit(" see https://host"), (col("doc_id") % 20).cast("string"),
+        lit(".example.org/p/"), col("doc_id").cast("string"),
+        lit(" and http://cdn"), (col("doc_id") % 3).cast("string"),
+        lit(".example.net/x plus http://cdn"), (col("doc_id") % 3).cast("string"),
+        lit(".example.net/y"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.urlHostnames(salted)).as("domain"))
+        .groupBy(col("domain"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_urls"))
+        .orderBy(col("domain"))
+    }),
+
+    // SemDeDup with FIXED probe centroids (the embeddings of vec_id
+    // 0..7, q46-style): cell assignment + in-cell cosine domination
+    // are both oracle-verified; the learned-centroid scale path plugs
+    // learnCentroids into the same operator
+    "q74_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.where(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      SimilaritySearch.semanticDedup(e, "vec_id", "embedding", cents, tau = 0.4)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy(col("vec_id"))
     })
   )
+
+  /** 20 whitespace tokens (2 exact 10-token spans) prepended to every
+    * document by q71 — the planted cross-doc boilerplate.
+    */
+  private val SpanBoilerplate: String =
+    "spark boiler plate header spark boiler plate header spark boiler " +
+      "plate header spark boiler plate header spark boiler plate header"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. q28/q29/q31/q32, q34, q39, q47, q55/q56
@@ -1707,7 +1767,93 @@ object SparkEntry {
            GROUP BY e.vec_id, e.source)
          SELECT vec_id, source,
                 round(dp / (nx * nm), 6) AS centroid_sim
-         FROM sc ORDER BY vec_id"""
+         FROM sc ORDER BY vec_id""",
+
+    // Same 20-token boilerplate literal as the query body; keep-first
+    // = row_number over (doc_id, chunk_idx)
+    "q71_span_dedup" ->
+      ("""WITH x AS (
+           SELECT doc_id, regexp_split_to_array(
+             trim('""" + SpanBoilerplate + """ ' || text), '\s+') AS w
+           FROM documents),
+         c AS (
+           SELECT doc_id, (g.i / 10)::BIGINT AS chunk_idx,
+                  least(10, len(w) - g.i)::BIGINT AS chunk_tokens,
+                  array_to_string(w[g.i + 1 : g.i + 10], ' ') AS chunk_text
+           FROM x, unnest(generate_series(0, greatest(len(w) - 1, 0), 10)) AS g(i)),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY chunk_text
+                       ORDER BY doc_id, chunk_idx) AS rn
+           FROM c)
+         SELECT doc_id, count(*)::BIGINT AS kept_spans,
+                sum(chunk_tokens)::BIGINT AS kept_tokens,
+                string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS new_text
+         FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"""),
+
+    "q72_dsir_weights" ->
+      """WITH toks AS (
+           SELECT doc_id, lang = 'en' AS t,
+                  unnest(regexp_split_to_array(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                    ' ')) AS token
+           FROM documents),
+         tk AS (SELECT * FROM toks WHERE token <> ''),
+         counts AS (
+           SELECT token, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+                  count(*) AS cr
+           FROM tk GROUP BY token),
+         tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM counts),
+         model AS (
+           SELECT token, (ct + 1)::DOUBLE / (nt + v) AS pt,
+                  (cr + 1)::DOUBLE / (nr + v) AS pr
+           FROM counts, tot)
+         SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                round(avg(ln(pt / pr)), 6) AS dsir_logratio
+         FROM tk JOIN model USING (token)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "q73_url_domains" ->
+      """WITH x AS (
+           SELECT doc_id,
+             text || ' see https://host' || (doc_id % 20)::VARCHAR
+               || '.example.org/p/' || doc_id::VARCHAR
+               || ' and http://cdn' || (doc_id % 3)::VARCHAR
+               || '.example.net/x plus http://cdn' || (doc_id % 3)::VARCHAR
+               || '.example.net/y' AS t
+           FROM documents),
+         u AS (SELECT doc_id,
+                 unnest(regexp_extract_all(t, 'https?://([^/\s]+)', 1)) AS domain
+               FROM x)
+         SELECT domain, count(DISTINCT doc_id)::BIGINT AS n_docs,
+                count(*)::BIGINT AS n_urls
+         FROM u GROUP BY domain ORDER BY domain""",
+
+    // q46-style fixed centroids (vec_id 0..7); survivor = not
+    // cosine-dominated (>= 0.4) by a lower id in its cell
+    "q74_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         zc AS (SELECT e.vec_id, c.cid,
+                       unnest(e.embedding)::DOUBLE AS x, unnest(c.ce)::DOUBLE AS y
+                FROM embeddings e, c),
+         d AS (SELECT vec_id, cid, sum((x-y)*(x-y)) AS d2 FROM zc GROUP BY vec_id, cid),
+         assign AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM d) WHERE rn = 1),
+         z AS (SELECT a.vec_id AS id_hi, l.vec_id AS id_lo,
+                      unnest(ea.embedding)::DOUBLE AS x,
+                      unnest(el.embedding)::DOUBLE AS y
+               FROM assign a
+               JOIN assign l ON a.cid = l.cid AND l.vec_id < a.vec_id
+               JOIN embeddings ea ON ea.vec_id = a.vec_id
+               JOIN embeddings el ON el.vec_id = l.vec_id),
+         cs AS (SELECT id_hi, id_lo,
+                       sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+                FROM z GROUP BY id_hi, id_lo),
+         dom AS (SELECT DISTINCT id_hi FROM cs WHERE cos >= 0.4)
+         SELECT a.vec_id, a.cid::BIGINT AS cell FROM assign a
+         WHERE a.vec_id NOT IN (SELECT id_hi FROM dom)
+         ORDER BY a.vec_id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -1766,5 +1912,7 @@ object SparkEntry {
     "q61_token_budget_mix", "q62_approx_percentiles",
     "q63_quantize_int8", "q64_quantized_topk",
     "q65_pack_sequences", "q66_cross_dup_ngrams",
-    "q67_chunk_tokens", "q68_group_centroids", "q70_centroid_outliers")
+    "q67_chunk_tokens", "q68_group_centroids", "q70_centroid_outliers",
+    "q71_span_dedup", "q72_dsir_weights", "q73_url_domains",
+    "q74_semantic_dedup")
 }

@@ -565,4 +565,48 @@ object Dedup {
       .where(col("__rk") === 1)
       .drop("__rk")
   }
+
+  /** Span-level (sub-document) exact dedup, the C4 recipe: slice every
+    * document into non-overlapping `spanTokens`-token spans, keep only
+    * the FIRST occurrence of each distinct span across the whole corpus
+    * (first = lowest `(id, span index)`), and reassemble each document
+    * from its surviving spans in order. Shared boilerplate (headers,
+    * license blocks, navigation chrome) survives in exactly one
+    * document and vanishes from every other; documents whose every
+    * span is a repeat disappear entirely, as in C4.
+    *
+    * Output: one row per surviving document — `(id, kept_spans,
+    * kept_tokens, new_text)`.
+    *
+    * Shape at scale: the winner per distinct span is a hash aggregation
+    * `min(struct(id, idx))` keyed by span text — partial aggregation
+    * collapses a span repeated millions of times to one candidate per
+    * map task BEFORE the shuffle, so hot boilerplate spans cannot skew
+    * a reducer (the window-function spelling of "first occurrence"
+    * would sort every copy of the hottest span onto one task). The
+    * join back is an equi-join on the same span key, and reassembly is
+    * one aggregation keyed by doc id with an in-row `array_sort` — no
+    * global sort anywhere.
+    */
+  def dedupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int): DataFrame = {
+    val spans = TextAnalysis.chunkByTokens(df, idCol, textCol, spanTokens)
+    val winners = spans.groupBy(col("chunk_text"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__w"))
+    spans.join(winners, Seq("chunk_text"))
+      .where(col(idCol) === col(s"__w.$idCol") &&
+        col("chunk_idx") === col("__w.chunk_idx"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("kept_spans"),
+        sum(col("chunk_tokens")).as("kept_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+            s => s.getField("chunk_text")),
+          " ").as("new_text"))
+  }
 }

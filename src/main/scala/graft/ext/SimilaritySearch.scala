@@ -542,6 +542,49 @@ object SimilaritySearch {
     topKByCosine(df.where(cell.isin(probeCells: _*)), idCol, vecCol, query, k, excludeId)
   }
 
+  /** Semantic dedup, the SemDeDup recipe (Abbas et al. 2023): assign
+    * every vector to its nearest coarse centroid, compare vectors ONLY
+    * within a cluster, and drop the higher-id member of any in-cluster
+    * pair with cosine ≥ `tau` — semantically-redundant documents whose
+    * texts never collide on an exact or MinHash fingerprint. Returns
+    * the SURVIVORS `(id, cell)`, i.e. rows not cosine-dominated by a
+    * lower id in their cell.
+    *
+    * The centroids are caller-supplied literals ([[learnCentroids]] at
+    * index-build time, or any fixed set for reproducibility), so the
+    * assignment is one codegen argmin pass — the same geometry as IVF
+    * cells.
+    *
+    * Shape at scale: clustering first is what makes the quadratic
+    * affordable — the pairwise stage is a self-equi-join ON THE CELL
+    * KEY, Σ|cell|² work instead of n², embarrassingly parallel across
+    * cells (SemDeDup ran this shape over LAION-2B/C4 with k in the
+    * tens of thousands; cell size, not corpus size, bounds each task).
+    * The drop rule needs only "∃ a lower-id neighbor ≥ tau", so it is
+    * a left-semi join — no pair list is materialized, survivors stream
+    * out of the anti side.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Double]],
+      tau: Double,
+      spherical: Boolean = false): DataFrame = {
+    val assigned = df.select(
+      col(idCol),
+      col(vecCol).cast("array<double>").as("__v"),
+      nearestCentroid(col(vecCol), centroids, spherical).as("cell"))
+    val lower = assigned.select(
+      col("cell"), col(idCol).as("__id_lo"), col("__v").as("__v_lo"))
+    val dominated = assigned.join(lower, Seq("cell"))
+      .where(col("__id_lo") < col(idCol) &&
+        cosine(col("__v"), col("__v_lo")) >= tau)
+      .select(col(idCol)).distinct()
+    assigned.join(dominated, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
+
   /** Exact brute-force near-dup pairs (for tests / recall measurement —
     * O(n²), never the scale path).
     */

@@ -315,6 +315,65 @@ object TextAnalysis {
         sum(when(LangId.langId(col(textCol)) === "en", 1L).otherwise(0L))
           .as("n_pred_en"))
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its tokens are under a TARGET
+    * unigram model than under the RAW-corpus model,
+    * `w(d) = mean over tokens of ln(p_target(t) / p_raw(t))`,
+    * with add-one smoothing over the joint vocabulary. Positive means
+    * "looks like the target distribution" — the selection coordinate
+    * for importance-resampling a 100 TB crawl toward a curated corpus.
+    * `isTarget` is any boolean column over the input row (a metadata
+    * label, a quality gate, membership in a curated source).
+    *
+    * Output: `(id, n_tokens, dsir_logratio)` per document with at
+    * least one normalized token; `dsir_logratio` rounded to 6.
+    *
+    * Shape at scale: one explode (linear), ONE hash aggregation keyed
+    * by token builds both models at once (the target counts ride along
+    * as a conditional sum, so the corpus is read once, not twice), the
+    * 1-row totals frame broadcasts, and scoring is an equi-join on
+    * token — vocabulary is orders of magnitude smaller than the token
+    * stream, so AQE sizes that join from runtime stats. No sort, no
+    * window, no driver round-trip.
+    */
+  def dsirWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("__id"), isTarget.as("__t"),
+        split(normalize(col(textCol)), " ").as("__w"))
+      .select(col("__id"), col("__t"), explode(col("__w")).as("token"))
+      .where(col("token") =!= "")
+    val counts = toks.groupBy(col("token")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+      count(lit(1)).as("__cr"))
+    val totals = counts.agg(
+      sum(col("__ct")).as("__nt"), sum(col("__cr")).as("__nr"),
+      count(lit(1)).as("__v"))
+    val model = counts.crossJoin(broadcast(totals)).select(
+      col("token"),
+      ((col("__ct") + 1).cast("double") / (col("__nt") + col("__v"))).as("__pt"),
+      ((col("__cr") + 1).cast("double") / (col("__nr") + col("__v"))).as("__pr"))
+    toks.join(model, Seq("token"))
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("__pt") / col("__pr"))), 6).as("dsir_logratio"))
+      .withColumnRenamed("__id", idCol)
+  }
+
+  /** Hostnames of every `http(s)://` URL in the text, in order of
+    * appearance — the C4/RefinedWeb provenance coordinate (per-domain
+    * filtering, blocklists, composition stats all key on this). Pure
+    * codegen regexp; the authority component ends at the first `/`,
+    * whitespace, or end-of-string.
+    */
+  def urlHostnames(text: Column): Column =
+    regexp_extract_all(text, lit("https?://([^/\\s]+)"), lit(1))
+
   /** Smoothed TF-IDF weights per (doc, term) over normalized tokens:
     * `tf` = term count within the doc, `idf = ln((N+1)/(df+1)) + 1`
     * (sklearn-style smoothing), `weight = tf · idf`.

@@ -239,4 +239,48 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // 2 beats 3 on the id tie at score 30; 1 loses on score; 4 survives alone
     kept shouldBe Array((2L, 1L, 30L), (4L, 4L, 5L))
   }
+
+  test("dedupSpans: cross-doc spans kept at first occurrence, docs can vanish") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"),  // spans "a b", "c d"
+      (2L, "a b x y"),  // "a b" repeats doc 1 -> dropped; "x y" kept
+      (3L, "c d")       // its only span repeats doc 1 -> doc vanishes
+    ).toDF("doc_id", "text")
+    val out = dedupSpans(df, "doc_id", "text", spanTokens = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    out shouldBe Array(
+      (1L, 2L, 4L, "a b c d"),
+      (2L, 1L, 2L, "x y"))
+  }
+
+  test("dedupSpans: within-doc repeats collapse; short tail span counted") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "p q p q"), // second "p q" is a repeat of the first
+      (2L, "m n o")    // tail span "o" has 1 token
+    ).toDF("doc_id", "text")
+    val out = dedupSpans(df, "doc_id", "text", spanTokens = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    out shouldBe Array(
+      (1L, 1L, 2L, "p q"),
+      (2L, 2L, 3L, "m n o"))
+  }
+
+  test("dedupSpans is layout-stable (keep-first is (id, idx) order, not partition order)") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "dup span text here" else s"uniq $i text $i"))
+      .toDF("doc_id", "text")
+    val a = dedupSpans(df, "doc_id", "text", spanTokens = 2)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = dedupSpans(df.repartition(13), "doc_id", "text", spanTokens = 2)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    a shouldBe b
+    // the shared span survives only in doc 2, the lowest even id
+    val kept = a.map(r => r.head.asInstanceOf[Long]).toSet
+    kept.contains(2L) shouldBe true
+    (4L to 40L by 2).exists(kept.contains) shouldBe false
+  }
 }

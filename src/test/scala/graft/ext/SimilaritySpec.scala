@@ -276,4 +276,35 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(4) shouldBe 1.0 +- 1e-9
     out.values.min shouldBe out(3)
   }
+
+  test("semanticDedup: in-cell cosine domination drops higher ids; cells never compare") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(10.0f, 0.0f)),  // cell 0
+      (2L, Seq(5.0f, 0.1f)),   // cell 0, cos(v1,v2) ~ 0.9998 -> dominated by 1
+      (3L, Seq(0.0f, 7.0f)),   // cell 1
+      (4L, Seq(0.1f, 6.0f)),   // cell 1, cos(v3,v4) ~ 0.9999 -> dominated by 3
+      (5L, Seq(-8.0f, 0.5f))   // cell 1 (closer to (0,1)), orthogonal-ish -> kept
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val out = SimilaritySearch.semanticDedup(df, "vec_id", "embedding", centroids, tau = 0.9)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    out shouldBe Array((1L, 0), (3L, 1), (5L, 1))
+  }
+
+  test("semanticDedup: tau above every similarity keeps all; layout-stable") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.4f)), (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val all = SimilaritySearch.semanticDedup(df, "vec_id", "embedding", centroids,
+      tau = 1.1).collect()
+    all.length shouldBe 3
+    val a = SimilaritySearch.semanticDedup(df, "vec_id", "embedding", centroids, tau = 0.5)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    val b = SimilaritySearch.semanticDedup(df.repartition(5), "vec_id", "embedding",
+      centroids, tau = 0.5).orderBy("vec_id").collect().map(_.toSeq)
+    a shouldBe b
+  }
 }

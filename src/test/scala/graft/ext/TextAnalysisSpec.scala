@@ -209,4 +209,34 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.filter(_._1 == 2L) shouldBe Array((2L, 0L, 1L, "solo"))
     out.filter(_._1 == 3L).length shouldBe 1
   }
+
+  test("dsirWeights: hand-computed add-one log-ratios; target-like docs score higher") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple apple", "en"),
+      (2L, "banana", "de"),
+      (3L, "!!!", "en") // no alphanumeric tokens -> absent from output
+    ).toDF("doc_id", "text", "lang")
+    val out = dsirWeights(df, "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // vocab {apple: ct=2 cr=2, banana: ct=0 cr=1}; nt=2 nr=3 v=2
+    // apple:  ln((3/4)/(3/5)) = ln 1.25;  banana: ln((1/4)/(2/5)) = ln 0.625
+    out shouldBe Array(
+      (1L, 2L, BigDecimal(math.log(1.25)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (2L, 1L, BigDecimal(math.log(0.625)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    out(0)._3 should be > out(1)._3 // English-looking doc ranks above
+  }
+
+  test("urlHostnames extracts every http(s) authority in order") {
+    import spark.implicits._
+    val df = Seq(
+      "see https://a.example.org/path x http://b.example.net/q https://a.example.org/y",
+      "bare host https://tail.example.com end",
+      "no urls at all").toDF("text")
+    val out = df.select(urlHostnames(col("text"))).as[Seq[String]].collect()
+    out(0) shouldBe Seq("a.example.org", "b.example.net", "a.example.org")
+    out(1) shouldBe Seq("tail.example.com")
+    out(2) shouldBe Seq.empty
+  }
 }
