@@ -58,6 +58,25 @@ object CorpusScaleProbe {
       val secs3 = (System.nanoTime() - t3) / 1e9
       println(s"""{"metric":"unigram_xent_realistic","n_docs":$n,""" +
         s""""scored":$scored,"sec":$secs3,"cpus":$cpus}""")
+      // Span dedup: explode + span-keyed agg + join-back + doc-keyed
+      // reassembly — all streams linear in token count; the realistic
+      // corpus's planted dups give the winners table real work
+      val t4 = System.nanoTime()
+      val survivors = Dedup.dedupSpans(docs, "doc_id", "text", spanTokens = 10)
+        .queryExecution.toRdd.count()
+      val secs4 = (System.nanoTime() - t4) / 1e9
+      println(s"""{"metric":"span_dedup_realistic","n_docs":$n,""" +
+        s""""survivors":$survivors,"sec":$secs4,"cpus":$cpus}""")
+      // DSIR weights: model agg (pinned, vocab-sized) + scoring join —
+      // two corpus explodes total, vocabulary sublinear (Zipf). Target
+      // = a fixed 20% slice (the generated corpus is all-en, so the
+      // lang label would make target ≡ raw)
+      val t5 = System.nanoTime()
+      val weighted = graft.ext.TextAnalysis.dsirWeights(docs, "doc_id",
+        "text", col("doc_id") % 5 === 0).queryExecution.toRdd.count()
+      val secs5 = (System.nanoTime() - t5) / 1e9
+      println(s"""{"metric":"dsir_realistic","n_docs":$n,""" +
+        s""""weighted":$weighted,"sec":$secs5,"cpus":$cpus}""")
     }
     spark.stop()
   }

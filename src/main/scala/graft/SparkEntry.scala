@@ -860,7 +860,53 @@ object SparkEntry {
       SimilaritySearch.semanticDedup(e, "vec_id", "embedding", cents, tau = 0.4)
         .select(col("vec_id"), col("cell").cast("long").as("cell"))
         .orderBy(col("vec_id"))
-    })
+    }),
+
+    // SemDeDup at its production shape — LEARNED spherical cells — with
+    // its quality measured in-row against the exact all-pairs
+    // domination rule (= semanticDedup with one cell): agreement is the
+    // fraction of exact survivors the celled run also keeps. Rows-only
+    // (sampled kmeans has no DuckDB twin); bounded by oracled q74 and
+    // the spec'd fixture floor
+    "q75_semantic_dedup_learned" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val dim = queryVector(e, 0L).size
+      val learned = SimilaritySearch.semanticDedup(e, "vec_id", "embedding",
+        SimilaritySearch.learnCentroids(e, "embedding", k = 8, spherical = true),
+        tau = 0.4, spherical = true).select("vec_id")
+      val exact = SimilaritySearch.semanticDedup(e, "vec_id", "embedding",
+        Seq(Seq.fill(dim)(0.0)), tau = 0.4).select("vec_id")
+      learned.agg(count(lit(1)).as("n_learned"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(learned.join(exact, Seq("vec_id"))
+          .agg(count(lit(1)).as("n_both")))
+        .select(col("n_learned"), col("n_exact"),
+          round(col("n_both").cast("double") / col("n_exact"), 6)
+            .as("survivor_agreement"))
+    }),
+
+    // Provenance gate over the q73 salted URLs: docs citing a
+    // blocklisted domain drop (doc_id%3==0 via cdn0, doc_id%20==7 via
+    // host7); survivors carry their URL count
+    "q76_domain_filter" -> ((s, dir) => {
+      val salted = t(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        lit(" see https://host"), (col("doc_id") % 20).cast("string"),
+        lit(".example.org/p/"), col("doc_id").cast("string"),
+        lit(" and http://cdn"), (col("doc_id") % 3).cast("string"),
+        lit(".example.net/x")).as("text"))
+      graft.ext.TextPipeline.filterByDomains(salted, "text",
+          Seq("cdn0.example.net", "host7.example.org"))
+        .select(col("doc_id"),
+          size(TextAnalysis.urlHostnames(col("text"))).cast("long").as("n_urls"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bigram conditional cross-entropy vs the corpus's own model — the
+    // transition-predictability quality signal unigram scoring misses
+    "q77_bigram_xent" -> ((s, dir) =>
+      TextAnalysis.bigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")))
   )
 
   /** 20 whitespace tokens (2 exact 10-token spans) prepended to every
@@ -873,6 +919,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. q28/q29/q31/q32, q34, q39, q47, q55/q56
     * (corpus-size-derived plane count → no fixed hyperplane literals),
+    * q75 (sampled-kmeans cells; bounded by oracled q74 + spec floor),
     * and the generated-corpus rows q48/q49 are omitted deliberately:
     * xxhash64/LSH-seed/FNV/sampled-centroid arithmetic (and a
     * generator-produced input table) has no DuckDB twin (driver records the weaker rows-only
@@ -1853,7 +1900,43 @@ object SparkEntry {
          dom AS (SELECT DISTINCT id_hi FROM cs WHERE cos >= 0.4)
          SELECT a.vec_id, a.cid::BIGINT AS cell FROM assign a
          WHERE a.vec_id NOT IN (SELECT id_hi FROM dom)
-         ORDER BY a.vec_id"""
+         ORDER BY a.vec_id""",
+
+    "q76_domain_filter" ->
+      """WITH x AS (
+           SELECT doc_id,
+             text || ' see https://host' || (doc_id % 20)::VARCHAR
+               || '.example.org/p/' || doc_id::VARCHAR
+               || ' and http://cdn' || (doc_id % 3)::VARCHAR
+               || '.example.net/x' AS t
+           FROM documents),
+         u AS (SELECT doc_id,
+                 unnest(regexp_extract_all(t, 'https?://([^/\s]+)', 1)) AS domain
+               FROM x)
+         SELECT doc_id,
+                len(regexp_extract_all(t, 'https?://([^/\s]+)', 1))::BIGINT AS n_urls
+         FROM x
+         WHERE doc_id NOT IN (
+           SELECT doc_id FROM u
+           WHERE domain IN ('cdn0.example.net', 'host7.example.org'))
+         ORDER BY doc_id""",
+
+    "q77_bigram_xent" ->
+      """WITH x AS (
+           SELECT doc_id, regexp_split_to_array(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+             ' ') AS w
+           FROM documents),
+         d AS (SELECT * FROM x WHERE len(w) >= 2),
+         b AS (SELECT doc_id, w[g.i] AS prev, w[g.i + 1] AS cur
+               FROM d, unnest(generate_series(1, len(w) - 1)) AS g(i)),
+         bc AS (SELECT prev, cur, count(*) AS cb FROM b GROUP BY prev, cur),
+         uc AS (SELECT prev, count(*) AS cu
+                FROM (SELECT unnest(w) AS prev FROM d) GROUP BY prev)
+         SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                round(-avg(ln(cb::DOUBLE / cu)), 6) AS bixent_nats
+         FROM b JOIN bc USING (prev, cur) JOIN uc USING (prev)
+         GROUP BY doc_id ORDER BY doc_id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -1914,5 +1997,6 @@ object SparkEntry {
     "q65_pack_sequences", "q66_cross_dup_ngrams",
     "q67_chunk_tokens", "q68_group_centroids", "q70_centroid_outliers",
     "q71_span_dedup", "q72_dsir_weights", "q73_url_domains",
-    "q74_semantic_dedup")
+    "q74_semantic_dedup", "q75_semantic_dedup_learned",
+    "q76_domain_filter", "q77_bigram_xent")
 }

@@ -209,14 +209,66 @@ object TextAnalysis {
   def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val terms = df.select(col(idCol),
       explode(split(normalize(col(textCol)), " ")).as("__t"))
+    // Pin the vocab-sized model before fanning out (the
+    // [[crossDocDupFraction]] lesson) and derive the total from it —
+    // an unpinned fan-out re-explodes the corpus once per branch
+    // (model, total, scoring = 3 scans; measured 2× the whole query
+    // at 200k docs in CorpusScaleProbe before this fix)
     val model = terms.groupBy(col("__t")).agg(count(lit(1)).as("__cnt"))
-    val total = terms.agg(count(lit(1)).as("__N"))
+      .localCheckpoint()
+    val total = model.agg(sum(col("__cnt")).as("__N"))
     terms.join(model, Seq("__t")).crossJoin(total)
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),
         round((sum(log(col("__cnt") / col("__N"))) * lit(-1.0))
           / count(lit(1)), 6).as("xent_nats"))
+  }
+
+  /** Bigram conditional cross-entropy of each document against the
+    * corpus's own bigram model — the next step up from
+    * [[unigramCrossEntropy]] as an LM-perplexity proxy:
+    * `p(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})` (MLE; every
+    * scored bigram exists in the model because the model is built from
+    * the same corpus), scored as `-mean ln p` over the document's
+    * transitions. Repetitive/templated text has predictable
+    * transitions → low entropy; token salad scores high even when its
+    * UNIGRAMS are common, which is exactly the signal the unigram
+    * score misses. Documents with fewer than two tokens have no
+    * transitions and are absent from the output.
+    *
+    * Shape at scale: the bigram stream is pinned with localCheckpoint
+    * (it feeds both the model aggregation and the scoring join — the
+    * [[crossDocDupFraction]] lesson), the bigram and prefix-unigram
+    * models are hash aggregations orders of magnitude smaller than the
+    * stream (Zipf), and scoring is two equi-joins AQE sizes from
+    * runtime stats. No window, no sort.
+    */
+  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = df
+      .select(col(idCol).as("__id"), split(normalize(col(textCol)), " ").as("__w"))
+      .where(size(col("__w")) >= 2)
+    // HOF-free bigram stream (the round-4 lesson): posexplode each
+    // token as `prev`, pair it with its 1-based successor via
+    // element_at — Generate + codegen projection, no lambda anywhere
+    val bi = docs
+      .select(col("__id"), col("__w"), posexplode(col("__w")).as(Seq("__p", "prev")))
+      .where(col("__p") < size(col("__w")) - 1)
+      .select(col("__id"), col("prev"),
+        element_at(col("__w"), col("__p") + 2).as("cur"))
+      .localCheckpoint()
+    val bigramCounts = bi.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("__cb"))
+    val unigramCounts = docs.select(explode(col("__w")).as("prev"))
+      .groupBy(col("prev")).agg(count(lit(1)).as("__cu"))
+    bi.join(bigramCounts, Seq("prev", "cur"))
+      .join(unigramCounts, Seq("prev"))
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("__cb").cast("double") / col("__cu"))) * lit(-1.0), 6)
+          .as("bixent_nats"))
+      .withColumnRenamed("__id", idCol)
   }
 
   /** Cross-document duplicate n-gram fraction — the corpus-level
@@ -329,13 +381,17 @@ object TextAnalysis {
     * Output: `(id, n_tokens, dsir_logratio)` per document with at
     * least one normalized token; `dsir_logratio` rounded to 6.
     *
-    * Shape at scale: one explode (linear), ONE hash aggregation keyed
-    * by token builds both models at once (the target counts ride along
-    * as a conditional sum, so the corpus is read once, not twice), the
-    * 1-row totals frame broadcasts, and scoring is an equi-join on
-    * token — vocabulary is orders of magnitude smaller than the token
-    * stream, so AQE sizes that join from runtime stats. No sort, no
-    * window, no driver round-trip.
+    * Shape at scale: ONE hash aggregation keyed by token builds both
+    * models at once (the target counts ride along as a conditional
+    * sum), the totals derive from that vocab-sized table rather than a
+    * second corpus pass, and scoring is an equi-join on token —
+    * vocabulary is orders of magnitude smaller than the token stream,
+    * so AQE sizes that join from runtime stats. The count table is
+    * pinned with localCheckpoint before fanning into the totals and
+    * model branches (it is vocab-sized — cheap to hold — and an unpinned
+    * fan-out re-aggregates the full token stream per branch, the
+    * [[crossDocDupFraction]] lesson), leaving exactly two corpus
+    * explodes: model build and scoring. No sort, no window.
     */
   def dsirWeights(
       df: DataFrame,
@@ -350,6 +406,7 @@ object TextAnalysis {
     val counts = toks.groupBy(col("token")).agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
       count(lit(1)).as("__cr"))
+      .localCheckpoint()
     val totals = counts.agg(
       sum(col("__ct")).as("__nt"), sum(col("__cr")).as("__nr"),
       count(lit(1)).as("__v"))

@@ -140,6 +140,25 @@ object TextPipeline {
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Drop documents that cite any blocklisted URL domain — the
+    * provenance gate (spam/SEO/adult domain lists) that runs alongside
+    * the quality gate in a crawl-curation pipeline. For a bounded
+    * blocklist (the common case: curated lists are 10³–10⁶ entries)
+    * the test is a literal `array_intersect` over
+    * [[TextAnalysis.urlHostnames]] — a pure codegen scan predicate,
+    * NO shuffle and NO join anywhere in the plan, so it pushes to the
+    * same scan as every other gate. (A blocklist too large for a
+    * literal becomes a broadcast anti-join on the exploded hostnames;
+    * same I/O class, one extra exchange.)
+    */
+  def filterByDomains(
+      df: DataFrame,
+      textCol: String,
+      blockedDomains: Seq[String]): DataFrame =
+    df.where(size(array_intersect(
+      TextAnalysis.urlHostnames(col(textCol)),
+      typedLit(blockedDomains))) === 0)
+
   /** Streaming corpus ingestion: the stateless prefix of [[cleanCorpus]]
     * (quality gate → language filter — both pure scan-projection
     * scalars, legal in any streaming plan) plus watermark-bounded exact

@@ -123,4 +123,25 @@ class EstimatorQualitySpec extends AnyFunSuite with Matchers with SparkTestBase 
       excludeId = Some(0L)).select("vec_id").as[Long].collect().toSet
     ((exact & auto).size / 10.0) should be >= 0.5 // measured 0.8
   }
+
+  test("semantic dedup with learned cells keeps nearly every exact-rule survivor") {
+    import spark.implicits._
+    val e = embs
+    val dim = e.head.getSeq[Float](1).size
+    // exact domination rule = one cell holding the whole corpus
+    val exact = SimilaritySearch.semanticDedup(e, "vec_id", "embedding",
+        Seq(Seq.fill(dim)(0.0)), tau = 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    val learned = SimilaritySearch.semanticDedup(e, "vec_id", "embedding",
+        SimilaritySearch.learnCentroids(e, "embedding", k = 8, spherical = true),
+        tau = 0.4, spherical = true)
+      .select("vec_id").as[Long].collect().toSet
+    exact should not be empty
+    // celling can only SPLIT dup pairs across cells, never invent
+    // domination: every exact survivor must survive the celled run
+    (exact -- learned) shouldBe empty
+    // and celling must still do real work: it keeps strictly fewer
+    // than everything whenever the one-cell rule dropped anything
+    learned.size should be < e.count().toInt
+  }
 }

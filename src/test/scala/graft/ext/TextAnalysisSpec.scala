@@ -228,6 +228,28 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(0)._3 should be > out(1)._3 // English-looking doc ranks above
   }
 
+  test("bigramCrossEntropy: hand-computed conditional surprisal; repetition scores low") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b"),   // transitions: (a,b) (b,a) (a,b)
+      (2L, "a c"),       // transition: (a,c)
+      (3L, "solo")       // < 2 tokens -> absent
+    ).toDF("doc_id", "text")
+    val out = bigramCrossEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // corpus: c(a)=3 c(b)=2 c(c)=1; c(a,b)=2 c(b,a)=1 c(a,c)=1
+    // doc1: p(ab)=2/3 (twice), p(ba)=1/2 -> -(2 ln(2/3) + ln(1/2)) / 3
+    // doc2: p(ac)=1/3 -> -ln(1/3)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out shouldBe Array(
+      (1L, 3L, r6(-(2 * math.log(2.0 / 3) + math.log(0.5)) / 3)),
+      (2L, 1L, r6(-math.log(1.0 / 3))))
+    // the repetitive doc's transitions are more predictable
+    out(0)._3 should be < out(1)._3
+  }
+
   test("urlHostnames extracts every http(s) authority in order") {
     import spark.implicits._
     val df = Seq(

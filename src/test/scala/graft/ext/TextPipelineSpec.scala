@@ -91,4 +91,18 @@ class TextPipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
     TextPipeline.decontaminate(corpus, "doc_id", "text", bench, "btext", n = 4)
       .select("doc_id").as[Long].collect().toSet shouldBe Set(2L, 3L, 5L)
   }
+
+  test("filterByDomains drops docs citing a blocklisted host, keeps the rest") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ok doc https://good.example.org/a"),
+      (2L, "spam https://bad.example.net/z linked"),
+      (3L, "mixed https://good.example.org/b then https://bad.example.net/y"),
+      (4L, "no urls here"),
+      // blocked domain as a SUBSTRING of a longer host must NOT match
+      (5L, "https://bad.example.net.evil.org/path")
+    ).toDF("doc_id", "text")
+    TextPipeline.filterByDomains(df, "text", Seq("bad.example.net"))
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 4L, 5L)
+  }
 }

@@ -68,4 +68,29 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     SparkEntry.queries("q58_contamination")(spark, sfDir)
       .queryExecution.executedPlan.toString should include("BroadcastHashJoin")
   }
+
+  test("q71 keep-first is an aggregation, not a window (skew claim)") {
+    // dedupSpans' scale story: the winner per span is min(struct(...))
+    // with map-side partial aggregation — a Window spelling would sort
+    // every copy of the hottest boilerplate span onto one task.
+    val p = plans("q71_span_dedup")
+    p should not include "Window"
+    p.toLowerCase should include("partial_min")
+  }
+
+  test("q76 domain gate is a pure scan predicate — no exchange, no join") {
+    // filterByDomains claims a shuffle-free codegen filter; the salted
+    // q76 body adds only a projection + sort for the oracle contract,
+    // so the plan below the output sort must stay exchange-free.
+    val p = SparkEntry.queries("q76_domain_filter")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p should not include "Join"
+    // exactly one exchange: the final rangepartitioning for ORDER BY
+    "Exchange".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("q72/q77 model scoring joins have no interpreted HOF nodes") {
+    for (name <- Seq("q72_dsir_weights", "q77_bigram_xent"))
+      plans(name).toLowerCase should not include "lambdafunction"
+  }
 }
