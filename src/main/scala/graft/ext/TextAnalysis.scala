@@ -529,7 +529,11 @@ object LangId {
     * is evaluated exactly once per row.
     */
   def langId(text: Column): Column = {
-    val scoreArr = array(langs.map(l => score(text, l)): _*)
+    // All five scores in ONE text walk — the fused native expression
+    // (org.apache.spark.sql.graft.LangScores); [[score]] remains the
+    // per-language semantic source of truth, and LangScoresSpec pins
+    // the equivalence so the two spellings cannot drift
+    val scoreArr = org.apache.spark.sql.graft.LangScores.column(text)
     val best = array_max(scoreArr)
     val pick = element_at(array(langs.map(lit): _*),
       array_position(scoreArr, best).cast("int"))

@@ -14,5 +14,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SigMatchCount.descriptor)
     ext.injectFunction(VectorOps.dotDescriptor)
     ext.injectFunction(VectorOps.sqdistDescriptor)
+    ext.injectFunction(LangScores.descriptor)
   }
 }
