@@ -65,6 +65,15 @@ object SparkEntry {
     SimilaritySearch.hyperplanes(numPlanes = 4, dim = 64, seed = 42L)
       .map(_.mkString("[", ", ", "]::DOUBLE[]"))
 
+  /** The q80 random-projection planes as DuckDB literals (same
+    * deterministic doubles, 8 planes × dim 64).
+    */
+  private lazy val rpPlaneValues: String =
+    SimilaritySearch.hyperplanes(numPlanes = 8, dim = 64, seed = 42L)
+      .zipWithIndex
+      .map { case (p, i) => s"($i, ${p.mkString("[", ", ", "]::DOUBLE[]")})" }
+      .mkString(", ")
+
   /** Driver-side fetch of one embedding as a literal query vector
     * (shared by the ANN queries; a missing id is one clear error).
     */
@@ -906,7 +915,57 @@ object SparkEntry {
     // transition-predictability quality signal unigram scoring misses
     "q77_bigram_xent" -> ((s, dir) =>
       TextAnalysis.bigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Dup-cluster size histogram over the exact-Jaccard components —
+    // the curation-dashboard view of corpus redundancy (how much mass
+    // sits in how-big clusters); the scale path feeds MinHash cluster
+    // labels into the same rollup
+    "q78_dup_cluster_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 1, minJaccard = 0.8, maxDocFreq = 0L)
+      val comps = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs)
+      comps.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (col("cluster_size") * count(lit(1))).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    }),
+
+    // Quality-stratified token-budget mix: fixed-threshold quality bins
+    // (NO global-sort ntile) feed per-bin budgets through the same
+    // running-sum draw as q61 — the curriculum/mixture-composition step
+    "q79_quality_mix" -> ((s, dir) => {
+      val q = round(TextAnalysis.qualityScore(col("text")), 6)
+      val binned = t(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        when(q >= 0.8, "hi").when(q >= 0.6, "mid").otherwise("low").as("qbin"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+      Sampling.sampleByTokenBudget(binned, "qbin", "doc_id", "n_toks",
+          Map("hi" -> 1500L, "mid" -> 8000L, "low" -> 1000L))
+        .select(col("doc_id"), col("qbin"), col("n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Random-projection dimensionality reduction (Johnson-Lindenstrauss
+    // sketch): 64-dim embeddings -> 8 deterministic hyperplane
+    // coordinates, one codegen dot per output dim, no shuffle
+    "q80_random_projection" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // The DuckDB twin pins dim-64 plane literals (rpPlaneLits) — fail
+      // loudly on a different fixture width instead of zipping short
+      require(queryVector(e, 0L).size == 64,
+        "q80's oracle embeds dim-64 plane literals; fixture width differs")
+      val planes = SimilaritySearch.hyperplanes(numPlanes = 8, dim = 64)
+      val v = col("embedding").cast("array<double>")
+      e.select(
+          col("vec_id"),
+          array(planes.map(p =>
+            round(SimilaritySearch.dot(v, typedLit(p)), 6)): _*).as("projection"))
+        .orderBy(col("vec_id"))
+    })
   )
 
   /** 20 whitespace tokens (2 exact 10-token spans) prepended to every
@@ -1936,7 +1995,90 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_bigrams,
                 round(-avg(ln(cb::DOUBLE / cu)), 6) AS bixent_nats
          FROM b JOIN bc USING (prev, cur) JOIN uc USING (prev)
-         GROUP BY doc_id ORDER BY doc_id"""
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    // q69's recursive components, rolled up to a size histogram
+    "q78_dup_cluster_stats" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id,
+                 list_distinct(regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                   ' ')) AS words
+               FROM documents),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM w a, w b
+               WHERE a.doc_id < b.doc_id
+                 AND len(list_intersect(a.words, b.words))::DOUBLE
+                     / (len(a.words) + len(b.words)
+                        - len(list_intersect(a.words, b.words)))::DOUBLE >= 0.8),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+         lab AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         cs AS (SELECT component, count(*) AS cluster_size
+                FROM lab GROUP BY component)
+         SELECT cluster_size::BIGINT AS cluster_size,
+                count(*)::BIGINT AS n_clusters,
+                (cluster_size * count(*))::BIGINT AS n_docs
+         FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
+
+    // q21's quality formula + fixed-threshold bins + q61's running-sum
+    // budget draw
+    "q79_quality_mix" ->
+      """WITH x AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+             length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE
+               / length(text)::DOUBLE AS punct_ratio
+           FROM documents),
+         y AS (
+           SELECT doc_id,
+             len(toks)::BIGINT AS n_toks,
+             len(toks)::DOUBLE AS ntok,
+             len(list_filter(ltoks, t -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], t)))::DOUBLE
+               / len(toks)::DOUBLE AS sw_ratio,
+             list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+               / len(toks)::DOUBLE AS avg_len,
+             punct_ratio
+           FROM x),
+         z AS (SELECT doc_id, n_toks, round(
+             least(ntok / 64.0, 1.0) * 0.3
+           + least(sw_ratio * 4.0, 1.0) * 0.3
+           + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2
+           + greatest(1.0 - abs(avg_len - 5.0) / 10.0, 0.0) * 0.2, 6) AS q
+           FROM y),
+         b AS (SELECT doc_id, n_toks,
+                 CASE WHEN q >= 0.8 THEN 'hi' WHEN q >= 0.6 THEN 'mid'
+                      ELSE 'low' END AS qbin,
+                 CASE WHEN q >= 0.8 THEN 1500 WHEN q >= 0.6 THEN 8000
+                      ELSE 1000 END AS budget
+               FROM z),
+         r AS (SELECT doc_id, qbin, n_toks, budget,
+                 coalesce(sum(n_toks) OVER (
+                   PARTITION BY qbin
+                   ORDER BY md5(doc_id::VARCHAR), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS before_toks
+               FROM b)
+         SELECT doc_id, qbin, n_toks FROM r
+         WHERE before_toks < budget ORDER BY doc_id"""
+  ) ++ Map(
+    "q80_random_projection" ->
+      (s"""WITH p AS (SELECT * FROM (VALUES $rpPlaneValues) AS t(pid, plane)),""" +
+        """
+         z AS (SELECT e.vec_id, p.pid,
+                      e.embedding[g.i]::DOUBLE * p.plane[g.i] AS prod
+               FROM embeddings e, p,
+                    unnest(generate_series(1, len(e.embedding))) AS g(i)),
+         s AS (SELECT vec_id, pid, round(sum(prod), 6) AS c
+               FROM z GROUP BY vec_id, pid)
+         SELECT vec_id, list(c ORDER BY pid) AS projection
+         FROM s GROUP BY vec_id ORDER BY vec_id""")
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -1998,5 +2140,6 @@ object SparkEntry {
     "q67_chunk_tokens", "q68_group_centroids", "q70_centroid_outliers",
     "q71_span_dedup", "q72_dsir_weights", "q73_url_domains",
     "q74_semantic_dedup", "q75_semantic_dedup_learned",
-    "q76_domain_filter", "q77_bigram_xent")
+    "q76_domain_filter", "q77_bigram_xent", "q79_quality_mix",
+    "q80_random_projection")
 }
