@@ -77,10 +77,13 @@ object Sampling {
     * N", never zero). `budgets` misses drop the group — an explicit
     * mixture is a whitelist.
     *
-    * Shape at scale: one shuffle on the group key + a running-sum
-    * window; the window's sort is per-group, so skewed sources are the
-    * only long poles (salt upstream via [[graft.plans.Layout]] if a
-    * single source dominates).
+    * Shape at scale: the [[packSequences]] distributed prefix sum, per
+    * group — a window partitioned by group ALONE would funnel each
+    * source onto one task (with 3 quality bins that is a 3-task plan
+    * regardless of cluster size). The md5-prefix shard splits every
+    * group's order into 256 ranges: per-(group, shard) running-sum
+    * windows run 256-way parallel per group, and the exclusive shard
+    * bases come from a broadcast |groups|×256-row aggregate.
     */
   /** Sequence packing — concat-and-chunk bookkeeping for LLM training:
     * documents are laid end-to-end in md5-coordinate order and the
@@ -141,19 +144,46 @@ object Sampling {
       keyCol: String,
       tokenCol: String,
       budgets: Map[String, Long]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(contentKey(col(keyCol)), col(keyCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val W = org.apache.spark.sql.expressions.Window
     val budget = budgets.foldLeft(lit(null).cast("long")) {
       case (acc, (g, b)) => when(col(groupCol) === g, b).otherwise(acc)
     }
-    df.withColumn("__budget", budget)
+    // The running sum is per GROUP in md5 order, but a window
+    // partitioned by group alone funnels each group onto ONE task —
+    // with a handful of sources/bins that is a near-sequential plan at
+    // scale (measured: 2.5 s of q79's wall on 3 bins). Same remedy as
+    // [[packSequences]]: the md5 prefix shards each group into 256
+    // ranges whose concatenation IS the group's order, so per-(group,
+    // shard) windows run 256-way parallel per group and the exclusive
+    // shard bases come from a tiny broadcast aggregate.
+    // Pinned before fanning into the bases aggregate and the join side
+    // (the crossDocDupFraction lesson): the group column is often an
+    // EXPENSIVE derived expression (q79 bins on the full quality
+    // score), and an unpinned fan-out re-evaluates it per branch —
+    // measured 1.8× the whole draw. The checkpoint materializes no
+    // more than the shuffle below would.
+    val kd = df
+      .withColumn("__budget", budget)
       .where(col("__budget").isNotNull)
-      // tokens BEFORE this row: the row is kept while the budget is
-      // not yet exhausted when it starts (first row: 0 < budget)
-      .withColumn("__before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("__k", contentKey(col(keyCol)))
+      .withColumn("__shard", substring(col("__k"), 1, 2))
+      .localCheckpoint()
+    val bases = kd.groupBy(col(groupCol), col("__shard"))
+      .agg(sum(col(tokenCol)).as("__tot"))
+      .withColumn("__base",
+        coalesce(sum(col("__tot")).over(
+          W.partitionBy(col(groupCol)).orderBy(col("__shard"))
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("__shard"), col("__base"))
+    val wIn = W.partitionBy(col(groupCol), col("__shard"))
+      .orderBy(col("__k"), col(keyCol))
+      .rowsBetween(W.unboundedPreceding, -1)
+    kd.join(broadcast(bases), Seq(groupCol, "__shard"))
+      // tokens BEFORE this row in the group's global md5 order: the row
+      // is kept while the budget is not yet exhausted when it starts
+      .withColumn("__before",
+        col("__base") + coalesce(sum(col(tokenCol)).over(wIn), lit(0L)))
       .where(col("__before") < col("__budget"))
-      .drop("__budget", "__before")
+      .drop("__budget", "__k", "__shard", "__base", "__before")
   }
 }
