@@ -965,7 +965,19 @@ object SparkEntry {
           array(planes.map(p =>
             round(SimilaritySearch.dot(v, typedLit(p)), 6)): _*).as("projection"))
         .orderBy(col("vec_id"))
-    })
+    }),
+
+    // Out-of-vocabulary rate vs the corpus top-100 vocabulary — the
+    // tokenizer-coverage / domain-shift signal
+    "q81_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(t(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 100)
+        .orderBy(col("doc_id"))),
+
+    // Zipf slope of the vocabulary (corpus-health dashboard): OLS of
+    // ln(freq) on ln(rank), explicit sums so DuckDB reproduces exactly
+    "q82_zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(t(s, dir, "documents"), "text"))
   )
 
   /** 20 whitespace tokens (2 exact 10-token spans) prepended to every
@@ -2078,7 +2090,38 @@ object SparkEntry {
          s AS (SELECT vec_id, pid, round(sum(prod), 6) AS c
                FROM z GROUP BY vec_id, pid)
          SELECT vec_id, list(c ORDER BY pid) AS projection
-         FROM s GROUP BY vec_id ORDER BY vec_id""")
+         FROM s GROUP BY vec_id ORDER BY vec_id"""),
+
+    "q81_oov_rate" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+             ' ')) AS token
+           FROM documents),
+         tk AS (SELECT * FROM toks WHERE token <> ''),
+         v AS (SELECT token FROM (
+                 SELECT token, count(*) AS c FROM tk GROUP BY token
+                 ORDER BY c DESC, token LIMIT 100))
+         SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                round(avg(CASE WHEN token IN (SELECT token FROM v)
+                               THEN 0.0 ELSE 1.0 END), 6) AS oov_rate
+         FROM tk GROUP BY doc_id ORDER BY doc_id""",
+
+    "q82_zipf_slope" ->
+      """WITH toks AS (
+           SELECT unnest(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+             ' ')) AS token
+           FROM documents),
+         c AS (SELECT token, count(*) AS cnt FROM toks
+               WHERE token <> '' GROUP BY token),
+         r AS (SELECT ln(row_number() OVER (ORDER BY cnt DESC, token)::DOUBLE) AS x,
+                      ln(cnt::DOUBLE) AS y
+               FROM c)
+         SELECT count(*)::BIGINT AS n_vocab,
+                round((count(*) * sum(x*y) - sum(x) * sum(y))
+                      / (count(*) * sum(x*x) - sum(x) * sum(x)), 6) AS zipf_slope
+         FROM r"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -2141,5 +2184,5 @@ object SparkEntry {
     "q71_span_dedup", "q72_dsir_weights", "q73_url_domains",
     "q74_semantic_dedup", "q75_semantic_dedup_learned",
     "q76_domain_filter", "q77_bigram_xent", "q79_quality_mix",
-    "q80_random_projection")
+    "q80_random_projection", "q81_oov_rate", "q82_zipf_slope")
 }

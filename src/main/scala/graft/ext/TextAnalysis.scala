@@ -457,6 +457,71 @@ object TextAnalysis {
             + 1.0)).as("weight"))
   }
 
+  /** Out-of-vocabulary rate per document: the fraction of a document's
+    * token occurrences falling outside the corpus's top-`vocabSize`
+    * tokens — the tokenizer-coverage / domain-shift signal (a doc full
+    * of rare tokens is jargon, another language, or noise; a corpus
+    * whose OOV mass grows after a crawl refresh has drifted).
+    * Vocabulary rank ties break by token for determinism.
+    *
+    * Shape at scale: one explode builds the vocabulary (hash agg +
+    * `TakeOrderedAndProject` — the top-k never sorts the full vocab),
+    * and scoring is a broadcast left join of the token stream against
+    * the vocabSize-row list. Two corpus explodes total, like every
+    * model-then-score operator here.
+    */
+  def oovRate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("__id"),
+        explode(split(normalize(col(textCol)), " ")).as("token"))
+      .where(col("token") =!= "")
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(when(col("__in").isNull, 1.0).otherwise(0.0)), 6).as("oov_rate"))
+      .withColumnRenamed("__id", idCol)
+  }
+
+  /** Zipf slope of the corpus vocabulary — the corpus-health dashboard
+    * stat: ordinary-least-squares slope of ln(frequency) against
+    * ln(rank) over all distinct tokens (natural text sits near −1;
+    * templated/synthetic corpora flatten, boilerplate-heavy ones
+    * steepen). Computed from the explicit OLS sums so an external
+    * engine reproduces the arithmetic exactly (built-in `regr_slope`
+    * implementations differ in summation form across engines).
+    *
+    * Output: one row `(n_vocab, zipf_slope)`.
+    *
+    * Shape at scale: the rank window runs over the VOCABULARY (orders
+    * of magnitude below the corpus; Zipf is the reason), and the OLS
+    * reduction is a single aggregation of that table.
+    */
+  def zipfSlope(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df
+      .select(explode(split(normalize(col(textCol)), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__cnt").desc, col("token"))
+    val xy = counts
+      .select(log(row_number().over(w).cast("double")).as("__x"),
+        log(col("__cnt").cast("double")).as("__y"))
+    xy.agg(
+        count(lit(1)).as("n_vocab"),
+        round(
+          (count(lit(1)) * sum(col("__x") * col("__y")) - sum(col("__x")) * sum(col("__y"))) /
+            (count(lit(1)) * sum(col("__x") * col("__x")) - sum(col("__x")) * sum(col("__x"))),
+          6).as("zipf_slope"))
+  }
+
   /** Winnowing-style shingle fingerprint: the k smallest 64-bit hashes
     * of the document's character n-grams, as a sorted array. Robust to
     * local edits (an edit perturbs only the shingles that overlap it) —

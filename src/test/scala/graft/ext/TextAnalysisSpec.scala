@@ -250,6 +250,39 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(0)._3 should be < out(1)._3
   }
 
+  test("oovRate: tokens outside the top-k vocabulary, deterministic vocab tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b"),
+      (2L, "b c")
+    ).toDF("doc_id", "text")
+    // counts: a=2 b=2 c=1 -> top-2 vocab {a, b} (tie a/b irrelevant at k=2)
+    val out = oovRate(df, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out shouldBe Array((1L, 3L, 0.0), (2L, 2L, 0.5))
+    // k=1: tie between a(2) and b(2) broken by token -> vocab {a}
+    val k1 = oovRate(df, "doc_id", "text", vocabSize = 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    k1 shouldBe Array((1L, 0.333333), (2L, 1.0)) // avg rounded to 6
+  }
+
+  test("zipfSlope: OLS of ln(freq) on ln(rank) matches the hand formula") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    // counts a=4 b=2 c=1 -> (rank, freq) = (1,4) (2,2) (3,1)
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val n = 3.0
+    val slope = (n * xs.zip(ys).map { case (x, y) => x * y }.sum - xs.sum * ys.sum) /
+      (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    val out = zipfSlope(df, "text").head
+    out.getLong(0) shouldBe 3L
+    out.getDouble(1) shouldBe
+      BigDecimal(slope).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.getDouble(1) should be < 0.0 // frequency falls with rank
+  }
+
   test("urlHostnames extracts every http(s) authority in order") {
     import spark.implicits._
     val df = Seq(

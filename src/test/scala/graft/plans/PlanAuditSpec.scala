@@ -93,4 +93,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     for (name <- Seq("q72_dsir_weights", "q77_bigram_xent"))
       plans(name).toLowerCase should not include "lambdafunction"
   }
+
+  test("q11 rank filter triggers Spark's partial WindowGroupLimit") {
+    // Top-k-per-key via window + rank<=k filter is only scale-safe
+    // because Catalyst inserts a MAP-SIDE group limit before the
+    // shuffle (each task forwards at most k rows per key) — the
+    // declarative plan giving the bounded-heap physical shape for
+    // free. If a query rewrite ever loses the rank predicate's
+    // pushdown, every row of every key shuffles and sorts again.
+    val p = SparkEntry.queries("q11_window_rank")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p should include("WindowGroupLimit")
+    p should include("Partial")
+  }
 }
