@@ -873,10 +873,13 @@ object SparkEntry {
 
     // SemDeDup at its production shape — LEARNED spherical cells — with
     // its quality measured in-row against the exact all-pairs
-    // domination rule (= semanticDedup with one cell): agreement is the
-    // fraction of exact survivors the celled run also keeps. Rows-only
-    // (sampled kmeans has no DuckDB twin); bounded by oracled q74 and
-    // the spec'd fixture floor
+    // domination rule (= semanticDedup with one cell). Celled survivors
+    // are a SUPERSET of exact survivors by construction, so survivor
+    // overlap is tautologically 1.0; the informative direction is DROP
+    // RECALL — what fraction of the exact rule's drops the celled run
+    // reproduces (a bad clustering splits dup pairs across cells and
+    // misses drops). Rows-only (sampled kmeans has no DuckDB twin);
+    // bounded by oracled q74 and the spec'd fixture floor
     "q75_semantic_dedup_learned" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val dim = queryVector(e, 0L).size
@@ -885,13 +888,12 @@ object SparkEntry {
         tau = 0.4, spherical = true).select("vec_id")
       val exact = SimilaritySearch.semanticDedup(e, "vec_id", "embedding",
         Seq(Seq.fill(dim)(0.0)), tau = 0.4).select("vec_id")
-      learned.agg(count(lit(1)).as("n_learned"))
+      e.agg(count(lit(1)).as("__n"))
+        .crossJoin(learned.agg(count(lit(1)).as("n_learned")))
         .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-        .crossJoin(learned.join(exact, Seq("vec_id"))
-          .agg(count(lit(1)).as("n_both")))
         .select(col("n_learned"), col("n_exact"),
-          round(col("n_both").cast("double") / col("n_exact"), 6)
-            .as("survivor_agreement"))
+          round((col("__n") - col("n_learned")).cast("double")
+            / (col("__n") - col("n_exact")), 6).as("drop_recall"))
     }),
 
     // Provenance gate over the q73 salted URLs: docs citing a
@@ -939,8 +941,11 @@ object SparkEntry {
     // running-sum draw as q61 — the curriculum/mixture-composition step
     "q79_quality_mix" -> ((s, dir) => {
       val q = round(TextAnalysis.qualityScore(col("text")), 6)
+      // text itself is NOT selected: the draw's checkpoint is an
+      // optimizer barrier, so a carried text column would be
+      // materialized wholesale for nothing
       val binned = t(s, dir, "documents").select(
-        col("doc_id"), col("text"),
+        col("doc_id"),
         when(q >= 0.8, "hi").when(q >= 0.6, "mid").otherwise("low").as("qbin"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
       Sampling.sampleByTokenBudget(binned, "qbin", "doc_id", "n_toks",
@@ -1940,7 +1945,9 @@ object SparkEntry {
                || '.example.net/y' AS t
            FROM documents),
          u AS (SELECT doc_id,
-                 unnest(regexp_extract_all(t, 'https?://([^/\s]+)', 1)) AS domain
+                 unnest(regexp_extract_all(lower(t),
+                   'https?://(?:[^/\s@]*@)?([a-z0-9-]+(?:\.[a-z0-9-]+)*)',
+                   1)) AS domain
                FROM x)
          SELECT domain, count(DISTINCT doc_id)::BIGINT AS n_docs,
                 count(*)::BIGINT AS n_urls
@@ -1982,10 +1989,14 @@ object SparkEntry {
                || '.example.net/x' AS t
            FROM documents),
          u AS (SELECT doc_id,
-                 unnest(regexp_extract_all(t, 'https?://([^/\s]+)', 1)) AS domain
+                 unnest(regexp_extract_all(lower(t),
+                   'https?://(?:[^/\s@]*@)?([a-z0-9-]+(?:\.[a-z0-9-]+)*)',
+                   1)) AS domain
                FROM x)
          SELECT doc_id,
-                len(regexp_extract_all(t, 'https?://([^/\s]+)', 1))::BIGINT AS n_urls
+                len(regexp_extract_all(lower(t),
+                  'https?://(?:[^/\s@]*@)?([a-z0-9-]+(?:\.[a-z0-9-]+)*)',
+                  1))::BIGINT AS n_urls
          FROM x
          WHERE doc_id NOT IN (
            SELECT doc_id FROM u

@@ -64,27 +64,6 @@ object Sampling {
       .drop("__rk")
   }
 
-  /** Token-budget sampling — the corpus-MIXING primitive: per group
-    * (source / language / domain), keep documents in md5-coordinate
-    * order while the RUNNING token total stays within that group's
-    * budget. This is how a training mixture is drawn ("web 60B tokens,
-    * code 20B, books 10B…"): deterministic (same docs chosen on any
-    * partitioning or engine — no `rand()`), content-keyed (a re-crawl
-    * keeps the same selection), and budgeted in tokens, not documents.
-    *
-    * The first document of a group is always kept even when it alone
-    * overflows the budget (a mixture spec of N tokens means "roughly
-    * N", never zero). `budgets` misses drop the group — an explicit
-    * mixture is a whitelist.
-    *
-    * Shape at scale: the [[packSequences]] distributed prefix sum, per
-    * group — a window partitioned by group ALONE would funnel each
-    * source onto one task (with 3 quality bins that is a 3-task plan
-    * regardless of cluster size). The md5-prefix shard splits every
-    * group's order into 256 ranges: per-(group, shard) running-sum
-    * windows run 256-way parallel per group, and the exclusive shard
-    * bases come from a broadcast |groups|×256-row aggregate.
-    */
   /** Sequence packing — concat-and-chunk bookkeeping for LLM training:
     * documents are laid end-to-end in md5-coordinate order and the
     * resulting token stream is sliced into fixed `seqLen` windows; each
@@ -138,6 +117,27 @@ object Sampling {
       .drop("__k", "__shard", "__base", "__start")
   }
 
+  /** Token-budget sampling — the corpus-MIXING primitive: per group
+    * (source / language / domain), keep documents in md5-coordinate
+    * order while the RUNNING token total stays within that group's
+    * budget. This is how a training mixture is drawn ("web 60B tokens,
+    * code 20B, books 10B…"): deterministic (same docs chosen on any
+    * partitioning or engine — no `rand()`), content-keyed (a re-crawl
+    * keeps the same selection), and budgeted in tokens, not documents.
+    *
+    * The first document of a group is always kept even when it alone
+    * overflows the budget (a mixture spec of N tokens means "roughly
+    * N", never zero). `budgets` misses drop the group — an explicit
+    * mixture is a whitelist.
+    *
+    * Shape at scale: the [[packSequences]] distributed prefix sum, per
+    * group — a window partitioned by group ALONE would funnel each
+    * source onto one task (with 3 quality bins that is a 3-task plan
+    * regardless of cluster size). The md5-prefix shard splits every
+    * group's order into 256 ranges: per-(group, shard) running-sum
+    * windows run 256-way parallel per group, and the exclusive shard
+    * bases come from a broadcast |groups|×256-row aggregate.
+    */
   def sampleByTokenBudget(
       df: DataFrame,
       groupCol: String,

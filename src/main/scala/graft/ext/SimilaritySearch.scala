@@ -571,10 +571,16 @@ object SimilaritySearch {
       centroids: Seq[Seq[Double]],
       tau: Double,
       spherical: Boolean = false): DataFrame = {
+    // Pinned: assigned fans into three branches (lower join side,
+    // dominated join, final anti-join) — unpinned, the scan and the
+    // O(k·dim)-per-row argmin would re-run per branch (the
+    // crossDocDupFraction lesson; at SemDeDup-scale k the assignment
+    // pass dominates and would triple)
     val assigned = df.select(
       col(idCol),
       col(vecCol).cast("array<double>").as("__v"),
       nearestCentroid(col(vecCol), centroids, spherical).as("cell"))
+      .localCheckpoint()
     val lower = assigned.select(
       col("cell"), col(idCol).as("__id_lo"), col("__v").as("__v_lo"))
     val dominated = assigned.join(lower, Seq("cell"))

@@ -422,14 +422,21 @@ object TextAnalysis {
       .withColumnRenamed("__id", idCol)
   }
 
-  /** Hostnames of every `http(s)://` URL in the text, in order of
-    * appearance — the C4/RefinedWeb provenance coordinate (per-domain
-    * filtering, blocklists, composition stats all key on this). Pure
-    * codegen regexp; the authority component ends at the first `/`,
-    * whitespace, or end-of-string.
+  /** Hostnames of every `http(s)://` URL in the text, lowercased, in
+    * order of appearance — the C4/RefinedWeb provenance coordinate
+    * (per-domain filtering, blocklists, composition stats all key on
+    * this). Pure codegen regexp over the lowercased text (scheme and
+    * host are case-insensitive per RFC 3986); the host is dot-separated
+    * alphanumeric/hyphen labels, so a port (`:8080`), trailing sentence
+    * punctuation (`…example.net.` / `…net,`), path, or query never
+    * leak into the extracted domain — and userinfo (`user@host`) is
+    * skipped, not mistaken for the host — so a blocklist match cannot
+    * be dodged by writing the URL at the end of a sentence or behind
+    * credentials.
     */
   def urlHostnames(text: Column): Column =
-    regexp_extract_all(text, lit("https?://([^/\\s]+)"), lit(1))
+    regexp_extract_all(lower(text),
+      lit("https?://(?:[^/\\s@]*@)?([a-z0-9-]+(?:\\.[a-z0-9-]+)*)"), lit(1))
 
   /** Smoothed TF-IDF weights per (doc, term) over normalized tokens:
     * `tf` = term count within the doc, `idf = ln((N+1)/(df+1)) + 1`

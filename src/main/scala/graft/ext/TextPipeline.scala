@@ -155,9 +155,12 @@ object TextPipeline {
       df: DataFrame,
       textCol: String,
       blockedDomains: Seq[String]): DataFrame =
-    df.where(size(array_intersect(
+    // null text cites no domain — keep it (the gate drops only rows
+    // that POSITIVELY cite a blocked host; an unguarded size(...)===0
+    // is null on null text and would silently drop the row)
+    df.where(col(textCol).isNull || size(array_intersect(
       TextAnalysis.urlHostnames(col(textCol)),
-      typedLit(blockedDomains))) === 0)
+      typedLit(blockedDomains.map(_.toLowerCase)))) === 0)
 
   /** Streaming corpus ingestion: the stateless prefix of [[cleanCorpus]]
     * (quality gate → language filter — both pure scan-projection

@@ -93,7 +93,10 @@ object LangScores {
       if (raw.contains(zhChars(z))) scores(4) += 1
       z += 1
     }
-    val lower = raw.toLowerCase(java.util.Locale.ROOT)
+    // UTF8String.toLowerCase is EXACTLY what Spark's lower() computes —
+    // a JDK-locale or Locale.ROOT lowercase here would diverge from the
+    // regexp spelling on non-ASCII text under tr/az default locales
+    val lower = s.toLowerCase.toString
     val n = lower.length
     var i = 0
     while (i < n) {

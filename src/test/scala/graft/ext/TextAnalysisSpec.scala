@@ -283,15 +283,23 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.getDouble(1) should be < 0.0 // frequency falls with rank
   }
 
-  test("urlHostnames extracts every http(s) authority in order") {
+  test("urlHostnames extracts every http(s) host in order, canonicalized") {
     import spark.implicits._
     val df = Seq(
       "see https://a.example.org/path x http://b.example.net/q https://a.example.org/y",
       "bare host https://tail.example.com end",
-      "no urls at all").toDF("text")
+      "no urls at all",
+      // sentence-final punctuation, a port, userinfo, uppercase — none
+      // may leak into (or hide) the host: the blocklist-bypass cases
+      "spam at https://bad.example.net. or https://bad.example.net, ok",
+      "port https://bad.example.net:8080/x userinfo https://u:p@bad.example.net/y",
+      "HTTPS://BAD.EXAMPLE.NET/x").toDF("text")
     val out = df.select(urlHostnames(col("text"))).as[Seq[String]].collect()
     out(0) shouldBe Seq("a.example.org", "b.example.net", "a.example.org")
     out(1) shouldBe Seq("tail.example.com")
     out(2) shouldBe Seq.empty
+    out(3) shouldBe Seq("bad.example.net", "bad.example.net")
+    out(4) shouldBe Seq("bad.example.net", "bad.example.net")
+    out(5) shouldBe Seq("bad.example.net")
   }
 }

@@ -105,4 +105,18 @@ class TextPipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
     TextPipeline.filterByDomains(df, "text", Seq("bad.example.net"))
       .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 4L, 5L)
   }
+
+  test("filterByDomains: punctuation/port/case/userinfo cannot dodge the blocklist; null text kept") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("end of sentence https://bad.example.net.")),
+      (2L, Some("port http://bad.example.net:8080/x")),
+      (3L, Some("caps HTTP://BAD.EXAMPLE.NET/y")),
+      (4L, Some("creds https://u:p@bad.example.net/z")),
+      (5L, None: Option[String]), // cites nothing -> kept
+      (6L, Some("clean https://fine.example.org/ok"))
+    ).toDF("doc_id", "text")
+    TextPipeline.filterByDomains(df, "text", Seq("BAD.example.net"))
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(5L, 6L)
+  }
 }
