@@ -533,14 +533,66 @@ object SimilaritySearch {
       nProbe: Int = 2,
       excludeId: Option[Long] = None,
       spherical: Boolean = false): DataFrame = {
-    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+    val cell = nearestCentroid(col(vecCol), centroids, spherical)
+    topKByCosine(
+      df.where(cell.isin(probeCellsFor(query, centroids, nProbe, spherical): _*)),
+      idCol, vecCol, query, k, excludeId)
+  }
+
+  /** The `nProbe` nearest cells to a query (the same argmin geometry
+    * the row assignment uses) — the probe set for [[ivfTopK]] and the
+    * partition filter for [[ivfTopKFromIndex]].
+    */
+  def probeCellsFor(
+      query: Seq[Double],
+      centroids: Seq[Seq[Double]],
+      nProbe: Int,
+      spherical: Boolean = false): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
       val d = if (spherical) -c.zip(query).map { case (a, b) => a * b }.sum
         else c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
       (d, i)
     }.sortBy(identity).take(math.max(1, nProbe)).map(_._2)
-    val cell = nearestCentroid(col(vecCol), centroids, spherical)
-    topKByCosine(df.where(cell.isin(probeCells: _*)), idCol, vecCol, query, k, excludeId)
-  }
+
+  /** Materialize the IVF index: rows land in parquet partitions KEYED
+    * BY CELL (`.../cell=7/part-*.parquet`). Build once, query many —
+    * the index build pays the assignment argmin exactly once, and
+    * every subsequent query's probe becomes PARTITION PRUNING: the
+    * scan lists only the probed cell directories, so a 16-cell /
+    * nProbe-4 query reads ~1/4 of the index bytes no matter how large
+    * the corpus (IvfIndexSpec asserts the `PartitionFilters` push and
+    * the result parity with the in-memory [[ivfTopK]]).
+    */
+  def writeIvfIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Double]],
+      path: String,
+      spherical: Boolean = false): Unit =
+    df.select(col(idCol), col(vecCol),
+        nearestCentroid(col(vecCol), centroids, spherical).as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Query a [[writeIvfIndex]] index: the cell filter is a literal IN
+    * over the partition column, pruned at file listing — no full scan,
+    * no assignment recompute.
+    */
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      centroids: Seq[Seq[Double]],
+      nProbe: Int = 2,
+      excludeId: Option[Long] = None,
+      spherical: Boolean = false): DataFrame =
+    topKByCosine(
+      spark.read.parquet(path).where(
+        col("cell").isin(probeCellsFor(query, centroids, nProbe, spherical): _*)),
+      idCol, vecCol, query, k, excludeId)
 
   /** Semantic dedup, the SemDeDup recipe (Abbas et al. 2023): assign
     * every vector to its nearest coarse centroid, compare vectors ONLY
