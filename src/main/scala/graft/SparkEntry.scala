@@ -892,8 +892,11 @@ object SparkEntry {
         .crossJoin(learned.agg(count(lit(1)).as("n_learned")))
         .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
         .select(col("n_learned"), col("n_exact"),
-          round((col("__n") - col("n_learned")).cast("double")
-            / (col("__n") - col("n_exact")), 6).as("drop_recall"))
+          // no exact drops -> nothing to miss -> recall 1.0 (the bare
+          // division is x/0 -> null there and the metric would vanish)
+          when(col("__n") === col("n_exact"), lit(1.0))
+            .otherwise(round((col("__n") - col("n_learned")).cast("double")
+              / (col("__n") - col("n_exact")), 6)).as("drop_recall"))
     }),
 
     // Provenance gate over the q73 salted URLs: docs citing a
@@ -1946,7 +1949,7 @@ object SparkEntry {
            FROM documents),
          u AS (SELECT doc_id,
                  unnest(regexp_extract_all(lower(t),
-                   'https?://(?:[^/\s@]*@)?([a-z0-9-]+(?:\.[a-z0-9-]+)*)',
+                   'https?://(?:[^/?#\s@]*@)?([\p{L}\p{N}_-]+(?:\.[\p{L}\p{N}_-]+)*)',
                    1)) AS domain
                FROM x)
          SELECT domain, count(DISTINCT doc_id)::BIGINT AS n_docs,
@@ -1990,12 +1993,12 @@ object SparkEntry {
            FROM documents),
          u AS (SELECT doc_id,
                  unnest(regexp_extract_all(lower(t),
-                   'https?://(?:[^/\s@]*@)?([a-z0-9-]+(?:\.[a-z0-9-]+)*)',
+                   'https?://(?:[^/?#\s@]*@)?([\p{L}\p{N}_-]+(?:\.[\p{L}\p{N}_-]+)*)',
                    1)) AS domain
                FROM x)
          SELECT doc_id,
                 len(regexp_extract_all(lower(t),
-                  'https?://(?:[^/\s@]*@)?([a-z0-9-]+(?:\.[a-z0-9-]+)*)',
+                  'https?://(?:[^/?#\s@]*@)?([\p{L}\p{N}_-]+(?:\.[\p{L}\p{N}_-]+)*)',
                   1))::BIGINT AS n_urls
          FROM x
          WHERE doc_id NOT IN (

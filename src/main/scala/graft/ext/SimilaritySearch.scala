@@ -627,7 +627,11 @@ object SimilaritySearch {
     // dominated join, final anti-join) — unpinned, the scan and the
     // O(k·dim)-per-row argmin would re-run per branch (the
     // crossDocDupFraction lesson; at SemDeDup-scale k the assignment
-    // pass dominates and would triple)
+    // pass dominates and would triple). localCheckpoint is the house
+    // pin: eager and non-replicated — a trade the whole ext/ layer
+    // makes (minhashSignatures, dsirWeights, bigramCrossEntropy); on a
+    // long-running cluster job prefer checkpointing the caller's input
+    // to reliable storage if executor loss must be survivable.
     val assigned = df.select(
       col(idCol),
       col(vecCol).cast("array<double>").as("__v"),

@@ -432,11 +432,16 @@ object TextAnalysis {
     * leak into the extracted domain — and userinfo (`user@host`) is
     * skipped, not mistaken for the host — so a blocklist match cannot
     * be dodged by writing the URL at the end of a sentence or behind
-    * credentials.
+    * credentials. The userinfo skip stops at `/?#` so an `@` inside a
+    * query string cannot re-attribute the host, and labels accept any
+    * letter/digit plus `_-`, so IDN and underscore hosts survive
+    * intact. (Per RFC 3986 userinfo ends at the FIRST `@`; a literal
+    * second `@` is invalid input and stays in the host position.)
     */
   def urlHostnames(text: Column): Column =
     regexp_extract_all(lower(text),
-      lit("https?://(?:[^/\\s@]*@)?([a-z0-9-]+(?:\\.[a-z0-9-]+)*)"), lit(1))
+      lit("https?://(?:[^/?#\\s@]*@)?" +
+        "([\\p{L}\\p{N}_-]+(?:\\.[\\p{L}\\p{N}_-]+)*)"), lit(1))
 
   /** Smoothed TF-IDF weights per (doc, term) over normalized tokens:
     * `tf` = term count within the doc, `idf = ln((N+1)/(df+1)) + 1`

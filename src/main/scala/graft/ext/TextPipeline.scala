@@ -160,7 +160,9 @@ object TextPipeline {
     // is null on null text and would silently drop the row)
     df.where(col(textCol).isNull || size(array_intersect(
       TextAnalysis.urlHostnames(col(textCol)),
-      typedLit(blockedDomains.map(_.toLowerCase)))) === 0)
+      // Locale.ROOT: a default-locale lowercase turns "BIT.LY" into
+      // "bıt.ly" on tr/az JVMs and the gate silently stops matching
+      typedLit(blockedDomains.map(_.toLowerCase(java.util.Locale.ROOT))))) === 0)
 
   /** Streaming corpus ingestion: the stateless prefix of [[cleanCorpus]]
     * (quality gate → language filter — both pure scan-projection

@@ -293,7 +293,11 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
       // may leak into (or hide) the host: the blocklist-bypass cases
       "spam at https://bad.example.net. or https://bad.example.net, ok",
       "port https://bad.example.net:8080/x userinfo https://u:p@bad.example.net/y",
-      "HTTPS://BAD.EXAMPLE.NET/x").toDF("text")
+      "HTTPS://BAD.EXAMPLE.NET/x",
+      // an @ inside the query must NOT re-attribute the host, and
+      // IDN / underscore hosts survive intact
+      "q https://bad.example.net?x=a@innocent.com end",
+      "idn https://xn--bcher-kva.example.net/x under https://my_cdn.example.net/y").toDF("text")
     val out = df.select(urlHostnames(col("text"))).as[Seq[String]].collect()
     out(0) shouldBe Seq("a.example.org", "b.example.net", "a.example.org")
     out(1) shouldBe Seq("tail.example.com")
@@ -301,5 +305,7 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(3) shouldBe Seq("bad.example.net", "bad.example.net")
     out(4) shouldBe Seq("bad.example.net", "bad.example.net")
     out(5) shouldBe Seq("bad.example.net")
+    out(6) shouldBe Seq("bad.example.net")
+    out(7) shouldBe Seq("xn--bcher-kva.example.net", "my_cdn.example.net")
   }
 }
