@@ -985,7 +985,30 @@ object SparkEntry {
     // Zipf slope of the vocabulary (corpus-health dashboard): OLS of
     // ln(freq) on ln(rank), explicit sums so DuckDB reproduces exactly
     "q82_zipf_slope" -> ((s, dir) =>
-      TextAnalysis.zipfSlope(t(s, dir, "documents"), "text"))
+      TextAnalysis.zipfSlope(t(s, dir, "documents"), "text")),
+
+    // The PERSISTED IVF index end-to-end: build the cell-partitioned
+    // index, probe it (partition pruning at file listing), measure
+    // recall@10 vs exact. Same fixed centroids and probe mechanics as
+    // q46 — the filesystem round-trip must not change a single
+    // neighbor, so q46's DuckDB twin oracles this row verbatim
+    "q83_ivf_index_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = queryVector(e, 0L)
+      val cents = e.where(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_ivf_index").getAbsolutePath
+      SimilaritySearch.writeIvfIndex(e, "vec_id", "embedding", cents, path)
+      val fromIndex = SimilaritySearch.ivfTopKFromIndex(s, path, "vec_id",
+        "embedding", q, 10, cents, nProbe = 4, excludeId = Some(0L))
+        .select("vec_id")
+      val exact = SimilaritySearch.topKByCosine(e, "vec_id", "embedding", q, 10,
+        excludeId = Some(0L)).select("vec_id")
+      fromIndex.join(exact, Seq("vec_id"))
+        .agg((count(lit(1)).cast("double") / lit(10.0)).as("recall_at_10"))
+    })
   )
 
   /** 20 whitespace tokens (2 exact 10-token spans) prepended to every
@@ -1485,6 +1508,31 @@ object SparkEntry {
     // elementwise squared-distance argmin (ties to the lower cell),
     // 4 nearest cells probed, in-cell top-10 by cosine.
     "q46_ivf_recall" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         zc AS (SELECT e.vec_id, c.cid,
+                       unnest(e.embedding)::DOUBLE AS x, unnest(c.ce)::DOUBLE AS y
+                FROM embeddings e, c),
+         d AS (SELECT vec_id, cid, sum((x-y)*(x-y)) AS d2 FROM zc GROUP BY vec_id, cid),
+         assign AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM d) WHERE rn = 1),
+         probes AS (SELECT cid FROM d WHERE vec_id = 0 ORDER BY d2, cid LIMIT 4),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         ze AS (SELECT e.vec_id, a.cid,
+                       unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+                FROM embeddings e, assign a, q
+                WHERE e.vec_id = a.vec_id AND e.vec_id <> 0),
+         ce AS (SELECT vec_id, any_value(cid) AS cid,
+                       sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cs
+                FROM ze GROUP BY vec_id),
+         ex AS (SELECT vec_id FROM ce ORDER BY cs DESC, vec_id LIMIT 10),
+         ivf AS (SELECT vec_id FROM ce WHERE cid IN (SELECT cid FROM probes)
+                 ORDER BY cs DESC, vec_id LIMIT 10)
+         SELECT (SELECT count(*) FROM ivf JOIN ex USING (vec_id))::DOUBLE / 10.0
+           AS recall_at_10""",
+
+    "q83_ivf_index_recall" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
          zc AS (SELECT e.vec_id, c.cid,
                        unnest(e.embedding)::DOUBLE AS x, unnest(c.ce)::DOUBLE AS y
@@ -2198,5 +2246,6 @@ object SparkEntry {
     "q71_span_dedup", "q72_dsir_weights", "q73_url_domains",
     "q74_semantic_dedup", "q75_semantic_dedup_learned",
     "q76_domain_filter", "q77_bigram_xent", "q79_quality_mix",
-    "q80_random_projection", "q81_oov_rate", "q82_zipf_slope")
+    "q80_random_projection", "q81_oov_rate", "q82_zipf_slope",
+    "q83_ivf_index_recall")
 }
