@@ -1008,6 +1008,24 @@ object SparkEntry {
         excludeId = Some(0L)).select("vec_id")
       fromIndex.join(exact, Seq("vec_id"))
         .agg((count(lit(1)).cast("double") / lit(10.0)).as("recall_at_10"))
+    }),
+
+    // Crawl-to-crawl diff: the "new crawl" edits every 10th doc
+    // (appended salt), drops every 13th, and adds 50 fresh ids —
+    // classification decides what a re-crawl actually re-processes
+    "q84_crawl_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newCrawl = docs
+        .where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" edited rev"), col("doc_id").cast("string")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(
+          s.range(1000000, 1000050).select(
+            col("id").as("doc_id"), lit("fresh crawl document").as("text")))
+      Dedup.crawlDiff(docs, newCrawl, "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1531,6 +1549,34 @@ object SparkEntry {
                  ORDER BY cs DESC, vec_id LIMIT 10)
          SELECT (SELECT count(*) FROM ivf JOIN ex USING (vec_id))::DOUBLE / 10.0
            AS recall_at_10""",
+
+    // Fingerprint equality == normalized-text equality, so the twin
+    // compares normalized texts directly (no md5 needed for the verdict)
+    "q84_crawl_diff" ->
+      """WITH o AS (
+           SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+           FROM documents),
+         n0 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+               THEN text || ' edited rev' || doc_id::VARCHAR
+               ELSE text END AS text
+           FROM documents WHERE doc_id % 13 <> 0),
+         n1 AS (
+           SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+           FROM n0
+           UNION ALL
+           SELECT r.x AS doc_id, 'fresh crawl document' AS nt
+           FROM (SELECT unnest(generate_series(1000000, 1000049)) AS x) r)
+         SELECT coalesce(o.doc_id, n1.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n1.doc_id IS NULL THEN 'removed'
+                WHEN o.nt = n1.nt THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM o FULL OUTER JOIN n1 ON o.doc_id = n1.doc_id
+         ORDER BY doc_id""",
 
     "q83_ivf_index_recall" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
@@ -2247,5 +2293,5 @@ object SparkEntry {
     "q74_semantic_dedup", "q75_semantic_dedup_learned",
     "q76_domain_filter", "q77_bigram_xent", "q79_quality_mix",
     "q80_random_projection", "q81_oov_rate", "q82_zipf_slope",
-    "q83_ivf_index_recall")
+    "q83_ivf_index_recall", "q84_crawl_diff")
 }

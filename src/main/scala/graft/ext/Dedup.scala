@@ -566,6 +566,35 @@ object Dedup {
       .drop("__rk")
   }
 
+  /** Crawl-to-crawl corpus diff by content fingerprint: classify every
+    * document id across two snapshots as `unchanged` (same id, same
+    * normalized-content fingerprint), `changed` (same id, different
+    * fingerprint), `added` (id only in the new snapshot), or `removed`
+    * (id only in the old) — the incremental-ingestion primitive that
+    * decides how much of a re-crawl actually needs re-processing
+    * (re-embed / re-dedup / re-score only `changed` + `added`).
+    *
+    * Shape at scale: one full-outer equi-join on id (both sides hash
+    * partition the same way) over (id, fingerprint) projections — the
+    * text columns never shuffle, only 32-hex fingerprints.
+    */
+  def crawlDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol),
+      TextAnalysis.fingerprintMd5(col(textCol)).as("__fp_old"))
+    val n = newDf.select(col(idCol),
+      TextAnalysis.fingerprintMd5(col(textCol)).as("__fp_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") === col("__fp_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Span-level (sub-document) exact dedup, the C4 recipe: slice every
     * document into non-overlapping `spanTokens`-token spans, keep only
     * the FIRST occurrence of each distinct span across the whole corpus

@@ -240,6 +240,27 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     kept shouldBe Array((2L, 1L, 30L), (4L, 4L, 5L))
   }
 
+  test("crawlDiff classifies unchanged/changed/added/removed; normalization-invariant") {
+    import spark.implicits._
+    val old_ = Seq(
+      (1L, "same text"),
+      (2L, "will change"),
+      (3L, "will be removed"),
+      (4L, "Same   TEXT!") // doc 4 re-crawled with formatting noise only
+    ).toDF("doc_id", "text")
+    val new_ = Seq(
+      (1L, "same text"),
+      (2L, "has changed"),
+      (4L, "same text"),   // normalizes identically -> unchanged
+      (5L, "brand new")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crawlDiff(old_, new_, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    out shouldBe Array(
+      (1L, "unchanged"), (2L, "changed"), (3L, "removed"),
+      (4L, "unchanged"), (5L, "added"))
+  }
+
   test("dedupSpans: cross-doc spans kept at first occurrence, docs can vanish") {
     import spark.implicits._
     val df = Seq(
