@@ -164,6 +164,35 @@ object TextPipeline {
       // "bıt.ly" on tr/az JVMs and the gate silently stops matching
       typedLit(blockedDomains.map(_.toLowerCase(java.util.Locale.ROOT))))) === 0)
 
+  /** Incremental-crawl admission: pass only stream documents whose
+    * normalized-content fingerprint is ABSENT from the previous
+    * snapshot — the streaming complement of [[Dedup.crawlDiff]]
+    * (`added` + `changed` flow through; re-crawled bytes and
+    * formatting-only edits drop at the gate, before any downstream
+    * re-embedding/re-scoring pays for them).
+    *
+    * Shape at scale: a stream-static LEFT ANTI join (stateless — legal
+    * in any streaming plan; the static side re-resolves per
+    * micro-batch, so a snapshot refresh is picked up on the next
+    * trigger). The static side is pruned to a DISTINCT 16-byte
+    * fingerprint column before the join; for snapshots too large to
+    * join comfortably, swap the anti-join for a Bloom-filter prefilter
+    * built from the same fingerprints (false positives re-admit a few
+    * known docs, which the downstream exact dedup removes anyway).
+    */
+  def ingestNewOnly(
+      stream: DataFrame,
+      textCol: String,
+      previousCorpus: DataFrame,
+      prevTextCol: String): DataFrame = {
+    val known = previousCorpus
+      .select(TextAnalysis.fingerprintMd5(col(prevTextCol)).as("__fp"))
+      .distinct()
+    stream.withColumn("__fp", TextAnalysis.fingerprintMd5(col(textCol)))
+      .join(known, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Streaming corpus ingestion: the stateless prefix of [[cleanCorpus]]
     * (quality gate → language filter — both pure scan-projection
     * scalars, legal in any streaming plan) plus watermark-bounded exact

@@ -46,4 +46,34 @@ class StreamingCorpusSpec extends AnyFunSuite with Matchers with SparkTestBase {
         .subsetOf(Set("train", "val", "test")) shouldBe true
     } finally query.stop()
   }
+
+  test("ingestNewOnly admits only content absent from the previous snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val previous = Seq(
+      (100L, "an old document we already have"),
+      (101L, "another known text")).toDF("doc_id", "text")
+    val input = MemoryStream[StreamDoc]
+    val admitted = TextPipeline.ingestNewOnly(
+      input.toDF(), "text", previous, "text")
+    val query = admitted.writeStream
+      .format("memory").queryName("ingest_out").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ingest-ckpt").toString)
+      .start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        StreamDoc(1L, "a genuinely new document", t("2024-05-25 10:00:00")),
+        // byte-identical re-crawl of a known doc -> dropped
+        StreamDoc(2L, "an old document we already have", t("2024-05-25 10:00:10")),
+        // formatting-only re-crawl (same normalized content) -> dropped
+        StreamDoc(3L, "Another   KNOWN text!", t("2024-05-25 10:00:20")),
+        // real edit of known content -> admitted
+        StreamDoc(4L, "another known text plus an edit", t("2024-05-25 10:00:30")))
+      query.processAllAvailable()
+      spark.table("ingest_out").select("doc_id").as[Long].collect().sorted shouldBe
+        Array(1L, 4L)
+    } finally query.stop()
+  }
 }
