@@ -998,8 +998,11 @@ object SparkEntry {
       val cents = e.where(col("vec_id") < 16).orderBy(col("vec_id"))
         .select(col("embedding")).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
-      val path = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_ivf_index").getAbsolutePath
+      // per-run unique dir: a fixed shared path under /tmp would let
+      // concurrent runs clobber each other's partition directories
+      // mid-read (and leave first-user-owned leftovers on shared hosts)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index").toString
       SimilaritySearch.writeIvfIndex(e, "vec_id", "embedding", cents, path)
       val fromIndex = SimilaritySearch.ivfTopKFromIndex(s, path, "vec_id",
         "embedding", q, 10, cents, nProbe = 4, excludeId = Some(0L))
@@ -1046,6 +1049,34 @@ object SparkEntry {
     * check); their quality is bounded by the oracled q44/q45/q46 twins
     * and the measured q47 row.
     */
+  /** Shared by q46 (in-memory IVF probe) and q83 (persisted-index
+    * probe): identical semantics, one twin.
+    */
+  private lazy val IvfRecallOracleSql: String =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       zc AS (SELECT e.vec_id, c.cid,
+                     unnest(e.embedding)::DOUBLE AS x, unnest(c.ce)::DOUBLE AS y
+              FROM embeddings e, c),
+       d AS (SELECT vec_id, cid, sum((x-y)*(x-y)) AS d2 FROM zc GROUP BY vec_id, cid),
+       assign AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           FROM d) WHERE rn = 1),
+       probes AS (SELECT cid FROM d WHERE vec_id = 0 ORDER BY d2, cid LIMIT 4),
+       q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       ze AS (SELECT e.vec_id, a.cid,
+                     unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+              FROM embeddings e, assign a, q
+              WHERE e.vec_id = a.vec_id AND e.vec_id <> 0),
+       ce AS (SELECT vec_id, any_value(cid) AS cid,
+                     sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cs
+              FROM ze GROUP BY vec_id),
+       ex AS (SELECT vec_id FROM ce ORDER BY cs DESC, vec_id LIMIT 10),
+       ivf AS (SELECT vec_id FROM ce WHERE cid IN (SELECT cid FROM probes)
+               ORDER BY cs DESC, vec_id LIMIT 10)
+       SELECT (SELECT count(*) FROM ivf JOIN ex USING (vec_id))::DOUBLE / 10.0
+         AS recall_at_10"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
@@ -1525,30 +1556,7 @@ object SparkEntry {
     // IVF probe mechanics replicated: fixed centroids (vec_id 0..15),
     // elementwise squared-distance argmin (ties to the lower cell),
     // 4 nearest cells probed, in-cell top-10 by cosine.
-    "q46_ivf_recall" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
-         zc AS (SELECT e.vec_id, c.cid,
-                       unnest(e.embedding)::DOUBLE AS x, unnest(c.ce)::DOUBLE AS y
-                FROM embeddings e, c),
-         d AS (SELECT vec_id, cid, sum((x-y)*(x-y)) AS d2 FROM zc GROUP BY vec_id, cid),
-         assign AS (SELECT vec_id, cid FROM (
-             SELECT vec_id, cid,
-                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-             FROM d) WHERE rn = 1),
-         probes AS (SELECT cid FROM d WHERE vec_id = 0 ORDER BY d2, cid LIMIT 4),
-         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         ze AS (SELECT e.vec_id, a.cid,
-                       unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
-                FROM embeddings e, assign a, q
-                WHERE e.vec_id = a.vec_id AND e.vec_id <> 0),
-         ce AS (SELECT vec_id, any_value(cid) AS cid,
-                       sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cs
-                FROM ze GROUP BY vec_id),
-         ex AS (SELECT vec_id FROM ce ORDER BY cs DESC, vec_id LIMIT 10),
-         ivf AS (SELECT vec_id FROM ce WHERE cid IN (SELECT cid FROM probes)
-                 ORDER BY cs DESC, vec_id LIMIT 10)
-         SELECT (SELECT count(*) FROM ivf JOIN ex USING (vec_id))::DOUBLE / 10.0
-           AS recall_at_10""",
+    "q46_ivf_recall" -> IvfRecallOracleSql,
 
     // Fingerprint equality == normalized-text equality, so the twin
     // compares normalized texts directly (no md5 needed for the verdict)
@@ -1578,30 +1586,10 @@ object SparkEntry {
          FROM o FULL OUTER JOIN n1 ON o.doc_id = n1.doc_id
          ORDER BY doc_id""",
 
-    "q83_ivf_index_recall" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
-         zc AS (SELECT e.vec_id, c.cid,
-                       unnest(e.embedding)::DOUBLE AS x, unnest(c.ce)::DOUBLE AS y
-                FROM embeddings e, c),
-         d AS (SELECT vec_id, cid, sum((x-y)*(x-y)) AS d2 FROM zc GROUP BY vec_id, cid),
-         assign AS (SELECT vec_id, cid FROM (
-             SELECT vec_id, cid,
-                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-             FROM d) WHERE rn = 1),
-         probes AS (SELECT cid FROM d WHERE vec_id = 0 ORDER BY d2, cid LIMIT 4),
-         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         ze AS (SELECT e.vec_id, a.cid,
-                       unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
-                FROM embeddings e, assign a, q
-                WHERE e.vec_id = a.vec_id AND e.vec_id <> 0),
-         ce AS (SELECT vec_id, any_value(cid) AS cid,
-                       sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cs
-                FROM ze GROUP BY vec_id),
-         ex AS (SELECT vec_id FROM ce ORDER BY cs DESC, vec_id LIMIT 10),
-         ivf AS (SELECT vec_id FROM ce WHERE cid IN (SELECT cid FROM probes)
-                 ORDER BY cs DESC, vec_id LIMIT 10)
-         SELECT (SELECT count(*) FROM ivf JOIN ex USING (vec_id))::DOUBLE / 10.0
-           AS recall_at_10""",
+    // q46's twin verbatim BY CONSTRUCTION (shared val): the index
+    // round-trip must not change one neighbor, and sharing the string
+    // means a future q46 twin fix cannot silently leave q83 stale
+    "q83_ivf_index_recall" -> IvfRecallOracleSql,
 
     "q50_pii_redact" ->
       """WITH x AS (

@@ -583,15 +583,22 @@ object Dedup {
       newDf: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
+    // Presence is tracked by explicit markers, NOT fingerprint
+    // nullness: a null-text row (failed fetch) has a null fingerprint
+    // but IS present in its snapshot — keying off the fingerprint
+    // would misread it as added/removed. The null-safe <=> makes a
+    // both-null re-crawl "unchanged" rather than spuriously "changed".
     val o = oldDf.select(col(idCol),
-      TextAnalysis.fingerprintMd5(col(textCol)).as("__fp_old"))
+      TextAnalysis.fingerprintMd5(col(textCol)).as("__fp_old"),
+      lit(true).as("__in_old"))
     val n = newDf.select(col(idCol),
-      TextAnalysis.fingerprintMd5(col(textCol)).as("__fp_new"))
+      TextAnalysis.fingerprintMd5(col(textCol)).as("__fp_new"),
+      lit(true).as("__in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__fp_old").isNull, "added")
-          .when(col("__fp_new").isNull, "removed")
-          .when(col("__fp_old") === col("__fp_new"), "unchanged")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("__fp_old") <=> col("__fp_new"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

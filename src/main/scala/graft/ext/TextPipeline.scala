@@ -174,7 +174,10 @@ object TextPipeline {
     * Shape at scale: a stream-static LEFT ANTI join (stateless — legal
     * in any streaming plan; the static side re-resolves per
     * micro-batch, so a snapshot refresh is picked up on the next
-    * trigger). The static side is pruned to a DISTINCT 16-byte
+    * trigger). Null-text rows (failed fetches) carry no content and
+    * are dropped before the join — a null fingerprint never matches an
+    * anti-join key and would otherwise be admitted unconditionally.
+    * The static side is pruned to a DISTINCT 32-hex
     * fingerprint column before the join; for snapshots too large to
     * join comfortably, swap the anti-join for a Bloom-filter prefilter
     * built from the same fingerprints (false positives re-admit a few
@@ -188,7 +191,8 @@ object TextPipeline {
     val known = previousCorpus
       .select(TextAnalysis.fingerprintMd5(col(prevTextCol)).as("__fp"))
       .distinct()
-    stream.withColumn("__fp", TextAnalysis.fingerprintMd5(col(textCol)))
+    stream.where(col(textCol).isNotNull)
+      .withColumn("__fp", TextAnalysis.fingerprintMd5(col(textCol)))
       .join(known, Seq("__fp"), "left_anti")
       .drop("__fp")
   }

@@ -261,6 +261,23 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
       (4L, "unchanged"), (5L, "added"))
   }
 
+  test("crawlDiff: null-text rows are PRESENT in their snapshot, not added/removed") {
+    import spark.implicits._
+    val old_ = Seq(
+      (1L, Some("had text")),
+      (2L, None: Option[String]),  // failed fetch both times
+      (3L, None: Option[String])   // fetch recovered in the new crawl
+    ).toDF("doc_id", "text")
+    val new_ = Seq(
+      (1L, None: Option[String]),  // fetch failed on re-crawl: changed, NOT removed
+      (2L, None: Option[String]),  // still null both sides -> unchanged
+      (3L, Some("now has text"))   // changed, NOT added
+    ).toDF("doc_id", "text")
+    Dedup.crawlDiff(old_, new_, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect() shouldBe Array(
+      (1L, "changed"), (2L, "unchanged"), (3L, "changed"))
+  }
+
   test("dedupSpans: cross-doc spans kept at first occurrence, docs can vanish") {
     import spark.implicits._
     val df = Seq(

@@ -70,7 +70,9 @@ class StreamingCorpusSpec extends AnyFunSuite with Matchers with SparkTestBase {
         // formatting-only re-crawl (same normalized content) -> dropped
         StreamDoc(3L, "Another   KNOWN text!", t("2024-05-25 10:00:20")),
         // real edit of known content -> admitted
-        StreamDoc(4L, "another known text plus an edit", t("2024-05-25 10:00:30")))
+        StreamDoc(4L, "another known text plus an edit", t("2024-05-25 10:00:30")),
+        // failed fetch (null text) carries no content -> dropped
+        StreamDoc(5L, null, t("2024-05-25 10:00:40")))
       query.processAllAvailable()
       spark.table("ingest_out").select("doc_id").as[Long].collect().sorted shouldBe
         Array(1L, 4L)
