@@ -77,7 +77,7 @@ object Bench {
     val stages =
       if (only.isEmpty)
         SparkEntry.q48StageBreakdown(spark, sfDir).map { case (st, sec, rows) =>
-          s"""{"stage":${JsonUtil.quote(st)},"sec":${f"$sec%.3f"},"rows":$rows}"""
+          s"""{"stage":${JsonUtil.quote(st)},"sec":${fmt3(sec)},"rows":$rows}"""
         }.mkString(""","q48_stages":[""", ",", "]")
       else ""
     val total = results.map(_._2).sum
@@ -99,7 +99,14 @@ object Bench {
     // printed line (3-decimal seconds, min-of-reps only).
     val fw = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
     try fw.println(line(v => v.toString, withReps = true)) finally fw.close()
-    println(line(v => f"$v%.3f", withReps = false))
+    println(line(fmt3, withReps = false))
     spark.stop()
   }
+
+  /** Locale-pinned 3-decimal seconds: the default-locale `f"%.3f"`
+    * prints a COMMA decimal separator under de/fr JVMs, corrupting the
+    * JSON artifact of record.
+    */
+  private def fmt3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 }

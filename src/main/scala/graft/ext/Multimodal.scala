@@ -218,7 +218,10 @@ object MediaCodec {
       val bytesPerSample = if (maxval > 255) 2 else 1
       val samplesPerPixel = if (isColor) 3 else 1
       val nPix = w.toLong * h
-      if (off + nPix * samplesPerPixel * bytesPerSample > b.length) None
+      // division form: the multiplied guard overflows Long for huge
+      // header dims (1.3e9 × 1.3e9 × 6 > Long.Max) and would pass,
+      // sending the decode loop off the end of the buffer
+      if (nPix > (b.length - off).toLong / (samplesPerPixel * bytesPerSample)) None
       else {
         var sr = 0L; var sg = 0L; var sb = 0L
         var i = off

@@ -144,6 +144,11 @@ object Sampling {
       keyCol: String,
       tokenCol: String,
       budgets: Map[String, Long]): DataFrame = {
+    // a zero budget would silently break the always-keep-first rule
+    // (0-before < 0 is false); "no tokens from this group" is spelled
+    // by omitting the group from the whitelist instead
+    require(budgets.values.forall(_ > 0),
+      s"budgets must be positive (omit a group to exclude it): $budgets")
     val W = org.apache.spark.sql.expressions.Window
     val budget = budgets.foldLeft(lit(null).cast("long")) {
       case (acc, (g, b)) => when(col(groupCol) === g, b).otherwise(acc)

@@ -135,9 +135,15 @@ object SimilaritySearch {
     // quantize the query with the same rule, driver-side
     val qmax = query.map(math.abs).foldLeft(0.0)(math.max)
     val qs = qmax / 127.0
+    // half-AWAY-FROM-ZERO, matching SQL round() (and the corpus-side
+    // quantizeInt8 / q64's DuckDB twin): java Math.round is
+    // half-toward-+infinity, so Math.round(-2.5) = -2 where the SQL
+    // rule (and the oracle) produce -3
+    def halfAway(x: Double): Double =
+      if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
     val qq: Seq[Double] =
       if (qs == 0.0) query.map(_ => 0.0)
-      else query.map(x => math.min(math.max(math.round(x / qs).toDouble, -127.0), 127.0))
+      else query.map(x => math.min(math.max(halfAway(x / qs), -127.0), 127.0))
     val qd = col("qvec").cast("array<double>")
     val scored = quantized
       .select(col(idCol), (dot(qd, typedLit(qq)) /
