@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   * operator runs inside WholeStageCodegen per partition and scales
   * linearly with input splits. The reference has no text surface
   * (SURVEY.md §2.8); these are the north-star extensions.
+  *
+  * Null-text convention: a null document has no tokens, so the per-doc
+  * scoring operators (repetition, cross-entropy, DSIR, OOV, …) omit it
+  * from their output rather than emitting null scores — the same rule
+  * the DuckDB twins apply (explode/unnest of null emits no rows), so
+  * the convention is oracle-checked. Pipelines that must surface
+  * unscorable docs should anti-join scores back against the corpus.
   */
 object TextAnalysis {
 
