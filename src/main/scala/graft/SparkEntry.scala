@@ -1029,6 +1029,30 @@ object SparkEntry {
             col("id").as("doc_id"), lit("fresh crawl document").as("text")))
       Dedup.crawlDiff(docs, newCrawl, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // DSIR step 2 — importance SELECTION: the 100 most target-like
+    // docs by (weight desc, id). TakeOrderedAndProject, no global sort
+    "q85_dsir_select" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy(col("dsir_logratio").desc, col("doc_id")).limit(100)),
+
+    // Packing-policy dashboard: doc-isolated packing (no cross-doc
+    // attention) vs concat-and-chunk (q65) at seqLen=512 — pack
+    // counts for both policies and the padding fraction the isolated
+    // policy wastes; one aggregation pass
+    "q86_packing_stats" -> ((s, dir) => {
+      val n = TextAnalysis.tokenCount(col("text")).cast("long")
+      t(s, dir, "documents").select(n.as("__n"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__n")).as("n_tokens"),
+          sum(ceil(col("__n") / lit(512.0)).cast("long")).as("isolated_packs"))
+        .select(col("n_docs"), col("n_tokens"), col("isolated_packs"),
+          ceil(col("n_tokens") / lit(512.0)).cast("long").as("concat_packs"),
+          round((col("isolated_packs") * 512 - col("n_tokens")).cast("double")
+            / (col("isolated_packs") * 512), 6).as("padding_fraction"))
     })
   )
 
@@ -1557,6 +1581,47 @@ object SparkEntry {
     // elementwise squared-distance argmin (ties to the lower cell),
     // 4 nearest cells probed, in-cell top-10 by cosine.
     "q46_ivf_recall" -> IvfRecallOracleSql,
+
+    // q72's model CTEs + (weight desc, id) top-100 — the rounded
+    // weights are hash-identical (q72), so the ordering is too
+    "q85_dsir_select" ->
+      """WITH toks AS (
+           SELECT doc_id, lang = 'en' AS t,
+                  unnest(regexp_split_to_array(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                    ' ')) AS token
+           FROM documents),
+         tk AS (SELECT * FROM toks WHERE token <> ''),
+         counts AS (
+           SELECT token, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+                  count(*) AS cr
+           FROM tk GROUP BY token),
+         tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM counts),
+         model AS (
+           SELECT token, (ct + 1)::DOUBLE / (nt + v) AS pt,
+                  (cr + 1)::DOUBLE / (nr + v) AS pr
+           FROM counts, tot),
+         w AS (
+           SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                  round(avg(ln(pt / pr)), 6) AS dsir_logratio
+           FROM tk JOIN model USING (token)
+           GROUP BY doc_id)
+         SELECT doc_id, n_tokens, dsir_logratio FROM w
+         ORDER BY dsir_logratio DESC, doc_id LIMIT 100""",
+
+    "q86_packing_stats" ->
+      """WITH x AS (
+           SELECT len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n
+           FROM documents),
+         a AS (
+           SELECT count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
+                  sum(ceil(n / 512.0)::BIGINT)::BIGINT AS isolated_packs
+           FROM x)
+         SELECT n_docs, n_tokens, isolated_packs,
+                ceil(n_tokens / 512.0)::BIGINT AS concat_packs,
+                round((isolated_packs * 512 - n_tokens)::DOUBLE
+                      / (isolated_packs * 512), 6) AS padding_fraction
+         FROM a""",
 
     // Fingerprint equality == normalized-text equality, so the twin
     // compares normalized texts directly (no md5 needed for the verdict)
@@ -2281,5 +2346,6 @@ object SparkEntry {
     "q74_semantic_dedup", "q75_semantic_dedup_learned",
     "q76_domain_filter", "q77_bigram_xent", "q79_quality_mix",
     "q80_random_projection", "q81_oov_rate", "q82_zipf_slope",
-    "q83_ivf_index_recall", "q84_crawl_diff")
+    "q83_ivf_index_recall", "q84_crawl_diff", "q85_dsir_select",
+    "q86_packing_stats")
 }
