@@ -77,6 +77,21 @@ object CorpusScaleProbe {
       val secs5 = (System.nanoTime() - t5) / 1e9
       println(s"""{"metric":"dsir_realistic","n_docs":$n,""" +
         s""""weighted":$weighted,"sec":$secs5,"cpus":$cpus}""")
+      // Bigram xent: the WIDEST pinned stream in the engine (one row
+      // per token transition) feeding two model joins
+      val t6 = System.nanoTime()
+      val biScored = graft.ext.TextAnalysis.bigramCrossEntropy(
+        docs, "doc_id", "text").queryExecution.toRdd.count()
+      val secs6 = (System.nanoTime() - t6) / 1e9
+      println(s"""{"metric":"bigram_xent_realistic","n_docs":$n,""" +
+        s""""scored":$biScored,"sec":$secs6,"cpus":$cpus}""")
+      // OOV rate: top-k vocab (TakeOrdered) + broadcast scoring join
+      val t7 = System.nanoTime()
+      val oovScored = graft.ext.TextAnalysis.oovRate(
+        docs, "doc_id", "text", vocabSize = 1000).queryExecution.toRdd.count()
+      val secs7 = (System.nanoTime() - t7) / 1e9
+      println(s"""{"metric":"oov_realistic","n_docs":$n,""" +
+        s""""scored":$oovScored,"sec":$secs7,"cpus":$cpus}""")
     }
     spark.stop()
   }
