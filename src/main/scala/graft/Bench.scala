@@ -100,6 +100,15 @@ object Bench {
     val fw = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
     try fw.println(line(v => v.toString, withReps = true)) finally fw.close()
     println(line(fmt3, withReps = false))
+    // LAST line is a SHORT complete JSON summary: the driver's capture
+    // keeps only the log TAIL, so the ~2.7 KB full line above loses its
+    // head (and with it `total`) to prefix truncation — BENCH_r09.json
+    // recorded `"parsed": null` exactly this way. A <200-byte final line
+    // always fits in the tail window whole and parses.
+    println(
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
+        s""""reps":$reps,"n_queries":${results.size},""" +
+        s""""detail":${JsonUtil.quote(outPath)},"sf":${JsonUtil.quote(sfDir)}}""")
     spark.stop()
   }
 

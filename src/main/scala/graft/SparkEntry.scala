@@ -438,9 +438,12 @@ object SparkEntry {
     // Symmetric int8 quantization of the embedding corpus — exact
     // integer/double arithmetic, so the quantized bytes and scales are
     // hash-verified against DuckDB end-to-end
+    // qvec rendered as a comma-joined string: the driver's pandas-based
+    // comparator can't sort array cells, so every output column is scalar
     "q63_quantize_int8" -> ((s, dir) =>
       SimilaritySearch.quantizeInt8(t(s, dir, "embeddings"), "embedding")
-        .select(col("vec_id"), col("qscale"), col("qvec"))
+        .select(col("vec_id"), col("qscale"),
+          array_join(col("qvec").cast("array<string>"), ",").as("qvec"))
         .orderBy(col("vec_id"))),
 
     // Top-k by cosine over the quantized vectors (scales cancel — pure
@@ -789,7 +792,12 @@ object SparkEntry {
       val joined = t(s, dir, "embeddings")
         .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
           col("vec_id") === col("doc_id"))
+      // centroid as a fixed-point string (%.6f of the already-rounded
+      // means) — scalar columns only, for the driver's pandas comparator
       SimilaritySearch.groupCentroids(joined, "source", "embedding")
+        .select(col("source"), col("n_vectors"),
+          array_join(transform(col("centroid"),
+            x => format_string("%.6f", x)), ",").as("centroid"))
         .orderBy(col("source"))
     }),
 
@@ -968,10 +976,13 @@ object SparkEntry {
         "q80's oracle embeds dim-64 plane literals; fixture width differs")
       val planes = SimilaritySearch.hyperplanes(numPlanes = 8, dim = 64)
       val v = col("embedding").cast("array<double>")
+      // projection as a comma-joined %.6f string (scalar columns only,
+      // for the driver's pandas comparator)
       e.select(
           col("vec_id"),
-          array(planes.map(p =>
-            round(SimilaritySearch.dot(v, typedLit(p)), 6)): _*).as("projection"))
+          concat_ws(",", planes.map(p => format_string("%.6f",
+            round(SimilaritySearch.dot(v, typedLit(p)), 6))): _*)
+            .as("projection"))
         .orderBy(col("vec_id"))
     }),
 
@@ -1800,11 +1811,11 @@ object SparkEntry {
                     / 127.0 AS qscale
            FROM embeddings)
          SELECT vec_id, qscale,
-                CASE WHEN qscale = 0
+                array_to_string(CASE WHEN qscale = 0
                   THEN list_transform(embedding, x -> 0::TINYINT)
                   ELSE list_transform(embedding, x ->
                     least(greatest(round(x::DOUBLE / qscale), -127.0),
-                          127.0)::TINYINT) END AS qvec
+                          127.0)::TINYINT) END, ',') AS qvec
          FROM s ORDER BY vec_id""",
 
     // Quantized cosine top-k: re-derive the quantization, score by the
@@ -1986,7 +1997,7 @@ object SparkEntry {
            SELECT source, i, round(avg(x), 6) AS m, count(*) AS n
            FROM e GROUP BY source, i)
          SELECT source, max(n)::BIGINT AS n_vectors,
-                list(m ORDER BY i) AS centroid
+                string_agg(printf('%.6f', m), ',' ORDER BY i) AS centroid
          FROM p GROUP BY source ORDER BY source""",
 
     // Keep-best per cluster: q30's component labeling + argmax by
@@ -2250,7 +2261,8 @@ object SparkEntry {
                     unnest(generate_series(1, len(e.embedding))) AS g(i)),
          s AS (SELECT vec_id, pid, round(sum(prod), 6) AS c
                FROM z GROUP BY vec_id, pid)
-         SELECT vec_id, list(c ORDER BY pid) AS projection
+         SELECT vec_id, string_agg(printf('%.6f', c), ',' ORDER BY pid)
+                  AS projection
          FROM s GROUP BY vec_id ORDER BY vec_id"""),
 
     "q81_oov_rate" ->
