@@ -1064,6 +1064,30 @@ object SparkEntry {
           ceil(col("n_tokens") / lit(512.0)).cast("long").as("concat_packs"),
           round((col("isolated_packs") * 512 - col("n_tokens")).cast("double")
             / (col("isolated_packs") * 512), 6).as("padding_fraction"))
+    }),
+
+    // Fuzzy (MinHash) eval-set decontamination — the paraphrase case
+    // exact n-gram collision (q58) misses. The benchmark side is a
+    // paraphrase-shaped corruption of every 50th doc: every 5th token
+    // replaced, so NO word-5-gram survives (q58's test scores zero
+    // against it) while ~2/5 of the trigram shingles do (true Jaccard
+    // ≈ 0.25 for long docs; short docs perturb to themselves). The
+    // interpreted transform lambda runs only over the 1-in-50
+    // benchmark side; the corpus side is the stock signature path.
+    // rows-only: xxhash64 minhash has no DuckDB twin — bounded by
+    // oracled exact q58 and FuzzyDecontaminationSpec's planted
+    // paraphrase fixture.
+    "q87_fuzzy_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = split(TextAnalysis.normalize(col("text")), " ")
+      val bench = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bench_id"),
+          array_join(transform(toks, (tk, i) =>
+            when(i % 5 === 4, lit("qzparaphrase")).otherwise(tk)), " ")
+            .as("bench_text"))
+      TextPipeline.contaminatedIdsFuzzy(docs, "doc_id", "text",
+          bench, "bench_id", "bench_text", minJaccard = 0.2)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1078,6 +1102,8 @@ object SparkEntry {
     * the same parquet tables. q28/q29/q31/q32, q34, q39, q47, q55/q56
     * (corpus-size-derived plane count → no fixed hyperplane literals),
     * q75 (sampled-kmeans cells; bounded by oracled q74 + spec floor),
+    * q87 (minhash cross-match; bounded by oracled exact q58 + the
+    * planted-paraphrase spec),
     * and the generated-corpus rows q48/q49 are omitted deliberately:
     * xxhash64/LSH-seed/FNV/sampled-centroid arithmetic (and a
     * generator-produced input table) has no DuckDB twin (driver records the weaker rows-only
@@ -2359,5 +2385,5 @@ object SparkEntry {
     "q76_domain_filter", "q77_bigram_xent", "q79_quality_mix",
     "q80_random_projection", "q81_oov_rate", "q82_zipf_slope",
     "q83_ivf_index_recall", "q84_crawl_diff", "q85_dsir_select",
-    "q86_packing_stats")
+    "q86_packing_stats", "q87_fuzzy_decontamination")
 }

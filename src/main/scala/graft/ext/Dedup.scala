@@ -243,12 +243,21 @@ object Dedup {
     * full signature, keeping the hot join's row payload small — on
     * dup-heavy corpora the join output is the dominant data volume.
     */
-  def candidatesFromSigs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** (id, band-hash array) — the per-doc banding shared by self-join
+    * ([[candidatesFromSigs]]) and cross-dataset
+    * ([[crossPairsFromSigs]]) candidate generation. One xxhash64 per
+    * band over the signature slice; 8 bytes per band of join payload.
+    */
+  private def withBandHashes(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val withBh = sigs.select(col("__id"),
+    sigs.select(col("__id"),
       array((0 until bands).map(bd =>
         xxhash64(lit(bd), slice(col("__sig"), bd * r + 1, r))): _*).as("__bh"))
+  }
+
+  def candidatesFromSigs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val withBh = withBandHashes(sigs, numHashes, bands)
     val banded = withBh.select(col("__id"), col("__bh"),
       posexplode(col("__bh")).as(Seq("__band", "__bucket")))
     val a = banded.select(col("__band"), col("__bucket"),
@@ -309,6 +318,56 @@ object Dedup {
     cand
       .join(sigs.withColumnRenamed("__id", "id_a").withColumnRenamed("__sig", "__sig_a"), Seq("id_a"))
       .join(sigs.withColumnRenamed("__id", "id_b").withColumnRenamed("__sig", "__sig_b"), Seq("id_b"))
+      .withColumn("est_jaccard",
+        graft.functions.GraftFunctions
+          .sigMatchCount(col("__sig_a"), col("__sig_b"))
+          .cast("double") / lit(numHashes.toDouble))
+      .where(col("est_jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Cross-dataset MinHash pairs: (left id, right id, estimated
+    * Jaccard) for every left×right pair colliding in some LSH band and
+    * verified at `minJaccard` by signature agreement — the estimator
+    * behind fuzzy eval-set decontamination, where `left` is the
+    * training corpus and `right` the benchmark set.
+    *
+    * Both signature frames must come from [[minhashSignatures]] with
+    * the SAME `numHashes` and shingle size — the hash family is keyed
+    * by position, so mismatched inputs silently under-estimate (the
+    * agreement count walks the common prefix). Unlike
+    * [[pairsFromSigs]] there is no
+    * `id_a < id_b` constraint (the two sides are different datasets)
+    * and no self-pair risk.
+    *
+    * Shape at scale: the right side (eval benchmarks: 10³–10⁵ docs) is
+    * tiny next to a training corpus, so its banded form AND its
+    * signatures are broadcast — corpus text never shuffles, corpus
+    * signatures never shuffle; the corpus side is one scan + explode
+    * feeding broadcast-hash joins. Exactly-once pair emission via the
+    * first-matching-band filter, as in [[candidatesFromSigs]].
+    */
+  def crossPairsFromSigs(
+      leftSigs: DataFrame,
+      rightSigs: DataFrame,
+      minJaccard: Double,
+      numHashes: Int,
+      bands: Int = 0): DataFrame = {
+    val b = if (bands > 0) bands else bandsFor(numHashes, minJaccard)
+    val lb = withBandHashes(leftSigs, numHashes, b)
+      .select(col("__id").as("id_a"), col("__bh").as("__bh_a"),
+        posexplode(col("__bh")).as(Seq("__band", "__bucket")))
+    val rb = withBandHashes(rightSigs, numHashes, b)
+      .select(col("__id").as("id_b"), col("__bh").as("__bh_b"),
+        posexplode(col("__bh")).as(Seq("__band", "__bucket")))
+    lb.join(broadcast(rb), Seq("__band", "__bucket"))
+      .where(col("__band") === graft.functions.GraftFunctions
+        .firstMatchingBand(col("__bh_a"), col("__bh_b"), lit(1)))
+      .select(col("id_a"), col("id_b"))
+      .join(leftSigs.select(col("__id").as("id_a"), col("__sig").as("__sig_a")),
+        Seq("id_a"))
+      .join(broadcast(rightSigs.select(
+        col("__id").as("id_b"), col("__sig").as("__sig_b"))), Seq("id_b"))
       .withColumn("est_jaccard",
         graft.functions.GraftFunctions
           .sigMatchCount(col("__sig_a"), col("__sig_b"))

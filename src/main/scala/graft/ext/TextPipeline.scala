@@ -140,6 +140,79 @@ object TextPipeline {
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Fuzzy (MinHash) eval-set contamination: corpus documents whose
+    * estimated shingle-Jaccard against SOME benchmark document reaches
+    * `minJaccard` — the paraphrase-robust complement of
+    * [[contaminatedIds]]. Exact n-gram collision misses the
+    * contamination mode that actually burned public evals: a benchmark
+    * document lightly rephrased, re-wrapped, or punctuation-mangled
+    * shares almost no 8-gram with its source but keeps most of its
+    * shingle set; set-similarity at a loose threshold catches it.
+    * (Technique per the published dedup/decontamination literature —
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better"; the GPT-3 paper's appendix-C n-gram overlap
+    * decontamination is [[contaminatedIds]], this is its fuzzy
+    * extension.)
+    *
+    * Returns one row per contaminated corpus id: `n_bench_matches`
+    * (how many benchmark docs it collides with at the threshold) and
+    * `max_est_jaccard` (strongest match, rounded to 6 like every float
+    * ratio here).
+    *
+    * Shape at scale: [[Dedup.crossPairsFromSigs]] — the benchmark's
+    * banded form and signatures broadcast (eval sets are 10³–10⁵ docs
+    * vs billions of training docs); corpus text and signatures never
+    * shuffle, and there is no corpus self-join anywhere. The corpus
+    * signature pass is the same one a MinHash dedup run already pays —
+    * in a real pipeline compute [[Dedup.minhashSignatures]] once and
+    * feed both.
+    */
+  def contaminatedIdsFuzzy(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      minJaccard: Double = 0.25,
+      numHashes: Int = 128,
+      bands: Int = 0,
+      shingleSize: Int = 3): DataFrame = {
+    val corpusSigs = Dedup.minhashSignatures(
+      corpus, idCol, textCol, numHashes, shingleSize)
+    val benchSigs = Dedup.minhashSignatures(
+      benchmark, benchIdCol, benchTextCol, numHashes, shingleSize)
+    Dedup.crossPairsFromSigs(corpusSigs, benchSigs, minJaccard, numHashes, bands)
+      .groupBy(col("id_a").as(idCol))
+      .agg(
+        count(lit(1)).as("n_bench_matches"),
+        round(max(col("est_jaccard")), 6).as("max_est_jaccard"))
+  }
+
+  /** Drop corpus documents fuzzy-matching the benchmark set
+    * ([[contaminatedIdsFuzzy]]) — same pipeline position as
+    * [[decontaminate]] (after dedup, before split); run BOTH in a real
+    * prep job: exact n-gram catches short verbatim quotes a loose
+    * Jaccard threshold misses, fuzzy catches paraphrases exact n-grams
+    * miss.
+    */
+  def decontaminateFuzzy(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      minJaccard: Double = 0.25,
+      numHashes: Int = 128,
+      bands: Int = 0,
+      shingleSize: Int = 3): DataFrame =
+    corpus.join(
+      contaminatedIdsFuzzy(corpus, idCol, textCol, benchmark, benchIdCol,
+          benchTextCol, minJaccard, numHashes, bands, shingleSize)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Drop documents that cite any blocklisted URL domain — the
     * provenance gate (spam/SEO/adult domain lists) that runs alongside
     * the quality gate in a crawl-curation pipeline. For a bounded
