@@ -519,7 +519,10 @@ object SparkEntry {
         Multimodal.MediaRow(-3L, "image", MediaCodec.Fixtures.gradientBmp(64, 32)),
         Multimodal.MediaRow(-4L, "image", MediaCodec.Fixtures.gradientBmp(16, 16)),
         Multimodal.MediaRow(-5L, "image", MediaCodec.Fixtures.gradientPgm(64, 32)),
-        Multimodal.MediaRow(-6L, "image", MediaCodec.Fixtures.gradientPpm(16, 16))))
+        Multimodal.MediaRow(-6L, "image", MediaCodec.Fixtures.gradientPpm(16, 16)),
+        Multimodal.MediaRow(-7L, "image", MediaCodec.Fixtures.gradientPng(16, 10)),
+        Multimodal.MediaRow(-8L, "image",
+          MediaCodec.Fixtures.gradientPng(16, 10, colorType = 6))))
       Multimodal.decodeFeatures(media.union(planted))
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("width"), col("height"), col("duration_ms"),

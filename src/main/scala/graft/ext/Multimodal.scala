@@ -164,6 +164,129 @@ object MediaCodec {
     Some((sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
   }
 
+  /** Per-channel means of an 8-bit non-interlaced PNG, normalized to
+    * [0,1] — REAL pixel decode of the dominant web-crawl image format,
+    * zero codec dependencies: PNG's "compression" is plain zlib
+    * (`java.util.zip.Inflater`) over filtered scanlines, and the five
+    * scanline filters (None/Sub/Up/Average/Paeth) are byte arithmetic.
+    * Covers color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at
+    * bit depth 8; alpha is ignored in the means, gray replicates to all
+    * three channels. Returns None for palette (3), 16-bit, or Adam7-
+    * interlaced images and for truncated/corrupt streams — those fall
+    * to the deterministic stub like any unrecognized payload.
+    *
+    * Allocation guard: the raster size is bounded by the deflate
+    * maximum expansion (1032×) of the IDAT bytes actually present plus
+    * an absolute cap, so a forged IHDR claiming a huge canvas cannot
+    * allocation-bomb an executor scanning untrusted crawl bytes.
+    */
+  def pngPixelStats(b: Array[Byte]): Option[(Double, Double, Double)] = {
+    val isPng = b.length >= 33 &&
+      (b(0) & 0xFF) == 0x89 && b(1) == 'P'.toByte && b(2) == 'N'.toByte &&
+      b(3) == 'G'.toByte && b(12) == 'I'.toByte && b(13) == 'H'.toByte &&
+      b(14) == 'D'.toByte && b(15) == 'R'.toByte
+    if (!isPng) return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    val depth = b(24) & 0xFF
+    val colorType = b(25) & 0xFF
+    // compression(26) must be 0 (zlib), filter method(27) 0, interlace(28) 0
+    if (depth != 8 || b(26) != 0 || b(27) != 0 || b(28) != 0) return None
+    val channels = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+      case _ => return None
+    }
+    if (w <= 0 || h <= 0) return None
+
+    // chunk walk: concatenate IDAT payloads until IEND
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 33 // skip signature(8) + IHDR chunk(12+13)
+    var sawEnd = false
+    while (!sawEnd) {
+      if (i + 8 > b.length) return None // ran off the end before IEND
+      val len = be32(b, i)
+      if (len < 0 || i + 12 + len.toLong > b.length) return None // truncated
+      val typ = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (typ == "IDAT") idat.write(b, i + 8, len)
+      else if (typ == "IEND") sawEnd = true
+      i += 12 + len
+    }
+
+    val rowLen = w.toLong * channels
+    val expected = (rowLen + 1) * h
+    if (expected > idat.size().toLong * 1032L + 1024L) return None // deflate bound
+    if (expected > (1L << 28)) return None // 256 MB absolute cap
+    val raw = new Array[Byte](expected.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length) {
+        val k =
+          try inf.inflate(raw, off, raw.length - off)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        // inflate yields 0 only when finished, starved for input, or
+        // demanding a preset dictionary — all terminal here (PNG zlib
+        // streams never use dictionaries), so 0 progress = bad stream
+        if (k == 0) return None
+        off += k
+      }
+    } finally inf.end()
+
+    // scanline reconstruction (PNG spec §4.5.2-4.5.4; bpp = channels at
+    // depth 8), summing channels as rows complete
+    def paeth(a: Int, up: Int, c: Int): Int = {
+      val p = a + up - c
+      val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+    }
+    val rl = rowLen.toInt
+    var prev = new Array[Byte](rl)
+    var cur = new Array[Byte](rl)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0
+    var y = 0
+    while (y < h) {
+      val f = raw(p) & 0xFF
+      p += 1
+      if (f > 4) return None
+      var x = 0
+      while (x < rl) {
+        val rv = raw(p + x) & 0xFF
+        val a = if (x >= channels) cur(x - channels) & 0xFF else 0
+        val up = prev(x) & 0xFF
+        val v = f match {
+          case 0 => rv
+          case 1 => rv + a
+          case 2 => rv + up
+          case 3 => rv + ((a + up) >> 1)
+          case _ => rv + paeth(a, up,
+            if (x >= channels) prev(x - channels) & 0xFF else 0)
+        }
+        cur(x) = (v & 0xFF).toByte
+        x += 1
+      }
+      p += rl
+      var px = 0
+      while (px < rl) {
+        if (colorType == 2 || colorType == 6) {
+          sr += cur(px) & 0xFF; sg += cur(px + 1) & 0xFF; sb += cur(px + 2) & 0xFF
+        } else {
+          val g = cur(px) & 0xFF
+          sr += g; sg += g; sb += g
+        }
+        px += channels
+      }
+      val t = prev; prev = cur; cur = t
+      y += 1
+    }
+    val n = w.toLong * h * 255L
+    Some((sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+  }
+
   /** Parsed binary-netpbm header: (isColor, width, height, maxval,
     * rasterOffset). P5 = grayscale (1 sample/pixel), P6 = RGB
     * (3 samples/pixel); samples are 1 byte (maxval ≤ 255) or 2-byte
@@ -430,11 +553,15 @@ object MediaCodec {
     *    mean_luma, 0, 0, 0, 0]` ([[bmpPixelStats]], BT.601 luma);
     *  - binary netpbm (P5 grayscale / P6 RGB) → the same channel-mean
     *    feature head ([[pnmPixelStats]]; gray mean on all three
-    *    channels for P5).
-    * Compressed formats (PNG/JPEG/GIF pixels, MP3/AAC frames, H.26x)
-    * keep the deterministic fake feature — decoding them needs real
-    * codec libraries, absent here; a production build swaps exactly
-    * this fallback.
+    *    channels for P5);
+    *  - 8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA) →
+    *    the same channel-mean feature head ([[pngPixelStats]]: zlib
+    *    inflate + the five scanline filters, zero-dependency — the
+    *    dominant crawl image format decodes for real).
+    * Codec-bound formats (JPEG/GIF pixels, 16-bit or interlaced PNG,
+    * MP3/AAC frames, H.26x) keep the deterministic fake feature —
+    * decoding them needs real codec libraries, absent here; a
+    * production build swaps exactly this fallback.
     */
   def decodeBytes(row: Multimodal.MediaRow): Multimodal.MediaFeatures = {
     val h = fnv1a(row.payload)
@@ -458,6 +585,7 @@ object MediaCodec {
       wavPcmStats(row.payload).map { case (rms, peak, clip, zcr) =>
         Seq(rms.toFloat, peak.toFloat, clip.toFloat, zcr.toFloat, 0f, 0f, 0f, 0f)
       }.orElse(bmpPixelStats(row.payload).orElse(pnmPixelStats(row.payload))
+        .orElse(pngPixelStats(row.payload))
         .map { case (r, g, b) =>
           val luma = 0.299 * r + 0.587 * g + 0.114 * b
           Seq(r.toFloat, g.toFloat, b.toFloat, luma.toFloat, 0f, 0f, 0f, 0f)
@@ -535,6 +663,90 @@ object MediaCodec {
         java.nio.charset.StandardCharsets.US_ASCII))
       for (_ <- 0 until h; x <- 0 until w)
         out.write(if (w == 1) 0 else x * 255 / (w - 1))
+      out.toByteArray
+    }
+
+    /** `w`×`h` real 8-bit PNG: red ramps left→right, green top→bottom,
+      * blue constant (`colorType` 0 = gray of the red ramp, 2 = RGB,
+      * 6 = RGBA with opaque alpha). Each scanline is filtered with
+      * filter `y % 5`, so decoding the fixture exercises ALL five PNG
+      * filter reconstructions (None/Sub/Up/Average/Paeth), not just
+      * the trivial one. Chunks carry correct CRCs — this is a valid
+      * PNG any external tool opens.
+      */
+    def gradientPng(w: Int, h: Int, blue: Int = 32, colorType: Int = 2): Array[Byte] = {
+      require(Set(0, 2, 6).contains(colorType), s"unsupported colorType $colorType")
+      val channels = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+      val rl = w * channels
+      // raw scanlines
+      def pix(x: Int, y: Int): Seq[Int] = {
+        val r = if (w == 1) 0 else x * 255 / (w - 1)
+        val g = if (h == 1) 0 else y * 255 / (h - 1)
+        colorType match {
+          case 0 => Seq(r)
+          case 2 => Seq(r, g, blue)
+          case _ => Seq(r, g, blue, 255)
+        }
+      }
+      def paeth(a: Int, up: Int, c: Int): Int = {
+        val p = a + up - c
+        val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+      }
+      val filtered = new java.io.ByteArrayOutputStream((rl + 1) * h)
+      var prev = new Array[Int](rl)
+      for (y <- 0 until h) {
+        val cur = (0 until w).flatMap(x => pix(x, y)).toArray
+        val f = y % 5
+        filtered.write(f)
+        for (x <- 0 until rl) {
+          val a = if (x >= channels) cur(x - channels) else 0
+          val up = prev(x)
+          val c = if (x >= channels) prev(x - channels) else 0
+          val out = f match {
+            case 0 => cur(x)
+            case 1 => cur(x) - a
+            case 2 => cur(x) - up
+            case 3 => cur(x) - ((a + up) >> 1)
+            case _ => cur(x) - paeth(a, up, c)
+          }
+          filtered.write(out & 0xFF)
+        }
+        prev = cur
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(filtered.toByteArray)
+      deflater.finish()
+      val zbuf = new Array[Byte](filtered.size() + 64)
+      val zout = new java.io.ByteArrayOutputStream()
+      while (!deflater.finished())
+        zout.write(zbuf, 0, deflater.deflate(zbuf))
+      deflater.end()
+
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Int): Unit = {
+        out.write((v >>> 24) & 0xFF); out.write((v >>> 16) & 0xFF)
+        out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)
+      }
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        be32(data.length)
+        val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        out.write(tb); out.write(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(data)
+        be32(crc.getValue.toInt)
+      }
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      val ihdr = new java.io.ByteArrayOutputStream()
+      def ibe32(v: Int): Unit = {
+        ihdr.write((v >>> 24) & 0xFF); ihdr.write((v >>> 16) & 0xFF)
+        ihdr.write((v >>> 8) & 0xFF); ihdr.write(v & 0xFF)
+      }
+      ibe32(w); ibe32(h)
+      ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+      chunk("IHDR", ihdr.toByteArray)
+      chunk("IDAT", zout.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
       out.toByteArray
     }
 

@@ -263,6 +263,46 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     MediaCodec.pnmPixelStats("plain text".getBytes) shouldBe None
   }
 
+  test("pngPixelStats: real channel means through inflate + all 5 filters") {
+    // h = 10 rows -> filter rotation y % 5 hits None/Sub/Up/Average/
+    // Paeth twice each; means must still be the closed-form ramp values
+    val png = MediaCodec.Fixtures.gradientPng(16, 10)
+    MediaCodec.imageDimensions(png) shouldBe Some((16, 10))
+    val Some((r, g, b)) = MediaCodec.pngPixelStats(png)
+    r shouldBe ((0 until 16).map(x => x * 255 / 15).sum / 16.0 / 255) +- 1e-12
+    g shouldBe ((0 until 10).map(y => y * 255 / 9).sum / 10.0 / 255) +- 1e-12
+    b shouldBe (32.0 / 255) +- 1e-12
+    // RGBA: alpha ignored, same means
+    val Some((r4, g4, b4)) =
+      MediaCodec.pngPixelStats(MediaCodec.Fixtures.gradientPng(16, 10, colorType = 6))
+    r4 shouldBe r +- 1e-12; g4 shouldBe g +- 1e-12; b4 shouldBe b +- 1e-12
+    // grayscale: gray ramp replicated to all three channels
+    val Some((gr, gg, gb)) =
+      MediaCodec.pngPixelStats(MediaCodec.Fixtures.gradientPng(64, 8, colorType = 0))
+    gr shouldBe ((0 until 64).map(x => x * 255 / 63).sum / 64.0 / 255) +- 1e-12
+    gg shouldBe gr +- 1e-15; gb shouldBe gr +- 1e-15
+  }
+
+  test("pngPixelStats refuses what it cannot decode honestly") {
+    val png = MediaCodec.Fixtures.gradientPng(16, 10)
+    // truncated IDAT / missing IEND
+    MediaCodec.pngPixelStats(png.dropRight(20)) shouldBe None
+    // 16-bit depth, palette color type, Adam7 interlace: out of scope
+    val deep = png.clone(); deep(24) = 16
+    MediaCodec.pngPixelStats(deep) shouldBe None
+    val pal = png.clone(); pal(25) = 3
+    MediaCodec.pngPixelStats(pal) shouldBe None
+    val adam = png.clone(); adam(28) = 1
+    MediaCodec.pngPixelStats(adam) shouldBe None
+    // forged IHDR claiming a huge canvas over a tiny IDAT: the deflate
+    // expansion bound refuses before allocating
+    val forged = png.clone()
+    forged(16) = 0x7F.toByte; forged(17) = -1; forged(18) = -1; forged(19) = -1
+    MediaCodec.pngPixelStats(forged) shouldBe None
+    // not a PNG at all
+    MediaCodec.pngPixelStats("plain text".getBytes) shouldBe None
+  }
+
   test("decodeFeatures carries real sample stats for WAV/BMP payloads") {
     import spark.implicits._
     val sine = Array.tabulate[Short](4000)(i =>
