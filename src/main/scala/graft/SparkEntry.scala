@@ -1091,6 +1091,41 @@ object SparkEntry {
       TextPipeline.contaminatedIdsFuzzy(docs, "doc_id", "text",
           bench, "bench_id", "bench_text", minJaccard = 0.2)
         .orderBy(col("doc_id"))
+    }),
+
+    // Three-policy packing dashboard: q86's two bookkeeping policies
+    // (one-doc-per-bin isolation, concat-and-chunk) plus the policy a
+    // trainer actually picks — first-fit-decreasing bin packing
+    // (doc-isolating AND near-optimal padding). ffd bin capacity is
+    // max(seqLen, bin tokens): an oversized doc's dedicated bin wastes
+    // nothing. rows-only: the greedy has no SQL twin — bounded by
+    // oracled q86 (two of three policies) and SamplingSpec's
+    // independent first-fit reference.
+    "q88_packing_policies" -> ((s, dir) => {
+      val seqLen = 512L
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("__n"))
+      val bins = Sampling.packBinsFFD(docs, "doc_id", "__n", seqLen)
+        .groupBy(col("bin_id"))
+        .agg(sum(greatest(col("n_toks"), lit(1L))).as("__fill"))
+        .agg(
+          count(lit(1)).as("ffd_packs"),
+          sum(greatest(col("__fill"), lit(seqLen))).as("__cap"),
+          sum(col("__fill")).as("__used"))
+        .select(col("ffd_packs"),
+          round((col("__cap") - col("__used")).cast("double") / col("__cap"), 6)
+            .as("ffd_padding_fraction"))
+      val base = docs
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__n")).as("n_tokens"),
+          sum(ceil(col("__n") / lit(512.0)).cast("long")).as("isolated_packs"))
+        .select(col("n_docs"), col("n_tokens"), col("isolated_packs"),
+          ceil(col("n_tokens") / lit(512.0)).cast("long").as("concat_packs"),
+          round((col("isolated_packs") * 512 - col("n_tokens")).cast("double")
+            / (col("isolated_packs") * 512), 6).as("isolated_padding_fraction"))
+      base.crossJoin(bins) // 1×1 rows — the dashboard row
     })
   )
 
@@ -2388,5 +2423,6 @@ object SparkEntry {
     "q76_domain_filter", "q77_bigram_xent", "q79_quality_mix",
     "q80_random_projection", "q81_oov_rate", "q82_zipf_slope",
     "q83_ivf_index_recall", "q84_crawl_diff", "q85_dsir_select",
-    "q86_packing_stats", "q87_fuzzy_decontamination")
+    "q86_packing_stats", "q87_fuzzy_decontamination",
+    "q88_packing_policies")
 }

@@ -117,6 +117,121 @@ object Sampling {
       .drop("__k", "__shard", "__base", "__start")
   }
 
+  /** First-fit-decreasing bin packing — the DOC-ISOLATING packing
+    * policy: every document lands whole in exactly one `seqLen`-token
+    * bin (no cross-document attention contamination), and FFD keeps
+    * the padding waste near optimal (≤ 11/9·OPT + 6/9 bins, the
+    * classic bound) where naive one-doc-per-bin isolation wastes
+    * `1 − avg(doc)/seqLen` of every bin. Documents longer than
+    * `seqLen` get a dedicated bin each (chunk them first — [[graft
+    * .ext.TextAnalysis.chunkByTokens]] — if splitting is acceptable);
+    * zero-token documents occupy one slot, as in [[packSequences]].
+    *
+    * Returns one row per document: the key, its token count
+    * (`n_toks`), the global bin it was placed in (`bin_id`,
+    * contiguous from 0), and its start offset inside the bin
+    * (`bin_offset`).
+    *
+    * Shape at scale: FFD is inherently sequential, so it runs
+    * per-shard — the md5-prefix of the key carves the corpus into 256
+    * content-hash ranges ([[packSequences]]' shard shape), each shard
+    * packs independently (an `O(d log d)` loop: bins live in a
+    * max-capacity segment tree, so first-fit placement is
+    * `O(log bins)`, not a linear scan), and shard-local bin ids
+    * globalize through the same broadcast exclusive-prefix-sum the
+    * other 256-shard operators use. Sharding costs at most a few
+    * partially-filled bins per shard versus a global FFD — O(shards)
+    * extra bins on corpora of millions of bins — and buys
+    * shard-parallel packing with no global sort and no driver
+    * round-trip. Deterministic on any partitioning: shard membership,
+    * the FFD order (tokens desc, md5 asc), and the first-fit rule are
+    * all content-keyed. Per-shard state is one in-memory array of
+    * (key, tokens) — size the shard count to the corpus (the 2-hex
+    * default gives 256 shards; at 10¹⁰+ documents widen the prefix).
+    */
+  def packBinsFFD(
+      df: DataFrame,
+      keyCol: String,
+      tokenCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val keyField = df.schema(keyCol)
+    val in = df
+      .select(col(keyCol), col(tokenCol).cast("long").as("__n"))
+      .withColumn("__k", contentKey(col(keyCol)))
+      .withColumn("__shard", substring(col("__k"), 1, 2))
+    val outSchema = new StructType()
+      .add(keyField.name, keyField.dataType)
+      .add("n_toks", LongType)
+      .add("__shard", StringType)
+      .add("__local_bin", LongType)
+      .add("bin_offset", LongType)
+    val packed = in
+      .groupByKey(_.getAs[String]("__shard"))(Encoders.STRING)
+      .flatMapGroups { (shard: String, it: Iterator[Row]) =>
+        // FFD order: tokens desc, md5 asc — content-keyed, so the
+        // layout reproduces across runs and partitionings
+        val docs = it.toArray.sortBy { r =>
+          val n = if (r.isNullAt(1)) 0L else r.getLong(1)
+          (-math.max(n, 1L), r.getString(2))
+        }
+        val m = docs.length
+        // Max-remaining segment tree over m potential bins (leaves
+        // m..P-1 stay 0): placing j docs touches ≤ j bins, so an
+        // untouched seqLen-capacity bin always exists and first-fit
+        // never misses. Touched bins form a prefix of the index
+        // order — a doc never skips an earlier bin that fits — so
+        // used bins are ids 0..nBins-1 with no holes.
+        var p = 1
+        while (p < m) p <<= 1
+        val tree = new Array[Long](2 * p)
+        var i = 0
+        while (i < m) { tree(p + i) = seqLen; i += 1 }
+        i = p - 1
+        while (i >= 1) { tree(i) = math.max(tree(2 * i), tree(2 * i + 1)); i -= 1 }
+        val out = new Array[Row](m)
+        i = 0
+        while (i < m) {
+          val r = docs(i)
+          val n = if (r.isNullAt(1)) 0L else r.getLong(1)
+          val eff = math.max(n, 1L) // a zero-token doc occupies a slot
+          val need = math.min(eff, seqLen) // oversize claims a whole empty bin
+          var node = 1
+          while (node < p) {
+            node = if (tree(2 * node) >= need) 2 * node else 2 * node + 1
+          }
+          val bin = node - p
+          val offset = seqLen - tree(node) // fill before placement
+          // an oversize doc fills its bin completely (its bin's true
+          // capacity is the doc length; stats account for that)
+          tree(node) = if (eff > seqLen) 0L else tree(node) - need
+          node >>= 1
+          while (node >= 1) {
+            tree(node) = math.max(tree(2 * node), tree(2 * node + 1))
+            node >>= 1
+          }
+          out(i) = Row(r.get(0), n, shard, bin.toLong, offset)
+          i += 1
+        }
+        out.iterator
+      }(Encoders.row(outSchema))
+      // pinned: consumed by the bases aggregate AND the join below —
+      // unpinned, the whole per-shard packing re-runs per branch
+      .localCheckpoint()
+    val W = org.apache.spark.sql.expressions.Window
+    val bases = packed.groupBy(col("__shard"))
+      .agg((max(col("__local_bin")) + 1L).as("__nb"))
+      .withColumn("__base",
+        coalesce(sum(col("__nb")).over(
+          W.orderBy(col("__shard")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__shard"), col("__base"))
+    packed.join(broadcast(bases), "__shard")
+      .select(col(keyField.name), col("n_toks"),
+        (col("__base") + col("__local_bin")).as("bin_id"), col("bin_offset"))
+  }
+
   /** Token-budget sampling — the corpus-MIXING primitive: per group
     * (source / language / domain), keep documents in md5-coordinate
     * order while the RUNNING token total stays within that group's

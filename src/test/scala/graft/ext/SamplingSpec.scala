@@ -114,4 +114,89 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     rep shouldBe expected
   }
+
+  /** Driver-side reference FFD: naive O(d·bins) first-fit over docs
+    * sorted (tokens desc, md5 asc) per md5-prefix shard — the same
+    * semantics as [[Sampling.packBinsFFD]] with NONE of its machinery
+    * (no segment tree, no distributed prefix sum), so it catches bugs
+    * in either.
+    */
+  private def referenceFFD(
+      rows: Seq[(Long, Long)], seqLen: Long): Map[Long, (Long, Long)] = {
+    val byShard = rows
+      .map { case (id, n) => (md5hex(id.toString), id, n) }
+      .groupBy(_._1.take(2)).toSeq.sortBy(_._1)
+    var base = 0L
+    val out = Map.newBuilder[Long, (Long, Long)]
+    for ((_, docs) <- byShard) {
+      val sorted = docs.sortBy { case (k, _, n) => (-math.max(n, 1L), k) }
+      val fill = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for ((_, id, n) <- sorted) {
+        val eff = math.max(n, 1L)
+        val i = if (eff > seqLen) -1
+          else fill.indexWhere(f => seqLen - f >= eff)
+        if (i >= 0) {
+          out += id -> ((base + i, fill(i)))
+          fill(i) += eff
+        } else {
+          out += id -> ((base + fill.length, 0L))
+          // an oversize bin's fill (eff > seqLen) blocks all joiners
+          fill += eff
+        }
+      }
+      base += fill.length
+    }
+    out.result()
+  }
+
+  test("packBinsFFD matches the naive first-fit reference exactly") {
+    import spark.implicits._
+    // sizes from tiny to oversize (> seqLen), with zero-token docs
+    val rows = (1L to 80L).map(i => (i, (i * 37) % 13 * 2))
+    val seqLen = 10L
+    val expected = referenceFFD(rows, seqLen)
+    val out = Sampling.packBinsFFD(rows.toDF("id", "toks"), "id", "toks", seqLen)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    out shouldBe expected
+    // layout-independent
+    val rep = Sampling.packBinsFFD(
+        rows.toDF("id", "toks").repartition(7), "id", "toks", seqLen)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    rep shouldBe expected
+  }
+
+  test("packBinsFFD invariants: whole docs, capacity, contiguous ids, policy order") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, (i * 13) % 700))
+    val seqLen = 512L
+    val out = Sampling.packBinsFFD(rows.toDF("id", "toks"), "id", "toks", seqLen)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every doc placed exactly once
+    out.map(_._1).toSet shouldBe rows.map(_._1).toSet
+    // bins respect capacity (an oversize doc sits ALONE in its bin)
+    val byBin = out.groupBy(_._3)
+    byBin.values.foreach { docs =>
+      val fill = docs.map(d => math.max(d._2, 1L)).sum
+      if (fill > seqLen) docs.length shouldBe 1
+    }
+    // bin ids are contiguous from 0
+    val ids = byBin.keySet
+    ids shouldBe (0L until ids.size.toLong).toSet
+    // offsets within a bin are the running fill (no overlap, no gap)
+    byBin.values.foreach { docs =>
+      val sorted = docs.sortBy(_._4)
+      var at = 0L
+      sorted.foreach { d =>
+        d._4 shouldBe at
+        at += math.max(d._2, 1L)
+      }
+    }
+    // policy quality: concat <= ffd <= isolated pack counts
+    val nTok = rows.map(_._2).sum
+    val concatPacks = (nTok + seqLen - 1) / seqLen
+    val isolatedPacks = rows.map { case (_, n) =>
+      (math.max(n, 1L) + seqLen - 1) / seqLen }.sum
+    ids.size.toLong should be >= concatPacks
+    ids.size.toLong should be <= isolatedPacks
+  }
 }
