@@ -910,6 +910,40 @@ object SparkEntry {
               / (col("__n") - col("n_exact")), 6)).as("drop_recall"))
     }),
 
+    // q75 at SemDeDup's production operating point. q75's 0.585 drop
+    // recall is the wide-tau/few-cells trade (tau 0.4 reaches across
+    // cell boundaries); production SemDeDup runs TIGHT tau — drops only
+    // near-identical vectors — where a dup pair is nearly colinear and
+    // lands in the same learned cell, so celling misses almost nothing.
+    // The fixture has no cosine-0.9 pairs (q24's near-dups sit at
+    // 0.4-0.5), so the query PLANTS the contamination mode tight-tau
+    // dedup exists for: a near-identical twin (one coordinate nudged
+    // 1%) for every 10th vector. Expected drop_recall ~ 1.0 at k=16
+    // cells. Rows-only (sampled kmeans); bounded by oracled q74 and the
+    // EstimatorQualitySpec tight-tau floor.
+    "q75b_semantic_dedup_tight" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val twins = e.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, (x * lit(1.01)).cast("float")).otherwise(x))
+            .as("embedding"))
+      val corpus = e.unionByName(twins).localCheckpoint()
+      val dim = queryVector(e, 0L).size
+      val learned = SimilaritySearch.semanticDedup(corpus, "vec_id", "embedding",
+        SimilaritySearch.learnCentroids(corpus, "embedding", k = 16, spherical = true),
+        tau = 0.9, spherical = true).select("vec_id")
+      val exact = SimilaritySearch.semanticDedup(corpus, "vec_id", "embedding",
+        Seq(Seq.fill(dim)(0.0)), tau = 0.9).select("vec_id")
+      corpus.agg(count(lit(1)).as("__n"))
+        .crossJoin(learned.agg(count(lit(1)).as("n_learned")))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(col("n_learned"), col("n_exact"),
+          when(col("__n") === col("n_exact"), lit(1.0))
+            .otherwise(round((col("__n") - col("n_learned")).cast("double")
+              / (col("__n") - col("n_exact")), 6)).as("drop_recall"))
+    }),
+
     // Provenance gate over the q73 salted URLs: docs citing a
     // blocklisted domain drop (doc_id%3==0 via cdn0, doc_id%20==7 via
     // host7); survivors carry their URL count
@@ -2420,6 +2454,7 @@ object SparkEntry {
     "q67_chunk_tokens", "q68_group_centroids", "q70_centroid_outliers",
     "q71_span_dedup", "q72_dsir_weights", "q73_url_domains",
     "q74_semantic_dedup", "q75_semantic_dedup_learned",
+    "q75b_semantic_dedup_tight",
     "q76_domain_filter", "q77_bigram_xent", "q79_quality_mix",
     "q80_random_projection", "q81_oov_rate", "q82_zipf_slope",
     "q83_ivf_index_recall", "q84_crawl_diff", "q85_dsir_select",

@@ -144,4 +144,32 @@ class EstimatorQualitySpec extends AnyFunSuite with Matchers with SparkTestBase 
     // than everything whenever the one-cell rule dropped anything
     learned.size should be < e.count().toInt
   }
+
+  test("tight-tau semantic dedup recovers nearly all exact drops (q75b floor)") {
+    import spark.implicits._
+    // plant a near-identical twin (coordinate 0 nudged 1%) for every
+    // 10th vector: at tau 0.9 only these near-colinear pairs dominate,
+    // and a dup pair should land in the same learned cell
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val twins = e.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x * lit(1.01)).cast("float")).otherwise(x))
+          .as("embedding"))
+    val corpus = e.unionByName(twins).localCheckpoint()
+    val dim = e.head.getSeq[Float](1).size
+    val n = corpus.count()
+    val exact = SimilaritySearch.semanticDedup(corpus, "vec_id", "embedding",
+        Seq(Seq.fill(dim)(0.0)), tau = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    val learned = SimilaritySearch.semanticDedup(corpus, "vec_id", "embedding",
+        SimilaritySearch.learnCentroids(corpus, "embedding", k = 16, spherical = true),
+        tau = 0.9, spherical = true)
+      .select("vec_id").as[Long].collect().toSet
+    // the planted twins ARE the exact drop set
+    (n - exact.size).toInt should be >= (n / 25).toInt // ~1/21 of corpus
+    (exact -- learned) shouldBe empty // superset property holds here too
+    val dropRecall = (n - learned.size).toDouble / (n - exact.size)
+    dropRecall should be >= 0.9 // the production operating point
+  }
 }
