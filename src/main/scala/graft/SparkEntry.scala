@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.KpiAggregation
 import graft.ext.{Dedup, MediaCodec, Multimodal, Sampling, SimilaritySearch, TextAnalysis, TextPipeline, LangId}
+import graft.ingest.EventReader
 
 /** Driver contract — one named query per implemented operator family
   * (SURVEY.md §2 + the LLM-pipeline extensions), each with a DuckDB
@@ -1140,7 +1141,10 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("__n"))
-      val bins = Sampling.packBinsFFD(docs, "doc_id", "__n", seqLen)
+      // shards sized to the corpus (≥64 docs per shard keeps per-shard
+      // leftover bins marginal) — the packBinsFFD scaling contract
+      val shards = math.max(1, math.min(256, (docs.count() / 64L).toInt))
+      val bins = Sampling.packBinsFFD(docs, "doc_id", "__n", seqLen, shards)
         .groupBy(col("bin_id"))
         .agg(sum(greatest(col("n_toks"), lit(1L))).as("__fill"))
         .agg(
@@ -1160,6 +1164,61 @@ object SparkEntry {
           round((col("isolated_packs") * 512 - col("n_tokens")).cast("double")
             / (col("isolated_packs") * 512), 6).as("isolated_padding_fraction"))
       base.crossJoin(bins) // 1×1 rows — the dashboard row
+    }),
+
+    // The engine's streaming heart, driver-visible: a deterministic
+    // micro-batch replay of the events table through the FULL streaming
+    // path — JSON publish → stream decode → tagged union →
+    // flatMapGroupsWithState correlation → keyed upsert sink → daily
+    // KPI batch job over the merged table. The feed derives one trip
+    // per event (start for every event; end only for non-error events,
+    // fare = value), so the final daily KPI document must equal q04's
+    // batch answer bit-for-bit — the oracle is q04's SQL twin verbatim.
+    // Everything rides one AvailableNow trigger into a fresh temp
+    // table+checkpoint per invocation (re-runnable; bench reps replay
+    // from scratch). The KPI math is the same decimal-sum path q04
+    // uses, so hash equality is exact, not approximate.
+    "q89_streaming_daily_kpis" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = events(s, dir).localCheckpoint() // fans out to starts AND ends
+      val starts = ev.select(
+        col("event_id").cast("string").as("trip_id"),
+        lit(null).cast("int").as("pickup_location_id"),
+        lit(null).cast("int").as("dropoff_location_id"),
+        lit(null).cast("int").as("vendor_id"),
+        col("ts").as("pickup_datetime"),
+        col("ts").as("estimated_dropoff_datetime"),
+        col("value").as("estimated_fare_amount"))
+      // q04 semantics: error (and null-typed) events never complete —
+      // they stay Started and fall out of the Completed-only KPI
+      val ends = ev
+        .where(col("event_type").isNotNull && col("event_type") =!= "error")
+        .select(
+          col("event_id").cast("string").as("trip_id"),
+          col("ts").as("dropoff_datetime"),
+          lit(1).as("rate_code"),
+          lit(1).as("passenger_count"),
+          lit(1.0).as("trip_distance"),
+          col("value").as("fare_amount"),
+          lit(0.0).as("tip_amount"),
+          lit(1).as("payment_type"),
+          lit(1).as("trip_type"))
+      val base = java.nio.file.Files.createTempDirectory("graft-q89").toString
+      EventReader.toJsonStream(starts, "trip_id", 4).select("value")
+        .write.text(s"$base/starts")
+      EventReader.toJsonStream(ends, "trip_id", 4).select("value")
+        .write.text(s"$base/ends")
+      val q = graft.streaming.TripStreamJob.start(
+        s,
+        startLines = s.readStream.text(s"$base/starts"),
+        endLines = s.readStream.text(s"$base/ends"),
+        tablePath = s"$base/table",
+        checkpointDir = s"$base/ckpt",
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+      KpiAggregation.dailyKpis(
+          graft.sink.TripTableSink.readMerged(s, s"$base/table"))
+        .orderBy(col("date"))
     })
   )
 
@@ -1236,6 +1295,18 @@ object SparkEntry {
          ORDER BY l_returnflag, l_linestatus""",
 
     "q04_daily_kpis" ->
+      """SELECT CAST(ts AS DATE) AS date,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS total_fare,
+         count(*) AS count_trips,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+           / count(value) AS average_fare,
+         max(value) AS max_fare, min(value) AS min_fare
+         FROM events WHERE event_type <> 'error'
+         GROUP BY CAST(ts AS DATE) ORDER BY date""",
+
+    // The streaming replay must land on q04's batch answer exactly:
+    // same oracle, verbatim
+    "q89_streaming_daily_kpis" ->
       """SELECT CAST(ts AS DATE) AS date,
          CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS total_fare,
          count(*) AS count_trips,
@@ -2459,5 +2530,5 @@ object SparkEntry {
     "q80_random_projection", "q81_oov_rate", "q82_zipf_slope",
     "q83_ivf_index_recall", "q84_crawl_diff", "q85_dsir_select",
     "q86_packing_stats", "q87_fuzzy_decontamination",
-    "q88_packing_policies")
+    "q88_packing_policies", "q89_streaming_daily_kpis")
 }

@@ -146,31 +146,39 @@ object Sampling {
     * round-trip. Deterministic on any partitioning: shard membership,
     * the FFD order (tokens desc, md5 asc), and the first-fit rule are
     * all content-keyed. Per-shard state is one in-memory array of
-    * (key, tokens) — size the shard count to the corpus (the 2-hex
-    * default gives 256 shards; at 10¹⁰+ documents widen the prefix).
+    * (key, tokens) — SIZE `shards` TO THE CORPUS: each shard pays up
+    * to a few partially-filled bins, so shards ≫ docs/binsPerShard
+    * drowns the packing in leftovers (at 500 docs, 256 shards produced
+    * 4× the optimal bin count; ~64+ docs per shard keeps the overhead
+    * marginal), while too few shards caps parallelism and grows the
+    * per-task array. Shard membership is the md5 prefix reduced mod
+    * `shards`, so any count up to 65536 is content-keyed.
     */
   def packBinsFFD(
       df: DataFrame,
       keyCol: String,
       tokenCol: String,
-      seqLen: Long): DataFrame = {
+      seqLen: Long,
+      shards: Int = 256): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(shards >= 1 && shards <= 65536, s"shards must be in [1, 65536], got $shards")
     import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    import org.apache.spark.sql.types.{LongType, StructType}
     val keyField = df.schema(keyCol)
     val in = df
       .select(col(keyCol), col(tokenCol).cast("long").as("__n"))
       .withColumn("__k", contentKey(col(keyCol)))
-      .withColumn("__shard", substring(col("__k"), 1, 2))
+      .withColumn("__shard",
+        pmod(conv(substring(col("__k"), 1, 4), 16, 10).cast("long"), lit(shards.toLong)))
     val outSchema = new StructType()
       .add(keyField.name, keyField.dataType)
       .add("n_toks", LongType)
-      .add("__shard", StringType)
+      .add("__shard", LongType)
       .add("__local_bin", LongType)
       .add("bin_offset", LongType)
     val packed = in
-      .groupByKey(_.getAs[String]("__shard"))(Encoders.STRING)
-      .flatMapGroups { (shard: String, it: Iterator[Row]) =>
+      .groupByKey(_.getAs[Long]("__shard"))(Encoders.scalaLong)
+      .flatMapGroups { (shard: Long, it: Iterator[Row]) =>
         // FFD order: tokens desc, md5 asc — content-keyed, so the
         // layout reproduces across runs and partitionings
         val docs = it.toArray.sortBy { r =>

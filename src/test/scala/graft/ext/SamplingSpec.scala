@@ -122,10 +122,12 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     * in either.
     */
   private def referenceFFD(
-      rows: Seq[(Long, Long)], seqLen: Long): Map[Long, (Long, Long)] = {
+      rows: Seq[(Long, Long)], seqLen: Long,
+      shards: Int = 256): Map[Long, (Long, Long)] = {
     val byShard = rows
       .map { case (id, n) => (md5hex(id.toString), id, n) }
-      .groupBy(_._1.take(2)).toSeq.sortBy(_._1)
+      .groupBy(t => Integer.parseInt(t._1.take(4), 16) % shards)
+      .toSeq.sortBy(_._1)
     var base = 0L
     val out = Map.newBuilder[Long, (Long, Long)]
     for ((_, docs) <- byShard) {
@@ -163,6 +165,19 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
         rows.toDF("id", "toks").repartition(7), "id", "toks", seqLen)
       .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
     rep shouldBe expected
+    // sized-down sharding (the scaling contract) and the single-shard
+    // case (= global FFD) agree with the reference too
+    for (sh <- Seq(1, 4)) {
+      val e = referenceFFD(rows, seqLen, shards = sh)
+      val o = Sampling.packBinsFFD(rows.toDF("id", "toks"), "id", "toks", seqLen, sh)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      o shouldBe e
+    }
+    // fewer shards can only tighten the packing on this fixture: global
+    // FFD uses no more bins than the 256-shard run
+    val binsGlobal = referenceFFD(rows, seqLen, shards = 1).values.map(_._1).toSet.size
+    val bins256 = expected.values.map(_._1).toSet.size
+    binsGlobal should be <= bins256
   }
 
   test("packBinsFFD invariants: whole docs, capacity, contiguous ids, policy order") {
