@@ -1219,7 +1219,16 @@ object SparkEntry {
       KpiAggregation.dailyKpis(
           graft.sink.TripTableSink.readMerged(s, s"$base/table"))
         .orderBy(col("date"))
-    })
+    }),
+
+    // Learned quality gate: the hashed-n-gram linear classifier
+    // (fastText-shape) trained on the corpus's own language labels
+    // (en vs rest) — md5 bucketing + ln + decimal sums, so DuckDB
+    // re-derives training AND scoring end-to-end
+    "q90_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.hashedNgramClassifier(
+          t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+        .orderBy(col("doc_id")))
   )
 
   /** 20 whitespace tokens (2 exact 10-token spans) prepended to every
@@ -2434,6 +2443,46 @@ object SparkEntry {
                   AS projection
          FROM s GROUP BY vec_id ORDER BY vec_id"""),
 
+    // Hashed-n-gram classifier: DuckDB re-derives the md5 bucketing,
+    // the smoothed log-odds weights, the doc-count prior, and the
+    // decimal-summed scores — training and inference both oracled.
+    // predicted compares the ROUNDED score in both engines.
+    "q90_quality_classifier" ->
+      """WITH base AS (
+           SELECT doc_id, coalesce(lang = 'en', false) AS y,
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                    AS norm
+           FROM documents WHERE text IS NOT NULL),
+         ws AS (SELECT doc_id, y, norm, string_split(norm, ' ') AS w FROM base),
+         uni AS (SELECT doc_id, y, unnest(w) AS g FROM ws),
+         bi AS (SELECT doc_id, y,
+                       CASE WHEN len(w) < 2 THEN norm
+                            ELSE w[t.i] || ' ' || w[t.i + 1] END AS g
+                FROM ws,
+                     unnest(generate_series(1, greatest(len(w) - 1, 1))) AS t(i)),
+         bk AS (SELECT doc_id, y, substring(md5(g), 1, 3) AS b
+                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+                WHERE g <> ''),
+         cnt AS (SELECT b,
+                        count(*) FILTER (WHERE y)::BIGINT AS pos,
+                        count(*) FILTER (WHERE NOT y)::BIGINT AS neg
+                 FROM bk GROUP BY b),
+         tot AS (SELECT sum(pos) AS p, sum(neg) AS n FROM cnt),
+         wt AS (SELECT b, ln((pos + 1)::DOUBLE / (p + 4096)) -
+                         ln((neg + 1)::DOUBLE / (n + 4096)) AS w
+                FROM cnt, tot),
+         prior AS (SELECT ln((count(*) FILTER (WHERE y) + 1)::DOUBLE /
+                             (count(*) FILTER (WHERE NOT y) + 1)) AS bias
+                   FROM base),
+         sc AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+                       sum(CAST(w AS DECIMAL(38,12))) AS s
+                FROM bk JOIN wt USING (b) GROUP BY doc_id)
+         SELECT doc_id, n_grams,
+                round(CAST(s AS DOUBLE) + bias, 6) AS score,
+                CASE WHEN round(CAST(s AS DOUBLE) + bias, 6) > 0
+                     THEN 1 ELSE 0 END AS predicted
+         FROM sc, prior ORDER BY doc_id""",
+
     "q81_oov_rate" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(
@@ -2530,5 +2579,6 @@ object SparkEntry {
     "q80_random_projection", "q81_oov_rate", "q82_zipf_slope",
     "q83_ivf_index_recall", "q84_crawl_diff", "q85_dsir_select",
     "q86_packing_stats", "q87_fuzzy_decontamination",
-    "q88_packing_policies", "q89_streaming_daily_kpis")
+    "q88_packing_policies", "q89_streaming_daily_kpis",
+    "q90_quality_classifier")
 }

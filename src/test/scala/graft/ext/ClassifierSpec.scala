@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** The hashed-n-gram linear classifier (q90's operator): separation on
+  * a planted two-vocabulary corpus, determinism, and the model-shape
+  * contracts (bounded bucket space, label-null handling).
+  */
+class ClassifierSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  // two disjoint vocabularies; "good" docs labeled true
+  private def fixture = {
+    import spark.implicits._
+    val good = (1L to 10L).map(i =>
+      (i, s"clean prose sentence number $i about weather and science", true))
+    val bad = (11L to 20L).map(i =>
+      (i, s"spam casino jackpot click winner prize $i buy now cheap", false))
+    val mixed = Seq(
+      (21L, "clean prose sentence about weather science and more weather", true),
+      (22L, "spam casino jackpot prize winner buy cheap now click spam", false),
+      (23L, null.asInstanceOf[String], true)) // null text: no output row
+    (good ++ bad ++ mixed).toDF("doc_id", "text", "label")
+  }
+
+  test("separates the two vocabularies by score sign") {
+    val out = TextAnalysis.hashedNgramClassifier(
+        fixture, "doc_id", "text", col("label"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getInt(3)))).toMap
+    // null-text doc emits nothing
+    out.keySet shouldBe ((1L to 22L).toSet)
+    (1L to 10L).foreach { id => out(id)._1 should be > 0.0 }
+    (11L to 20L).foreach { id => out(id)._1 should be < 0.0 }
+    // held-out-shaped docs (same vocab, unseen combinations) classify
+    // with their vocabulary
+    out(21L)._2 shouldBe 1
+    out(22L)._2 shouldBe 0
+  }
+
+  test("deterministic across partitionings; null labels count as negative") {
+    val a = TextAnalysis.hashedNgramClassifier(
+        fixture, "doc_id", "text", col("label"))
+      .collect().map(_.toSeq).toSet
+    val b = TextAnalysis.hashedNgramClassifier(
+        fixture.repartition(7), "doc_id", "text", col("label"))
+      .collect().map(_.toSeq).toSet
+    a shouldBe b
+    // a null label is a negative example, not a dropped row
+    val nullLab = fixture.withColumn("label",
+      when(col("doc_id") <= 10, lit(null).cast("boolean")).otherwise(col("label")))
+    val out = TextAnalysis.hashedNgramClassifier(
+        nullLab, "doc_id", "text", col("label"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.keySet shouldBe ((1L to 22L).toSet) // rows survive
+    // with zero positive examples every weight is non-positive
+    out.values.foreach(_ should be <= 0.0)
+  }
+
+  test("score is bias plus summed bucket weights (linearity on a 1-gram doc)") {
+    import spark.implicits._
+    // one doc = one word = 2 gram occurrences (unigram + whole-text
+    // bigram fallback) in the SAME bucket; the other doc is the
+    // negative class
+    val df = Seq((1L, "alpha", true), (2L, "beta", false))
+      .toDF("doc_id", "text", "label")
+    val out = TextAnalysis.hashedNgramClassifier(df, "doc_id", "text", col("label"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val B = 4096.0
+    // both docs: 2 occurrences of their own bucket, none of the other's
+    val wAlpha = math.log(3.0 / (2 + B)) - math.log(1.0 / (2 + B))
+    val wBeta = math.log(1.0 / (2 + B)) - math.log(3.0 / (2 + B))
+    val bias = math.log(2.0 / 2.0)
+    out(1L)._1 shouldBe 2L
+    out(2L)._1 shouldBe 2L
+    out(1L)._2 shouldBe BigDecimal(2 * wAlpha + bias)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+    out(2L)._2 shouldBe BigDecimal(2 * wBeta + bias)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+  }
+}
