@@ -924,8 +924,11 @@ object SparkEntry {
     // EstimatorQualitySpec tight-tau floor.
     "q75b_semantic_dedup_tight" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // negative twin ids (the planted-row convention, cf. q32's
+      // media_id -1..-8): real vec_ids are dense from 0, so an
+      // offset-based id would collide on a big enough fixture
       val twins = e.where(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
+        .select((-(col("vec_id") + 1L)).as("vec_id"),
           transform(col("embedding"), (x, i) =>
             when(i === 0, (x * lit(1.01)).cast("float")).otherwise(x))
             .as("embedding"))
@@ -1093,15 +1096,7 @@ object SparkEntry {
     // policy wastes; one aggregation pass
     "q86_packing_stats" -> ((s, dir) => {
       val n = TextAnalysis.tokenCount(col("text")).cast("long")
-      t(s, dir, "documents").select(n.as("__n"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("__n")).as("n_tokens"),
-          sum(ceil(col("__n") / lit(512.0)).cast("long")).as("isolated_packs"))
-        .select(col("n_docs"), col("n_tokens"), col("isolated_packs"),
-          ceil(col("n_tokens") / lit(512.0)).cast("long").as("concat_packs"),
-          round((col("isolated_packs") * 512 - col("n_tokens")).cast("double")
-            / (col("isolated_packs") * 512), 6).as("padding_fraction"))
+      packingBaseStats(t(s, dir, "documents").select(n.as("__n")), 512L)
     }),
 
     // Fuzzy (MinHash) eval-set decontamination — the paraphrase case
@@ -1138,9 +1133,12 @@ object SparkEntry {
     // independent first-fit reference.
     "q88_packing_policies" -> ((s, dir) => {
       val seqLen = 512L
+      // pinned: consumed by count(), the FFD run, AND the base
+      // aggregate — unpinned, the scan + tokenCount re-run per branch
       val docs = t(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("__n"))
+        .localCheckpoint()
       // shards sized to the corpus (≥64 docs per shard keeps per-shard
       // leftover bins marginal) — the packBinsFFD scaling contract
       val shards = math.max(1, math.min(256, (docs.count() / 64L).toInt))
@@ -1154,16 +1152,9 @@ object SparkEntry {
         .select(col("ffd_packs"),
           round((col("__cap") - col("__used")).cast("double") / col("__cap"), 6)
             .as("ffd_padding_fraction"))
-      val base = docs
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("__n")).as("n_tokens"),
-          sum(ceil(col("__n") / lit(512.0)).cast("long")).as("isolated_packs"))
-        .select(col("n_docs"), col("n_tokens"), col("isolated_packs"),
-          ceil(col("n_tokens") / lit(512.0)).cast("long").as("concat_packs"),
-          round((col("isolated_packs") * 512 - col("n_tokens")).cast("double")
-            / (col("isolated_packs") * 512), 6).as("isolated_padding_fraction"))
-      base.crossJoin(bins) // 1×1 rows — the dashboard row
+      packingBaseStats(docs, seqLen) // q86's two policies, shared code
+        .withColumnRenamed("padding_fraction", "isolated_padding_fraction")
+        .crossJoin(bins) // 1×1 rows — the dashboard row
     }),
 
     // The engine's streaming heart, driver-visible: a deterministic
@@ -1216,9 +1207,17 @@ object SparkEntry {
         checkpointDir = s"$base/ckpt",
         trigger = Trigger.AvailableNow())
       q.awaitTermination()
-      KpiAggregation.dailyKpis(
+      // localCheckpoint materializes the KPI rows, so the temp feed /
+      // table / checkpoint can be deleted NOW — otherwise every
+      // invocation (bench reps, driver runs) leaks two JSON copies of
+      // the events table plus the parquet table into /tmp
+      val kpis = KpiAggregation.dailyKpis(
           graft.sink.TripTableSink.readMerged(s, s"$base/table"))
         .orderBy(col("date"))
+        .localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      kpis
     }),
 
     // Learned quality gate: the hashed-n-gram linear classifier
@@ -1230,6 +1229,20 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
         .orderBy(col("doc_id")))
   )
+
+  /** q86/q88 shared packing bookkeeping over a `__n` (long token
+    * count) frame: doc-isolated and concat-and-chunk pack counts plus
+    * the isolated policy's padding fraction — one aggregation pass.
+    */
+  private def packingBaseStats(docs: DataFrame, seqLen: Long): DataFrame =
+    docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_tokens"),
+        sum(ceil(col("__n") / lit(seqLen.toDouble)).cast("long")).as("isolated_packs"))
+      .select(col("n_docs"), col("n_tokens"), col("isolated_packs"),
+        ceil(col("n_tokens") / lit(seqLen.toDouble)).cast("long").as("concat_packs"),
+        round((col("isolated_packs") * seqLen - col("n_tokens")).cast("double")
+          / (col("isolated_packs") * seqLen), 6).as("padding_fraction"))
 
   /** 20 whitespace tokens (2 exact 10-token spans) prepended to every
     * document by q71 — the planted cross-doc boilerplate.
@@ -2175,7 +2188,10 @@ object SparkEntry {
            SELECT source, i, round(avg(x), 6) AS m, count(*) AS n
            FROM e GROUP BY source, i)
          SELECT source, max(n)::BIGINT AS n_vectors,
-                string_agg(printf('%.6f', m), ',' ORDER BY i) AS centroid
+                -- + 0.0 folds DuckDB's round(-1e-9, 6) = -0.0 to 0.0;
+                -- Spark's BigDecimal round never emits -0.0, and
+                -- printf would otherwise render the sign
+                string_agg(printf('%.6f', m + 0.0), ',' ORDER BY i) AS centroid
          FROM p GROUP BY source ORDER BY source""",
 
     // Keep-best per cluster: q30's component labeling + argmax by
@@ -2439,7 +2455,9 @@ object SparkEntry {
                     unnest(generate_series(1, len(e.embedding))) AS g(i)),
          s AS (SELECT vec_id, pid, round(sum(prod), 6) AS c
                FROM z GROUP BY vec_id, pid)
-         SELECT vec_id, string_agg(printf('%.6f', c), ',' ORDER BY pid)
+         SELECT vec_id,
+                -- + 0.0 folds round's -0.0 to 0.0 (Spark never emits it)
+                string_agg(printf('%.6f', c + 0.0), ',' ORDER BY pid)
                   AS projection
          FROM s GROUP BY vec_id ORDER BY vec_id"""),
 

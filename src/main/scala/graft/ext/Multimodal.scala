@@ -216,9 +216,12 @@ object MediaCodec {
     }
 
     val rowLen = w.toLong * channels
+    // overflow-safe: (rowLen+1)*h with both dims near 2^31 wraps Long
+    // and would slip past the guards below (negative, or large
+    // positive that allocates GBs) — reject before multiplying
+    if (h.toLong > (1L << 28) / (rowLen + 1)) return None // 256 MB absolute cap
     val expected = (rowLen + 1) * h
     if (expected > idat.size().toLong * 1032L + 1024L) return None // deflate bound
-    if (expected > (1L << 28)) return None // 256 MB absolute cap
     val raw = new Array[Byte](expected.toInt)
     val inf = new java.util.zip.Inflater()
     try {

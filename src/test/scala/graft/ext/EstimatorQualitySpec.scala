@@ -151,8 +151,9 @@ class EstimatorQualitySpec extends AnyFunSuite with Matchers with SparkTestBase 
     // 10th vector: at tau 0.9 only these near-colinear pairs dominate,
     // and a dup pair should land in the same learned cell
     val e = embs.select(col("vec_id"), col("embedding"))
+    // negative twin ids: collision-proof against the dense real ids
     val twins = e.where(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
+      .select((-(col("vec_id") + 1L)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i === 0, (x * lit(1.01)).cast("float")).otherwise(x))
           .as("embedding"))

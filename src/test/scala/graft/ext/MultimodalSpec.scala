@@ -299,6 +299,11 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val forged = png.clone()
     forged(16) = 0x7F.toByte; forged(17) = -1; forged(18) = -1; forged(19) = -1
     MediaCodec.pngPixelStats(forged) shouldBe None
+    // BOTH dims forged near 2^31: (w*ch+1)*h wraps Long — the
+    // overflow-safe guard must refuse instead of crashing/allocating
+    val forged2 = forged.clone()
+    forged2(20) = 0x7F.toByte; forged2(21) = -1; forged2(22) = -1; forged2(23) = -1
+    MediaCodec.pngPixelStats(forged2) shouldBe None
     // not a PNG at all
     MediaCodec.pngPixelStats("plain text".getBytes) shouldBe None
   }
