@@ -130,8 +130,10 @@ object TextAnalysis {
       val all = concat(
         Dedup.wordShinglesAll(col("__t"), 1),
         Dedup.wordShinglesAll(col("__t"), 2))
-      d.select(col(idCol), col("__y"),
-          explode(filter(all, g => g =!= "")).as("__g"))
+      // empty grams drop AFTER the explode: a codegen WHERE beats an
+      // interpreted filter() lambda inside the array
+      d.select(col(idCol), col("__y"), explode(all).as("__g"))
+        .where(col("__g") =!= "")
         .withColumn("__b", substring(md5(col("__g")), 1, hexChars))
     }
     // one aggregation pass builds the counts; pinned because the

@@ -94,6 +94,24 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
       plans(name).toLowerCase should not include "lambdafunction"
   }
 
+  test("q87 fuzzy decontamination broadcasts the benchmark side") {
+    // crossPairsFromSigs' scale story: benchmark bands AND signatures
+    // broadcast; a sort-merge join would shuffle the corpus banding
+    val p = SparkEntry.queries("q87_fuzzy_decontamination")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("q90 classifier scores through a broadcast model join") {
+    // the ≤4096-row weight table broadcasts; the corpus gram stream
+    // must never reach a shuffle join
+    val p = SparkEntry.queries("q90_quality_classifier")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
   test("q11 rank filter triggers Spark's partial WindowGroupLimit") {
     // Top-k-per-key via window + rank<=k filter is only scale-safe
     // because Catalyst inserts a MAP-SIDE group limit before the
