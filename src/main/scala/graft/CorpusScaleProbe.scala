@@ -92,6 +92,40 @@ object CorpusScaleProbe {
       val secs7 = (System.nanoTime() - t7) / 1e9
       println(s"""{"metric":"oov_realistic","n_docs":$n,""" +
         s""""scored":$oovScored,"sec":$secs7,"cpus":$cpus}""")
+      // Fuzzy decontamination (round 10): FIXED-size benchmark (every
+      // 500th doc), bands + signatures broadcast — the corpus side
+      // should scale like one signature pass, never a self-join
+      val t8 = System.nanoTime()
+      val fuzzyFlagged = graft.ext.TextPipeline.contaminatedIdsFuzzy(
+        docs, "doc_id", "text",
+        docs.where(col("doc_id") % 500 === 0)
+          .select(col("doc_id").as("bench_id"), col("text").as("bench_text")),
+        "bench_id", "bench_text",
+        minJaccard = 0.5, numHashes = 64, shingleSize = 1)
+        .queryExecution.toRdd.count()
+      val secs8 = (System.nanoTime() - t8) / 1e9
+      println(s"""{"metric":"fuzzy_decon_realistic","n_docs":$n,""" +
+        s""""flagged":$fuzzyFlagged,"sec":$secs8,"cpus":$cpus}""")
+      // Hashed-n-gram classifier (round 10): two gram explodes (train,
+      // score) + a ≤4096-row broadcast model — linear in tokens
+      val t9 = System.nanoTime()
+      val classified = graft.ext.TextAnalysis.hashedNgramClassifier(
+        docs, "doc_id", "text", col("doc_id") % 5 === 0)
+        .queryExecution.toRdd.count()
+      val secs9 = (System.nanoTime() - t9) / 1e9
+      println(s"""{"metric":"classifier_realistic","n_docs":$n,""" +
+        s""""classified":$classified,"sec":$secs9,"cpus":$cpus}""")
+      // FFD bin packing (round 10): per-shard O(d log d) greedy over
+      // 256 md5 shards + broadcast prefix-sum globalization
+      val t10 = System.nanoTime()
+      val packed = graft.ext.Sampling.packBinsFFD(
+        docs.select(col("doc_id"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).cast("long").as("__n")),
+        "doc_id", "__n", seqLen = 512L)
+        .queryExecution.toRdd.count()
+      val secs10 = (System.nanoTime() - t10) / 1e9
+      println(s"""{"metric":"ffd_pack_realistic","n_docs":$n,""" +
+        s""""packed":$packed,"sec":$secs10,"cpus":$cpus}""")
     }
     spark.stop()
   }
