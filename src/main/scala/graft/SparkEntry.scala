@@ -1227,7 +1227,21 @@ object SparkEntry {
     "q90_quality_classifier" -> ((s, dir) =>
       TextAnalysis.hashedNgramClassifier(
           t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // The production train/apply split: the gate is FIT on half the
+    // corpus (even doc_ids) and APPLIED to all of it — held-out docs'
+    // novel vocabulary takes the model's smoothing-consistent default
+    // weight instead of being silently skipped. Fully oracled: the
+    // train subset is SQL-expressible, so DuckDB re-derives the
+    // held-out scores too.
+    "q91_classifier_holdout" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.hashedNgramModel(
+        docs.where(col("doc_id") % 2 === 0), "text", col("lang") === "en")
+      TextAnalysis.scoreHashedNgrams(docs, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** q86/q88 shared packing bookkeeping over a `__n` (long token
@@ -2501,6 +2515,49 @@ object SparkEntry {
                      THEN 1 ELSE 0 END AS predicted
          FROM sc, prior ORDER BY doc_id""",
 
+    // Held-out classifier: weights/prior/default from the even-id
+    // half, scores over everyone; unseen buckets coalesce to the
+    // zero-count smoothing weight w0 = ln((N+B)/(P+B))
+    "q91_classifier_holdout" ->
+      """WITH base AS (
+           SELECT doc_id, coalesce(lang = 'en', false) AS y,
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                    AS norm
+           FROM documents WHERE text IS NOT NULL),
+         ws AS (SELECT doc_id, y, norm, string_split(norm, ' ') AS w FROM base),
+         uni AS (SELECT doc_id, y, unnest(w) AS g FROM ws),
+         bi AS (SELECT doc_id, y,
+                       CASE WHEN len(w) < 2 THEN norm
+                            ELSE w[t.i] || ' ' || w[t.i + 1] END AS g
+                FROM ws,
+                     unnest(generate_series(1, greatest(len(w) - 1, 1))) AS t(i)),
+         bk AS (SELECT doc_id, y, substring(md5(g), 1, 3) AS b
+                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+                WHERE g <> ''),
+         cnt AS (SELECT b,
+                        count(*) FILTER (WHERE y)::BIGINT AS pos,
+                        count(*) FILTER (WHERE NOT y)::BIGINT AS neg
+                 FROM bk WHERE doc_id % 2 = 0 GROUP BY b),
+         tot AS (SELECT sum(pos) AS p, sum(neg) AS n FROM cnt),
+         wt AS (SELECT b, ln((pos + 1)::DOUBLE / (p + 4096)) -
+                         ln((neg + 1)::DOUBLE / (n + 4096)) AS w
+                FROM cnt, tot),
+         prior AS (SELECT ln((count(*) FILTER (WHERE y) + 1)::DOUBLE /
+                             (count(*) FILTER (WHERE NOT y) + 1)) AS bias,
+                          (SELECT ln(1.0 / (p + 4096)) - ln(1.0 / (n + 4096))
+                           FROM tot) AS w0
+                   FROM base WHERE doc_id % 2 = 0),
+         sc AS (SELECT bk.doc_id, count(*)::BIGINT AS n_grams,
+                       sum(CAST(coalesce(wt.w, prior.w0) AS DECIMAL(38,12)))
+                         AS s
+                FROM bk LEFT JOIN wt USING (b), prior
+                GROUP BY bk.doc_id)
+         SELECT doc_id, n_grams,
+                round(CAST(s AS DOUBLE) + bias, 6) AS score,
+                CASE WHEN round(CAST(s AS DOUBLE) + bias, 6) > 0
+                     THEN 1 ELSE 0 END AS predicted
+         FROM sc, prior ORDER BY doc_id""",
+
     "q81_oov_rate" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(
@@ -2598,5 +2655,5 @@ object SparkEntry {
     "q83_ivf_index_recall", "q84_crawl_diff", "q85_dsir_select",
     "q86_packing_stats", "q87_fuzzy_decontamination",
     "q88_packing_policies", "q89_streaming_daily_kpis",
-    "q90_quality_classifier")
+    "q90_quality_classifier", "q91_classifier_holdout")
 }

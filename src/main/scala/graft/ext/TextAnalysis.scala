@@ -84,86 +84,140 @@ object TextAnalysis {
     */
   def fingerprintMd5(text: Column): Column = md5(normalize(text))
 
-  /** Hashed-n-gram LINEAR text classifier — the fastText-shape model
-    * production quality gates actually run (a linear layer over a
-    * hashed bag of word uni+bigrams), trained in one aggregation pass
-    * as smoothed per-bucket log-odds (the classic NB-weights baseline)
-    * and scored as one broadcast-join-and-sum pass. Upgrades
-    * [[qualityScore]]'s fixed heuristics to a model learned from
-    * labeled data with the same engine-reproducible determinism.
-    *
-    * Features: every word unigram and bigram occurrence of the
-    * normalized text (multiset; a sub-2-word document contributes its
-    * whole normalized text as its single "bigram", the
-    * [[Dedup.wordShinglesAll]] convention), hashed to one of
-    * `16^hexChars` buckets by md5-hex prefix — md5 so an external
-    * engine reproduces the bucketing exactly. Weights:
-    * `w_b = ln((pos_b+1)/(P+B)) − ln((neg_b+1)/(N+B))` over gram
-    * occurrences, bias `ln((docs⁺+1)/(docs⁻+1))`; score =
-    * bias + Σ w over the document's gram occurrences, summed as
-    * `decimal(38,12)` so the total is partition-order-independent
-    * (the [[graft.core.KpiAggregation.kpiColumns]] convention).
-    * Output: one row per non-null-text document — `n_grams`, `score`
-    * (rounded 6), `predicted` (1 when score > 0).
-    *
-    * Shape at scale: training is explode → one hash aggregate whose
-    * map-side partials collapse each task to ≤ B rows; the model
-    * (≤ B = 4096 rows at the default) localCheckpoints and
-    * BROADCASTS, so scoring is a scan-side join + per-doc sum — the
-    * corpus text never shuffles, only (id, partial-sum) rows do. Two
-    * corpus passes total (train, score), like every model-table
-    * operator here (cross-entropy, DSIR).
+  // -------------------------------------------------------------------
+  // Hashed-n-gram LINEAR text classifier — the fastText-shape model
+  // production quality gates actually run (a linear layer over a
+  // hashed bag of word uni+bigrams), trained in one aggregation pass
+  // as smoothed per-bucket log-odds (the classic NB-weights baseline)
+  // and scored as one broadcast-join-and-sum pass. Upgrades
+  // qualityScore's fixed heuristics to a model learned from labeled
+  // data with the same engine-reproducible determinism.
+  //
+  // Features: every word unigram and bigram occurrence of the
+  // normalized text (multiset; a sub-2-word document contributes its
+  // whole normalized text as its single "bigram", the
+  // Dedup.wordShinglesAll convention), hashed to one of 16^hexChars
+  // buckets by md5-hex prefix — md5 so an external engine reproduces
+  // the bucketing exactly. Weights:
+  // w_b = ln((pos_b+1)/(P+B)) − ln((neg_b+1)/(N+B)) over gram
+  // occurrences, bias ln((docs⁺+1)/(docs⁻+1)); score = bias + Σ w over
+  // the document's gram occurrences, summed as decimal(38,12) so the
+  // total is partition-order-independent (the KpiAggregation
+  // .kpiColumns convention). Output: one row per non-null-text
+  // document — n_grams, score (rounded 6), predicted (1 if score > 0).
+  //
+  // Shape at scale: training is explode → one hash aggregate whose
+  // map-side partials collapse each task to ≤ B rows; the model (≤ B =
+  // 4096 rows at the default) localCheckpoints and BROADCASTS, so
+  // scoring is a scan-side join + per-doc sum — the corpus text never
+  // shuffles, only (id, partial-sum) rows do. Two corpus passes total
+  // (train, score), like every model-table operator here
+  // (cross-entropy, DSIR). Train/apply are SEPARATE entry points
+  // (hashedNgramModel / scoreHashedNgrams): the production flow fits
+  // the gate once on a curated labeled set and applies it to every
+  // incoming crawl; hashedNgramClassifier composes both for the
+  // in-sample case.
+  // -------------------------------------------------------------------
+
+  /** A trained hashed-n-gram model: the per-bucket weight table
+    * (`__b`, `__w` — ≤ 16^hexChars rows, broadcast at score time) and
+    * a 1-row frame carrying the doc-count prior (`__bias`) and the
+    * smoothing-consistent default weight for buckets unseen in
+    * training (`__w0` = the weight a zero-count bucket would have
+    * gotten — what a NEW corpus's novel vocabulary scores).
     */
+  final case class HashedNgramModel(
+      weights: DataFrame, prior: DataFrame, hexChars: Int)
+
+  /** Gram-bucket occurrence stream (input columns + `__g`/`__b`)
+    * shared by training and scoring.
+    */
+  private def hashedGramStream(
+      d: DataFrame, textCol: String, hexChars: Int): DataFrame = {
+    val all = concat(
+      Dedup.wordShinglesAll(col(textCol), 1),
+      Dedup.wordShinglesAll(col(textCol), 2))
+    // empty grams drop AFTER the explode: a codegen WHERE beats an
+    // interpreted filter() lambda inside the array
+    d.where(col(textCol).isNotNull)
+      .select(col("*"), explode(all).as("__g"))
+      .where(col("__g") =!= "")
+      .withColumn("__b", substring(md5(col("__g")), 1, hexChars))
+  }
+
+  /** Train the model on a labeled frame — one aggregation pass (see
+    * [[hashedNgramClassifier]] for the math and the scale shape).
+    * Train ONCE, then [[scoreHashedNgrams]] any number of corpora —
+    * the production flow, where the gate is fit on a curated labeled
+    * set and applied to each incoming crawl.
+    */
+  def hashedNgramModel(
+      df: DataFrame,
+      textCol: String,
+      label: Column,
+      hexChars: Int = 3): HashedNgramModel = {
+    require(hexChars >= 1 && hexChars <= 8,
+      s"hexChars must be in [1, 8], got $hexChars")
+    val numBuckets = math.pow(16.0, hexChars).toLong
+    val base = df.where(col(textCol).isNotNull)
+      .select(coalesce(label, lit(false)).as("__y"), col(textCol).as("__t"))
+    // one aggregation pass builds the counts; pinned because the
+    // weight projection AND the totals both read it (the model-table
+    // fan-out lesson — unpinned, the corpus explode re-runs per branch)
+    val counts = hashedGramStream(base, "__t", hexChars)
+      .groupBy(col("__b"))
+      .agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__neg"))
+      .localCheckpoint()
+    val totals = broadcast(
+      counts.agg(sum(col("__pos")).as("__P"), sum(col("__neg")).as("__N")))
+    val weights = counts.crossJoin(totals)
+      .select(col("__b"),
+        (log((col("__pos") + 1).cast("double") / (col("__P") + numBuckets)) -
+          log((col("__neg") + 1).cast("double") / (col("__N") + numBuckets)))
+          .as("__w"))
+    val prior = base.agg(
+        log((sum(when(col("__y"), 1L).otherwise(0L)) + 1).cast("double") /
+          (sum(when(col("__y"), 0L).otherwise(1L)) + 1)).as("__bias"))
+      .crossJoin(totals)
+      // the zero-count-bucket weight: ln(1/(P+B)) − ln(1/(N+B))
+      .select(col("__bias"),
+        (log(lit(1.0) / (col("__P") + numBuckets)) -
+          log(lit(1.0) / (col("__N") + numBuckets))).as("__w0"))
+    HashedNgramModel(weights, prior, hexChars)
+  }
+
+  /** Score a corpus with a trained model: broadcast model join + one
+    * per-doc decimal sum; buckets unseen in training take the model's
+    * smoothing-consistent default weight (`__w0`), so novel vocabulary
+    * degrades gracefully instead of being silently skipped.
+    */
+  def scoreHashedNgrams(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: HashedNgramModel): DataFrame =
+    hashedGramStream(df.select(col(idCol), col(textCol)),
+        textCol, model.hexChars)
+      .join(broadcast(model.weights), Seq("__b"), "left")
+      .crossJoin(broadcast(model.prior))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__w"), col("__w0")).cast("decimal(38,12)")).as("__s"),
+        first(col("__bias")).as("__bias"))
+      .select(col(idCol), col("n_grams"),
+        round(col("__s").cast("double") + col("__bias"), 6).as("score"))
+      .withColumn("predicted", (col("score") > 0).cast("int"))
+
   def hashedNgramClassifier(
       df: DataFrame,
       idCol: String,
       textCol: String,
       label: Column,
-      hexChars: Int = 3): DataFrame = {
-    require(hexChars >= 1 && hexChars <= 8,
-      s"hexChars must be in [1, 8], got $hexChars")
-    val numBuckets = math.pow(16.0, hexChars).toLong
-    val base = df.where(col(textCol).isNotNull)
-      .select(col(idCol), coalesce(label, lit(false)).as("__y"),
-        col(textCol).as("__t"))
-    def grams(d: DataFrame): DataFrame = {
-      val all = concat(
-        Dedup.wordShinglesAll(col("__t"), 1),
-        Dedup.wordShinglesAll(col("__t"), 2))
-      // empty grams drop AFTER the explode: a codegen WHERE beats an
-      // interpreted filter() lambda inside the array
-      d.select(col(idCol), col("__y"), explode(all).as("__g"))
-        .where(col("__g") =!= "")
-        .withColumn("__b", substring(md5(col("__g")), 1, hexChars))
-    }
-    // one aggregation pass builds the counts; pinned because the
-    // weight projection AND the totals both read it (the model-table
-    // fan-out lesson — unpinned, the corpus explode re-runs per branch)
-    val counts = grams(base).groupBy(col("__b"))
-      .agg(
-        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
-        sum(when(col("__y"), 0L).otherwise(1L)).as("__neg"))
-      .localCheckpoint()
-    val weights = counts
-      .crossJoin(broadcast(
-        counts.agg(sum(col("__pos")).as("__P"), sum(col("__neg")).as("__N"))))
-      .select(col("__b"),
-        (log((col("__pos") + 1).cast("double") / (col("__P") + numBuckets)) -
-          log((col("__neg") + 1).cast("double") / (col("__N") + numBuckets)))
-          .as("__w"))
-    val bias = base.agg(
-      log((sum(when(col("__y"), 1L).otherwise(0L)) + 1).cast("double") /
-        (sum(when(col("__y"), 0L).otherwise(1L)) + 1)).as("__bias"))
-    grams(base)
-      .join(broadcast(weights), Seq("__b"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(col("__w").cast("decimal(38,12)")).as("__s"))
-      .crossJoin(broadcast(bias))
-      .select(col(idCol), col("n_grams"),
-        round(col("__s").cast("double") + col("__bias"), 6).as("score"))
-      .withColumn("predicted", (col("score") > 0).cast("int"))
-  }
+      hexChars: Int = 3): DataFrame =
+    scoreHashedNgrams(df, idCol, textCol,
+      hashedNgramModel(df, textCol, label, hexChars))
 
   /** PII redaction pass order: URL before email (URLs may carry
     * userinfo '@'), email before the number patterns (domains contain

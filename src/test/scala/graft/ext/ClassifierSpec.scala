@@ -59,6 +59,35 @@ class ClassifierSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.values.foreach(_ should be <= 0.0)
   }
 
+  test("train/apply split: novel vocabulary takes the default weight") {
+    import spark.implicits._
+    val model = TextAnalysis.hashedNgramModel(fixture, "text", col("label"))
+    // a held-out doc of entirely new words: every gram bucket is
+    // either unseen (-> w0) or a hash collision with a trained bucket
+    // (-> that bucket's weight) — the reference below resolves each
+    // gram through the collected model exactly as the operator must
+    val novel = Seq((31L, "zzz yyy xxx www")).toDF("doc_id", "text")
+    val out = TextAnalysis.scoreHashedNgrams(novel, "doc_id", "text", model)
+      .collect()
+    out.length shouldBe 1
+    out(0).getLong(1) shouldBe 7L // 4 unigrams + 3 bigrams
+    val pr = model.prior.collect()(0)
+    val (bias, w0) = (pr.getDouble(0), pr.getDouble(1))
+    val wmap = model.weights.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def bucket(g: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(3)
+    val grams = Seq("zzz", "yyy", "xxx", "www",
+      "zzz yyy", "yyy xxx", "xxx www")
+    val expected = bias + grams.map(g => wmap.getOrElse(bucket(g), w0)).sum
+    out(0).getDouble(2) shouldBe BigDecimal(expected)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+    // all-novel text scores like the negative prior direction: w0 < 0
+    // whenever training saw more positive than negative mass
+    w0 should not be 0.0
+  }
+
   test("score is bias plus summed bucket weights (linearity on a 1-gram doc)") {
     import spark.implicits._
     // one doc = one word = 2 gram occurrences (unigram + whole-text
