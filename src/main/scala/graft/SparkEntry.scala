@@ -1241,6 +1241,30 @@ object SparkEntry {
         docs.where(col("doc_id") % 2 === 0), "text", col("lang") === "en")
       TextAnalysis.scoreHashedNgrams(docs, "doc_id", "text", model)
         .orderBy(col("doc_id"))
+    }),
+
+    // Persisted MinHash index (the near-dup counterpart of q83's IVF
+    // index): even-id docs indexed once to parquet, odd-id docs
+    // admitted against it through the filesystem round-trip — the
+    // incremental-crawl near-dedup flow. Same signature family as
+    // q27/q28 (unigram shingles), so the emitted cross-pairs are the
+    // even×odd slice of the corpus's near-dup structure. rows-only
+    // (xxhash64); bounded by oracled exact q27 and MinhashIndexSpec's
+    // round-trip equivalence + append-maintenance tests.
+    "q92_minhash_index_admission" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = java.nio.file.Files.createTempDirectory("graft-q92").toString
+      Dedup.writeMinhashIndex(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", base, numHashes = 128, shingleSize = 1)
+      val pairs = Dedup.pairsAgainstMinhashIndex(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text", base,
+          minJaccard = 0.8, numHashes = 128, shingleSize = 1)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+        .localCheckpoint() // materialize before deleting the index
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      pairs
     })
   )
 
@@ -2655,5 +2679,6 @@ object SparkEntry {
     "q83_ivf_index_recall", "q84_crawl_diff", "q85_dsir_select",
     "q86_packing_stats", "q87_fuzzy_decontamination",
     "q88_packing_policies", "q89_streaming_daily_kpis",
-    "q90_quality_classifier", "q91_classifier_holdout")
+    "q90_quality_classifier", "q91_classifier_holdout",
+    "q92_minhash_index_admission")
 }

@@ -376,6 +376,82 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  // -------------------------------------------------------------------
+  // Persisted MinHash index — incremental near-dup admission
+  // -------------------------------------------------------------------
+
+  /** Persist a corpus's MinHash signature table under `path` — the
+    * near-dup counterpart of the persisted IVF index: compute the
+    * expensive signature pass ONCE, then admit every incremental crawl
+    * by querying new documents against the index
+    * ([[pairsAgainstMinhashIndex]]) instead of re-signing and
+    * re-banding the whole corpus. Banding is NOT stored: band hashes
+    * are a cheap codegen xxhash64 over signature slices, recomputed at
+    * scan time, so one stored table serves any banding/threshold.
+    *
+    * `mode` "overwrite" builds, "append" maintains incrementally
+    * (write the admitted batch's signatures after each crawl). The
+    * signature parameters are part of the index's identity — queries
+    * MUST use the same `numHashes`/`shingleSize` (positional hash
+    * family, [[crossPairsFromSigs]]).
+    */
+  def writeMinhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      numHashes: Int = 128,
+      shingleSize: Int = 3,
+      mode: String = "overwrite"): Unit =
+    minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+      .write.mode(mode).parquet(s"$path/sigs")
+
+  /** (indexed id `id_a`, new id `id_b`, estimated Jaccard) for every
+    * new document colliding with an indexed one at `minJaccard` —
+    * [[crossPairsFromSigs]] with the INDEX as the streamed side: the
+    * new batch's bands and signatures broadcast (an incremental crawl
+    * slice is small next to the accumulated corpus), the index scans
+    * linearly with NO shuffle, and banding happens in the scan
+    * projection. At 100 TB the index never moves; only (candidate)
+    * rows and the broadcast batch do.
+    */
+  def pairsAgainstMinhashIndex(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      minJaccard: Double,
+      numHashes: Int = 128,
+      bands: Int = 0,
+      shingleSize: Int = 3): DataFrame = {
+    val indexSigs = newDocs.sparkSession.read.parquet(s"$path/sigs")
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, numHashes, shingleSize)
+    crossPairsFromSigs(indexSigs, newSigs, minJaccard, numHashes, bands)
+  }
+
+  /** Incremental near-dup ADMISSION: new documents whose estimated
+    * Jaccard against every indexed document stays below `minJaccard` —
+    * the fuzzy complement of [[graft.ext.TextPipeline.ingestNewOnly]]
+    * (which gates on EXACT content fingerprints). Within-batch
+    * duplicates are not this gate's job — run [[minhashDedupApply]] on
+    * the batch first, then admit, then [[writeMinhashIndex]] the
+    * admitted rows with mode "append".
+    */
+  def admitNearUnique(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      minJaccard: Double,
+      numHashes: Int = 128,
+      bands: Int = 0,
+      shingleSize: Int = 3): DataFrame =
+    newDocs.join(
+      pairsAgainstMinhashIndex(newDocs, idCol, textCol, path, minJaccard,
+          numHashes, bands, shingleSize)
+        .select(col("id_b").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Apply MinHash dedup to the corpus: keep one representative row per
     * near-duplicate cluster (the smallest id). The component assignment
     * shuffles only (id, component) pairs; the document bodies move once,

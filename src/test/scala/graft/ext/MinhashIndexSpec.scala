@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** Persisted MinHash index: the filesystem round-trip must not change
+  * the pair estimates, admission must gate on near-dups of INDEXED
+  * docs only, and append-mode maintenance must extend the gate to
+  * previously admitted batches.
+  */
+class MinhashIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private def docText(k: Int): String =
+    (0 until 40).map(i => s"v${k}w$i").mkString(" ")
+
+  // ~10% token substitution: well above a 0.5 Jaccard threshold
+  private def nearDup(text: String): String =
+    text.split(" ").zipWithIndex
+      .map { case (t, i) => if (i % 10 == 9) "qz" else t }.mkString(" ")
+
+  test("index round-trip reproduces the in-memory cross-pair estimates") {
+    import spark.implicits._
+    val indexed = (1 to 6).map(k => (k.toLong, docText(k))).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, docText(1)),          // exact copy of indexed 1
+      (102L, nearDup(docText(2))), // near-dup of indexed 2
+      (103L, docText(9))           // novel
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    Dedup.writeMinhashIndex(indexed, "doc_id", "text", path)
+    val viaIndex = Dedup.pairsAgainstMinhashIndex(
+        fresh, "doc_id", "text", path, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inMemory = Dedup.crossPairsFromSigs(
+        Dedup.minhashSignatures(indexed, "doc_id", "text"),
+        Dedup.minhashSignatures(fresh, "doc_id", "text"),
+        minJaccard = 0.5, numHashes = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    viaIndex shouldBe inMemory
+    viaIndex.map { case (a, b, _) => (a, b) } shouldBe Set((1L, 101L), (2L, 102L))
+    // the exact copy estimates at 1.0; the near-dup strictly below
+    viaIndex.find(_._2 == 101L).get._3 shouldBe 1.0
+    viaIndex.find(_._2 == 102L).get._3 should (be >= 0.5 and be < 1.0)
+  }
+
+  test("admitNearUnique gates on the index and append extends the gate") {
+    import spark.implicits._
+    val indexed = (1 to 6).map(k => (k.toLong, docText(k))).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-mhidx2").toString
+    Dedup.writeMinhashIndex(indexed, "doc_id", "text", path)
+    // batch 1: a near-dup of indexed 3 is rejected, novel 201 admitted
+    val batch1 = Seq(
+      (200L, nearDup(docText(3))),
+      (201L, docText(20))).toDF("doc_id", "text")
+    val admitted1 = Dedup.admitNearUnique(
+      batch1, "doc_id", "text", path, minJaccard = 0.5)
+    admitted1.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(201L)
+    // maintain: append the admitted rows' signatures
+    Dedup.writeMinhashIndex(admitted1, "doc_id", "text", path, mode = "append")
+    // batch 2: a near-dup of batch-1's 201 must now be rejected too
+    val batch2 = Seq(
+      (300L, nearDup(docText(20))),
+      (301L, docText(30))).toDF("doc_id", "text")
+    val admitted2 = Dedup.admitNearUnique(
+      batch2, "doc_id", "text", path, minJaccard = 0.5)
+    admitted2.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(301L)
+  }
+}
