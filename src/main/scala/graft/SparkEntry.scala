@@ -1265,6 +1265,21 @@ object SparkEntry {
       val p = new org.apache.hadoop.fs.Path(base)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       pairs
+    }),
+
+    // Leakage-free split: split key = dup-cluster label (q30's exact
+    // components), so a training document's near-duplicate can never
+    // land in the test set. Fully oracled: recursive-CTE components +
+    // the same md5 hex bounds as q38.
+    "q93_cluster_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 1, minJaccard = 0.8, maxDocFreq = 0L)
+      val comps = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs)
+      Sampling.clusterSplit(docs, "doc_id", comps)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1785,6 +1800,34 @@ object SparkEntry {
            UNION
            SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
          SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""",
+
+    // q30's components + q38's hex-bound split, keyed on the CLUSTER
+    // label: every near-dup cluster lands whole in one split
+    "q93_cluster_split" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id,
+                 list_distinct(regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                   ' ')) AS words
+               FROM documents),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM w a, w b
+               WHERE a.doc_id < b.doc_id
+                 AND len(list_intersect(a.words, b.words))::DOUBLE
+                     / (len(a.words) + len(b.words)
+                        - len(list_intersect(a.words, b.words)))::DOUBLE >= 0.8),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         SELECT id AS doc_id,
+                CASE WHEN md5(component::VARCHAR) < '0d' THEN 'test'
+                     WHEN md5(component::VARCHAR) < '1a' THEN 'val'
+                     ELSE 'train' END AS split
+         FROM comp ORDER BY doc_id""",
 
     // Full LSH replication: same literal hyperplanes, same sign-bucket,
     // same Hamming-1 multi-probe set, same top-10-by-cosine — so the
@@ -2679,6 +2722,10 @@ object SparkEntry {
     "q83_ivf_index_recall", "q84_crawl_diff", "q85_dsir_select",
     "q86_packing_stats", "q87_fuzzy_decontamination",
     "q88_packing_policies", "q89_streaming_daily_kpis",
+    // q93 is NOT benched: its cluster labels come from the exact
+    // Jaccard pair set (oracle-ability), the same brute-twin class as
+    // the excluded q27/q30/q78 — the scale path is clusterSplit over
+    // minhashDedup labels, whose machinery q28 already times
     "q90_quality_classifier", "q91_classifier_holdout",
     "q92_minhash_index_admission")
 }

@@ -43,6 +43,45 @@ object Sampling {
         .otherwise("train"))
   }
 
+  /** Leakage-free train/val/test split: the split key is the
+    * document's DUP-CLUSTER label, not its own content — every member
+    * of a near-duplicate cluster lands in the SAME split, so a
+    * training document's paraphrase can never leak into the test set
+    * (the classic eval-contamination mode [[contentSplit]] alone
+    * cannot prevent: two near-dups have different content keys and
+    * split independently).
+    *
+    * `components` is any (id, component) cluster labeling —
+    * [[Dedup.connectedComponents]] over exact-Jaccard pairs (the
+    * oracle-able path), [[Dedup.minhashDedup]] (the scale path), or
+    * SemDeDup cells. Unlabeled documents (absent from `components`)
+    * are kept and split by their own id — an inner join would
+    * silently drop them.
+    *
+    * Shape at scale: one join on the id (both sides hash-partitioned;
+    * the labeling is (id, component) longs, never text) + the same
+    * codegen hex-bound projection as [[contentSplit]]. Deterministic
+    * on any partitioning and stable across re-crawls as long as
+    * cluster representatives are (component = min id, the house
+    * labeling).
+    */
+  def clusterSplit(
+      df: DataFrame,
+      idCol: String,
+      components: DataFrame,
+      testBound: String = "0d",
+      valBound: String = "1a",
+      labelCol: String = "split"): DataFrame = {
+    val k = contentKey(coalesce(col("component"), col(idCol)))
+    df.join(components.select(col("id").as(idCol), col("component")),
+        Seq(idCol), "left")
+      .withColumn(labelCol,
+        when(k < lit(testBound.toLowerCase), "test")
+          .when(k < lit(valBound.toLowerCase), "val")
+          .otherwise("train"))
+      .drop("component")
+  }
+
   /** Deterministic k-per-group sample: for each value of `groupCol`,
     * keep the `k` rows ranking lowest by md5(keyCol) (ties by key) —
     * the balanced-sampling primitive (k docs per language / domain /

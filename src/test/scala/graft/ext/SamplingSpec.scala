@@ -180,6 +180,34 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     binsGlobal should be <= bins256
   }
 
+  test("clusterSplit keeps every dup cluster whole; unlabeled docs split by id") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // three clusters + unlabeled tail: {1,2,3} -> 1, {4,5} -> 4
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "component")
+    val out = Sampling.clusterSplit(docs, "doc_id", comps)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.size shouldBe 60 // the left join drops nobody
+    // cluster members share their split
+    Set(out(1L), out(2L), out(3L)).size shouldBe 1
+    Set(out(4L), out(5L)).size shouldBe 1
+    // cluster split = the split of the label key (md5 of component id)
+    out(1L) shouldBe splitOf(1L)
+    out(4L) shouldBe splitOf(4L)
+    // unlabeled docs fall back to their own id key = contentSplit on id
+    (6L to 60L).foreach(i => out(i) shouldBe splitOf(i))
+    // determinism under repartitioning
+    val rep = Sampling.clusterSplit(docs.repartition(7), "doc_id", comps)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    rep shouldBe out
+  }
+
+  private def splitOf(key: Long): String = {
+    val h = md5hex(key.toString)
+    if (h < "0d") "test" else if (h < "1a") "val" else "train"
+  }
+
   test("packBinsFFD invariants: whole docs, capacity, contiguous ids, policy order") {
     import spark.implicits._
     val rows = (1L to 200L).map(i => (i, (i * 13) % 700))
