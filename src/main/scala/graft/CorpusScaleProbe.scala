@@ -38,13 +38,14 @@ object CorpusScaleProbe {
       val secs1 = (System.nanoTime() - t1) / 1e9
       println(s"""{"metric":"clean_corpus_realistic","n_docs":$n,""" +
         s""""kept":$kept,"sec":$secs1,"cpus":$cpus}""")
-      // Eval-set contamination: the benchmark side is FIXED-size (every
-      // 500th doc), so the corpus side should scale linearly — the
+      // Eval-set contamination: the benchmark side is genuinely FIXED
+      // (the first 100 doc ids, identical at every probe size), so any
+      // growth is attributable to the corpus side alone — the
       // broadcast join never shuffles the exploded corpus grams
       val t2 = System.nanoTime()
       import org.apache.spark.sql.functions.col
       val flagged = graft.ext.TextPipeline.contaminatedIds(docs, "doc_id",
-        "text", docs.where(col("doc_id") % 500 === 0), "text", n = 5)
+        "text", docs.where(col("doc_id") < 100), "text", n = 5)
         .queryExecution.toRdd.count()
       val secs2 = (System.nanoTime() - t2) / 1e9
       println(s"""{"metric":"contamination_realistic","n_docs":$n,""" +
@@ -92,13 +93,14 @@ object CorpusScaleProbe {
       val secs7 = (System.nanoTime() - t7) / 1e9
       println(s"""{"metric":"oov_realistic","n_docs":$n,""" +
         s""""scored":$oovScored,"sec":$secs7,"cpus":$cpus}""")
-      // Fuzzy decontamination (round 10): FIXED-size benchmark (every
-      // 500th doc), bands + signatures broadcast — the corpus side
-      // should scale like one signature pass, never a self-join
+      // Fuzzy decontamination (round 10): the same genuinely FIXED
+      // 100-doc benchmark at every probe size — bands + signatures
+      // broadcast, so the corpus side should scale like one signature
+      // pass, never a self-join
       val t8 = System.nanoTime()
       val fuzzyFlagged = graft.ext.TextPipeline.contaminatedIdsFuzzy(
         docs, "doc_id", "text",
-        docs.where(col("doc_id") % 500 === 0)
+        docs.where(col("doc_id") < 100)
           .select(col("doc_id").as("bench_id"), col("text").as("bench_text")),
         "bench_id", "bench_text",
         minJaccard = 0.5, numHashes = 64, shingleSize = 1)

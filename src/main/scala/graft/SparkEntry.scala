@@ -1195,29 +1195,32 @@ object SparkEntry {
           lit(1).as("payment_type"),
           lit(1).as("trip_type"))
       val base = java.nio.file.Files.createTempDirectory("graft-q89").toString
-      EventReader.toJsonStream(starts, "trip_id", 4).select("value")
-        .write.text(s"$base/starts")
-      EventReader.toJsonStream(ends, "trip_id", 4).select("value")
-        .write.text(s"$base/ends")
-      val q = graft.streaming.TripStreamJob.start(
-        s,
-        startLines = s.readStream.text(s"$base/starts"),
-        endLines = s.readStream.text(s"$base/ends"),
-        tablePath = s"$base/table",
-        checkpointDir = s"$base/ckpt",
-        trigger = Trigger.AvailableNow())
-      q.awaitTermination()
-      // localCheckpoint materializes the KPI rows, so the temp feed /
-      // table / checkpoint can be deleted NOW — otherwise every
-      // invocation (bench reps, driver runs) leaks two JSON copies of
-      // the events table plus the parquet table into /tmp
-      val kpis = KpiAggregation.dailyKpis(
-          graft.sink.TripTableSink.readMerged(s, s"$base/table"))
-        .orderBy(col("date"))
-        .localCheckpoint()
-      val p = new org.apache.hadoop.fs.Path(base)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      kpis
+      try {
+        EventReader.toJsonStream(starts, "trip_id", 4).select("value")
+          .write.text(s"$base/starts")
+        EventReader.toJsonStream(ends, "trip_id", 4).select("value")
+          .write.text(s"$base/ends")
+        val q = graft.streaming.TripStreamJob.start(
+          s,
+          startLines = s.readStream.text(s"$base/starts"),
+          endLines = s.readStream.text(s"$base/ends"),
+          tablePath = s"$base/table",
+          checkpointDir = s"$base/ckpt",
+          trigger = Trigger.AvailableNow())
+        q.awaitTermination()
+        // localCheckpoint materializes the KPI rows, so the temp feed /
+        // table / checkpoint can be deleted — otherwise every
+        // invocation (bench reps, driver runs) leaks two JSON copies of
+        // the events table plus the parquet table into /tmp
+        KpiAggregation.dailyKpis(
+            graft.sink.TripTableSink.readMerged(s, s"$base/table"))
+          .orderBy(col("date"))
+          .localCheckpoint()
+      } finally {
+        // finally: a mid-replay throw must not leak the feed either
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
     }),
 
     // Learned quality gate: the hashed-n-gram linear classifier
@@ -1254,17 +1257,22 @@ object SparkEntry {
     "q92_minhash_index_admission" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val base = java.nio.file.Files.createTempDirectory("graft-q92").toString
-      Dedup.writeMinhashIndex(docs.where(col("doc_id") % 2 === 0),
-        "doc_id", "text", base, numHashes = 128, shingleSize = 1)
-      val pairs = Dedup.pairsAgainstMinhashIndex(
-          docs.where(col("doc_id") % 2 === 1), "doc_id", "text", base,
-          minJaccard = 0.8, numHashes = 128, shingleSize = 1)
-        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
-        .localCheckpoint() // materialize before deleting the index
-      val p = new org.apache.hadoop.fs.Path(base)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      pairs
+      try {
+        Dedup.writeMinhashIndex(docs.where(col("doc_id") % 2 === 0),
+          "doc_id", "text", base, numHashes = 128, shingleSize = 1)
+        Dedup.pairsAgainstMinhashIndex(
+            docs.where(col("doc_id") % 2 === 1), "doc_id", "text", base,
+            minJaccard = 0.8, numHashes = 128, shingleSize = 1)
+          .select(col("id_a"), col("id_b"),
+            round(col("est_jaccard"), 6).as("est_jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+          .localCheckpoint() // materialize before deleting the index
+      } finally {
+        // finally: Verify catches per-query failures and continues — a
+        // throw before cleanup would leak the index into /tmp per run
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
     }),
 
     // Leakage-free split: split key = dup-cluster label (q30's exact

@@ -425,6 +425,16 @@ object Dedup {
       bands: Int = 0,
       shingleSize: Int = 3): DataFrame = {
     val indexSigs = newDocs.sparkSession.read.parquet(s"$path/sigs")
+    // numHashes is part of the index's identity: a width mismatch
+    // would slice band hashes over truncated signatures and silently
+    // UNDER-estimate every Jaccard — the admission gate would wave
+    // near-duplicates through. The stored width is in the data; check
+    // it loudly (O(1) — one row). shingleSize has no data footprint
+    // and stays a documented contract.
+    val storedWidth = indexSigs.select(size(col("__sig"))).limit(1).collect()
+    require(storedWidth.isEmpty || storedWidth(0).getInt(0) == numHashes,
+      s"minhash index at $path stores ${storedWidth(0).getInt(0)}-hash " +
+        s"signatures; queried with numHashes=$numHashes")
     val newSigs = minhashSignatures(newDocs, idCol, textCol, numHashes, shingleSize)
     crossPairsFromSigs(indexSigs, newSigs, minJaccard, numHashes, bands)
   }

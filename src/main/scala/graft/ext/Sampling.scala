@@ -72,14 +72,19 @@ object Sampling {
       testBound: String = "0d",
       valBound: String = "1a",
       labelCol: String = "split"): DataFrame = {
-    val k = contentKey(coalesce(col("component"), col(idCol)))
-    df.join(components.select(col("id").as(idCol), col("component")),
+    // collision-safe internal alias: callers legitimately carry their
+    // own `component` column (the labeling shape this composes with),
+    // and a bare name would be AMBIGUOUS_REFERENCE after the join
+    val k = contentKey(coalesce(col("__cs_component"), col(idCol)))
+    df.join(
+        components.select(col("id").as(idCol),
+          col("component").as("__cs_component")),
         Seq(idCol), "left")
       .withColumn(labelCol,
         when(k < lit(testBound.toLowerCase), "test")
           .when(k < lit(valBound.toLowerCase), "val")
           .otherwise("train"))
-      .drop("component")
+      .drop("__cs_component")
   }
 
   /** Deterministic k-per-group sample: for each value of `groupCol`,

@@ -185,6 +185,11 @@ object TextAnalysis {
       .select(col("__bias"),
         (log(lit(1.0) / (col("__P") + numBuckets)) -
           log(lit(1.0) / (col("__N") + numBuckets))).as("__w0"))
+      // pinned: this 1-row frame is otherwise a lazy FULL SCAN of the
+      // training corpus re-run on every scoring action — "train once,
+      // apply many" would re-train the prior per crawl (and silently
+      // re-resolve changed training files under a frozen weight table)
+      .localCheckpoint()
     HashedNgramModel(weights, prior, hexChars)
   }
 
@@ -201,11 +206,13 @@ object TextAnalysis {
     hashedGramStream(df.select(col(idCol), col(textCol)),
         textCol, model.hexChars)
       .join(broadcast(model.weights), Seq("__b"), "left")
-      .crossJoin(broadcast(model.prior))
+      // only __w0 rides the per-gram stream (the coalesce needs it);
+      // __bias attaches AFTER the aggregate, on per-doc rows
+      .crossJoin(broadcast(model.prior.select(col("__w0"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("__w"), col("__w0")).cast("decimal(38,12)")).as("__s"),
-        first(col("__bias")).as("__bias"))
+        sum(coalesce(col("__w"), col("__w0")).cast("decimal(38,12)")).as("__s"))
+      .crossJoin(broadcast(model.prior.select(col("__bias"))))
       .select(col(idCol), col("n_grams"),
         round(col("__s").cast("double") + col("__bias"), 6).as("score"))
       .withColumn("predicted", (col("score") > 0).cast("int"))
