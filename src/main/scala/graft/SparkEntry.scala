@@ -1207,7 +1207,14 @@ object SparkEntry {
           tablePath = s"$base/table",
           checkpointDir = s"$base/ckpt",
           trigger = Trigger.AvailableNow())
-        q.awaitTermination()
+        // Bounded wait: an unbounded awaitTermination would hang the
+        // whole Verify/Bench process if the AvailableNow query ever
+        // wedges on sink/checkpoint I/O — fail the query instead.
+        if (!q.awaitTermination(600000L)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q89 streaming replay did not terminate within 600s")
+        }
         // localCheckpoint materializes the KPI rows, so the temp feed /
         // table / checkpoint can be deleted — otherwise every
         // invocation (bench reps, driver runs) leaks two JSON copies of
@@ -2584,11 +2591,15 @@ object SparkEntry {
          sc AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
                        sum(CAST(w AS DECIMAL(38,12))) AS s
                 FROM bk JOIN wt USING (b) GROUP BY doc_id)
-         SELECT doc_id, n_grams,
-                round(CAST(s AS DOUBLE) + bias, 6) AS score,
-                CASE WHEN round(CAST(s AS DOUBLE) + bias, 6) > 0
+         -- LEFT JOIN from base: a doc whose normalized text is empty
+         -- has no gram rows and scores at the prior alone
+         SELECT base.doc_id,
+                coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
+                round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias, 6) AS score,
+                CASE WHEN round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias, 6) > 0
                      THEN 1 ELSE 0 END AS predicted
-         FROM sc, prior ORDER BY doc_id""",
+         FROM base LEFT JOIN sc ON base.doc_id = sc.doc_id, prior
+         ORDER BY base.doc_id""",
 
     // Held-out classifier: weights/prior/default from the even-id
     // half, scores over everyone; unseen buckets coalesce to the
@@ -2627,11 +2638,14 @@ object SparkEntry {
                          AS s
                 FROM bk LEFT JOIN wt USING (b), prior
                 GROUP BY bk.doc_id)
-         SELECT doc_id, n_grams,
-                round(CAST(s AS DOUBLE) + bias, 6) AS score,
-                CASE WHEN round(CAST(s AS DOUBLE) + bias, 6) > 0
+         -- LEFT JOIN from base: gram-less docs score at the prior alone
+         SELECT base.doc_id,
+                coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
+                round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias, 6) AS score,
+                CASE WHEN round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias, 6) > 0
                      THEN 1 ELSE 0 END AS predicted
-         FROM sc, prior ORDER BY doc_id""",
+         FROM base LEFT JOIN sc ON base.doc_id = sc.doc_id, prior
+         ORDER BY base.doc_id""",
 
     "q81_oov_rate" ->
       """WITH toks AS (

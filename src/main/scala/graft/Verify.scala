@@ -14,7 +14,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional trailing args name a subset of queries to dump (local
+    // spot-checks); the driver always calls with exactly two args.
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-verify"),
@@ -22,7 +25,9 @@ object Verify {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .foreach { case (name, fn) =>
       val target = s"$outDir/$name"
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(target)
       catch {

@@ -402,9 +402,64 @@ object Dedup {
       path: String,
       numHashes: Int = 128,
       shingleSize: Int = 3,
-      mode: String = "overwrite"): Unit =
+      mode: String = "overwrite"): Unit = {
+    // "append" with a different hash family than the stored one would
+    // silently poison the index: mixed-width rows under-estimate every
+    // Jaccard and the admission gate waves near-duplicates through.
+    // The parameters are persisted as index metadata on build and
+    // REQUIRED to match on every append (and on every query).
+    if (mode == "append")
+      readMinhashIndexMeta(df.sparkSession, path).foreach {
+        case (storedHashes, storedShingle) =>
+          require(storedHashes == numHashes && storedShingle == shingleSize,
+            s"minhash index at $path was built with numHashes=$storedHashes, " +
+              s"shingleSize=$storedShingle; append attempted with " +
+              s"numHashes=$numHashes, shingleSize=$shingleSize")
+      }
     minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
       .write.mode(mode).parquet(s"$path/sigs")
+    if (mode != "append")
+      writeMinhashIndexMeta(df.sparkSession, path, numHashes, shingleSize)
+  }
+
+  /** Index metadata sidecar (`meta.json`): one tiny driver-written file
+    * recording the signature family. Written via the Hadoop FS API —
+    * no Spark job for a 2-field record.
+    */
+  private def writeMinhashIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, numHashes: Int, shingleSize: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"numHashes":$numHashes,"shingleSize":$shingleSize}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Stored signature family of the index at `path`, or None for an
+    * index predating the metadata sidecar (callers then fall back to
+    * the O(1) stored-width probe, which checks `numHashes` only).
+    */
+  private def readMinhashIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val m = """"numHashes"\s*:\s*(\d+).*"shingleSize"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(text)
+        .getOrElse(throw new IllegalArgumentException(
+          s"unreadable minhash index metadata at $p: $text"))
+      Some((m.group(1).toInt, m.group(2).toInt))
+    }
+  }
 
   /** (indexed id `id_a`, new id `id_b`, estimated Jaccard) for every
     * new document colliding with an indexed one at `minJaccard` —
@@ -425,16 +480,26 @@ object Dedup {
       bands: Int = 0,
       shingleSize: Int = 3): DataFrame = {
     val indexSigs = newDocs.sparkSession.read.parquet(s"$path/sigs")
-    // numHashes is part of the index's identity: a width mismatch
-    // would slice band hashes over truncated signatures and silently
-    // UNDER-estimate every Jaccard — the admission gate would wave
-    // near-duplicates through. The stored width is in the data; check
-    // it loudly (O(1) — one row). shingleSize has no data footprint
-    // and stays a documented contract.
-    val storedWidth = indexSigs.select(size(col("__sig"))).limit(1).collect()
-    require(storedWidth.isEmpty || storedWidth(0).getInt(0) == numHashes,
-      s"minhash index at $path stores ${storedWidth(0).getInt(0)}-hash " +
-        s"signatures; queried with numHashes=$numHashes")
+    // The signature family is part of the index's identity: a mismatch
+    // would slice band hashes over truncated signatures (or compare
+    // different shingle vocabularies) and silently UNDER-estimate every
+    // Jaccard — the admission gate would wave near-duplicates through.
+    // Authoritative check: the metadata sidecar written at build time
+    // (covers BOTH parameters and mixed-width corruption that a sampled
+    // row can miss). Fallback for a sidecar-less index: probe one row's
+    // stored width.
+    readMinhashIndexMeta(newDocs.sparkSession, path) match {
+      case Some((storedHashes, storedShingle)) =>
+        require(storedHashes == numHashes && storedShingle == shingleSize,
+          s"minhash index at $path was built with numHashes=$storedHashes, " +
+            s"shingleSize=$storedShingle; queried with " +
+            s"numHashes=$numHashes, shingleSize=$shingleSize")
+      case None =>
+        val storedWidth = indexSigs.select(size(col("__sig"))).limit(1).collect()
+        require(storedWidth.isEmpty || storedWidth(0).getInt(0) == numHashes,
+          s"minhash index at $path stores ${storedWidth(0).getInt(0)}-hash " +
+            s"signatures; queried with numHashes=$numHashes")
+    }
     val newSigs = minhashSignatures(newDocs, idCol, textCol, numHashes, shingleSize)
     crossPairsFromSigs(indexSigs, newSigs, minJaccard, numHashes, bands)
   }

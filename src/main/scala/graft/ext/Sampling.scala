@@ -203,9 +203,14 @@ object Sampling {
       keyCol: String,
       tokenCol: String,
       seqLen: Long,
-      shards: Int = 256): DataFrame = {
+      shards: Int = 256,
+      maxShardRows: Int = 4000000): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    require(shards >= 1 && shards <= 65536, s"shards must be in [1, 65536], got $shards")
+    require(shards >= 1 && shards <= 65536,
+      s"shards must be in [1, 65536], got $shards — each shard buffers its " +
+        "full (key, tokens, md5) row set in ONE task's memory, so shards must " +
+        "scale with the corpus (rows/shards bounded by executor heap)")
+    require(maxShardRows >= 1, s"maxShardRows must be positive, got $maxShardRows")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{LongType, StructType}
     val keyField = df.schema(keyCol)
@@ -225,7 +230,18 @@ object Sampling {
       .flatMapGroups { (shard: Long, it: Iterator[Row]) =>
         // FFD order: tokens desc, md5 asc — content-keyed, so the
         // layout reproduces across runs and partitionings
-        val docs = it.toArray.sortBy { r =>
+        val buf = new scala.collection.mutable.ArrayBuffer[Row]()
+        while (it.hasNext) {
+          buf += it.next()
+          // fail fast with an actionable message instead of letting an
+          // undersized shard count OOM the executor mid-buffer
+          if (buf.length > maxShardRows)
+            throw new IllegalStateException(
+              s"packBinsFFD shard $shard exceeds maxShardRows=$maxShardRows " +
+                s"buffered rows; increase `shards` (corpus rows / shards must " +
+                s"stay under the per-task memory bound) or raise maxShardRows")
+        }
+        val docs = buf.toArray.sortBy { r =>
           val n = if (r.isNullAt(1)) 0L else r.getLong(1)
           (-math.max(n, 1L), r.getString(2))
         }

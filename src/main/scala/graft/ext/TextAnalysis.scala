@@ -197,25 +197,45 @@ object TextAnalysis {
     * per-doc decimal sum; buckets unseen in training take the model's
     * smoothing-consistent default weight (`__w0`), so novel vocabulary
     * degrades gracefully instead of being silently skipped.
+    *
+    * One row per non-null-text document, INCLUDING documents whose
+    * normalized text is empty (no grams survive the tokenizer): those
+    * score at the prior alone (`n_grams = 0`, `score = round(bias, 6)`)
+    * — a downstream quality-gate join must see them as scored-at-bias,
+    * not silently unscored.
     */
   def scoreHashedNgrams(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      model: HashedNgramModel): DataFrame =
-    hashedGramStream(df.select(col(idCol), col(textCol)),
-        textCol, model.hexChars)
+      model: HashedNgramModel): DataFrame = {
+    // Gram-less docs stay in ONE pass (no self-join back onto the
+    // corpus, which would shuffle doc ids twice): the unigram `split`
+    // always yields >=1 element — possibly "" on empty normalized
+    // text — so exploding WITHOUT the empty-gram WHERE guarantees
+    // every non-null-text doc emits at least one row. Empty grams get
+    // a null bucket (`__b`), match no weight, and contribute 0.
+    val all = concat(
+      Dedup.wordShinglesAll(col(textCol), 1),
+      Dedup.wordShinglesAll(col(textCol), 2))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), explode_outer(all).as("__g"))
+      .withColumn("__b",
+        when(col("__g").isNotNull && col("__g") =!= "",
+          substring(md5(col("__g")), 1, model.hexChars)))
       .join(broadcast(model.weights), Seq("__b"), "left")
       // only __w0 rides the per-gram stream (the coalesce needs it);
       // __bias attaches AFTER the aggregate, on per-doc rows
       .crossJoin(broadcast(model.prior.select(col("__w0"))))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("__w"), col("__w0")).cast("decimal(38,12)")).as("__s"))
+      .agg(count(col("__b")).as("n_grams"),
+        sum(when(col("__b").isNotNull, coalesce(col("__w"), col("__w0")))
+          .otherwise(lit(0.0)).cast("decimal(38,12)")).as("__s"))
       .crossJoin(broadcast(model.prior.select(col("__bias"))))
       .select(col(idCol), col("n_grams"),
         round(col("__s").cast("double") + col("__bias"), 6).as("score"))
       .withColumn("predicted", (col("score") > 0).cast("int"))
+  }
 
   def hashedNgramClassifier(
       df: DataFrame,

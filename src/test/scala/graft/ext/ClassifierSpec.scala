@@ -88,6 +88,23 @@ class ClassifierSpec extends AnyFunSuite with Matchers with SparkTestBase {
     w0 should not be 0.0
   }
 
+  test("gram-less docs score at the prior, not silently dropped") {
+    import spark.implicits._
+    val model = TextAnalysis.hashedNgramModel(fixture, "text", col("label"))
+    // "!!! ???" normalizes to empty — no grams survive the tokenizer —
+    // and a null-text doc must still emit nothing
+    val docs = Seq((41L, "!!! ???"), (42L, ""), (43L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scoreHashedNgrams(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out.keySet shouldBe Set(41L, 42L)
+    val bias = model.prior.collect()(0).getDouble(0)
+    val expected = BigDecimal(bias)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(41L) shouldBe ((0L, expected))
+    out(42L) shouldBe ((0L, expected))
+  }
+
   test("score is bias plus summed bucket weights (linearity on a 1-gram doc)") {
     import spark.implicits._
     // one doc = one word = 2 gram occurrences (unigram + whole-text

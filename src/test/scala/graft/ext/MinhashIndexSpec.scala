@@ -67,4 +67,36 @@ class MinhashIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
       batch2, "doc_id", "text", path, minJaccard = 0.5)
     admitted2.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(301L)
   }
+
+  test("signature-family mismatch is rejected on query AND on append") {
+    import spark.implicits._
+    val indexed = (1 to 4).map(k => (k.toLong, docText(k))).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-mhidx3").toString
+    Dedup.writeMinhashIndex(indexed, "doc_id", "text", path,
+      numHashes = 128, shingleSize = 3)
+    val batch = Seq((500L, docText(50))).toDF("doc_id", "text")
+    // wrong width on query
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.pairsAgainstMinhashIndex(batch, "doc_id", "text", path,
+        minJaccard = 0.5, numHashes = 64)
+    }
+    e1.getMessage should include("numHashes=128")
+    // wrong shingle size on query (same width — only the metadata
+    // sidecar can catch this; the stored rows are indistinguishable)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.pairsAgainstMinhashIndex(batch, "doc_id", "text", path,
+        minJaccard = 0.5, numHashes = 128, shingleSize = 2)
+    }
+    e2.getMessage should include("shingleSize=3")
+    // a mismatched append must fail BEFORE writing anything — a mixed
+    // index silently under-estimates every Jaccard
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.writeMinhashIndex(batch, "doc_id", "text", path,
+        numHashes = 64, mode = "append")
+    }
+    e3.getMessage should include("append")
+    // the index is unpoisoned: the original query still runs clean
+    Dedup.pairsAgainstMinhashIndex(batch, "doc_id", "text", path,
+      minJaccard = 0.5, numHashes = 128, shingleSize = 3).count() shouldBe 0L
+  }
 }
