@@ -1295,6 +1295,36 @@ object SparkEntry {
       Sampling.clusterSplit(docs, "doc_id", comps)
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))
+    }),
+
+    // HTML→text extraction (boilerplate removal): the documents text
+    // wrapped in a deterministic page template — head/title/style/
+    // script, link-dense nav and share/footer chrome, an HTML comment,
+    // and entity-escaped punctuation around the article body. The
+    // extractor must drop every chrome line and return the article
+    // paragraph with entities decoded. The oracle builds the SAME
+    // salted page and runs the SAME RE2-safe chain (q50 convention), so
+    // extraction is hash-verified end-to-end.
+    "q94_html_extract" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val salted = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><style>body { color: #fff; }</style>" +
+          "<script>var x = 1 < 2;</script></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+          "<a href=\"/contact\">Contact</a></nav><h1>Doc "), id,
+        lit("</h1><!-- build "), id, lit(" --><p>"), col("text"),
+        lit(" &amp; more &lt;tags&gt; follow.</p>" +
+          "<div class=\"share\"><a href=\"/s\">Share</a> " +
+          "<a href=\"/t\">Tweet</a></div>" +
+          "<footer>Copyright Example Corp <a href=\"/p\">Privacy</a> " +
+          "<a href=\"/t\">Terms</a> <a href=\"/c\">Contact</a>" +
+          "</footer></body></html>"))
+      TextPipeline.extractText(
+          t(s, dir, "documents").where(col("text").isNotNull)
+            .select(col("doc_id"), salted.as("html")),
+          "doc_id", "html")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2676,7 +2706,60 @@ object SparkEntry {
          SELECT count(*)::BIGINT AS n_vocab,
                 round((count(*) * sum(x*y) - sum(x) * sum(y))
                       / (count(*) * sum(x*x) - sum(x) * sum(x)), 6) AS zipf_slope
-         FROM r"""
+         FROM r""",
+
+    // The SAME salted page template and the SAME RE2-safe regexp chain
+    // as the Spark side (q50 convention): comments → script → style →
+    // block-tags-to-newline, then per line: inline-tag strip, entity
+    // decode (specific entities before &amp;), whitespace collapse,
+    // and the minWords=3 / 0.34-links-per-word gate
+    "q94_html_extract" ->
+      """WITH s AS (
+           SELECT doc_id,
+             '<html><head><title>Doc ' || doc_id::VARCHAR
+             || '</title><style>body { color: #fff; }</style><script>var x = 1 < 2;</script></head><body>'
+             || '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>'
+             || '<h1>Doc ' || doc_id::VARCHAR || '</h1><!-- build ' || doc_id::VARCHAR || ' --><p>'
+             || text || ' &amp; more &lt;tags&gt; follow.</p>'
+             || '<div class="share"><a href="/s">Share</a> <a href="/t">Tweet</a></div>'
+             || '<footer>Copyright Example Corp <a href="/p">Privacy</a> <a href="/t">Terms</a> <a href="/c">Contact</a></footer></body></html>'
+               AS h
+           FROM documents WHERE text IS NOT NULL),
+         d AS (
+           SELECT doc_id, regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+             '(?i)</?(?:html|head|body|title|meta|link|p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|section|article|header|footer|nav|aside|blockquote|pre|form|hr)\b[^>]*>',
+             chr(10), 'g') AS h
+           FROM s),
+         l AS (SELECT doc_id, string_split(h, chr(10)) AS ls FROM d),
+         x AS (SELECT doc_id, t.i AS p, ls[t.i] AS line
+               FROM l, unnest(generate_series(1, len(ls))) AS t(i)),
+         y AS (SELECT doc_id, p,
+                 trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(replace(
+                     regexp_replace(line, '<[^>]*>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                   '&amp;', '&'),
+                   '\s+', ' ', 'g')) AS t,
+                 len(regexp_extract_all(line, '(?i)<a[\s>]')) AS nl
+               FROM x),
+         z AS (SELECT doc_id, p, t, nl, len(string_split(t, ' ')) AS w
+               FROM y WHERE t <> ''),
+         k AS (SELECT doc_id, count(*)::BIGINT AS n_lines_kept,
+                      string_agg(t, chr(10) ORDER BY p) AS extracted
+               FROM z WHERE w >= 3 AND nl::DOUBLE <= w::DOUBLE * 0.34
+               GROUP BY doc_id)
+         SELECT d0.doc_id,
+                coalesce(k.n_lines_kept, 0)::BIGINT AS n_lines_kept,
+                coalesce(k.extracted, '') AS extracted
+         FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d0
+         LEFT JOIN k USING (doc_id)
+         ORDER BY d0.doc_id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -2749,5 +2832,5 @@ object SparkEntry {
     // the excluded q27/q30/q78 — the scale path is clusterSplit over
     // minhashDedup labels, whose machinery q28 already times
     "q90_quality_classifier", "q91_classifier_holdout",
-    "q92_minhash_index_admission")
+    "q92_minhash_index_admission", "q94_html_extract")
 }

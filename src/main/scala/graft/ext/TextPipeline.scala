@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The composed training-data cleaning pipeline — the operators of this
@@ -19,6 +19,9 @@ object TextPipeline {
   /** `bands = 0` (the default) derives the LSH banding from
     * `nearDupJaccard` via [[Dedup.bandsFor]] — a fixed banding run at a
     * mismatched threshold floods the verify stage with false candidates.
+    * `htmlInput = true` prepends [[extractText]] (boilerplate removal)
+    * to the pipeline, so a raw-crawl HTML column flows through the same
+    * gates as clean text.
     */
   final case class Config(
       minQuality: Double = 0.2,
@@ -26,7 +29,113 @@ object TextPipeline {
       nearDupJaccard: Double = 0.8,
       numHashes: Int = 128,
       bands: Int = 0,
-      shingleSize: Int = 3)
+      shingleSize: Int = 3,
+      htmlInput: Boolean = false)
+
+  // -------------------------------------------------------------------
+  // HTML → text extraction (boilerplate removal) — the first operator a
+  // crawl pipeline runs: every other text operator here assumes clean
+  // text already exists. Trafilatura/jusText-shape heuristics spelled
+  // as chained codegen regexp passes + the line-explode machinery — no
+  // UDF, no HOF — and every regex avoids lookaround/backreferences so
+  // the SAME pattern strings run under RE2 (the q50 redaction
+  // convention): the driver oracle executes the chain verbatim.
+  // -------------------------------------------------------------------
+
+  /** Tags that delimit block-level structure: replaced by newlines so
+    * the line gate sees one candidate text block per line. Covers the
+    * document skeleton (html/head/body/title/meta/link) too — head
+    * content must not glue onto body text.
+    */
+  private val BlockTagAlternation: String =
+    "html|head|body|title|meta|link|p|div|br|li|ul|ol|h[1-6]|tr|td|th|" +
+      "table|thead|tbody|section|article|header|footer|nav|aside|" +
+      "blockquote|pre|form|hr"
+
+  /** Structural pass: comments and script/style blocks removed, every
+    * block-level tag replaced by a newline. Inline tags (`<a>`, `<b>`,
+    * `<span>`, …) survive into the per-line gate, which needs them for
+    * link density. Four chained codegen `regexp_replace` passes.
+    */
+  def htmlToLines(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    // two passes, not one alternation with a backreference: RE2 has no
+    // backreferences, and `</(script|style)>` alone would let a stray
+    // `</style>` close a `<script>` block
+    val noScript =
+      regexp_replace(noComments, "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    regexp_replace(noStyle, s"(?i)</?(?:$BlockTagAlternation)\\b[^>]*>", "\n")
+  }
+
+  /** One text line from one HTML line: remaining (inline) tags dropped,
+    * the six dominant entities decoded (specific entities BEFORE
+    * `&amp;` — decoding `&amp;` first would turn `&amp;lt;`, an escaped
+    * literal "&lt;", into a real `<`), whitespace collapsed and
+    * trimmed. Plain-string `replace` + two regexps, all codegen.
+    */
+  def stripTags(line: Column): Column = {
+    val noTags = regexp_replace(line, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Extract article text from raw HTML — strip script/style/comments,
+    * break at block tags, then keep only lines that read like content:
+    * at least `minWords` words AND at most `maxLinksPerWord` `<a>` tags
+    * per word (navigation/share/footer chrome is link-dense and
+    * word-poor — the jusText/trafilatura link-density gate, spelled on
+    * links-per-word since inline tags are still visible per line).
+    *
+    * Output: one row per non-null-html input row — `(id,
+    * n_lines_kept, extracted)`, surviving lines joined by newline in
+    * document order. A document whose EVERY line is boilerplate yields
+    * `n_lines_kept = 0` and an empty string, not a missing row (the
+    * scored-at-bias convention: a downstream join must see "extracted
+    * to nothing", not "never extracted").
+    *
+    * Shape at scale: one explode of the line stream, per-line gates in
+    * the codegen projection (regexp count + word count — no shuffle),
+    * reassembly as ONE hash aggregation keyed by id (`sort_array` of
+    * (pos, line) structs in-row, field-extracted without a lambda), and
+    * a final equi-join on id. No window, no global sort; the widest
+    * stream is the kept-line set.
+    */
+  def extractText(
+      df: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      minWords: Int = 3,
+      maxLinksPerWord: Double = 0.34): DataFrame = {
+    val base = df.where(col(htmlCol).isNotNull)
+    val lines = base
+      .select(col(idCol),
+        posexplode(split(htmlToLines(col(htmlCol)), "\n")).as(Seq("__p", "__l")))
+      .select(col(idCol), col("__p"),
+        stripTags(col("__l")).as("__t"),
+        regexp_count(col("__l"), lit("(?i)<a[\\s>]")).as("__nl"))
+      .where(col("__t") =!= "")
+      .withColumn("__w", size(split(col("__t"), " ")))
+      .where(col("__w") >= minWords &&
+        col("__nl").cast("double") <= col("__w").cast("double") * maxLinksPerWord)
+    val kept = lines.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines_kept"),
+        array_join(
+          sort_array(collect_list(struct(col("__p"), col("__t"))))
+            .getField("__t"),
+          "\n").as("extracted"))
+    base.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("extracted"), lit("")).as("extracted"))
+  }
 
   /** Stages 1-3 (shared by both pipeline variants): quality gate,
     * language filter, exact dedup on the normalized-content fingerprint.
@@ -36,7 +145,19 @@ object TextPipeline {
       idCol: String,
       textCol: String,
       config: Config): DataFrame = {
-    val gated = df
+    // htmlInput: boilerplate removal FIRST — the quality/lang gates and
+    // every fingerprint must see the article text, not the markup (a
+    // nav-chrome-heavy page would otherwise fail quality on punctuation
+    // soup, and two crawls of the same article with different chrome
+    // would not exact-dedup). The join keeps all input columns with
+    // textCol replaced by the extraction.
+    val input =
+      if (!config.htmlInput) df
+      else df.drop(textCol).join(
+        extractText(df, idCol, textCol)
+          .select(col(idCol), col("extracted").as(textCol)),
+        Seq(idCol))
+    val gated = input
       .where(TextAnalysis.qualityScore(col(textCol)) >= config.minQuality)
       .where(LangId.langId(col(textCol)).isin(config.langs: _*))
     // Pin the result: BOTH pipeline variants consume it at least twice

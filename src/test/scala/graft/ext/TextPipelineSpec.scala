@@ -106,6 +106,80 @@ class TextPipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 4L, 5L)
   }
 
+  test("extractText keeps article lines byte-exact, drops chrome/script/style/comments") {
+    import spark.implicits._
+    val page =
+      """<html><head><title>My Page</title>
+        |<style>body { color: red; }</style>
+        |<script type="text/javascript">var nav = "<div>"; if (1 < 2) load();</script>
+        |</head><body>
+        |<nav><a href="/">Home</a> <a href="/news">News</a> <a href="/about">About</a></nav>
+        |<h1>Short Title</h1>
+        |<!-- rendered by cms version 7 -->
+        |<p>The <b>article</b> body text is a full sentence with enough words &amp; substance to pass the density gate.</p>
+        |<p>A second paragraph also survives, mentioning 1 &lt; 2 and &quot;quotes&quot; decoded.</p>
+        |<div class="share"><a href="/s">Share</a> <a href="/t">Tweet</a> <a href="/m">Mail</a></div>
+        |<footer>Copyright Example Corp <a href="/p">Privacy</a> <a href="/t">Terms</a> <a href="/c">Contact</a></footer>
+        |</body></html>""".stripMargin
+    val out = TextPipeline.extractText(
+      Seq((1L, page)).toDF("doc_id", "html"), "doc_id", "html")
+      .as[(Long, Long, String)].collect()
+    out should have length 1
+    val (_, nKept, extracted) = out.head
+    nKept shouldBe 2L
+    extracted shouldBe
+      "The article body text is a full sentence with enough words & " +
+        "substance to pass the density gate.\n" +
+        "A second paragraph also survives, mentioning 1 < 2 and " +
+        "\"quotes\" decoded."
+  }
+
+  test("extractText: all-boilerplate page yields an empty row, not a missing one; null html omitted") {
+    import spark.implicits._
+    val chrome = "<nav><a href=\"/\">Home</a> <a href=\"/b\">B</a></nav>" +
+      "<footer><a href=\"/p\">Privacy</a></footer>"
+    val out = TextPipeline.extractText(
+      Seq((1L, Some(chrome)), (2L, None: Option[String])).toDF("doc_id", "html"),
+      "doc_id", "html")
+      .as[(Long, Long, String)].collect()
+    out should have length 1
+    out.head shouldBe ((1L, 0L, ""))
+  }
+
+  test("extractText link-density gate: link-heavy line drops, prose line with one link survives") {
+    import spark.implicits._
+    val page = "<p>Read the full report at <a href=\"/r\">this link</a> " +
+      "for all of the details we gathered.</p>" +
+      "<p><a href=\"/a\">One</a> <a href=\"/b\">Two</a> <a href=\"/c\">Three</a> links only</p>"
+    val out = TextPipeline.extractText(
+      Seq((1L, page)).toDF("doc_id", "html"), "doc_id", "html")
+      .as[(Long, Long, String)].collect().head
+    out._2 shouldBe 1L
+    out._3 shouldBe "Read the full report at this link for all of the details we gathered."
+  }
+
+  test("cleanCorpus htmlInput: markup-identical articles with different chrome exact-dedup") {
+    import spark.implicits._
+    val article = "the quick brown fox jumps over the lazy dog and it " +
+      "is a fine day in the park for a long walk with friends"
+    def page(navLinks: String, body: String) =
+      s"<html><body><nav>$navLinks</nav><p>$body</p></body></html>"
+    val docs = Seq(
+      (1L, page("<a href=\"/\">Home</a> <a href=\"/x\">X</a>", article)),
+      // same article, different crawl chrome — must exact-dedup with 1
+      (2L, page("<a href=\"/\">Start</a> <a href=\"/y\">Y</a> <a href=\"/z\">Z</a>", article)),
+      (3L, page("<a href=\"/\">Home</a>",
+        "a completely different keeper document that talks about the " +
+          "weather in the mountains and the sea for many days and it is nice"))
+    ).toDF("doc_id", "html")
+    val out = TextPipeline.cleanCorpus(docs, "doc_id", "html",
+      TextPipeline.Config(nearDupJaccard = 0.95, numHashes = 64, bands = 16,
+        shingleSize = 2, htmlInput = true))
+    out.select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 3L)
+    // the surviving text column is the EXTRACTED article, not markup
+    out.where($"doc_id" === 1L).select("html").as[String].head() shouldBe article
+  }
+
   test("filterByDomains: punctuation/port/case/userinfo cannot dodge the blocklist; null text kept") {
     import spark.implicits._
     val df = Seq(
