@@ -1325,6 +1325,68 @@ object SparkEntry {
             .select(col("doc_id"), salted.as("html")),
           "doc_id", "html")
         .orderBy(col("doc_id"))
+    }),
+
+    // Learned-merges BPE: 32 merge rules learned from the corpus's own
+    // word frequencies, then every document encoded — the token count a
+    // subword tokenizer would actually produce. Rows-only (iterative
+    // greedy merge has no SQL twin); pinned exactly against an
+    // independent step-by-step reference implementation in BpeSpec (the
+    // q88 pattern), including on a realistic-profile corpus.
+    "q95_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.ext.Bpe.learnMerges(docs, "text", numMerges = 32)
+      graft.ext.Bpe.encode(docs, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Divergence dashboard: per source, how far the whitespace and
+    // bpe-ish counts that drove packing/budgeting until now sit from
+    // the learned-BPE count. Rows-only (the learned column); the ws and
+    // bpeish columns are the q20-oracled counts aggregated, and BpeSpec
+    // pins the invariant n_bpe >= n_words per doc (word-internal merges
+    // can never fuse across a word boundary).
+    "q96_bpe_divergence" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.ext.Bpe.learnMerges(docs, "text", numMerges = 32)
+      val enc = graft.ext.Bpe.encode(docs, "doc_id", "text", model)
+      docs.where(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("__ws"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("__bp"))
+        .join(enc, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__ws")).as("ws_tokens"),
+          sum(col("__bp")).as("bpeish_tokens"),
+          sum(col("n_bpe_tokens")).as("bpe_tokens"),
+          round(sum(col("n_bpe_tokens")).cast("double") /
+            sum(col("__ws")).cast("double"), 6).as("bpe_per_ws"))
+        .orderBy(col("source"))
+    }),
+
+    // The downstream consumers on LEARNED counts: packSequences packs
+    // the corpus by n_bpe_tokens (any count column plugs in), and
+    // chunkByBpeTokens slices documents at a 128-piece budget without
+    // splitting words. One summary row; rows-only (learned counts).
+    "q97_bpe_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.ext.Bpe.learnMerges(docs, "text", numMerges = 32)
+      val enc = graft.ext.Bpe.encode(docs, "doc_id", "text", model)
+        .localCheckpoint() // feeds both the packer and the totals
+      val packs = Sampling.packSequences(enc, "doc_id", "n_bpe_tokens", 2048L)
+      val chunks = graft.ext.Bpe.chunkByBpeTokens(
+        docs, "doc_id", "text", model, chunkBudget = 128)
+      packs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_bpe_tokens")).as("bpe_tokens"),
+          (max(col("pack_id")) + 1).as("n_packs"))
+        .crossJoin(chunks.agg(
+          count(lit(1)).as("n_chunks"),
+          max(col("chunk_bpe_tokens")).as("max_chunk_bpe"),
+          sum(when(col("chunk_bpe_tokens") <= 128, 1L).otherwise(0L))
+            .as("chunks_within_budget")))
     })
   )
 
@@ -2832,5 +2894,9 @@ object SparkEntry {
     // the excluded q27/q30/q78 — the scale path is clusterSplit over
     // minhashDedup labels, whose machinery q28 already times
     "q90_quality_classifier", "q91_classifier_holdout",
-    "q92_minhash_index_admission", "q94_html_extract")
+    // q96/q97 are NOT benched: each re-trains the same 32-merge model
+    // q95 already times (~4 s of their ~4.5 s each at sf0.1); their
+    // marginal operator work (one agg / pack+chunk over learned counts)
+    // is covered by q95 + the existing packing rows q65/q86/q88
+    "q92_minhash_index_admission", "q94_html_extract", "q95_bpe_encode")
 }
