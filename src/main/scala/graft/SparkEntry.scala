@@ -1387,6 +1387,23 @@ object SparkEntry {
           max(col("chunk_bpe_tokens")).as("max_chunk_bpe"),
           sum(when(col("chunk_bpe_tokens") <= 128, 1L).otherwise(0L))
             .as("chunks_within_budget")))
+    }),
+
+    // How WELL the learned gate separates: q91's held-out half (odd
+    // doc_ids, scored under the even-id model) evaluated as a 1-row
+    // confusion matrix + precision/recall/F1 + mid-rank ROC AUC.
+    // Fully oracled — DuckDB re-derives training, scoring, AND the
+    // rank-sum AUC; floors pinned in EstimatorQualitySpec.
+    "q98_classifier_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.hashedNgramModel(
+        docs.where(col("doc_id") % 2 === 0), "text", col("lang") === "en")
+      val holdout = TextAnalysis.scoreHashedNgrams(docs, "doc_id", "text", model)
+        .where(col("doc_id") % 2 === 1)
+        .join(docs.select(col("doc_id"),
+          coalesce(col("lang") === "en", lit(false)).as("__label")), Seq("doc_id"))
+      TextAnalysis.binaryClassificationMetrics(
+        holdout, col("__label"), "score", "predicted")
     })
   )
 
@@ -2821,7 +2838,82 @@ object SparkEntry {
                 coalesce(k.extracted, '') AS extracted
          FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d0
          LEFT JOIN k USING (doc_id)
-         ORDER BY d0.doc_id"""
+         ORDER BY d0.doc_id""",
+
+    // q91's training/scoring CTEs verbatim, then: confusion matrix at
+    // the decision threshold + mid-rank Mann-Whitney AUC over the
+    // held-out (odd-id) half. Midranks are exact half-integers, so the
+    // rank-sum accumulates as DECIMAL(38,6) in both engines
+    "q98_classifier_quality" ->
+      """WITH base AS (
+           SELECT doc_id, coalesce(lang = 'en', false) AS y,
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                    AS norm
+           FROM documents WHERE text IS NOT NULL),
+         ws AS (SELECT doc_id, y, norm, string_split(norm, ' ') AS w FROM base),
+         uni AS (SELECT doc_id, y, unnest(w) AS g FROM ws),
+         bi AS (SELECT doc_id, y,
+                       CASE WHEN len(w) < 2 THEN norm
+                            ELSE w[t.i] || ' ' || w[t.i + 1] END AS g
+                FROM ws,
+                     unnest(generate_series(1, greatest(len(w) - 1, 1))) AS t(i)),
+         bk AS (SELECT doc_id, y, substring(md5(g), 1, 3) AS b
+                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+                WHERE g <> ''),
+         cnt AS (SELECT b,
+                        count(*) FILTER (WHERE y)::BIGINT AS pos,
+                        count(*) FILTER (WHERE NOT y)::BIGINT AS neg
+                 FROM bk WHERE doc_id % 2 = 0 GROUP BY b),
+         tot AS (SELECT sum(pos) AS p, sum(neg) AS n FROM cnt),
+         wt AS (SELECT b, ln((pos + 1)::DOUBLE / (p + 4096)) -
+                         ln((neg + 1)::DOUBLE / (n + 4096)) AS w
+                FROM cnt, tot),
+         prior AS (SELECT ln((count(*) FILTER (WHERE y) + 1)::DOUBLE /
+                             (count(*) FILTER (WHERE NOT y) + 1)) AS bias,
+                          (SELECT ln(1.0 / (p + 4096)) - ln(1.0 / (n + 4096))
+                           FROM tot) AS w0
+                   FROM base WHERE doc_id % 2 = 0),
+         sc AS (SELECT bk.doc_id, count(*)::BIGINT AS n_grams,
+                       sum(CAST(coalesce(wt.w, prior.w0) AS DECIMAL(38,12)))
+                         AS s
+                FROM bk LEFT JOIN wt USING (b), prior
+                GROUP BY bk.doc_id),
+         scored AS (
+           SELECT base.doc_id, base.y,
+                  round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias, 6) AS score,
+                  CASE WHEN round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias, 6) > 0
+                       THEN 1 ELSE 0 END AS predicted
+           FROM base LEFT JOIN sc ON base.doc_id = sc.doc_id, prior),
+         ho AS (SELECT * FROM scored WHERE doc_id % 2 = 1),
+         cm AS (SELECT count(*)::BIGINT AS n,
+                       count(*) FILTER (WHERE y AND predicted = 1)::BIGINT AS tp,
+                       count(*) FILTER (WHERE NOT y AND predicted = 1)::BIGINT AS fp,
+                       count(*) FILTER (WHERE y AND predicted = 0)::BIGINT AS fn,
+                       count(*) FILTER (WHERE NOT y AND predicted = 0)::BIGINT AS tn
+                FROM ho),
+         bs AS (SELECT score, count(*)::BIGINT AS ns,
+                       count(*) FILTER (WHERE y)::BIGINT AS ps
+                FROM ho GROUP BY score),
+         rk AS (SELECT ps, ns,
+                       coalesce(sum(ns) OVER (ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS cum
+                FROM bs),
+         au AS (SELECT sum(CAST(ps * (cum + (ns + 1) / 2.0) AS DECIMAL(38,6)))
+                         AS srp,
+                       sum(ps) AS p, sum(ns) AS nn
+                FROM rk)
+         SELECT n, tp, fp, fn, tn,
+           round(CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END, 6)
+             AS "precision",
+           round(CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END, 6)
+             AS recall,
+           round(CASE WHEN tp * 2 + fp + fn > 0
+                 THEN (tp * 2)::DOUBLE / (tp * 2 + fp + fn) END, 6) AS f1,
+           round(CASE WHEN p > 0 AND nn > p
+                 THEN (CAST(srp AS DOUBLE) - p::DOUBLE * (p + 1)::DOUBLE / 2.0)
+                      / (p::DOUBLE * (nn - p)::DOUBLE) END, 6) AS auc
+         FROM cm, au"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -2898,5 +2990,6 @@ object SparkEntry {
     // q95 already times (~4 s of their ~4.5 s each at sf0.1); their
     // marginal operator work (one agg / pack+chunk over learned counts)
     // is covered by q95 + the existing packing rows q65/q86/q88
-    "q92_minhash_index_admission", "q94_html_extract", "q95_bpe_encode")
+    "q92_minhash_index_admission", "q94_html_extract", "q95_bpe_encode",
+    "q98_classifier_quality")
 }

@@ -246,6 +246,73 @@ object TextAnalysis {
     scoreHashedNgrams(df, idCol, textCol,
       hashedNgramModel(df, textCol, label, hexChars))
 
+  /** Held-out quality of a binary classifier: the confusion matrix at
+    * the model's own decision threshold plus threshold-free ranking
+    * quality (ROC AUC via the Mann-Whitney mid-rank formula — exact
+    * under ties, which matter because scores are rounded to 6). One
+    * output row: `n`, `tp/fp/fn/tn`, `precision`, `recall`, `f1`,
+    * `auc` (ratios rounded 6; null when undefined, e.g. precision with
+    * zero positive predictions).
+    *
+    * `label` must be a boolean column, `scoreCol` the (rounded) score,
+    * `predictedCol` the 0/1 decision.
+    *
+    * AUC = (Σ_pos midrank − P(P+1)/2) / (P·N): scores collapse to a
+    * DISTINCT-score table first (group sizes + positive counts), the
+    * running offset comes from one window over that table, and the
+    * rank-sum accumulates as DECIMAL(38,6) — midranks are exact
+    * half-integers, so the sum is exact and partition-order-
+    * independent (the kpiColumns convention). Intended for EVAL sets,
+    * which are small by construction (the q87 asymmetry); the
+    * distinct-score window is a deliberate single-pipeline
+    * simplification there — corpus-scale score streams should bin
+    * scores first, which this formula accepts unchanged.
+    */
+  def binaryClassificationMetrics(
+      df: DataFrame,
+      label: Column,
+      scoreCol: String,
+      predictedCol: String): DataFrame = {
+    val base = df.select(label.cast("boolean").as("__y"),
+      col(scoreCol).as("__s"), (col(predictedCol) === 1).as("__p"))
+      // both the confusion matrix and the rank table read it — unpinned,
+      // the upstream scoring pipeline re-runs per branch (the model-table
+      // fan-out lesson)
+      .localCheckpoint()
+    val cm = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__y") && col("__p"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("__y") && col("__p"), 1L).otherwise(0L)).as("fp"),
+      sum(when(col("__y") && !col("__p"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("__y") && !col("__p"), 1L).otherwise(0L)).as("tn"))
+    val byScore = base.groupBy(col("__s")).agg(
+      count(lit(1)).as("__ns"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__ps"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranks = byScore
+      .withColumn("__cum", coalesce(sum(col("__ns")).over(w), lit(0L)))
+      .agg(
+        sum((col("__ps") * (col("__cum") + (col("__ns") + 1) / lit(2.0)))
+          .cast("decimal(38,6)")).as("__srp"),
+        sum(col("__ps")).as("__P"),
+        sum(col("__ns")).as("__N"))
+    cm.crossJoin(ranks).select(
+      col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+      round(when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp"))), 6).as("precision"),
+      round(when(col("tp") + col("fn") > 0,
+        col("tp").cast("double") / (col("tp") + col("fn"))), 6).as("recall"),
+      round(when(col("tp") * 2 + col("fp") + col("fn") > 0,
+        (col("tp") * 2).cast("double") /
+          (col("tp") * 2 + col("fp") + col("fn"))), 6).as("f1"),
+      round(when(col("__P") > 0 && col("__N") > col("__P"),
+        (col("__srp").cast("double") -
+          col("__P").cast("double") * (col("__P") + 1).cast("double") / 2.0) /
+          (col("__P").cast("double") * (col("__N") - col("__P")).cast("double"))),
+        6).as("auc"))
+  }
+
   /** PII redaction pass order: URL before email (URLs may carry
     * userinfo '@'), email before the number patterns (domains contain
     * digits), SSN before phone (both dashed digit runs, disjoint

@@ -145,6 +145,34 @@ class EstimatorQualitySpec extends AnyFunSuite with Matchers with SparkTestBase 
     learned.size should be < e.count().toInt
   }
 
+  test("classifier held-out quality floors on separable labels (q98)") {
+    import spark.implicits._
+    // lang label DRIVES the text here (held-out lexicon stopword mass),
+    // unlike the driver fixture's text-independent label — so held-out
+    // separation is genuinely measurable. en vs de/zh: no pool overlap.
+    val corpus = SyntheticCorpus.realistic(spark, 600L,
+      langWeights = Seq("en" -> 50, "de" -> 25, "zh" -> 25))
+      .localCheckpoint()
+    val model = TextAnalysis.hashedNgramModel(
+      corpus.where(col("doc_id") % 2 === 0), "text", col("lang") === "en")
+    val holdout = TextAnalysis.scoreHashedNgrams(corpus, "doc_id", "text", model)
+      .where(col("doc_id") % 2 === 1)
+      .join(corpus.select(col("doc_id"), (col("lang") === "en").as("y")),
+        Seq("doc_id"))
+    val m = TextAnalysis.binaryClassificationMetrics(
+      holdout, col("y"), "score", "predicted").collect().head
+    val n = m.getAs[Long]("n")
+    info(s"held-out n=$n tp=${m.getAs[Long]("tp")} fp=${m.getAs[Long]("fp")} " +
+      s"fn=${m.getAs[Long]("fn")} tn=${m.getAs[Long]("tn")} " +
+      s"precision=${m.getAs[Double]("precision")} recall=${m.getAs[Double]("recall")} " +
+      s"auc=${m.getAs[Double]("auc")}")
+    (m.getAs[Long]("tp") + m.getAs[Long]("fp") +
+      m.getAs[Long]("fn") + m.getAs[Long]("tn")) shouldBe n
+    m.getAs[Double]("auc") should be >= 0.9
+    m.getAs[Double]("precision") should be >= 0.8
+    m.getAs[Double]("recall") should be >= 0.8
+  }
+
   test("tight-tau semantic dedup recovers nearly all exact drops (q75b floor)") {
     import spark.implicits._
     // plant a near-identical twin (coordinate 0 nudged 1%) for every
