@@ -403,6 +403,71 @@ object TextPipeline {
     * language, exact dup, split) so the periodic near-dedup reads an
     * already-reduced table.
     */
+  /** Streaming FUZZY admission — the near-dup complement of
+    * [[ingestNewOnly]]'s exact gate, wired through the persisted
+    * MinHash index ([[Dedup.writeMinhashIndex]]): each micro-batch is
+    * (1) near-deduped WITHIN itself ([[Dedup.minhashDedupApply]] — the
+    * index gate alone would admit both halves of a dup pair arriving
+    * together), (2) gated against the accumulated index
+    * ([[Dedup.pairsAgainstMinhashIndex]] — a paraphrased re-crawl of
+    * anything ever admitted drops here), (3) APPENDED to the index, and
+    * (4) handed to `onBatch` (write to the corpus table, kick off
+    * downstream scoring, …). The first batch bootstraps the index.
+    *
+    * The admitted rows are `localCheckpoint`-pinned BEFORE the index
+    * append — left lazy, any consumer action after step (3) would
+    * re-run the admission join against the just-appended signatures and
+    * every admitted document would collide with itself and vanish.
+    * Self-pairs (same id on both sides) are excluded from the gate, so
+    * an at-least-once replay of a crashed batch re-admits its own
+    * documents instead of silently dropping them against the
+    * half-appended index; the replayed append leaves duplicate
+    * signature rows, which only cost index bytes — admission semantics
+    * are unchanged (same id, same bands). Exactly-once index hygiene,
+    * if needed, is a periodic compaction (dedup sigs by id), not a
+    * streaming concern.
+    *
+    * Shape at scale: per micro-batch, the batch side (a crawl slice,
+    * small by construction — the incremental-admission asymmetry)
+    * broadcasts against a linear index scan; the index never shuffles
+    * and is never rewritten, only appended.
+    */
+  def admitStreamNearUnique(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      checkpointDir: String,
+      minJaccard: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 0,
+      shingleSize: Int = 3)(
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta.json")
+        val fs = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val indexExists = fs.exists(metaPath)
+        val fresh = Dedup.minhashDedupApply(
+          batch.where(col(textCol).isNotNull),
+          idCol, textCol, minJaccard, numHashes, bands, shingleSize)
+        val admitted = (if (!indexExists) fresh
+          else fresh.join(
+            Dedup.pairsAgainstMinhashIndex(fresh, idCol, textCol, indexPath,
+                minJaccard, numHashes, bands, shingleSize)
+              .where(col("id_a") =!= col("id_b"))
+              .select(col("id_b").as(idCol)),
+            Seq(idCol), "left_anti")).localCheckpoint()
+        if (!admitted.isEmpty)
+          Dedup.writeMinhashIndex(admitted, idCol, textCol, indexPath,
+            numHashes, shingleSize,
+            mode = if (indexExists) "append" else "overwrite")
+        onBatch(admitted, batchId)
+      }
+      .start()
+
   def cleanStream(
       df: DataFrame,
       textCol: String,

@@ -47,6 +47,50 @@ class StreamingCorpusSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally query.stop()
   }
 
+  test("fuzzy streaming admission: paraphrase dropped, new doc admitted AND indexed, within-batch dups collapse") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-fuzzy-admit").toString
+    val input = MemoryStream[StreamDoc]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = TextPipeline.admitStreamNearUnique(
+      input.toDF(), "doc_id", "text",
+      indexPath = s"$dir/index", checkpointDir = s"$dir/ckpt",
+      minJaccard = 0.5, numHashes = 64, bands = 16, shingleSize = 2) {
+      (batch, _) =>
+        admitted ++= batch.select("doc_id").as[Long].collect(): Unit
+    }
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      val fox = "the quick brown fox jumps over the lazy dog and it is " +
+        "a fine day in the park for a long walk"
+      val db = "completely novel text about database engines and the " +
+        "query planners that power them at scale"
+      // batch 1 bootstraps the index
+      input.addData(
+        StreamDoc(1L, fox, t("2024-05-25 10:00:00")),
+        StreamDoc(2L, "a wholly different document about mountains and " +
+          "weather patterns in the far north", t("2024-05-25 10:00:10")))
+      q.processAllAvailable()
+      admitted.sorted.toSeq shouldBe Seq(1L, 2L)
+      // batch 2: paraphrased re-crawl of 1 drops at the INDEX gate; a
+      // genuinely-new doc and its within-batch near-dup collapse to the
+      // representative, which is admitted and indexed
+      input.addData(
+        StreamDoc(3L, fox + " indeed", t("2024-05-25 11:00:00")),
+        StreamDoc(4L, db, t("2024-05-25 11:00:10")),
+        StreamDoc(5L, db + " today", t("2024-05-25 11:00:20")))
+      q.processAllAvailable()
+      admitted.sorted.toSeq shouldBe Seq(1L, 2L, 4L)
+      // batch 3: a re-crawl of batch 2's survivor drops — proof that 4
+      // was APPENDED to the index, not just admitted
+      input.addData(
+        StreamDoc(6L, db + " tomorrow", t("2024-05-25 12:00:00")))
+      q.processAllAvailable()
+      admitted.sorted.toSeq shouldBe Seq(1L, 2L, 4L)
+    } finally q.stop()
+  }
+
   test("ingestNewOnly admits only content absent from the previous snapshot") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
