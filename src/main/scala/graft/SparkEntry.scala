@@ -523,7 +523,17 @@ object SparkEntry {
         Multimodal.MediaRow(-6L, "image", MediaCodec.Fixtures.gradientPpm(16, 16)),
         Multimodal.MediaRow(-7L, "image", MediaCodec.Fixtures.gradientPng(16, 10)),
         Multimodal.MediaRow(-8L, "image",
-          MediaCodec.Fixtures.gradientPng(16, 10, colorType = 6))))
+          MediaCodec.Fixtures.gradientPng(16, 10, colorType = 6)),
+        // real baseline JPEGs (grayscale / 4:4:4 / 4:2:0): Huffman +
+        // IDCT decode, channel means within quantization tolerance of
+        // the same closed-form gradient (JpegSpec pins the tolerances
+        // and cross-checks against the JDK's independent ImageIO codec)
+        Multimodal.MediaRow(-9L, "image",
+          graft.ext.JpegCodec.Fixtures.gradientJpeg(24, 16, mode = "gray")),
+        Multimodal.MediaRow(-10L, "image",
+          graft.ext.JpegCodec.Fixtures.gradientJpeg(24, 16, mode = "444")),
+        Multimodal.MediaRow(-11L, "image",
+          graft.ext.JpegCodec.Fixtures.gradientJpeg(24, 16, mode = "420"))))
       Multimodal.decodeFeatures(media.union(planted))
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("width"), col("height"), col("duration_ms"),

@@ -560,11 +560,18 @@ object MediaCodec {
     *  - 8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA) →
     *    the same channel-mean feature head ([[pngPixelStats]]: zlib
     *    inflate + the five scanline filters, zero-dependency — the
-    *    dominant crawl image format decodes for real).
-    * Codec-bound formats (JPEG/GIF pixels, 16-bit or interlaced PNG,
-    * MP3/AAC frames, H.26x) keep the deterministic fake feature —
-    * decoding them needs real codec libraries, absent here; a
-    * production build swaps exactly this fallback.
+    *    dominant crawl image format decodes for real);
+    *  - baseline JPEG (grayscale or YCbCr, any standard subsampling)
+    *    → the same channel-mean feature head ([[JpegCodec
+    *    .pixelStats]]: Huffman entropy decode + dequant + IDCT +
+    *    YCbCr→RGB, zero-dependency — the OTHER dominant crawl image
+    *    format decodes for real, cross-verified against the JDK's
+    *    independent ImageIO codec in JpegSpec).
+    * Codec-bound formats (progressive/arithmetic JPEG, GIF pixels,
+    * 16-bit or interlaced PNG, MP3/AAC frames, H.26x) keep the
+    * deterministic fake feature — decoding them needs real codec
+    * libraries, absent here; a production build swaps exactly this
+    * fallback.
     */
   def decodeBytes(row: Multimodal.MediaRow): Multimodal.MediaFeatures = {
     val h = fnv1a(row.payload)
@@ -589,6 +596,7 @@ object MediaCodec {
         Seq(rms.toFloat, peak.toFloat, clip.toFloat, zcr.toFloat, 0f, 0f, 0f, 0f)
       }.orElse(bmpPixelStats(row.payload).orElse(pnmPixelStats(row.payload))
         .orElse(pngPixelStats(row.payload))
+        .orElse(JpegCodec.pixelStats(row.payload))
         .map { case (r, g, b) =>
           val luma = 0.299 * r + 0.587 * g + 0.114 * b
           Seq(r.toFloat, g.toFloat, b.toFloat, luma.toFloat, 0f, 0f, 0f, 0f)
