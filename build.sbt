@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST line of the bench log tail as JSON.
+// Two things stood between it and Bench's final summary line for ten
+// rounds: sbt's `[success] Total time` footer printing after the forked
+// app exits, and sbt's logger re-echoing the app's stdout with an
+// `[info] ` prefix. Suppress the footer and inherit the child's stdout
+// unprefixed, so the process's literal last line is the bare JSON the
+// Bench shutdown hook emits.
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -105,10 +105,22 @@ object Bench {
     // head (and with it `total`) to prefix truncation — BENCH_r09.json
     // recorded `"parsed": null` exactly this way. A <200-byte final line
     // always fits in the tail window whole and parses.
-    println(
+    val shortLine =
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
         s""""reps":$reps,"n_queries":${results.size},""" +
-        s""""detail":${JsonUtil.quote(outPath)},"sf":${JsonUtil.quote(sfDir)}}""")
+        s""""detail":${JsonUtil.quote(outPath)},"sf":${JsonUtil.quote(sfDir)}}"""
+    println(shortLine)
+    // BENCH_r10 still parsed null: sbt prints its `[success] Total
+    // time` footer AFTER runMain returns, so the capture's last line is
+    // never ours and a last-line parser fails. A shutdown hook runs at
+    // JVM exit — after sbt's footer — and writes the summary to raw
+    // fd 1 (bypassing any System.out redirection), making the genuine
+    // last line of the process a bare parseable JSON object.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val out = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+      out.write((shortLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.flush()
+    }))
     spark.stop()
   }
 
