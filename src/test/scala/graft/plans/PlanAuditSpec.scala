@@ -112,6 +112,28 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     p should not include "SortMergeJoin"
   }
 
+  test("q94 html extraction has no window and no interpreted HOF") {
+    // extractText's line gate runs in the codegen projection and the
+    // reassembly is ONE hash aggregation (sort_array in-row + struct
+    // field extraction, no lambda) — a Window or lambdafunction here
+    // means the spelling regressed to a per-doc sort or interpreted HOF
+    val p = plans("q94_html_extract")
+    p.toLowerCase should not include "lambdafunction"
+    p should not include "Window"
+  }
+
+  test("q95 BPE encode scores through a broadcast word->pieces join") {
+    // the distinct-word merge-chain table broadcasts back onto the
+    // token stream — the token-side join key is __w, and a sort-merge
+    // join ON THAT KEY would shuffle the corpus tokens. (The final
+    // per-doc left join of counts onto base ids is corpus×corpus and
+    // legitimately sort-merge; only the __w join must broadcast.)
+    val p = SparkEntry.queries("q95_bpe_encode")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    "BroadcastHashJoin \\[__w#".r.findFirstIn(p) should not be empty
+    "SortMergeJoin \\[__w#".r.findFirstIn(p) shouldBe empty
+  }
+
   test("q11 rank filter triggers Spark's partial WindowGroupLimit") {
     // Top-k-per-key via window + rank<=k filter is only scale-safe
     // because Catalyst inserts a MAP-SIDE group limit before the
