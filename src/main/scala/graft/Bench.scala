@@ -110,12 +110,14 @@ object Bench {
         s""""reps":$reps,"n_queries":${results.size},""" +
         s""""detail":${JsonUtil.quote(outPath)},"sf":${JsonUtil.quote(sfDir)}}"""
     println(shortLine)
-    // BENCH_r10 still parsed null: sbt prints its `[success] Total
-    // time` footer AFTER runMain returns, so the capture's last line is
-    // never ours and a last-line parser fails. A shutdown hook runs at
-    // JVM exit — after sbt's footer — and writes the summary to raw
-    // fd 1 (bypassing any System.out redirection), making the genuine
-    // last line of the process a bare parseable JSON object.
+    // BENCH_r10 still parsed null: sbt printed its `[success]` footer
+    // after this (forked) app exited, and re-echoed the app's stdout
+    // with an `[info] ` prefix. What actually fixes the last-line
+    // parse is build.sbt: `Global / showSuccess := false` (no footer)
+    // + `run / outputStrategy := StdoutOutput` (no prefix). This hook
+    // only guarantees the summary is this JVM's final stdout write —
+    // after any stdout noise from spark.stop()/log shutdown — via raw
+    // fd 1; it cannot and does not sequence after the sbt parent.
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       val out = new java.io.FileOutputStream(java.io.FileDescriptor.out)
       out.write((shortLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -92,10 +92,10 @@ object SparkEntry {
           lit(1).as("payment_type"),
           lit(1).as("trip_type"))
       val feed = java.nio.file.Files.createTempDirectory("graft-q89-feed").toString
-      EventReader.toJsonStream(starts, "trip_id", 4).select("value")
-        .write.text(s"$feed/starts")
-      EventReader.toJsonStream(ends, "trip_id", 4).select("value")
-        .write.text(s"$feed/ends")
+      // hook registered BEFORE the writes: a failed write (disk full,
+      // task failure) must not leak a partial feed dir — and a failed
+      // computeIfAbsent caches nothing, so the next call retries into
+      // a new dir with its own hook
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
@@ -103,6 +103,10 @@ object SparkEntry {
         }
         rm(new java.io.File(feed))
       }))
+      EventReader.toJsonStream(starts, "trip_id", 4).select("value")
+        .write.text(s"$feed/starts")
+      EventReader.toJsonStream(ends, "trip_id", 4).select("value")
+        .write.text(s"$feed/ends")
       feed
     })
 
@@ -1415,7 +1419,10 @@ object SparkEntry {
       packs.agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_bpe_tokens")).as("bpe_tokens"),
-          (max(col("pack_id")) + 1).as("n_packs"))
+          // total packs = highest pack TOUCHED + 1 = max(pack_id +
+          // n_packs); max(pack_id)+1 would undercount whenever the
+          // last-starting doc spans several packs
+          max(col("pack_id") + col("n_packs")).as("n_packs"))
         .crossJoin(chunks.agg(
           count(lit(1)).as("n_chunks"),
           max(col("chunk_bpe_tokens")).as("max_chunk_bpe"),

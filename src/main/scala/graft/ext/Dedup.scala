@@ -511,6 +511,13 @@ object Dedup {
     * duplicates are not this gate's job — run [[minhashDedupApply]] on
     * the batch first, then admit, then [[writeMinhashIndex]] the
     * admitted rows with mode "append".
+    *
+    * Self-pairs (the same id on both sides) never block admission: a
+    * document is not a duplicate of ITSELF, and an at-least-once
+    * replay of a crashed admit-then-append batch must re-admit its own
+    * documents against the half-appended index instead of silently
+    * dropping them — the replayed append leaves duplicate signature
+    * rows, which cost index bytes but not admission semantics.
     */
   def admitNearUnique(
       newDocs: DataFrame,
@@ -524,6 +531,7 @@ object Dedup {
     newDocs.join(
       pairsAgainstMinhashIndex(newDocs, idCol, textCol, path, minJaccard,
           numHashes, bands, shingleSize)
+        .where(col("id_a") =!= col("id_b"))
         .select(col("id_b").as(idCol)),
       Seq(idCol), "left_anti")
 

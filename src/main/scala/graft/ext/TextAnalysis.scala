@@ -254,8 +254,8 @@ object TextAnalysis {
     * `auc` (ratios rounded 6; null when undefined, e.g. precision with
     * zero positive predictions).
     *
-    * `label` must be a boolean column, `scoreCol` the (rounded) score,
-    * `predictedCol` the 0/1 decision.
+    * `label` must be a boolean column (nulls read as false), `scoreCol`
+    * the (rounded) score, `predictedCol` the 0/1 decision.
     *
     * AUC = (Σ_pos midrank − P(P+1)/2) / (P·N): scores collapse to a
     * DISTINCT-score table first (group sizes + positive counts), the
@@ -273,7 +273,11 @@ object TextAnalysis {
       label: Column,
       scoreCol: String,
       predictedCol: String): DataFrame = {
-    val base = df.select(label.cast("boolean").as("__y"),
+    // null labels coalesce to false (the scored-at-bias convention):
+    // left null, a null __y falls out of every when() predicate — the
+    // row would count in n and the AUC's group sizes but in NONE of
+    // tp/fp/fn/tn, silently skewing every ratio
+    val base = df.select(coalesce(label.cast("boolean"), lit(false)).as("__y"),
       col(scoreCol).as("__s"), (col(predictedCol) === 1).as("__p"))
       // both the confusion matrix and the rank table read it — unpinned,
       // the upstream scoring pipeline re-runs per branch (the model-table

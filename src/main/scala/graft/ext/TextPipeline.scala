@@ -450,16 +450,16 @@ object TextPipeline {
         val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta.json")
         val fs = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         val indexExists = fs.exists(metaPath)
+        // pinned: the index gate consumes fresh twice (anti-join left
+        // side AND its signature pass) — lazy, the within-batch dedup
+        // re-runs per consumer every micro-batch (the fan-out lesson)
         val fresh = Dedup.minhashDedupApply(
           batch.where(col(textCol).isNotNull),
           idCol, textCol, minJaccard, numHashes, bands, shingleSize)
+          .localCheckpoint()
         val admitted = (if (!indexExists) fresh
-          else fresh.join(
-            Dedup.pairsAgainstMinhashIndex(fresh, idCol, textCol, indexPath,
-                minJaccard, numHashes, bands, shingleSize)
-              .where(col("id_a") =!= col("id_b"))
-              .select(col("id_b").as(idCol)),
-            Seq(idCol), "left_anti")).localCheckpoint()
+          else Dedup.admitNearUnique(fresh, idCol, textCol, indexPath,
+            minJaccard, numHashes, bands, shingleSize)).localCheckpoint()
         if (!admitted.isEmpty)
           Dedup.writeMinhashIndex(admitted, idCol, textCol, indexPath,
             numHashes, shingleSize,
