@@ -1445,6 +1445,40 @@ object SparkEntry {
           coalesce(col("lang") === "en", lit(false)).as("__label")), Seq("doc_id"))
       TextAnalysis.binaryClassificationMetrics(
         holdout, col("__label"), "score", "predicted")
+    }),
+
+    // HTML link provenance: hosts of absolute hrefs (double- and
+    // single-quoted, ports, userinfo) extracted from salted pages —
+    // relative hrefs carry no host, and a plain-text URL in the body
+    // is counted by the urlHostnames column but NOT by hrefs, pinning
+    // the two extractors' complementary coverage. Oracled end-to-end.
+    "q99_html_links" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val salted = concat(
+        lit("<p>"), col("text"),
+        lit(" visit https://plain"), (col("doc_id") % 5).cast("string"),
+        lit(".example.io/home</p><a href=\"https://site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.com/p\">x</a> <a href='http://cdn.example.net:8080/y'>y</a> "),
+        lit("<a href=\"https://u:p@tracker.example.org/z\">z</a> "),
+        // protocol-relative: href-only coverage — NO text-URL pattern
+        // can see a host with no scheme prefix anywhere in the bytes
+        lit("<a href=\"//mirror.example.net/q\">q</a> "),
+        lit("<a href=\"/about\">about</a>"))
+      val x = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextPipeline.hrefHostnames(salted).as("__h"),
+          TextAnalysis.urlHostnames(salted).as("__u"))
+      x.select(col("doc_id"), explode(col("__h")).as("host"))
+        .groupBy(col("host")).agg(count(lit(1)).as("n_links"))
+        .join(
+          x.select(col("doc_id"), explode(col("__u")).as("host"))
+            .groupBy(col("host")).agg(count(lit(1)).as("n_text_urls")),
+          Seq("host"), "full_outer")
+        .select(col("host"),
+          coalesce(col("n_links"), lit(0L)).as("n_links"),
+          coalesce(col("n_text_urls"), lit(0L)).as("n_text_urls"))
+        .orderBy(col("host"))
     })
   )
 
@@ -2954,7 +2988,37 @@ object SparkEntry {
            round(CASE WHEN p > 0 AND nn > p
                  THEN (CAST(srp AS DOUBLE) - p::DOUBLE * (p + 1)::DOUBLE / 2.0)
                       / (p::DOUBLE * (nn - p)::DOUBLE) END, 6) AS auc
-         FROM cm, au"""
+         FROM cm, au""",
+
+    // Same salted page, same two RE2-safe extraction patterns: href
+    // hosts (absolute http(s) hrefs only) vs running-text URL hosts
+    "q99_html_links" ->
+      """WITH s AS (
+           SELECT doc_id,
+             '<p>' || text || ' visit https://plain' || (doc_id % 5)::VARCHAR
+             || '.example.io/home</p><a href="https://site' || (doc_id % 7)::VARCHAR
+             || '.example.com/p">x</a> <a href=''http://cdn.example.net:8080/y''>y</a> '
+             || '<a href="https://u:p@tracker.example.org/z">z</a> '
+             || '<a href="//mirror.example.net/q">q</a> '
+             || '<a href="/about">about</a>' AS h
+           FROM documents WHERE text IS NOT NULL),
+         hr AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(h),
+                    'href\s*=\s*["''](?:https?:)?//(?:[^/?#"''\s@]*@)?([\p{L}\p{N}_-]+(?:\.[\p{L}\p{N}_-]+)*)',
+                    1)) AS host
+                FROM s),
+         tx AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(h),
+                    'https?://(?:[^/?#\s@]*@)?([\p{L}\p{N}_-]+(?:\.[\p{L}\p{N}_-]+)*)',
+                    1)) AS host
+                FROM s),
+         a AS (SELECT host, count(*)::BIGINT AS n_links FROM hr GROUP BY host),
+         b AS (SELECT host, count(*)::BIGINT AS n_text_urls FROM tx GROUP BY host)
+         SELECT coalesce(a.host, b.host) AS host,
+                coalesce(a.n_links, 0)::BIGINT AS n_links,
+                coalesce(b.n_text_urls, 0)::BIGINT AS n_text_urls
+         FROM a FULL OUTER JOIN b ON a.host = b.host
+         ORDER BY host"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -3032,5 +3096,5 @@ object SparkEntry {
     // marginal operator work (one agg / pack+chunk over learned counts)
     // is covered by q95 + the existing packing rows q65/q86/q88
     "q92_minhash_index_admission", "q94_html_extract", "q95_bpe_encode",
-    "q98_classifier_quality")
+    "q98_classifier_quality", "q99_html_links")
 }

@@ -334,6 +334,25 @@ object TextPipeline {
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Hostnames of every absolute or PROTOCOL-RELATIVE `href` attribute
+    * in raw HTML, lowercased, in order of appearance. Two jobs: (1)
+    * LINK provenance as its own coordinate — q99 separates "hosts this
+    * page links to" from "hosts mentioned in running text"; (2) the
+    * blocklist gap [[TextAnalysis.urlHostnames]] genuinely cannot
+    * cover — a protocol-relative `href="//tracker.example/x"` (common
+    * in real markup) contains no `http` prefix anywhere, so no
+    * text-URL pattern can see it, while an absolute href URL is at
+    * least caught as a raw-text substring. Same RE2-safe host grammar
+    * as `urlHostnames` (userinfo skipped, port/path/query never leak
+    * into the host); path-relative hrefs carry no host and extract
+    * nothing. Pure codegen `regexp_extract_all` — a scan-projection
+    * scalar.
+    */
+  def hrefHostnames(html: Column): Column =
+    regexp_extract_all(lower(html),
+      lit("href\\s*=\\s*[\"'](?:https?:)?//(?:[^/?#\"'\\s@]*@)?" +
+        "([\\p{L}\\p{N}_-]+(?:\\.[\\p{L}\\p{N}_-]+)*)"), lit(1))
+
   /** Drop documents that cite any blocklisted URL domain — the
     * provenance gate (spam/SEO/adult domain lists) that runs alongside
     * the quality gate in a crawl-curation pipeline. For a bounded
@@ -348,15 +367,24 @@ object TextPipeline {
   def filterByDomains(
       df: DataFrame,
       textCol: String,
-      blockedDomains: Seq[String]): DataFrame =
+      blockedDomains: Seq[String],
+      includeHrefs: Boolean = false): DataFrame = {
+    // includeHrefs: for RAW-HTML columns, gate on href targets too —
+    // the running-text URL pattern alone is blind to <a href="...">
+    val hosts =
+      if (includeHrefs)
+        concat(TextAnalysis.urlHostnames(col(textCol)),
+          hrefHostnames(col(textCol)))
+      else TextAnalysis.urlHostnames(col(textCol))
     // null text cites no domain — keep it (the gate drops only rows
     // that POSITIVELY cite a blocked host; an unguarded size(...)===0
     // is null on null text and would silently drop the row)
     df.where(col(textCol).isNull || size(array_intersect(
-      TextAnalysis.urlHostnames(col(textCol)),
+      hosts,
       // Locale.ROOT: a default-locale lowercase turns "BIT.LY" into
       // "bıt.ly" on tr/az JVMs and the gate silently stops matching
       typedLit(blockedDomains.map(_.toLowerCase(java.util.Locale.ROOT))))) === 0)
+  }
 
   /** Incremental-crawl admission: pass only stream documents whose
     * normalized-content fingerprint is ABSENT from the previous

@@ -180,6 +180,34 @@ class TextPipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.where($"doc_id" === 1L).select("html").as[String].head() shouldBe article
   }
 
+  test("hrefHostnames + includeHrefs: protocol-relative links are the text pattern's true blind spot") {
+    import spark.implicits._
+    val df = Seq(
+      // protocol-relative href: NO http prefix anywhere in the bytes —
+      // the text-URL pattern cannot see it, the href pattern must
+      (1L, Some("<p>read more</p><a href=\"//bad.example.net/x\">x</a>")),
+      // absolute href: caught by BOTH (the URL is a raw-text substring)
+      (2L, Some("<a href='HTTP://BAD.EXAMPLE.NET:8080/y'>y</a>")),
+      // userinfo behind a protocol-relative href
+      (3L, Some("<a href='//u:p@bad.example.net/z'>z</a>")),
+      // path-relative href carries no host; clean absolute href kept
+      (4L, Some("<a href=\"/about\">about</a> <a href=\"https://fine.example.org/ok\">ok</a>")),
+      // substring of a longer host must not match
+      (5L, Some("<a href=\"//bad.example.net.evil.org/p\">p</a>")),
+      (6L, None: Option[String])
+    ).toDF("doc_id", "html")
+    // text-only gate: catches the absolute href (2) as a raw substring,
+    // blind to both protocol-relative citations (1, 3)
+    TextPipeline.filterByDomains(df, "html", Seq("bad.example.net"))
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 3L, 4L, 5L, 6L)
+    TextPipeline.filterByDomains(df, "html", Seq("bad.example.net"), includeHrefs = true)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(4L, 5L, 6L)
+    // provenance split: linked-to vs mentioned-in-text are separable
+    val hosts = df.where($"doc_id" === 1L)
+      .select(TextPipeline.hrefHostnames($"html")).as[Seq[String]].head()
+    hosts shouldBe Seq("bad.example.net")
+  }
+
   test("filterByDomains: punctuation/port/case/userinfo cannot dodge the blocklist; null text kept") {
     import spark.implicits._
     val df = Seq(
