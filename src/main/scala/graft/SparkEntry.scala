@@ -1479,6 +1479,22 @@ object SparkEntry {
           coalesce(col("n_links"), lit(0L)).as("n_links"),
           coalesce(col("n_text_urls"), lit(0L)).as("n_text_urls"))
         .orderBy(col("host"))
+    }),
+
+    // The operating-point sweep for the learned gate: precision/recall
+    // at EVERY achievable threshold over q91's held-out half — q98's
+    // single-threshold row unrolled into the full curve. Fully oracled
+    // (cumulative window over the distinct-score table).
+    "q100_pr_curve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.hashedNgramModel(
+        docs.where(col("doc_id") % 2 === 0), "text", col("lang") === "en")
+      val holdout = TextAnalysis.scoreHashedNgrams(docs, "doc_id", "text", model)
+        .where(col("doc_id") % 2 === 1)
+        .join(docs.select(col("doc_id"),
+          coalesce(col("lang") === "en", lit(false)).as("__label")), Seq("doc_id"))
+      TextAnalysis.precisionRecallCurve(holdout, col("__label"), "score")
+        .orderBy(col("threshold"))
     })
   )
 
@@ -3018,7 +3034,63 @@ object SparkEntry {
                 coalesce(a.n_links, 0)::BIGINT AS n_links,
                 coalesce(b.n_text_urls, 0)::BIGINT AS n_text_urls
          FROM a FULL OUTER JOIN b ON a.host = b.host
-         ORDER BY host"""
+         ORDER BY host""",
+
+    // q91's training/scoring CTEs verbatim, then the cumulative
+    // threshold sweep over the held-out distinct-score table
+    "q100_pr_curve" ->
+      """WITH base AS (
+           SELECT doc_id, coalesce(lang = 'en', false) AS y,
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                    AS norm
+           FROM documents WHERE text IS NOT NULL),
+         ws AS (SELECT doc_id, y, norm, string_split(norm, ' ') AS w FROM base),
+         uni AS (SELECT doc_id, y, unnest(w) AS g FROM ws),
+         bi AS (SELECT doc_id, y,
+                       CASE WHEN len(w) < 2 THEN norm
+                            ELSE w[t.i] || ' ' || w[t.i + 1] END AS g
+                FROM ws,
+                     unnest(generate_series(1, greatest(len(w) - 1, 1))) AS t(i)),
+         bk AS (SELECT doc_id, y, substring(md5(g), 1, 3) AS b
+                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+                WHERE g <> ''),
+         cnt AS (SELECT b,
+                        count(*) FILTER (WHERE y)::BIGINT AS pos,
+                        count(*) FILTER (WHERE NOT y)::BIGINT AS neg
+                 FROM bk WHERE doc_id % 2 = 0 GROUP BY b),
+         tot AS (SELECT sum(pos) AS p, sum(neg) AS n FROM cnt),
+         wt AS (SELECT b, ln((pos + 1)::DOUBLE / (p + 4096)) -
+                         ln((neg + 1)::DOUBLE / (n + 4096)) AS w
+                FROM cnt, tot),
+         prior AS (SELECT ln((count(*) FILTER (WHERE y) + 1)::DOUBLE /
+                             (count(*) FILTER (WHERE NOT y) + 1)) AS bias,
+                          (SELECT ln(1.0 / (p + 4096)) - ln(1.0 / (n + 4096))
+                           FROM tot) AS w0
+                   FROM base WHERE doc_id % 2 = 0),
+         sc AS (SELECT bk.doc_id, count(*)::BIGINT AS n_grams,
+                       sum(CAST(coalesce(wt.w, prior.w0) AS DECIMAL(38,12)))
+                         AS s
+                FROM bk LEFT JOIN wt USING (b), prior
+                GROUP BY bk.doc_id),
+         scored AS (
+           SELECT base.doc_id, base.y,
+                  round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias, 6) AS score
+           FROM base LEFT JOIN sc ON base.doc_id = sc.doc_id, prior),
+         ho AS (SELECT * FROM scored WHERE doc_id % 2 = 1),
+         bs AS (SELECT score, count(*)::BIGINT AS ns,
+                       count(*) FILTER (WHERE y)::BIGINT AS ps
+                FROM ho GROUP BY score),
+         c AS (SELECT score AS threshold,
+                      sum(ns) OVER (ORDER BY score DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+                      sum(ps) OVER (ORDER BY score DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+                      sum(ps) OVER () AS p
+               FROM bs)
+         SELECT threshold, cn::BIGINT AS n_predicted, cp::BIGINT AS tp,
+                round(cp::DOUBLE / cn, 6) AS "precision",
+                round(CASE WHEN p > 0 THEN cp::DOUBLE / p END, 6) AS recall
+         FROM c ORDER BY threshold"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -3096,5 +3168,5 @@ object SparkEntry {
     // marginal operator work (one agg / pack+chunk over learned counts)
     // is covered by q95 + the existing packing rows q65/q86/q88
     "q92_minhash_index_admission", "q94_html_extract", "q95_bpe_encode",
-    "q98_classifier_quality", "q99_html_links")
+    "q98_classifier_quality", "q99_html_links", "q100_pr_curve")
 }

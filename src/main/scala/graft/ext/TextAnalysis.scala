@@ -317,6 +317,47 @@ object TextAnalysis {
         6).as("auc"))
   }
 
+  /** Precision/recall curve over every achievable decision threshold:
+    * one row per DISTINCT score — predicting positive at `score >=
+    * threshold` — with the cumulative confusion counts and ratios.
+    * The operating-point picker for a learned gate ("what threshold
+    * keeps 90% of good documents?"), [[binaryClassificationMetrics]]'
+    * sweep-form complement, and fully SQL-expressible: counts come
+    * from one cumulative window over the distinct-score table
+    * (descending — higher thresholds predict fewer positives), exact
+    * integers, ratios rounded 6.
+    *
+    * Shape at scale: like the AUC, the window runs over DISTINCT
+    * scores of an EVAL set (small by construction); corpus-scale score
+    * streams bin first and the cumulative form is unchanged.
+    */
+  def precisionRecallCurve(
+      df: DataFrame,
+      label: Column,
+      scoreCol: String): DataFrame = {
+    val base = df.select(coalesce(label.cast("boolean"), lit(false)).as("__y"),
+      col(scoreCol).as("__s"))
+    val byScore = base.groupBy(col("__s")).agg(
+      count(lit(1)).as("__ns"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__ps"))
+    val wDesc = org.apache.spark.sql.expressions.Window.orderBy(col("__s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    byScore
+      .withColumn("__cn", sum(col("__ns")).over(wDesc))
+      .withColumn("__cp", sum(col("__ps")).over(wDesc))
+      .withColumn("__P", sum(col("__ps")).over(wAll))
+      .select(
+        col("__s").as("threshold"),
+        col("__cn").as("n_predicted"),
+        col("__cp").as("tp"),
+        round(col("__cp").cast("double") / col("__cn"), 6).as("precision"),
+        round(when(col("__P") > 0,
+          col("__cp").cast("double") / col("__P")), 6).as("recall"))
+  }
+
   /** PII redaction pass order: URL before email (URLs may carry
     * userinfo '@'), email before the number patterns (domains contain
     * digits), SSN before phone (both dashed digit runs, disjoint

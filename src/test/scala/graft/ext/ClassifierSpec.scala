@@ -126,4 +126,35 @@ class ClassifierSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(2L)._2 shouldBe BigDecimal(2 * wBeta + bias)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
   }
+
+  test("precisionRecallCurve: cumulative, monotone, and consistent with the single-threshold row") {
+    import spark.implicits._
+    val df = fixture
+    val scored = TextAnalysis.hashedNgramClassifier(
+        df, "doc_id", "text", col("label"))
+      .join(df.select(col("doc_id"), col("label")), Seq("doc_id"))
+    val curve = TextAnalysis.precisionRecallCurve(scored, col("label"), "score")
+      .orderBy(col("threshold").desc)
+      .as[(Double, Long, Long, Double, Double)].collect()
+    curve.length should be > 2
+    // descending thresholds: n_predicted strictly increases (one new
+    // distinct score per row), tp and recall non-decreasing
+    curve.sliding(2).foreach { case Array(hi, lo) =>
+      lo._2 should be > hi._2
+      lo._3 should be >= hi._3
+      lo._5 should be >= hi._5
+    }
+    // loosest threshold predicts everyone: recall 1.0, precision = base rate
+    val last = curve.last
+    last._5 shouldBe 1.0
+    last._2 shouldBe scored.count()
+    // consistency with the confusion-matrix row at the sign threshold:
+    // the curve row at the smallest positive threshold has the same tp
+    // as binaryClassificationMetrics (predicted = score > 0)
+    val m = TextAnalysis.binaryClassificationMetrics(
+      scored, col("label"), "score", "predicted").collect().head
+    val atSign = curve.filter(_._1 > 0).last // smallest threshold > 0
+    atSign._3 shouldBe m.getAs[Long]("tp")
+    atSign._2 shouldBe (m.getAs[Long]("tp") + m.getAs[Long]("fp"))
+  }
 }
