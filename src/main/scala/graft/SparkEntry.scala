@@ -587,7 +587,15 @@ object SparkEntry {
         Multimodal.MediaRow(-10L, "image",
           graft.ext.JpegCodec.Fixtures.gradientJpeg(24, 16, mode = "444")),
         Multimodal.MediaRow(-11L, "image",
-          graft.ext.JpegCodec.Fixtures.gradientJpeg(24, 16, mode = "420"))))
+          graft.ext.JpegCodec.Fixtures.gradientJpeg(24, 16, mode = "420")),
+        // palette PNG (type 3): PLTE-lookup decode, all 5 filters at
+        // bpp=1; means are the exact (x+y)%4 palette distribution
+        Multimodal.MediaRow(-12L, "image",
+          MediaCodec.Fixtures.palettePng(19, 11)),
+        // real GIF (LZW decode): same 4-color (x+y)%4 profile, so the
+        // channel means must EQUAL the palette PNG row's exactly
+        Multimodal.MediaRow(-13L, "image",
+          graft.ext.GifCodec.Fixtures.gradientGif(19, 11))))
       Multimodal.decodeFeatures(media.union(planted))
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("width"), col("height"), col("duration_ms"),

@@ -169,11 +169,14 @@ object MediaCodec {
     * zero codec dependencies: PNG's "compression" is plain zlib
     * (`java.util.zip.Inflater`) over filtered scanlines, and the five
     * scanline filters (None/Sub/Up/Average/Paeth) are byte arithmetic.
-    * Covers color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at
-    * bit depth 8; alpha is ignored in the means, gray replicates to all
-    * three channels. Returns None for palette (3), 16-bit, or Adam7-
-    * interlaced images and for truncated/corrupt streams — those fall
-    * to the deterministic stub like any unrecognized payload.
+    * Covers color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
+    * and 3 (palette — one index byte per pixel looked up in the PLTE
+    * chunk) at bit depth 8; alpha is ignored in the means, gray
+    * replicates to all three channels. Returns None for sub-8-bit
+    * palette packing, 16-bit, or Adam7-interlaced images and for
+    * truncated/corrupt streams (palette images missing PLTE or
+    * indexing past it included) — those fall to the deterministic stub
+    * like any unrecognized payload.
     *
     * Allocation guard: the raster size is bounded by the deflate
     * maximum expansion (1032×) of the IDAT bytes actually present plus
@@ -193,7 +196,7 @@ object MediaCodec {
     // compression(26) must be 0 (zlib), filter method(27) 0, interlace(28) 0
     if (depth != 8 || b(26) != 0 || b(27) != 0 || b(28) != 0) return None
     val channels = colorType match {
-      case 0 => 1
+      case 0 | 3 => 1 // palette: one index byte per pixel at depth 8
       case 2 => 3
       case 4 => 2
       case 6 => 4
@@ -201,8 +204,9 @@ object MediaCodec {
     }
     if (w <= 0 || h <= 0) return None
 
-    // chunk walk: concatenate IDAT payloads until IEND
+    // chunk walk: concatenate IDAT payloads until IEND; capture PLTE
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Byte] = null
     var i = 33 // skip signature(8) + IHDR chunk(12+13)
     var sawEnd = false
     while (!sawEnd) {
@@ -211,9 +215,14 @@ object MediaCodec {
       if (len < 0 || i + 12 + len.toLong > b.length) return None // truncated
       val typ = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
       if (typ == "IDAT") idat.write(b, i + 8, len)
+      else if (typ == "PLTE") {
+        if (len % 3 != 0 || len > 768) return None
+        palette = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+      }
       else if (typ == "IEND") sawEnd = true
       i += 12 + len
     }
+    if (colorType == 3 && palette == null) return None // PLTE is mandatory
 
     val rowLen = w.toLong * channels
     // overflow-safe: (rowLen+1)*h with both dims near 2^31 wraps Long
@@ -277,6 +286,12 @@ object MediaCodec {
       while (px < rl) {
         if (colorType == 2 || colorType == 6) {
           sr += cur(px) & 0xFF; sg += cur(px + 1) & 0xFF; sb += cur(px + 2) & 0xFF
+        } else if (colorType == 3) {
+          val idx = (cur(px) & 0xFF) * 3
+          if (idx + 2 >= palette.length) return None // index past PLTE
+          sr += palette(idx) & 0xFF
+          sg += palette(idx + 1) & 0xFF
+          sb += palette(idx + 2) & 0xFF
         } else {
           val g = cur(px) & 0xFF
           sr += g; sg += g; sb += g
@@ -564,14 +579,18 @@ object MediaCodec {
     *  - baseline JPEG (grayscale or YCbCr, any standard subsampling)
     *    → the same channel-mean feature head ([[JpegCodec
     *    .pixelStats]]: Huffman entropy decode + dequant + IDCT +
-    *    YCbCr→RGB, zero-dependency — the OTHER dominant crawl image
-    *    format decodes for real, cross-verified against the JDK's
-    *    independent ImageIO codec in JpegSpec).
-    * Codec-bound formats (progressive/arithmetic JPEG, GIF pixels,
-    * 16-bit or interlaced PNG, MP3/AAC frames, H.26x) keep the
-    * deterministic fake feature — decoding them needs real codec
-    * libraries, absent here; a production build swaps exactly this
-    * fallback.
+    *    YCbCr→RGB, zero-dependency — cross-verified against the JDK's
+    *    independent ImageIO codec in JpegSpec);
+    *  - GIF (87a/89a, first frame, interlace-agnostic — means are
+    *    pixel-order-independent) → the same feature head
+    *    ([[GifCodec.pixelStats]]: LZW + color-table lookup,
+    *    zero-dependency, ImageIO-cross-checked in GifSpec).
+    * With JPEG, PNG (incl. palette), and GIF all real, every dominant
+    * crawl image format now decodes. The remaining codec-bound shapes
+    * (progressive/arithmetic JPEG, 16-bit or interlaced PNG, MP3/AAC
+    * frames, H.26x) keep the deterministic fake feature — decoding
+    * them needs real codec libraries, absent here; a production build
+    * swaps exactly this fallback.
     */
   def decodeBytes(row: Multimodal.MediaRow): Multimodal.MediaFeatures = {
     val h = fnv1a(row.payload)
@@ -597,6 +616,7 @@ object MediaCodec {
       }.orElse(bmpPixelStats(row.payload).orElse(pnmPixelStats(row.payload))
         .orElse(pngPixelStats(row.payload))
         .orElse(JpegCodec.pixelStats(row.payload))
+        .orElse(GifCodec.pixelStats(row.payload))
         .map { case (r, g, b) =>
           val luma = 0.299 * r + 0.587 * g + 0.114 * b
           Seq(r.toFloat, g.toFloat, b.toFloat, luma.toFloat, 0f, 0f, 0f, 0f)
@@ -756,6 +776,78 @@ object MediaCodec {
       ibe32(w); ibe32(h)
       ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
       chunk("IHDR", ihdr.toByteArray)
+      chunk("IDAT", zout.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    /** `w`×`h` real 8-bit PALETTE PNG (color type 3): a 4-entry PLTE
+      * (red, green, blue, gray), pixel index = (x + y) % 4, each
+      * scanline filtered with `y % 5` — all five filters exercised at
+      * bpp = 1. Valid CRCs throughout. `paletteEntries < 4` emits a
+      * deliberately SHORT PLTE while pixels still index 0..3 — the
+      * index-past-palette refusal fixture.
+      */
+    def palettePng(w: Int, h: Int, paletteEntries: Int = 4): Array[Byte] = {
+      require(paletteEntries >= 1 && paletteEntries <= 4)
+      val palette = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 96, 96, 96)
+        .take(3 * paletteEntries)
+      def paeth(a: Int, up: Int, c: Int): Int = {
+        val p = a + up - c
+        val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+      }
+      val filtered = new java.io.ByteArrayOutputStream((w + 1) * h)
+      var prev = new Array[Int](w)
+      for (y <- 0 until h) {
+        val cur = (0 until w).map(x => (x + y) % 4).toArray
+        val f = y % 5
+        filtered.write(f)
+        for (x <- 0 until w) {
+          val a = if (x >= 1) cur(x - 1) else 0
+          val up = prev(x)
+          val c = if (x >= 1) prev(x - 1) else 0
+          val out = f match {
+            case 0 => cur(x)
+            case 1 => cur(x) - a
+            case 2 => cur(x) - up
+            case 3 => cur(x) - ((a + up) >> 1)
+            case _ => cur(x) - paeth(a, up, c)
+          }
+          filtered.write(out & 0xFF)
+        }
+        prev = cur
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(filtered.toByteArray)
+      deflater.finish()
+      val zbuf = new Array[Byte](filtered.size() + 64)
+      val zout = new java.io.ByteArrayOutputStream()
+      while (!deflater.finished()) zout.write(zbuf, 0, deflater.deflate(zbuf))
+      deflater.end()
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Int): Unit = {
+        out.write((v >>> 24) & 0xFF); out.write((v >>> 16) & 0xFF)
+        out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)
+      }
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        be32(data.length)
+        val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        out.write(tb); out.write(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(data)
+        be32(crc.getValue.toInt)
+      }
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      val ihdr = new java.io.ByteArrayOutputStream()
+      def ibe32(v: Int): Unit = {
+        ihdr.write((v >>> 24) & 0xFF); ihdr.write((v >>> 16) & 0xFF)
+        ihdr.write((v >>> 8) & 0xFF); ihdr.write(v & 0xFF)
+      }
+      ibe32(w); ibe32(h)
+      ihdr.write(8); ihdr.write(3); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+      chunk("IHDR", ihdr.toByteArray)
+      chunk("PLTE", palette.map(_.toByte))
       chunk("IDAT", zout.toByteArray)
       chunk("IEND", Array.emptyByteArray)
       out.toByteArray

@@ -283,11 +283,44 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     gg shouldBe gr +- 1e-15; gb shouldBe gr +- 1e-15
   }
 
+  test("pngPixelStats: palette (type 3) decodes through PLTE lookup, ImageIO-cross-checked") {
+    val (w, h) = (19, 11)
+    val png = MediaCodec.Fixtures.palettePng(w, h)
+    val Some((r, g, b)) = MediaCodec.pngPixelStats(png)
+    // independent expectation: count the (x+y)%4 palette distribution
+    val palette = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (96, 96, 96))
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val (pr, pg, pb) = palette((x + y) % 4)
+      er += pr; eg += pg; eb += pb
+    }
+    val n = w.toLong * h * 255L
+    r shouldBe er.toDouble / n +- 1e-12
+    g shouldBe eg.toDouble / n +- 1e-12
+    b shouldBe eb.toDouble / n +- 1e-12
+    // the JDK's independent PNG codec agrees exactly (palette lookup
+    // is lossless integer math on both sides)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+    }
+    r shouldBe sr.toDouble / n +- 1e-12
+    g shouldBe sg.toDouble / n +- 1e-12
+    b shouldBe sb.toDouble / n +- 1e-12
+    // an index past the palette refuses rather than misreads: a valid
+    // file whose PLTE holds 2 entries while pixels index 0..3
+    MediaCodec.pngPixelStats(
+      MediaCodec.Fixtures.palettePng(w, h, paletteEntries = 2)) shouldBe None
+  }
+
   test("pngPixelStats refuses what it cannot decode honestly") {
     val png = MediaCodec.Fixtures.gradientPng(16, 10)
     // truncated IDAT / missing IEND
     MediaCodec.pngPixelStats(png.dropRight(20)) shouldBe None
-    // 16-bit depth, palette color type, Adam7 interlace: out of scope
+    // 16-bit depth, Adam7 interlace: out of scope; a palette TYPE BYTE
+    // without a PLTE chunk is malformed (PLTE is mandatory for type 3)
     val deep = png.clone(); deep(24) = 16
     MediaCodec.pngPixelStats(deep) shouldBe None
     val pal = png.clone(); pal(25) = 3
