@@ -595,7 +595,11 @@ object SparkEntry {
         // real GIF (LZW decode): same 4-color (x+y)%4 profile, so the
         // channel means must EQUAL the palette PNG row's exactly
         Multimodal.MediaRow(-13L, "image",
-          graft.ext.GifCodec.Fixtures.gradientGif(19, 11))))
+          graft.ext.GifCodec.Fixtures.gradientGif(19, 11)),
+        // 16-bit PNG (samples v*257): normalized means must EQUAL the
+        // 8-bit RGB row -7's exactly
+        Multimodal.MediaRow(-14L, "image",
+          MediaCodec.Fixtures.gradientPng(16, 10, depth = 16))))
       Multimodal.decodeFeatures(media.union(planted))
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("width"), col("height"), col("duration_ms"),

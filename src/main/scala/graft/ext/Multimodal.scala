@@ -164,19 +164,22 @@ object MediaCodec {
     Some((sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
   }
 
-  /** Per-channel means of an 8-bit non-interlaced PNG, normalized to
-    * [0,1] — REAL pixel decode of the dominant web-crawl image format,
-    * zero codec dependencies: PNG's "compression" is plain zlib
-    * (`java.util.zip.Inflater`) over filtered scanlines, and the five
-    * scanline filters (None/Sub/Up/Average/Paeth) are byte arithmetic.
-    * Covers color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
-    * and 3 (palette — one index byte per pixel looked up in the PLTE
-    * chunk) at bit depth 8; alpha is ignored in the means, gray
-    * replicates to all three channels. Returns None for sub-8-bit
-    * palette packing, 16-bit, or Adam7-interlaced images and for
-    * truncated/corrupt streams (palette images missing PLTE or
-    * indexing past it included) — those fall to the deterministic stub
-    * like any unrecognized payload.
+  /** Per-channel means of a PNG, normalized to [0,1] — REAL pixel
+    * decode of the dominant web-crawl image format, zero codec
+    * dependencies: PNG's "compression" is plain zlib
+    * (`java.util.zip.Inflater`) over filtered scanlines, the five
+    * scanline filters (None/Sub/Up/Average/Paeth) are byte arithmetic,
+    * and Adam7 interlacing needs only per-pass scanline geometry — a
+    * MEAN is pixel-order-independent, so pass samples accumulate
+    * without placement. SPEC-COMPLETE for means: every legal (color
+    * type, bit depth) pair — gray 1/2/4/8/16, RGB 8/16, palette
+    * 1/2/4/8 (PLTE lookup), gray+alpha and RGBA 8/16 — interlaced or
+    * not. Alpha is ignored in the means, gray replicates to all three
+    * channels, sub-8-bit samples unpack MSB-first and scale by
+    * 255/maxval. Returns None only for malformed streams (bad
+    * depth/type pairs, missing PLTE, out-of-palette indices,
+    * truncation) — those fall to the deterministic stub like any
+    * unrecognized payload.
     *
     * Allocation guard: the raster size is bounded by the deflate
     * maximum expansion (1032×) of the IDAT bytes actually present plus
@@ -193,16 +196,24 @@ object MediaCodec {
     val h = be32(b, 20)
     val depth = b(24) & 0xFF
     val colorType = b(25) & 0xFF
-    // compression(26) must be 0 (zlib), filter method(27) 0, interlace(28) 0
-    if (depth != 8 || b(26) != 0 || b(27) != 0 || b(28) != 0) return None
+    val interlace = b(28) & 0xFF
+    // compression(26) must be 0 (zlib), filter method(27) 0
+    if (b(26) != 0 || b(27) != 0 || (interlace != 0 && interlace != 1))
+      return None
     val channels = colorType match {
-      case 0 | 3 => 1 // palette: one index byte per pixel at depth 8
+      case 0 | 3 => 1
       case 2 => 3
       case 4 => 2
       case 6 => 4
       case _ => return None
     }
-    if (w <= 0 || h <= 0) return None
+    // legal depth/type pairs (PNG spec table 11.1)
+    val depthOk = colorType match {
+      case 0 => Set(1, 2, 4, 8, 16)(depth)
+      case 3 => Set(1, 2, 4, 8)(depth)
+      case _ => depth == 8 || depth == 16
+    }
+    if (!depthOk || w <= 0 || h <= 0) return None
 
     // chunk walk: concatenate IDAT payloads until IEND; capture PLTE
     val idat = new java.io.ByteArrayOutputStream()
@@ -224,12 +235,26 @@ object MediaCodec {
     }
     if (colorType == 3 && palette == null) return None // PLTE is mandatory
 
-    val rowLen = w.toLong * channels
-    // overflow-safe: (rowLen+1)*h with both dims near 2^31 wraps Long
-    // and would slip past the guards below (negative, or large
-    // positive that allocates GBs) — reject before multiplying
-    if (h.toLong > (1L << 28) / (rowLen + 1)) return None // 256 MB absolute cap
-    val expected = (rowLen + 1) * h
+    // pass geometry: one full-frame pass, or the seven Adam7 passes
+    // (zero-dimension passes drop out). Means need no pixel placement,
+    // only each pass's scanline widths.
+    val passes: Seq[(Int, Int)] =
+      if (interlace == 0) Seq((w, h))
+      else Seq(
+        ((w + 7) / 8, (h + 7) / 8), // x0 0, y0 0, step 8x8
+        ((w + 3) / 8, (h + 7) / 8), // x0 4
+        ((w + 3) / 4, (h + 3) / 8), // y0 4
+        ((w + 1) / 4, (h + 3) / 4), // x0 2
+        ((w + 1) / 2, (h + 1) / 4), // y0 2
+        (w / 2, (h + 1) / 2), // x0 1
+        (w, h / 2) // y0 1
+      ).filter { case (pw, ph) => pw > 0 && ph > 0 }
+
+    def rowBytes(pw: Int): Long = (pw.toLong * channels * depth + 7) / 8
+    // overflow-safe canvas guards before any allocation
+    if (w.toLong * h > (1L << 26)) return None // 64 M pixel cap
+    val expected = passes.map { case (pw, ph) => (rowBytes(pw) + 1) * ph }.sum
+    if (expected > (1L << 28)) return None // 256 MB absolute cap
     if (expected > idat.size().toLong * 1032L + 1024L) return None // deflate bound
     val raw = new Array[Byte](expected.toInt)
     val inf = new java.util.zip.Inflater()
@@ -248,60 +273,110 @@ object MediaCodec {
       }
     } finally inf.end()
 
-    // scanline reconstruction (PNG spec §4.5.2-4.5.4; bpp = channels at
-    // depth 8), summing channels as rows complete
+    // scanline reconstruction (PNG spec §4.5.2-4.5.4); the filter unit
+    // bpp is the byte width of one pixel, floored at 1 for sub-byte
+    // packing
     def paeth(a: Int, up: Int, c: Int): Int = {
       val p = a + up - c
       val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
     }
-    val rl = rowLen.toInt
-    var prev = new Array[Byte](rl)
-    var cur = new Array[Byte](rl)
+    val bpp = math.max(1, channels * depth / 8)
+    val maxval = (1 << depth) - 1
     var sr = 0L; var sg = 0L; var sb = 0L
     var p = 0
-    var y = 0
-    while (y < h) {
-      val f = raw(p) & 0xFF
-      p += 1
-      if (f > 4) return None
-      var x = 0
-      while (x < rl) {
-        val rv = raw(p + x) & 0xFF
-        val a = if (x >= channels) cur(x - channels) & 0xFF else 0
-        val up = prev(x) & 0xFF
-        val v = f match {
-          case 0 => rv
-          case 1 => rv + a
-          case 2 => rv + up
-          case 3 => rv + ((a + up) >> 1)
-          case _ => rv + paeth(a, up,
-            if (x >= channels) prev(x - channels) & 0xFF else 0)
+    var badPalette = false
+    for ((pw, ph) <- passes if !badPalette) {
+      val rl = rowBytes(pw).toInt
+      var prev = new Array[Byte](rl)
+      var cur = new Array[Byte](rl)
+      var y = 0
+      while (y < ph && !badPalette) {
+        val f = raw(p) & 0xFF
+        p += 1
+        if (f > 4) return None
+        var x = 0
+        while (x < rl) {
+          val rv = raw(p + x) & 0xFF
+          val a = if (x >= bpp) cur(x - bpp) & 0xFF else 0
+          val up = prev(x) & 0xFF
+          val v = f match {
+            case 0 => rv
+            case 1 => rv + a
+            case 2 => rv + up
+            case 3 => rv + ((a + up) >> 1)
+            case _ => rv + paeth(a, up,
+              if (x >= bpp) prev(x - bpp) & 0xFF else 0)
+          }
+          cur(x) = (v & 0xFF).toByte
+          x += 1
         }
-        cur(x) = (v & 0xFF).toByte
-        x += 1
-      }
-      p += rl
-      var px = 0
-      while (px < rl) {
-        if (colorType == 2 || colorType == 6) {
-          sr += cur(px) & 0xFF; sg += cur(px + 1) & 0xFF; sb += cur(px + 2) & 0xFF
-        } else if (colorType == 3) {
-          val idx = (cur(px) & 0xFF) * 3
-          if (idx + 2 >= palette.length) return None // index past PLTE
-          sr += palette(idx) & 0xFF
-          sg += palette(idx + 1) & 0xFF
-          sb += palette(idx + 2) & 0xFF
-        } else {
-          val g = cur(px) & 0xFF
-          sr += g; sg += g; sb += g
+        p += rl
+        // sample extraction per depth/type
+        if (depth < 8) {
+          // single channel (gray or palette), MSB-first packing
+          val mask = maxval
+          var px = 0
+          while (px < pw) {
+            val bit = px * depth
+            val v = ((cur(bit >> 3) & 0xFF) >> (8 - depth - (bit & 7))) & mask
+            if (colorType == 3) {
+              val idx = v * 3
+              if (idx + 2 >= palette.length) badPalette = true
+              else {
+                sr += palette(idx) & 0xFF
+                sg += palette(idx + 1) & 0xFF
+                sb += palette(idx + 2) & 0xFF
+              }
+            } else {
+              // scale sub-8-bit gray to 8-bit exactly: v*255/maxval
+              val g = v * 255 / mask
+              sr += g; sg += g; sb += g
+            }
+            px += 1
+          }
+        } else if (depth == 8) {
+          var px = 0
+          while (px < rl) {
+            if (colorType == 2 || colorType == 6) {
+              sr += cur(px) & 0xFF; sg += cur(px + 1) & 0xFF; sb += cur(px + 2) & 0xFF
+            } else if (colorType == 3) {
+              val idx = (cur(px) & 0xFF) * 3
+              if (idx + 2 >= palette.length) badPalette = true
+              else {
+                sr += palette(idx) & 0xFF
+                sg += palette(idx + 1) & 0xFF
+                sb += palette(idx + 2) & 0xFF
+              }
+            } else {
+              val g = cur(px) & 0xFF
+              sr += g; sg += g; sb += g
+            }
+            px += channels
+          }
+        } else { // depth 16: big-endian sample pairs
+          val step = channels * 2
+          var px = 0
+          while (px < rl) {
+            def s16(o: Int) = ((cur(o) & 0xFF) << 8) | (cur(o + 1) & 0xFF)
+            if (colorType == 2 || colorType == 6) {
+              sr += s16(px); sg += s16(px + 2); sb += s16(px + 4)
+            } else {
+              val g = s16(px)
+              sr += g; sg += g; sb += g
+            }
+            px += step
+          }
         }
-        px += channels
+        val t = prev; prev = cur; cur = t
+        y += 1
       }
-      val t = prev; prev = cur; cur = t
-      y += 1
     }
-    val n = w.toLong * h * 255L
+    if (badPalette) return None // index past PLTE: refuse, never misread
+    // denominator: palette and sub-8-bit gray sums are 8-bit scaled;
+    // direct samples normalize by their own maxval
+    val den = if (colorType == 3 || depth < 8) 255L else maxval.toLong
+    val n = w.toLong * h * den
     Some((sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
   }
 
@@ -705,10 +780,16 @@ object MediaCodec {
       * the trivial one. Chunks carry correct CRCs — this is a valid
       * PNG any external tool opens.
       */
-    def gradientPng(w: Int, h: Int, blue: Int = 32, colorType: Int = 2): Array[Byte] = {
+    def gradientPng(w: Int, h: Int, blue: Int = 32, colorType: Int = 2,
+        depth: Int = 8): Array[Byte] = {
       require(Set(0, 2, 6).contains(colorType), s"unsupported colorType $colorType")
+      require(depth == 8 || depth == 16, s"unsupported depth $depth")
       val channels = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
-      val rl = w * channels
+      // depth 16: each 8-bit sample v becomes the 16-bit v*257 = (v,v)
+      // byte pair — the [0,1]-normalized means are IDENTICAL to the
+      // 8-bit image's. Scanlines stay filter-0 (filters at bpp=2 are
+      // exercised by the ImageIO-encoded cross-check instead).
+      val rl = w * channels * (depth / 8)
       // raw scanlines
       def pix(x: Int, y: Int): Seq[Int] = {
         val r = if (w == 1) 0 else x * 255 / (w - 1)
@@ -727,8 +808,10 @@ object MediaCodec {
       val filtered = new java.io.ByteArrayOutputStream((rl + 1) * h)
       var prev = new Array[Int](rl)
       for (y <- 0 until h) {
-        val cur = (0 until w).flatMap(x => pix(x, y)).toArray
-        val f = y % 5
+        val cur =
+          if (depth == 8) (0 until w).flatMap(x => pix(x, y)).toArray
+          else (0 until w).flatMap(x => pix(x, y)).flatMap(v => Seq(v, v)).toArray
+        val f = if (depth == 16) 0 else y % 5
         filtered.write(f)
         for (x <- 0 until rl) {
           val a = if (x >= channels) cur(x - channels) else 0
@@ -774,7 +857,7 @@ object MediaCodec {
         ihdr.write((v >>> 8) & 0xFF); ihdr.write(v & 0xFF)
       }
       ibe32(w); ibe32(h)
-      ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+      ihdr.write(depth); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
       chunk("IHDR", ihdr.toByteArray)
       chunk("IDAT", zout.toByteArray)
       chunk("IEND", Array.emptyByteArray)

@@ -315,15 +315,80 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
       MediaCodec.Fixtures.palettePng(w, h, paletteEntries = 2)) shouldBe None
   }
 
+  test("pngPixelStats: 16-bit, sub-8-bit palette, and Adam7 all decode (ImageIO-generated)") {
+    // 16-bit gray via the JDK encoder (TYPE_USHORT_GRAY → depth-16 PNG,
+    // adaptive filtering at bpp=2 — filters on wide pixels run against
+    // foreign bytes)
+    val (w, h) = (23, 13)
+    val g16 = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      g16.getRaster.setSample(x, y, 0, (x * 65535 / (w - 1)))
+    val bos1 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(g16, "png", bos1) shouldBe true
+    val Some((r1, _, _)) = MediaCodec.pngPixelStats(bos1.toByteArray)
+    val exp16 = (0 until w).map(x => x * 65535 / (w - 1)).sum.toDouble / w / 65535
+    r1 shouldBe exp16 +- 1e-9
+    // own 16-bit RGB fixture: means identical to the 8-bit gradient
+    val Some((r2, g2, b2)) =
+      MediaCodec.pngPixelStats(MediaCodec.Fixtures.gradientPng(16, 10, depth = 16))
+    val Some((r8, g8, b8)) =
+      MediaCodec.pngPixelStats(MediaCodec.Fixtures.gradientPng(16, 10))
+    r2 shouldBe r8 +- 1e-9; g2 shouldBe g8 +- 1e-9; b2 shouldBe b8 +- 1e-9
+    // depth-2 palette via TYPE_BYTE_BINARY with a 4-entry color model
+    val cm = new java.awt.image.IndexColorModel(2, 4,
+      Array(255, 0, 0, 96).map(_.toByte),
+      Array(0, 255, 0, 96).map(_.toByte),
+      Array(0, 0, 255, 96).map(_.toByte))
+    val p2 = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_BINARY, cm)
+    for (y <- 0 until h; x <- 0 until w)
+      p2.getRaster.setSample(x, y, 0, (x + y) % 4)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(p2, "png", bos2) shouldBe true
+    val Some((pr, pg, pb)) = MediaCodec.pngPixelStats(bos2.toByteArray)
+    val palette = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (96, 96, 96))
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val (cr2, cg2, cb2) = palette((x + y) % 4); er += cr2; eg += cg2; eb += cb2
+    }
+    val n = w.toLong * h * 255L
+    pr shouldBe er.toDouble / n +- 1e-12
+    pg shouldBe eg.toDouble / n +- 1e-12
+    pb shouldBe eb.toDouble / n +- 1e-12
+    // Adam7: the JDK writer's progressive mode interlaces; means must
+    // equal the non-interlaced encoding of the SAME image
+    val rgb = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      rgb.setRGB(x, y, ((x * 255 / (w - 1)) << 16) | ((y * 255 / (h - 1)) << 8) | 32)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val params = writer.getDefaultWriteParam
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos3 = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos3)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(rgb, null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    val interlaced = bos3.toByteArray
+    interlaced(28) shouldBe 1 // really Adam7
+    val bos4 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", bos4) shouldBe true
+    val Some((ir, ig, ib)) = MediaCodec.pngPixelStats(interlaced)
+    val Some((nr, ng, nb)) = MediaCodec.pngPixelStats(bos4.toByteArray)
+    ir shouldBe nr +- 1e-12; ig shouldBe ng +- 1e-12; ib shouldBe nb +- 1e-12
+  }
+
   test("pngPixelStats refuses what it cannot decode honestly") {
     val png = MediaCodec.Fixtures.gradientPng(16, 10)
     // truncated IDAT / missing IEND
     MediaCodec.pngPixelStats(png.dropRight(20)) shouldBe None
-    // 16-bit depth, Adam7 interlace: out of scope; a palette TYPE BYTE
-    // without a PLTE chunk is malformed (PLTE is mandatory for type 3)
+    // flag bytes flipped WITHOUT a matching raster are malformed: the
+    // declared geometry no longer fits the zlib stream
     val deep = png.clone(); deep(24) = 16
     MediaCodec.pngPixelStats(deep) shouldBe None
-    val pal = png.clone(); pal(25) = 3
+    val pal = png.clone(); pal(25) = 3 // type 3 with no PLTE chunk
     MediaCodec.pngPixelStats(pal) shouldBe None
     val adam = png.clone(); adam(28) = 1
     MediaCodec.pngPixelStats(adam) shouldBe None
