@@ -1507,6 +1507,34 @@ object SparkEntry {
           coalesce(col("lang") === "en", lit(false)).as("__label")), Seq("doc_id"))
       TextAnalysis.precisionRecallCurve(holdout, col("__label"), "score")
         .orderBy(col("threshold"))
+    }),
+
+    // WARC container ingest: the corpus round-tripped through real
+    // ISO-28500 bytes — 20 deterministic WARC files (warcinfo + one
+    // response record per doc, Content-Length exact), parsed back by
+    // the length-driven record walk. Every body is salted with a
+    // literal "WARC/1.1" line, so any magic-scanning splitter would
+    // shred it; the oracle computes the expected records directly from
+    // documents, making parse + HTTP split + byte-exact body recovery
+    // (md5) hash-verified end-to-end.
+    "q101_warc_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val salted = docs.select(
+        col("doc_id"),
+        concat(lit("https://crawl.example.org/doc/"), col("doc_id").cast("string")).as("__uri"),
+        concat(col("text"), lit("\nWARC/1.1 inner decoy")).as("__body"))
+      val files = graft.ext.Warc.responseFixture(salted, "doc_id", "__uri", "__body", numFiles = 20)
+      graft.ext.Warc.parseRecords(files, "file_id", "payload").toDF()
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("target_uri"),
+          col("http_status"),
+          col("http_content_type"),
+          col("n_http_headers"),
+          octet_length(col("body")).cast("long").as("body_octets"),
+          md5(col("body")).as("body_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3102,7 +3130,23 @@ object SparkEntry {
          SELECT threshold, cn::BIGINT AS n_predicted, cp::BIGINT AS tp,
                 round(cp::DOUBLE / cn, 6) AS "precision",
                 round(CASE WHEN p > 0 THEN cp::DOUBLE / p END, 6) AS recall
-         FROM c ORDER BY threshold"""
+         FROM c ORDER BY threshold""",
+
+    // The expected WARC records computed directly from documents: the
+    // Spark side genuinely round-trips through ISO-28500 bytes (build
+    // 20 files → length-driven record walk → HTTP split), so matching
+    // this closed form hash-verifies the parser end-to-end (the q89
+    // streaming-equals-batch pattern, applied to container ingest).
+    "q101_warc_ingest" ->
+      """SELECT doc_id,
+                'https://crawl.example.org/doc/' || doc_id AS target_uri,
+                200 AS http_status,
+                'text/plain' AS http_content_type,
+                2 AS n_http_headers,
+                octet_length(encode(text || chr(10) || 'WARC/1.1 inner decoy'))::BIGINT
+                  AS body_octets,
+                md5(text || chr(10) || 'WARC/1.1 inner decoy') AS body_md5
+         FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -3180,5 +3224,6 @@ object SparkEntry {
     // marginal operator work (one agg / pack+chunk over learned counts)
     // is covered by q95 + the existing packing rows q65/q86/q88
     "q92_minhash_index_admission", "q94_html_extract", "q95_bpe_encode",
-    "q98_classifier_quality", "q99_html_links", "q100_pr_curve")
+    "q98_classifier_quality", "q99_html_links", "q100_pr_curve",
+    "q101_warc_ingest")
 }
