@@ -1535,8 +1535,41 @@ object SparkEntry {
           octet_length(col("body")).cast("long").as("body_octets"),
           md5(col("body")).as("body_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Encoding repair: every document salted with a fixed garble —
+    // five mojibake sequences (é “ ” – € ü as their cp1252 mis-decodes,
+    // taken from the SAME table the operator applies, single source of
+    // truth), a C0 bell, a C1 control, and one legitimate precomposed
+    // é that must survive untouched — then repaired. The oracle runs
+    // the identical 23-step replace chain + control strip (generated
+    // from the table), so repair is hash-verified end-to-end including
+    // the invisible-U+009D right-double-quote case.
+    "q102_encoding_repair" -> ((s, dir) => {
+      val salted = concat(col("text"), lit(q102Salt))
+      val repaired = TextPipeline.repairText(salted)
+      t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextPipeline.mojibakeCount(salted).cast("long").as("n_mojibake"),
+          TextPipeline.controlCount(salted).cast("long").as("n_controls"),
+          octet_length(repaired).cast("long").as("repaired_octets"),
+          md5(repaired).as("repaired_md5"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** q102's planted garble, built FROM [[TextPipeline.MojibakeTable]]
+    * (mojibake spelled by lookup of its repaired char — retyping the
+    * sequences here would let the fixture drift from the operator).
+    * Ends with: C0 bell (stripped), C1 U+009C (stripped), a legit
+    * precomposed é (must survive).
+    */
+  private lazy val q102Salt: String = {
+    val moj = TextPipeline.MojibakeTable.map { case (m, r) => (r, m) }.toMap
+    " caf" + moj("é") + " " + moj("“") + "well" + moj("”") +
+      " " + moj("–") + " " + moj("€") + "9 " + moj("ü") + "ber" +
+      "\u0007bell \u009Cc1 fine\u00E9"
+  }
 
   /** q86/q88 shared packing bookkeeping over a `__n` (long token
     * count) frame: doc-isolated and concat-and-chunk pack counts plus
@@ -3146,7 +3179,28 @@ object SparkEntry {
                 octet_length(encode(text || chr(10) || 'WARC/1.1 inner decoy'))::BIGINT
                   AS body_octets,
                 md5(text || chr(10) || 'WARC/1.1 inner decoy') AS body_md5
-         FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""
+         FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
+
+    // The identical salt + 23-step replace chain + control strip,
+    // generated from TextPipeline.MojibakeTable (single source of
+    // truth — the operator and its oracle cannot drift apart)
+    "q102_encoding_repair" -> {
+      val chain = TextPipeline.MojibakeTable.foldLeft("salted") {
+        case (acc, (m, r)) => s"replace($acc, '$m', '$r')"
+      }
+      val ctl = TextPipeline.ControlPattern
+      s"""WITH s AS (SELECT doc_id, text || '$q102Salt' AS salted
+                     FROM documents WHERE text IS NOT NULL),
+         r AS (SELECT doc_id, salted, $chain AS rep FROM s)
+         SELECT doc_id,
+                len(regexp_extract_all(salted,
+                  '${TextPipeline.MojibakePattern}'))::BIGINT AS n_mojibake,
+                len(regexp_extract_all(rep, '$ctl'))::BIGINT AS n_controls,
+                octet_length(encode(regexp_replace(rep, '$ctl', '', 'g')))::BIGINT
+                  AS repaired_octets,
+                md5(regexp_replace(rep, '$ctl', '', 'g')) AS repaired_md5
+         FROM r ORDER BY doc_id"""
+    }
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -3225,5 +3279,5 @@ object SparkEntry {
     // is covered by q95 + the existing packing rows q65/q86/q88
     "q92_minhash_index_admission", "q94_html_extract", "q95_bpe_encode",
     "q98_classifier_quality", "q99_html_links", "q100_pr_curve",
-    "q101_warc_ingest")
+    "q101_warc_ingest", "q102_encoding_repair")
 }

@@ -21,7 +21,10 @@ object TextPipeline {
     * mismatched threshold floods the verify stage with false candidates.
     * `htmlInput = true` prepends [[extractText]] (boilerplate removal)
     * to the pipeline, so a raw-crawl HTML column flows through the same
-    * gates as clean text.
+    * gates as clean text. `repairEncoding = true` prepends
+    * [[repairText]] (mojibake + control-char repair) before even that —
+    * encoding debris must be fixed before tag parsing or any gate reads
+    * the text.
     */
   final case class Config(
       minQuality: Double = 0.2,
@@ -30,7 +33,8 @@ object TextPipeline {
       numHashes: Int = 128,
       bands: Int = 0,
       shingleSize: Int = 3,
-      htmlInput: Boolean = false)
+      htmlInput: Boolean = false,
+      repairEncoding: Boolean = false)
 
   // -------------------------------------------------------------------
   // HTML → text extraction (boilerplate removal) — the first operator a
@@ -137,6 +141,91 @@ object TextPipeline {
         coalesce(col("extracted"), lit("")).as("extracted"))
   }
 
+  // -------------------------------------------------------------------
+  // Encoding repair — crawl text is full of mojibake (UTF-8 bytes
+  // mis-decoded through Windows-1252 somewhere upstream) and control-
+  // character debris. The repair is a FIXED substitution table (the
+  // high-frequency core of what ftfy fixes) + a C0/C1 control strip:
+  // pure codegen `replace`/`regexp_replace` chains, so the driver
+  // oracle can run the identical chain (the q50/q94 convention) and a
+  // 100 TB pass stays in the scan projection with no shuffle.
+  // -------------------------------------------------------------------
+
+  /** `(mojibake, repaired)` pairs: each repaired character's UTF-8
+    * bytes as they render when mis-decoded as Windows-1252 (bytes
+    * 0x80–0x9F → cp1252 punctuation; 0xA0–0xFF → the Latin-1-identical
+    * range; 0x9D, undefined in cp1252, passes through as U+009D).
+    * Ordering matters twice: the en/em-dash sequences run BEFORE the
+    * curly quotes whose REPAIRED output (U+201C/U+201D) is those
+    * sequences' third character — otherwise a quote repair could
+    * manufacture a dash pattern mid-chain — and three-char punctuation
+    * runs before two-char accented letters (disjoint lead bytes, but
+    * longest-first is the defensive default). Single pass by design:
+    * double-encoded mojibake (repair output that is itself mojibake)
+    * needs iterated application, which [[repairText]] deliberately
+    * does not do — one pass is what the SQL twin can express, and
+    * double encoding is rare enough to land in the residue metrics.
+    */
+  val MojibakeTable: Seq[(String, String)] = Seq(
+    "â€“" -> "–", // en dash   (e2 80 93)
+    "â€”" -> "—", // em dash   (e2 80 94)
+    "â€™" -> "’", // right single quote (e2 80 99)
+    "â€˜" -> "‘", // left single quote  (e2 80 98)
+    "â€œ" -> "“", // left double quote  (e2 80 9c)
+    "â€" -> "”", // right double quote (e2 80 9d)
+    "â€¦" -> "…", // ellipsis  (e2 80 a6)
+    "â€¢" -> "•", // bullet    (e2 80 a2)
+    "â‚¬" -> "€", // euro sign (e2 82 ac)
+    "Ã " -> "à", // a grave
+    "Ã¡" -> "á", // a acute
+    "Ã¤" -> "ä", // a umlaut
+    "Ã§" -> "ç", // c cedilla
+    "Ã¨" -> "è", // e grave
+    "Ã©" -> "é", // e acute
+    "Ãª" -> "ê", // e circumflex
+    "Ã­" -> "í", // i acute
+    "Ã±" -> "ñ", // n tilde
+    "Ã³" -> "ó", // o acute
+    "Ã¶" -> "ö", // o umlaut
+    "Ãº" -> "ú", // u acute
+    "Ã¼" -> "ü", // u umlaut
+    "Â " -> " ") // no-break space (c2 a0) -> real U+00A0, not ASCII
+  //     space: "A-circumflex" + plain space can be legitimate text; the
+  //     repaired char stays NBSP (strip/normalize separately)
+
+  /** Alternation of every mojibake sequence (all literal characters —
+    * no regex metachars in the table), for counting residue before
+    * repair.
+    */
+  val MojibakePattern: String = MojibakeTable.map(_._1).mkString("|")
+
+  /** C0 controls except tab/newline/CR, DEL, and the C1 block — the
+    * debris left by encoding round-trips (RE2-safe class, the q50
+    * convention).
+    */
+  val ControlPattern: String = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"
+
+  /** One `replace` pass per table entry, in table order. */
+  def repairMojibake(c: Column): Column =
+    MojibakeTable.foldLeft(c) { case (acc, (m, r)) => replace(acc, lit(m), lit(r)) }
+
+  /** Strip control debris — run AFTER [[repairMojibake]]: the U+009D
+    * inside the right-double-quote sequence is itself a C1 control, so
+    * stripping first would destroy that pattern's third byte.
+    */
+  def stripControls(c: Column): Column =
+    regexp_replace(c, ControlPattern, "")
+
+  /** The composed repair: mojibake table, then control strip. */
+  def repairText(c: Column): Column = stripControls(repairMojibake(c))
+
+  /** Mojibake sequences present BEFORE repair (diagnostic column). */
+  def mojibakeCount(c: Column): Column = regexp_count(c, lit(MojibakePattern))
+
+  /** Control chars that survive mojibake repair (diagnostic column). */
+  def controlCount(c: Column): Column =
+    regexp_count(repairMojibake(c), lit(ControlPattern))
+
   /** Stages 1-3 (shared by both pipeline variants): quality gate,
     * language filter, exact dedup on the normalized-content fingerprint.
     */
@@ -151,10 +240,13 @@ object TextPipeline {
     // soup, and two crawls of the same article with different chrome
     // would not exact-dedup). The join keeps all input columns with
     // textCol replaced by the extraction.
+    val repaired =
+      if (!config.repairEncoding) df
+      else df.withColumn(textCol, repairText(col(textCol)))
     val input =
-      if (!config.htmlInput) df
-      else df.drop(textCol).join(
-        extractText(df, idCol, textCol)
+      if (!config.htmlInput) repaired
+      else repaired.drop(textCol).join(
+        extractText(repaired, idCol, textCol)
           .select(col(idCol), col("extracted").as(textCol)),
         Seq(idCol))
     val gated = input
