@@ -1555,6 +1555,56 @@ object SparkEntry {
           octet_length(repaired).cast("long").as("repaired_octets"),
           md5(repaired).as("repaired_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Bloom-prefiltered anti-join: "drop documents whose content we
+    // already crawled" with EXACT anti-join semantics — the filter's
+    // authoritative "no" short-cuts definite-new rows past the
+    // shuffle; only maybe-seen candidates (true members + the ~1% FP
+    // sliver) join. Output is fpp-independent, so it is fully oracled
+    // against the plain DuckDB anti-join; the shuffle-size win is
+    // q104's story.
+    "q103_bloom_antijoin" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val seen = docs.where(col("doc_id") % 3 === 0)
+        .select(md5(col("text")).as("__fp")).distinct()
+      val big = docs.select(col("doc_id"), md5(col("text")).as("__fp"))
+      graft.ext.BloomGate.bloomedAntiJoin(big, "__fp", seen, "__fp", fpp = 0.01)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The gate's own dashboard: one row with the exact candidate /
+    // definite-new split the filter produced, the measured FPR against
+    // ground truth, and the missed-member count — which MUST be 0 (no
+    // false negatives) and is exposed so the artifact proves it, not
+    // just the spec. Rows-only (bit-pattern-dependent); bounded by
+    // oracled q103 (same filter, exact output) + BloomGateSpec.
+    "q104_bloom_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val seen = docs.where(col("doc_id") % 3 === 0)
+        .select(md5(col("text")).as("__fp")).distinct()
+      val nSeen = seen.count()
+      val filter = graft.ext.BloomGate.buildFilter(seen, "__fp", nSeen, fpp = 0.01)
+      val flagged = docs.select(col("doc_id"), md5(col("text")).as("__fp"))
+        .withColumn("__might",
+          graft.ext.BloomGate.mightContain(filter, col("__fp")))
+        .join(seen.withColumn("__m", lit(1)), Seq("__fp"), "left")
+        .select(col("__might"), (col("__m") === 1).as("__member"))
+      flagged.agg(
+          count(lit(1)).as("n_docs"),
+          lit(nSeen).as("n_seen_keys"),
+          lit(filter.length.toLong).as("filter_bytes"),
+          sum(when(!col("__might"), 1L).otherwise(0L)).as("n_definite_new"),
+          sum(when(col("__might"), 1L).otherwise(0L)).as("n_candidates"),
+          sum(when(col("__member"), 1L).otherwise(0L)).as("n_true_members"),
+          sum(when(col("__might") && !col("__member"), 1L).otherwise(0L))
+            .as("n_false_positives"),
+          sum(when(!col("__might") && col("__member"), 1L).otherwise(0L))
+            .as("n_missed_members"))
+        .withColumn("measured_fpr",
+          round(col("n_false_positives").cast("double") /
+            greatest(col("n_docs") - col("n_true_members"), lit(1L)), 6))
     })
   )
 
@@ -3200,7 +3250,17 @@ object SparkEntry {
                   AS repaired_octets,
                 md5(regexp_replace(rep, '$ctl', '', 'g')) AS repaired_md5
          FROM r ORDER BY doc_id"""
-    }
+    },
+
+    // Plain anti-join on content fingerprint: the Bloom prefilter is
+    // pure shuffle avoidance, invisible in the result
+    "q103_bloom_antijoin" ->
+      """SELECT d.doc_id FROM documents d
+         WHERE d.text IS NOT NULL AND NOT EXISTS (
+           SELECT 1 FROM documents s
+           WHERE s.doc_id % 3 = 0 AND s.text IS NOT NULL
+             AND md5(s.text) = md5(d.text))
+         ORDER BY d.doc_id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -3279,5 +3339,6 @@ object SparkEntry {
     // is covered by q95 + the existing packing rows q65/q86/q88
     "q92_minhash_index_admission", "q94_html_extract", "q95_bpe_encode",
     "q98_classifier_quality", "q99_html_links", "q100_pr_curve",
-    "q101_warc_ingest", "q102_encoding_repair")
+    "q101_warc_ingest", "q102_encoding_repair", "q103_bloom_antijoin",
+    "q104_bloom_stats")
 }

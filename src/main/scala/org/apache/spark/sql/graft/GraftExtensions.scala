@@ -15,5 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorOps.dotDescriptor)
     ext.injectFunction(VectorOps.sqdistDescriptor)
     ext.injectFunction(LangScores.descriptor)
+    ext.injectFunction(BloomContains.descriptor)
   }
 }
