@@ -1605,7 +1605,20 @@ object SparkEntry {
         .withColumn("measured_fpr",
           round(col("n_false_positives").cast("double") /
             greatest(col("n_docs") - col("n_true_members"), lit(1L)), 6))
-    })
+    }),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis
+    // exponential keys on the md5 coordinate): 50 docs drawn with
+    // probability proportional to length. Deterministic and
+    // engine-independent, so the oracle selects the IDENTICAL rows —
+    // a fully-oracled weighted sampler, where rand()-based sampling
+    // can never be.
+    "q105_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+          t(s, dir, "documents").where(col("text").isNotNull),
+          "text", greatest(col("n_chars"), lit(1L)), k = 50)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id")))
   )
 
   /** q102's planted garble, built FROM [[TextPipeline.MojibakeTable]]
@@ -3260,7 +3273,18 @@ object SparkEntry {
            SELECT 1 FROM documents s
            WHERE s.doc_id % 3 = 0 AND s.text IS NOT NULL
              AND md5(s.text) = md5(d.text))
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+
+    // The identical exponential-key formula: u from the same 12-hex
+    // md5 prefix (+0.5 / 16^12), key = -ln(u)/w, 50 smallest
+    "q105_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars,
+                  -ln((('0x' || substr(md5(text || 'ws'), 1, 12))::BIGINT + 0.5)
+                      / 281474976710656.0) / greatest(n_chars, 1) AS key
+           FROM documents WHERE text IS NOT NULL
+           ORDER BY key LIMIT 50)
+         ORDER BY doc_id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -3340,5 +3364,5 @@ object SparkEntry {
     "q92_minhash_index_admission", "q94_html_extract", "q95_bpe_encode",
     "q98_classifier_quality", "q99_html_links", "q100_pr_curve",
     "q101_warc_ingest", "q102_encoding_repair", "q103_bloom_antijoin",
-    "q104_bloom_stats")
+    "q104_bloom_stats", "q105_weighted_sample")
 }

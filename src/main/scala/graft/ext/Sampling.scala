@@ -108,6 +108,44 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (the
+    * Efraimidis–Spirakis exponential-keys construction): each row gets
+    * `key = -ln(u) / w` with `u ∈ (0,1)` drawn from the md5 coordinate
+    * of `keyCol` + `salt` (first 12 hex chars → 48-bit uniform, offset
+    * by 0.5 so u is never 0), and the sample is the `k` SMALLEST keys.
+    * This reproduces the classical WSWOR inclusion law — a weight-10
+    * row is 10× the draw priority of a weight-1 row at every step —
+    * while staying engine-independent and partition-invariant: the
+    * DuckDB oracle computes the identical keys and selects the
+    * identical rows (the q37 md5-coordinate convention, extended to
+    * weights).
+    *
+    * `weight` must be strictly positive for every row (wrap in
+    * `greatest(w, 1)` for count-like weights); a zero weight divides
+    * to +inf (never sampled) and a negative one inverts the law, so
+    * both are the caller's bug, not a silent reweighting.
+    *
+    * Shape at scale: the key is one scalar in the scan projection and
+    * selection is `orderBy(key).limit(k)` — Spark plans
+    * TakeOrderedAndProject (per-partition top-k heaps + one k-row
+    * merge on the driver), NOT a global sort materialization.
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weight: Column,
+      k: Int,
+      salt: String = "ws"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val v = conv(substring(md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 12),
+      16, 10).cast("long")
+    val u = (v.cast("double") + 0.5) / lit(math.pow(16.0, 12.0))
+    df.withColumn("__wskey", -log(u) / weight.cast("double"))
+      .orderBy(col("__wskey"))
+      .limit(k)
+      .drop("__wskey")
+  }
+
   /** Sequence packing — concat-and-chunk bookkeeping for LLM training:
     * documents are laid end-to-end in md5-coordinate order and the
     * resulting token stream is sliced into fixed `seqLen` windows; each

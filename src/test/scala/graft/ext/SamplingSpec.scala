@@ -242,4 +242,47 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     ids.size.toLong should be >= concatPacks
     ids.size.toLong should be <= isolatedPacks
   }
+
+  test("weightedSample matches an independent driver-side reference at any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (0L until 400L).map(i => (i, s"content number $i", 1L + i % 37))
+    // independent reference: same formula, plain Scala
+    val expected = rows.map { case (id, text, w) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((text + "ws").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / math.pow(16.0, 12.0)
+      (id, -math.log(u) / w)
+    }.sortBy(_._2).take(25).map(_._1).toSet
+    for (parts <- Seq(1, 8)) {
+      val df = rows.toDF("id", "text", "w").repartition(parts)
+      val got = Sampling.weightedSample(df, "text", col("w"), k = 25)
+        .select("id").collect().map(_.getLong(0)).toSet
+      withClue(s"parts=$parts: ") { got shouldBe expected }
+    }
+  }
+
+  test("weightedSample: heavier rows dominate the sample (inclusion law)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 500 light (w=1) + 500 heavy (w=20); k=100 -> heavy share should
+    // sit near 20/21, far above the unweighted 1/2 (deterministic
+    // fixture, pinned band rather than a flaky statistical test)
+    val df = (0L until 1000L).map(i =>
+      (i, s"doc body $i", if (i < 500) 1L else 20L)).toDF("id", "text", "w")
+    val heavy = Sampling.weightedSample(df, "text", col("w"), k = 100)
+      .where(col("id") >= 500).count()
+    heavy.toDouble should be > 75.0
+  }
+
+  test("weightedSample plans TakeOrderedAndProject, not a global sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1000).select(col("id"),
+      concat(lit("t"), col("id")).as("text"), lit(1L).as("w"))
+    val plan = Sampling.weightedSample(df, "text", col("w"), k = 10)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+  }
 }
