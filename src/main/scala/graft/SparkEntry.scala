@@ -1619,6 +1619,51 @@ object SparkEntry {
           "text", greatest(col("n_chars"), lit(1L)), k = 50)
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id")))
+,
+
+    // PCA projection: one corpus pass of raw moments (typed
+    // Aggregator, 16 KB buffer, map-side merges), a driver-side 64×64
+    // Jacobi eigensolve, then 8 codegen dot products per row with
+    // centering folded into constants — the variance-optimal
+    // counterpart to q80's random projection. Rows-only (eigensolve
+    // has no SQL twin); recovery/orthonormality/partition-invariance
+    // pinned in PcaSpec, optimality vs the random basis in q107.
+    "q106_pca_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.ext.Pca.fitPca(emb, "embedding", r = 8)
+      graft.ext.Pca.projectPca(emb, "embedding", model)
+        .select(col("vec_id"),
+          round(element_at(col("proj"), 1), 6).as("p1"),
+          round(element_at(col("proj"), 2), 6).as("p2"),
+          round(sqrt(org.apache.spark.sql.graft.VectorOps
+            .dot(col("proj"), col("proj"))), 6).as("proj_norm"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // The optimality dashboard: variance captured by the 8 PCA
+    // components vs the SAME-rank q80 random-projection basis
+    // (Gram-Schmidt orthonormalized) under the SAME covariance — the
+    // Rayleigh bound says pca_fraction >= rand_fraction, and this row
+    // puts the measured gap in the artifact. Rows-only; the inequality
+    // is also pinned on a fixture in PcaSpec.
+    "q107_pca_quality" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.ext.Pca.fitPca(emb, "embedding", r = 8)
+      val planes = SimilaritySearch.hyperplanes(numPlanes = 8, dim = model.dim, seed = 42L)
+        .map(_.toArray).toArray
+      val randVar = graft.ext.Pca.capturedVariance(emb, "embedding", planes)
+      val pcaVar = model.eigenvalues.take(8).sum
+      val total = model.totalVariance
+      emb.sparkSession.range(1).select(
+        lit(model.dim).as("dim"),
+        lit(8).as("r"),
+        lit(model.n).as("n_vectors"),
+        round(lit(total), 6).as("total_variance"),
+        round(lit(pcaVar), 6).as("pca_variance"),
+        round(lit(pcaVar / total), 6).as("pca_fraction"),
+        round(lit(randVar), 6).as("rand_variance"),
+        round(lit(randVar / total), 6).as("rand_fraction"))
+    })
   )
 
   /** q102's planted garble, built FROM [[TextPipeline.MojibakeTable]]
@@ -3364,5 +3409,6 @@ object SparkEntry {
     "q92_minhash_index_admission", "q94_html_extract", "q95_bpe_encode",
     "q98_classifier_quality", "q99_html_links", "q100_pr_curve",
     "q101_warc_ingest", "q102_encoding_repair", "q103_bloom_antijoin",
-    "q104_bloom_stats", "q105_weighted_sample")
+    "q104_bloom_stats", "q105_weighted_sample", "q106_pca_project",
+    "q107_pca_quality")
 }
