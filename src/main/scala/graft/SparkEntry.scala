@@ -1663,6 +1663,34 @@ object SparkEntry {
         round(lit(pcaVar / total), 6).as("pca_fraction"),
         round(lit(randVar), 6).as("rand_variance"),
         round(lit(randVar / total), 6).as("rand_fraction"))
+    }),
+
+    // Frame-level audio features: 40 REAL 16-bit-PCM WAVs (alternating
+    // 100 ms burst/silence, parameters deterministic per id) built in
+    // the scan, framed at 50 ms, each frame reduced to rms/peak/zcr,
+    // then per-clip voice-activity segmentation — the audio analog of
+    // the video frame-sample plan, with the decode REAL (not stubbed).
+    // Rows-only; closed-form per-frame expectations (sine rms = a/√2,
+    // zcr = 2f/rate, silence exactly zero) pinned in AudioFramesSpec.
+    "q108_audio_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(40).as[Long].map(id => Multimodal.MediaRow(
+        id, "audio",
+        graft.ext.MediaCodec.Fixtures.burstWav(
+          freq = 200 + 10 * (id % 8).toInt,
+          amp = 0.2 + 0.1 * (id % 5),
+          seconds = 0.4, burstMs = 100)))
+      Multimodal.audioFrameFeatures(media, frameMs = 50).toDF()
+        .groupBy(col("media_id"))
+        .agg(
+          count(lit(1)).as("n_frames"),
+          sum(when(col("rms") > 0.05, 1L).otherwise(0L)).as("n_voiced"),
+          round(avg(col("rms")), 4).as("avg_rms"),
+          round(max(col("peak")), 4).as("max_peak"),
+          round(avg(col("zcr")), 4).as("avg_zcr"))
+        .withColumn("voiced_fraction",
+          round(col("n_voiced").cast("double") / col("n_frames"), 4))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -3410,5 +3438,5 @@ object SparkEntry {
     "q98_classifier_quality", "q99_html_links", "q100_pr_curve",
     "q101_warc_ingest", "q102_encoding_repair", "q103_bloom_antijoin",
     "q104_bloom_stats", "q105_weighted_sample", "q106_pca_project",
-    "q107_pca_quality")
+    "q107_pca_quality", "q108_audio_frames")
 }

@@ -84,6 +84,38 @@ object Multimodal {
       .where(col("kind") === "video" && col("duration_ms") > 0)
       .withColumn("frame_ts_ms",
         sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)))
+
+  /** One analysis frame of a PCM payload ([[audioFrameFeatures]]). */
+  final case class AudioFrame(
+      media_id: Long,
+      frame_idx: Int,
+      start_ms: Long,
+      rms: Double, // [0,1] of full scale
+      peak: Double,
+      zcr: Double) // sign changes per sample transition within the frame
+
+  /** Frame-level audio features over 16-bit PCM WAV payloads: the
+    * payload's data chunk sliced into non-overlapping `frameMs`
+    * windows, each reduced to (rms, peak, zcr) — the
+    * silence/voice-activity primitives every audio curation pipeline
+    * segments on, and the audio analog of [[frameSamplePlan]] (which
+    * PLANS frames; this one computes per-frame features for real).
+    *
+    * Typed flatMap: per-payload linear CPU in the scan projection, no
+    * shuffle — downstream segmentation aggregates the (id, frame)
+    * stream, which is the narrow thing to shuffle, never the payload
+    * bytes. Non-WAV / non-PCM16 payloads yield no rows (the decode
+    * boundary convention: [[MediaCodec.wavFrameFeatures]] returns
+    * empty, callers needing "undecodable" rows left-join back).
+    */
+  def audioFrameFeatures(media: Dataset[MediaRow], frameMs: Int): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap(r =>
+      MediaCodec.wavFrameFeatures(r.payload, frameMs).map {
+        case (idx, startMs, rms, peak, zcr) =>
+          AudioFrame(r.media_id, idx, startMs, rms, peak, zcr)
+      })
+  }
 }
 
 /** The decode boundary. ENVELOPE properties are decoded for real with
@@ -508,6 +540,71 @@ object MediaCodec {
       clipped.toDouble / n, if (n > 1) crossings.toDouble / (n - 1) else 0.0))
   }
 
+  /** Per-frame PCM features of a 16-bit PCM WAV: the data chunk cut
+    * into non-overlapping `frameMs` windows (interleaved-sample count
+    * `rate·channels·frameMs/1000`, min 1), each reduced to the same
+    * (rms, peak, zcr) math as [[wavPcmStats]] — one linear pass, one
+    * tuple per frame: `(frame_idx, start_ms, rms, peak, zcr)`. The
+    * trailing partial frame is reported over its actual sample count.
+    * Empty for non-RIFF / non-PCM16 payloads or `frameMs <= 0`.
+    */
+  def wavFrameFeatures(b: Array[Byte], frameMs: Int): Seq[(Int, Long, Double, Double, Double)] = {
+    if (frameMs <= 0) return Nil
+    if (b.length < 12 ||
+        b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return Nil
+    var i = 12
+    var fmtOk = false
+    var rate = 0
+    var channels = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (i + 8 <= b.length && (!fmtOk || dataOff < 0)) {
+      val size = le32(b, i + 4) & 0xFFFFFFFFL
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (size < 16 || i + 8 + 16 > b.length) return Nil
+        fmtOk = le16(b, i + 8) == 1 && le16(b, i + 22) == 16
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12)
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        dataOff = i + 8
+        dataLen = math.min(size, (b.length - dataOff).toLong).toInt
+      }
+      if (size > Int.MaxValue - 16L) return Nil
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    val n = dataLen / 2
+    if (!fmtOk || dataOff < 0 || n == 0 || rate <= 0 || channels <= 0) return Nil
+    val perFrame = math.max(1L, rate.toLong * channels * frameMs / 1000L).toInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double, Double)]
+    var f = 0
+    var s0 = 0
+    while (s0 < n) {
+      val m = math.min(perFrame, n - s0)
+      var sumSq = 0.0; var peak = 0; var crossings = 0L; var prevSign = 0
+      var s = 0
+      while (s < m) {
+        val v = ((b(dataOff + 2 * (s0 + s)) & 0xFF) |
+          (b(dataOff + 2 * (s0 + s) + 1) << 8)).toShort.toInt
+        val a = math.abs(v)
+        sumSq += v.toDouble * v
+        if (a > peak) peak = a
+        val sign = Integer.signum(v)
+        if (sign != 0) {
+          if (prevSign != 0 && sign != prevSign) crossings += 1
+          prevSign = sign
+        }
+        s += 1
+      }
+      out += ((f, s0.toLong * 1000L / (rate.toLong * channels),
+        math.sqrt(sumSq / m) / 32768.0, peak / 32768.0,
+        if (m > 1) crossings.toDouble / (m - 1) else 0.0))
+      f += 1
+      s0 += m
+    }
+    out.toSeq
+  }
+
   /** Walk JPEG marker segments from SOI to the first SOFn (C0–CF minus
     * C4/C8/CC, which aren't frame headers); height/width are big-endian
     * shorts at segment offsets 5/7. Stops at SOS (entropy-coded data —
@@ -730,6 +827,34 @@ object MediaCodec {
       var i = 0
       while (i < n) {
         le16(math.round(amp * 32767.0 *
+          math.sin(2 * math.Pi * freq * i / sr)).toInt & 0xFFFF)
+        i += 1
+      }
+      out.toByteArray
+    }
+
+    /** Alternating burst/silence mono WAV at 16 kHz: `freq` Hz sine at
+      * `amp` during even `burstMs` windows, digital silence during odd
+      * ones — closed-form per-frame expectations when analyzed at a
+      * frame length dividing `burstMs` (voiced frames: rms ≈ amp/√2,
+      * zcr ≈ 2·freq/rate; silent frames: exactly 0 / 0 / 0).
+      */
+    def burstWav(freq: Int, amp: Double, seconds: Double = 0.4, burstMs: Int = 100): Array[Byte] = {
+      val sr = 16000
+      val n = (sr * seconds).toInt
+      val out = new java.io.ByteArrayOutputStream(44 + 2 * n)
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+      out.write("RIFF".getBytes); le32(36 + 2 * n); out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); le32(16); le16(1); le16(1)
+      le32(sr); le32(sr * 2); le16(2); le16(16)
+      out.write("data".getBytes); le32(2 * n)
+      val perBurst = sr * burstMs / 1000
+      var i = 0
+      while (i < n) {
+        val voiced = (i / perBurst) % 2 == 0
+        le16(if (!voiced) 0
+        else math.round(amp * 32767.0 *
           math.sin(2 * math.Pi * freq * i / sr)).toInt & 0xFFFF)
         i += 1
       }
