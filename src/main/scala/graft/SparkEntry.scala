@@ -1691,6 +1691,23 @@ object SparkEntry {
         .withColumn("voiced_fraction",
           round(col("n_voiced").cast("double") / col("n_frames"), 4))
         .orderBy(col("media_id"))
+    }),
+
+    // Weighted, dangling-aware PageRank (10 damped power iterations)
+    // over a 20→25-node modular link graph derived from doc ids —
+    // the crawl-prioritization / domain-authority signal. Fully
+    // oracled: DuckDB unrolls the identical 10 iterations (generated
+    // from one template), so every join/aggregate of the message-
+    // passing loop is hash-verified; an independent Scala reference +
+    // mass-conservation law pinned in LinkGraphSpec.
+    "q109_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val edges = docs.select(
+        (col("doc_id") % 20).as("src"),
+        ((col("doc_id") * 7 + 3) % 25).as("dst"))
+      graft.ext.LinkGraph.pageRank(edges, "src", "dst", damping = 0.85, iterations = 10)
+        .select(col("node"), round(col("rank"), 6).as("pagerank"))
+        .orderBy(col("node"))
     })
   )
 
@@ -3357,7 +3374,42 @@ object SparkEntry {
                       / 281474976710656.0) / greatest(n_chars, 1) AS key
            FROM documents WHERE text IS NOT NULL
            ORDER BY key LIMIT 50)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // The identical 10 power iterations, unrolled from one template
+    // (recursive CTEs restrict aggregation in the recursive term, and
+    // an unrolled chain is also closer to what the Spark loop runs)
+    "q109_pagerank" -> {
+      val base =
+        """WITH ew AS (
+             SELECT doc_id % 20 AS src, (doc_id * 7 + 3) % 25 AS dst,
+                    count(*)::DOUBLE AS w
+             FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+           nodes AS (SELECT DISTINCT v
+                     FROM (SELECT src AS v FROM ew UNION SELECT dst FROM ew)),
+           nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+           shares AS (SELECT src, dst,
+                             w / sum(w) OVER (PARTITION BY src) AS share
+                      FROM ew),
+           dang AS (SELECT v FROM nodes
+                    WHERE v NOT IN (SELECT DISTINCT src FROM ew)),
+           pr0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes, nn)"""
+      val iters = (1 to 10).map { i =>
+        val p = s"pr${i - 1}"
+        s""",
+           dm$i AS (SELECT coalesce(sum(r), 0) AS m FROM $p
+                    WHERE v IN (SELECT v FROM dang)),
+           c$i AS (SELECT s.dst AS v, sum(p.r * s.share) AS c
+                   FROM $p p JOIN shares s ON p.v = s.src GROUP BY s.dst),
+           pr$i AS (SELECT nodes.v,
+                           (1 - 0.85) / nn.n
+                             + 0.85 * (coalesce(c$i.c, 0) + dm$i.m / nn.n) AS r
+                    FROM nodes LEFT JOIN c$i ON nodes.v = c$i.v, nn, dm$i)"""
+      }.mkString
+      base + iters +
+        """
+           SELECT v AS node, round(r, 6) AS pagerank FROM pr10 ORDER BY node"""
+    }
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -3438,5 +3490,5 @@ object SparkEntry {
     "q98_classifier_quality", "q99_html_links", "q100_pr_curve",
     "q101_warc_ingest", "q102_encoding_repair", "q103_bloom_antijoin",
     "q104_bloom_stats", "q105_weighted_sample", "q106_pca_project",
-    "q107_pca_quality", "q108_audio_frames")
+    "q107_pca_quality", "q108_audio_frames", "q109_pagerank")
 }

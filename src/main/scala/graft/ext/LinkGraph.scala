@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for crawl curation — the authority signal
+  * behind "crawl this domain more / weight this source higher".
+  * PageRank here is the fixed-iteration power method, spelled as the
+  * engine spells connected components ([[Dedup.connectedComponents]]):
+  * a driver loop over declarative per-iteration plans, each iteration
+  * ONE shuffle (contributions grouped by target), with `localCheckpoint`
+  * pinning every iterate so lineage stays flat.
+  *
+  * Semantics (the standard damped, weighted, dangling-aware form):
+  * `r'(v) = (1−d)/N + d·( Σ_{u→v} r(u)·w(u,v)/outw(u) + mass_dangling/N )`
+  * — parallel edges merge into weights, a node with no out-links
+  * redistributes its rank uniformly, so Σr = 1 is an invariant after
+  * every iteration (spec-pinned).
+  *
+  * Shape at scale: the share-annotated edge list is built once,
+  * pinned, and re-joined each iteration (ranks are |V|-sized, edges
+  * |E|-sized; the join shuffles on src then aggregates on dst — the
+  * unavoidable two-hop of any message-passing step). The dangling
+  * mass is a 1-row aggregate per iteration (an O(iterations)
+  * driver-scalar class, like the components convergence check — NOT a
+  * per-row collect). Fixed iteration count, not a convergence test:
+  * a bounded, reproducible plan the oracle can unroll.
+  */
+object LinkGraph {
+
+  /** PageRank over `(srcCol, dstCol)` edge rows (parallel edges =
+    * weight). Output: `(node, rank)` — node typed as the input column.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      damping: Double = 0.85,
+      iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val ew = edges
+      .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    val nodes = ew.select(col("src").as("v"))
+      .union(ew.select(col("dst").as("v")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank needs at least one edge")
+    val outw = ew.groupBy("src").agg(sum("w").as("__ow"))
+    val shares = ew.join(outw, "src")
+      .select(col("src"), col("dst"), (col("w") / col("__ow")).as("share"))
+      .localCheckpoint() // re-joined every iteration; never recomputed
+    val dangling = nodes
+      .join(shares.select(col("src").as("v")).distinct(), Seq("v"), "left_anti")
+      .localCheckpoint()
+    var ranks = nodes.select(col("v"), lit(1.0 / n).as("rank")).localCheckpoint()
+    var it = 0
+    while (it < iterations) {
+      val danglingMass = ranks
+        .join(dangling, Seq("v"), "left_semi")
+        .agg(coalesce(sum("rank"), lit(0.0)))
+        .head().getDouble(0)
+      val contrib = ranks
+        .join(shares, ranks("v") === shares("src"))
+        .groupBy(col("dst").as("v"))
+        .agg(sum(col("rank") * col("share")).as("__c"))
+      ranks = nodes
+        .join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) + lit(danglingMass / n)))
+            .as("rank"))
+        .localCheckpoint()
+      it += 1
+    }
+    ranks.withColumnRenamed("v", "node")
+  }
+}

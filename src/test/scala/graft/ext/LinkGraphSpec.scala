@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class LinkGraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  /** Independent driver-side reference: same damped, weighted,
+    * dangling-aware power method in plain Scala.
+    */
+  private def reference(
+      edges: Seq[(Long, Long)],
+      damping: Double,
+      iterations: Int): Map[Long, Double] = {
+    val w = edges.groupBy(identity).map { case (e, es) => (e, es.size.toDouble) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val outw = w.groupBy(_._1._1).map { case (s, m) => (s, m.values.sum) }
+    var r = nodes.map(v => v -> 1.0 / n).toMap
+    for (_ <- 1 to iterations) {
+      val danglingMass = nodes.filterNot(outw.contains).map(r).sum
+      val contrib = w.toSeq
+        .map { case ((s, d), wt) => (d, r(s) * wt / outw(s)) }
+        .groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).sum) }
+      r = nodes.map(v => v ->
+        ((1 - damping) / n +
+          damping * (contrib.getOrElse(v, 0.0) + danglingMass / n))).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], damping: Double = 0.85, iters: Int = 10) = {
+    import spark.implicits._
+    LinkGraph.pageRank(edges.toDF("s", "d"), "s", "d", damping, iters)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+  }
+
+  test("two-node cycle: symmetric ranks of 1/2") {
+    val r = run(Seq((1L, 2L), (2L, 1L)))
+    r(1L) shouldBe 0.5 +- 1e-12
+    r(2L) shouldBe 0.5 +- 1e-12
+  }
+
+  test("matches the independent reference on a graph with dangling nodes and multi-edges") {
+    // 0→1 (twice: weight 2), 0→2, 1→2, 3 dangling (only a target),
+    // 2→3 — node 3 redistributes everywhere
+    val edges = Seq((0L, 1L), (0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L))
+    val got = run(edges)
+    val want = reference(edges, 0.85, 10)
+    got.keySet shouldBe want.keySet
+    got.foreach { case (v, r) => r shouldBe want(v) +- 1e-12 }
+  }
+
+  test("rank mass is conserved: sum(rank) = 1 after any iteration count") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (4L, 0L))
+    for (iters <- Seq(1, 3, 10)) {
+      val total = run(edges, iters = iters).values.sum
+      withClue(s"iters=$iters: ") { total shouldBe 1.0 +- 1e-9 }
+    }
+  }
+
+  test("authority flows to the linked-to hub") {
+    // everyone links to 9; 9 links back only to 0
+    val edges = (0L until 9L).map(i => (i, 9L)) :+ (9L, 0L)
+    val r = run(edges)
+    r(9L) should be > 3 * r(1L)
+    r(0L) should be > r(1L) // receives 9's full endorsement
+  }
+
+  test("partition-invariant at rounded precision") {
+    import spark.implicits._
+    val edges = (0L until 200L).map(i => (i % 20, (i * 7 + 3) % 25))
+    def at(parts: Int) =
+      LinkGraph.pageRank(edges.toDF("s", "d").repartition(parts), "s", "d")
+        .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9) / 1e9))
+        .toMap
+    at(1) shouldBe at(8)
+  }
+}
