@@ -35,10 +35,16 @@ object SparkEntry {
   private def moneySum(c: org.apache.spark.sql.Column, scale: Int = 2) =
     sum(c.cast(s"decimal(38,$scale)")).cast("double")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark only reads as raw nanos (legacy nanosAsLong conf); convert to
-    * a micros TimestampType column (truncation — DuckDB's native
-    * nanos→micros read truncates identically).
+  /** The events table's `ts` column has shipped in two physical forms
+    * across harness testdata generations: parquet TIMESTAMP(NANOS)
+    * (which Spark only reads as raw nanos LongType under the legacy
+    * nanosAsLong conf) and plain TIMESTAMP(MICROS) without the
+    * adjusted-to-UTC flag (which Spark reads as TIMESTAMP_NTZ). Both
+    * normalize here to a micros TimestampType column — nanos truncate
+    * (DuckDB's native nanos→micros read truncates identically), and the
+    * NTZ→LTZ cast is value-preserving because every Graft session pins
+    * `spark.sql.session.timeZone=UTC` ([[GraftSession.configure]]).
+    * Downstream operators therefore never see the storage difference.
     *
     * SESSION-GLOBAL SIDE EFFECT, by contract: the conf below changes
     * parquet nanos-timestamp semantics for EVERY query on the session,
@@ -53,7 +59,14 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (s.conf.get(key, "false") != "true") s.conf.set(key, "true")
-    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (or DATE): value-preserving under UTC
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** q89's replay feed (the events table published as start/end JSON
@@ -66,6 +79,35 @@ object SparkEntry {
     */
   private val q89FeedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q91/q98/q100 all fit the SAME gate (even-doc_id half, en-vs-rest)
+    * before diverging into score table / quality row / PR curve —
+    * training is the expensive pass (corpus explode + bucket agg), so
+    * fit once per (session, dir) and share. Keyed by session too:
+    * the model holds localCheckpoint'd DataFrames bound to a
+    * SparkContext, and tests run queries on their own short-lived
+    * sessions — a cached frame from a stopped context must never leak
+    * into a live one.
+    */
+  private val evenIdModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), TextAnalysis.HashedNgramModel]()
+  private def evenIdModel(s: SparkSession, dir: String): TextAnalysis.HashedNgramModel =
+    evenIdModelCache.computeIfAbsent((s, dir), _ =>
+      TextAnalysis.hashedNgramModel(
+        t(s, dir, "documents").where(col("doc_id") % 2 === 0),
+        "text", col("lang") === "en"))
+
+  /** q106/q107 refit the same rank-8 PCA; the model is pure driver-side
+    * arrays (moments + Jacobi eigensolve output), so the fit — one full
+    * corpus pass — is shared per (session, dir). Session-keyed for the
+    * same lifecycle reason as [[evenIdModelCache]] (the fit runs Spark
+    * jobs; cached results must not outlive their context's data view).
+    */
+  private val pcaModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.ext.Pca.PcaModel]()
+  private def pcaModel(s: SparkSession, dir: String): graft.ext.Pca.PcaModel =
+    pcaModelCache.computeIfAbsent((s, dir), _ =>
+      graft.ext.Pca.fitPca(t(s, dir, "embeddings"), "embedding", r = 8))
   private def q89Feed(s: SparkSession, dir: String): String =
     q89FeedCache.computeIfAbsent(dir, _ => {
       val ev = events(s, dir).localCheckpoint() // fans out to starts AND ends
@@ -1297,9 +1339,7 @@ object SparkEntry {
     // held-out scores too.
     "q91_classifier_holdout" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val model = TextAnalysis.hashedNgramModel(
-        docs.where(col("doc_id") % 2 === 0), "text", col("lang") === "en")
-      TextAnalysis.scoreHashedNgrams(docs, "doc_id", "text", model)
+      TextAnalysis.scoreHashedNgrams(docs, "doc_id", "text", evenIdModel(s, dir))
         .orderBy(col("doc_id"))
     }),
 
@@ -1449,9 +1489,7 @@ object SparkEntry {
     // rank-sum AUC; floors pinned in EstimatorQualitySpec.
     "q98_classifier_quality" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val model = TextAnalysis.hashedNgramModel(
-        docs.where(col("doc_id") % 2 === 0), "text", col("lang") === "en")
-      val holdout = TextAnalysis.scoreHashedNgrams(docs, "doc_id", "text", model)
+      val holdout = TextAnalysis.scoreHashedNgrams(docs, "doc_id", "text", evenIdModel(s, dir))
         .where(col("doc_id") % 2 === 1)
         .join(docs.select(col("doc_id"),
           coalesce(col("lang") === "en", lit(false)).as("__label")), Seq("doc_id"))
@@ -1499,9 +1537,7 @@ object SparkEntry {
     // (cumulative window over the distinct-score table).
     "q100_pr_curve" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val model = TextAnalysis.hashedNgramModel(
-        docs.where(col("doc_id") % 2 === 0), "text", col("lang") === "en")
-      val holdout = TextAnalysis.scoreHashedNgrams(docs, "doc_id", "text", model)
+      val holdout = TextAnalysis.scoreHashedNgrams(docs, "doc_id", "text", evenIdModel(s, dir))
         .where(col("doc_id") % 2 === 1)
         .join(docs.select(col("doc_id"),
           coalesce(col("lang") === "en", lit(false)).as("__label")), Seq("doc_id"))
@@ -1630,7 +1666,7 @@ object SparkEntry {
     // pinned in PcaSpec, optimality vs the random basis in q107.
     "q106_pca_project" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val model = graft.ext.Pca.fitPca(emb, "embedding", r = 8)
+      val model = pcaModel(s, dir)
       graft.ext.Pca.projectPca(emb, "embedding", model)
         .select(col("vec_id"),
           round(element_at(col("proj"), 1), 6).as("p1"),
@@ -1648,7 +1684,7 @@ object SparkEntry {
     // is also pinned on a fixture in PcaSpec.
     "q107_pca_quality" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val model = graft.ext.Pca.fitPca(emb, "embedding", r = 8)
+      val model = pcaModel(s, dir)
       val planes = SimilaritySearch.hyperplanes(numPlanes = 8, dim = model.dim, seed = 42L)
         .map(_.toArray).toArray
       val randVar = graft.ext.Pca.capturedVariance(emb, "embedding", planes)

@@ -25,24 +25,47 @@ object Verify {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .foreach { case (name, fn) =>
-      val target = s"$outDir/$name"
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(target)
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          // Remove any stale result from a previous run: a leftover
-          // parquet dir would let the compare silently validate old
-          // output and mask the regression.
-          deleteRecursively(new java.io.File(target))
-      }
-    }
+    // oracle_sql.json FIRST: it is pure metadata, and the downstream
+    // compare degenerates to {} without it. Writing it before the query
+    // loop means any driver-side time cap that kills the JVM mid-dump
+    // leaves a usable PARTIAL artifact (every query dumped so far still
+    // gets compared) instead of losing the whole round's signal.
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${JsonUtil.quote(k)}: ${JsonUtil.quote(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val work = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+    // Dump on a small thread pool: per-query wall at sf0.01 is mostly
+    // fixed planning/scheduling overhead, and Spark schedules concurrent
+    // jobs from multiple threads fine (results land in independent
+    // dirs; the registry holds no shared catalog state). 4 threads cuts
+    // the 110-query sequential ~20 min to well under any driver cap.
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt)
+    val tasks = work.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val target = s"$outDir/$name"
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(target)
+            System.err.println(f"[verify] ${done.incrementAndGet()}%3d/${work.size} $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[verify] ${done.incrementAndGet()}/${work.size} $name FAILED: ${e.getMessage}")
+              // Remove any stale result from a previous run: a leftover
+              // parquet dir would let the compare silently validate old
+              // output and mask the regression.
+              deleteRecursively(new java.io.File(target))
+          }
+          System.err.flush()
+        }
+      })
+    }
+    tasks.foreach(_.get())
+    pool.shutdown()
     spark.stop()
   }
 
