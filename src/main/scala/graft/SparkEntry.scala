@@ -1764,8 +1764,14 @@ object SparkEntry {
       val edges = docs.select(
         (col("doc_id") % 20).as("src"),
         ((col("doc_id") * 7 + 3) % 25).as("dst"))
-      graft.ext.LinkGraph.pageRank(edges, "src", "dst", damping = 0.85, iterations = 10)
-        .select(col("node"), round(col("rank"), 6).as("pagerank"))
+      val run = graft.ext.LinkGraph
+        .pageRankRun(edges, "src", "dst", damping = 0.85, iterations = 10)
+      // l1_residual: Σ|r₁₀ − r₉| — convergence evidence riding the row
+      // (rounded to 6 like the ranks, so summation order can't bit-flip
+      // the hash; DuckDB unrolls pr9 AND pr10 and differences them)
+      run.ranks
+        .select(col("node"), round(col("rank"), 6).as("pagerank"),
+          round(lit(run.l1Residual), 6).as("l1_residual"))
         .orderBy(col("node"))
     }),
 
@@ -3595,21 +3601,30 @@ object SparkEntry {
            dang AS (SELECT v FROM nodes
                     WHERE v NOT IN (SELECT DISTINCT src FROM ew)),
            pr0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes, nn)"""
+      // MATERIALIZED: each pr_i is referenced twice by level i+1 (and
+      // pr9 a third time by the residual row) — inlined CTEs would
+      // expand the unrolled chain EXPONENTIALLY (2^10 copies of the
+      // base scan; the residual addition pushed DuckDB past its
+      // open-file budget exactly this way)
       val iters = (1 to 10).map { i =>
         val p = s"pr${i - 1}"
         s""",
-           dm$i AS (SELECT coalesce(sum(r), 0) AS m FROM $p
+           dm$i AS MATERIALIZED (SELECT coalesce(sum(r), 0) AS m FROM $p
                     WHERE v IN (SELECT v FROM dang)),
-           c$i AS (SELECT s.dst AS v, sum(p.r * s.share) AS c
+           c$i AS MATERIALIZED (SELECT s.dst AS v, sum(p.r * s.share) AS c
                    FROM $p p JOIN shares s ON p.v = s.src GROUP BY s.dst),
-           pr$i AS (SELECT nodes.v,
+           pr$i AS MATERIALIZED (SELECT nodes.v,
                            (1 - 0.85) / nn.n
                              + 0.85 * (coalesce(c$i.c, 0) + dm$i.m / nn.n) AS r
                     FROM nodes LEFT JOIN c$i ON nodes.v = c$i.v, nn, dm$i)"""
       }.mkString
       base + iters +
-        """
-           SELECT v AS node, round(r, 6) AS pagerank FROM pr10 ORDER BY node"""
+        """,
+           res AS (SELECT sum(abs(a.r - b.r)) AS rr
+                   FROM pr10 a JOIN pr9 b ON a.v = b.v)
+           SELECT v AS node, round(r, 6) AS pagerank,
+                  round(res.rr, 6) AS l1_residual
+           FROM pr10, res ORDER BY node"""
     },
 
     // Expected page text in closed form (round-trip identity + the

@@ -28,6 +28,17 @@ import org.apache.spark.sql.functions._
   */
 object LinkGraph {
 
+  /** A finished run with its diagnostics: per-iteration wall seconds
+    * (each iteration's localCheckpoint forces materialization, so the
+    * timings are real), and the L1 residual `Σ|r_k − r_{k−1}|` between
+    * the last two iterates — the convergence evidence a fixed-iteration
+    * plan owes its reader.
+    */
+  final case class PageRankRun(
+      ranks: DataFrame,
+      iterSeconds: Seq[Double],
+      l1Residual: Double)
+
   /** PageRank over `(srcCol, dstCol)` edge rows (parallel edges =
     * weight). Output: `(node, rank)` — node typed as the input column.
     */
@@ -36,7 +47,21 @@ object LinkGraph {
       srcCol: String,
       dstCol: String,
       damping: Double = 0.85,
-      iterations: Int = 10): DataFrame = {
+      iterations: Int = 10): DataFrame =
+    pageRankRun(edges, srcCol, dstCol, damping, iterations).ranks
+
+  /** [[pageRank]] plus diagnostics. Iterate memory is BOUNDED: once
+    * iterate k materializes, iterate k−2 unpersists (k−1 stays alive
+    * for the residual), so the steady-state cache is the pinned share
+    * table + dangling set + two |V|-row iterates — at any scale, not
+    * O(iterations) iterates as a naive checkpoint chain would hold.
+    */
+  def pageRankRun(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      damping: Double = 0.85,
+      iterations: Int = 10): PageRankRun = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val ew = edges
@@ -55,9 +80,12 @@ object LinkGraph {
     val dangling = nodes
       .join(shares.select(col("src").as("v")).distinct(), Seq("v"), "left_anti")
       .localCheckpoint()
+    var prev: DataFrame = null
     var ranks = nodes.select(col("v"), lit(1.0 / n).as("rank")).localCheckpoint()
+    val times = Vector.newBuilder[Double]
     var it = 0
     while (it < iterations) {
+      val t0 = System.nanoTime()
       val danglingMass = ranks
         .join(dangling, Seq("v"), "left_semi")
         .agg(coalesce(sum("rank"), lit(0.0)))
@@ -66,15 +94,25 @@ object LinkGraph {
         .join(shares, ranks("v") === shares("src"))
         .groupBy(col("dst").as("v"))
         .agg(sum(col("rank") * col("share")).as("__c"))
-      ranks = nodes
+      val next = nodes
         .join(contrib, Seq("v"), "left")
         .select(col("v"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) + lit(danglingMass / n)))
             .as("rank"))
         .localCheckpoint()
+      // next is materialized; the k−2 iterate can never be read again
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = ranks
+      ranks = next
+      times += (System.nanoTime() - t0) / 1e9
       it += 1
     }
-    ranks.withColumnRenamed("v", "node")
+    val residual =
+      if (prev == null) Double.NaN
+      else ranks.as("a").join(prev.as("b"), col("a.v") === col("b.v"))
+        .agg(sum(abs(col("a.rank") - col("b.rank"))))
+        .head().getDouble(0)
+    PageRankRun(ranks.withColumnRenamed("v", "node"), times.result(), residual)
   }
 }
