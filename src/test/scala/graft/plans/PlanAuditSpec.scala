@@ -134,6 +134,43 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     "SortMergeJoin \\[__w#".r.findFirstIn(p) shouldBe empty
   }
 
+  test("q111 URL canonicalization is a pure scan projection") {
+    // the whole chain (parse regexps, path passes, param filter/sort)
+    // must stay in the row projection: no join anywhere, and exactly
+    // one exchange — the rangepartitioning for the output ORDER BY.
+    // (The param filter is a HOF over the split query string — a
+    // per-row array of a handful of params, not a corpus structure —
+    // so the lambdafunction rule doesn't apply here.)
+    val p = SparkEntry.queries("q111_canonical_url")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p should not include "Join"
+    "Exchange".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("q112 frontier admission probes the Bloom filter before any join") {
+    // bloomedAntiJoin's scale story: the codegen bloom_contains probe
+    // gates the big side in the scan, and the residual exact anti-join
+    // broadcasts the (small) seen set — a sort-merge anti join would
+    // shuffle the whole frontier.
+    val p = SparkEntry.queries("q112_frontier_admission")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p.toLowerCase should include("bloom_contains")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("q113 PQ encode stays codegen: no HOF, no join, one output exchange") {
+    // the m×k sqdist probes + argmin are plain expressions in the scan
+    // projection; a lambdafunction or join here means the encode
+    // regressed off the codegen path
+    val p = plans("q113_pq_encode")
+    p.toLowerCase should not include "lambdafunction"
+    p should not include "Join"
+    val executed = SparkEntry.queries("q113_pq_encode")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    "Exchange".r.findAllIn(executed).size shouldBe 1
+  }
+
   test("q11 rank filter triggers Spark's partial WindowGroupLimit") {
     // Top-k-per-key via window + rank<=k filter is only scale-safe
     // because Catalyst inserts a MAP-SIDE group limit before the
