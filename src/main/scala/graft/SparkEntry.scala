@@ -1887,8 +1887,194 @@ object SparkEntry {
         .select(lit(model.m).as("m"), lit(model.k).as("k"),
           lit(model.dim).as("dim"),
           col("recall_at_10"), col("recall_rerank50"))
+    }),
+
+    // Gzipped WARC ingest (.warc.gz, one gzip member per record — the
+    // Common-Crawl container layout): the q101 corpus round-tripped
+    // through member-wise gzip compression AND the same length-driven
+    // record walk. Shares q101's oracle verbatim — the decompressed
+    // byte stream must be identical, so body md5s hash-match the
+    // plain-path expectation end-to-end.
+    "q115_warc_gzip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val salted = docs.select(
+        col("doc_id"),
+        concat(lit("https://crawl.example.org/doc/"), col("doc_id").cast("string")).as("__uri"),
+        concat(col("text"), lit("\nWARC/1.1 inner decoy")).as("__body"))
+      val files = graft.ext.Warc.responseFixtureGzip(salted, "doc_id", "__uri", "__body", numFiles = 20)
+      graft.ext.Warc.parseGzipRecords(files, "file_id", "payload").toDF()
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("target_uri"),
+          col("http_status"),
+          col("http_content_type"),
+          col("n_http_headers"),
+          octet_length(col("body")).cast("long").as("body_octets"),
+          md5(col("body")).as("body_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unicode NFC normalization (native codegen expression): every doc
+    // salted with an NFD sequence (e + combining acute), a combining-
+    // tilde n, and an already-NFC é that must pass through — the
+    // canonicalization every dedup fingerprint needs before hashing.
+    // Fully oracled: DuckDB's nfc_normalize is an independent
+    // implementation of the same Unicode tables. (NFKC — ligature/
+    // fullwidth folding — has no DuckDB twin; it is spec-pinned in
+    // UnicodeNormalizeSpec and exposed via the same SQL registry.)
+    "q116_unicode_nfc" -> ((s, dir) => {
+      val salted = concat(col("text"), lit(q116Salt))
+      val nfc = org.apache.spark.sql.graft.UnicodeNormalize.nfc(salted)
+      t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          length(salted).cast("long").as("raw_chars"),
+          length(nfc).cast("long").as("nfc_chars"),
+          (length(salted) - length(nfc)).cast("long").as("chars_folded"),
+          md5(nfc).as("nfc_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // IVF-PQ composition: coarse cells prune the scan, PQ codes shrink
+    // what's scanned — the standard billion-vector ANN layout. One row:
+    // recall@10 of the composed path vs exact L2, next to the pure-ADC
+    // (q114) number the probe-pruning cost can be read against.
+    // Rows-only (sampled kmeans at both levels); in-cluster floor
+    // pinned in PqSpec.
+    "q117_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = pqModel(s, dir)
+      val coarse = SimilaritySearch.learnCentroids(emb, "embedding", k = 16)
+      val query = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val rest = emb.where(col("vec_id") =!= 0)
+      val ivfpq10 = graft.ext.Pq.ivfPqTopK(rest, "vec_id", "embedding",
+        query, k = 10, coarseCentroids = coarse, model = model, nProbe = 4)
+        .select(col("vec_id"))
+      val exact10 = rest
+        .select(col("vec_id"),
+          org.apache.spark.sql.graft.VectorOps
+            .sqdist(col("embedding"), typedLit(query)).as("__d"))
+        .orderBy(col("__d"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"))
+      ivfpq10.join(exact10, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)).cast("double") / 10.0).as("recall_at_10"))
+        .select(lit(model.m).as("m"), lit(model.k).as("k"),
+          lit(16).as("coarse_cells"), lit(4).as("n_probe"),
+          col("recall_at_10"))
+    }),
+
+    // robots.txt crawl-politeness gate: five per-host robots files
+    // (wildcard group, exact-agent override, stacked groups, a
+    // no-matching-group host, an absent-robots host) against a
+    // six-path URL zoo — REP longest-match semantics, Allow beats
+    // Disallow on ties, exact-agent group replaces * entirely. Fully
+    // oracled: the rules table and the argmax are both plain SQL.
+    "q118_robots_gate" -> ((s, dir) => {
+      import s.implicits._
+      val robots = RobotsFixture.toSeq.toDF("host", "text")
+      val rules = graft.ext.Robots.parseRules(robots, "host", "text").toDF()
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"), robotsUrl(col("doc_id")).as("url"))
+      graft.ext.Robots.allowed(urls, "url", rules, agent = "graftbot")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Politeness scheduling over the admitted frontier: q118's allowed
+    // URLs (deduped — a frontier is keyed by URL), same-host fetches
+    // spaced by the host's crawl-delay (h2 declares 2 s; others take
+    // the 1 s default). Fully oracled: the q118 chain + one window.
+    "q119_crawl_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val robots = RobotsFixture.toSeq.toDF("host", "text")
+      val rules = graft.ext.Robots.parseRules(robots, "host", "text").toDF()
+      val delays = graft.ext.Robots.parseDelays(robots, "host", "text").toDF()
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"), robotsUrl(col("doc_id")).as("url"))
+        .groupBy(col("url")).agg(min(col("doc_id")).as("first_doc_id"))
+      val admitted = graft.ext.Robots
+        .allowed(urls, "url", rules, agent = "graftbot")
+        .where(col("allowed")).drop("allowed")
+      graft.ext.Robots
+        .schedule(admitted, "url", delays, agent = "graftbot", defaultDelaySec = 1.0)
+        .select(col("url"), col("first_doc_id"), col("fetch_offset_sec"))
+        .orderBy(col("url"))
+    }),
+
+    // Sitemap ingest: per-site <urlset> XML assembled from the corpus
+    // (CDATA-wrapped locs on id%5==0, &amp; entities in every query
+    // string, optional changefreq) and exploded back to entries — the
+    // frontier's second input stream beside discovered links. Fully
+    // oracled: every extracted field is a closed-form function of
+    // doc_id, so DuckDB computes the expectation directly.
+    "q120_sitemap_parse" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id")
+      val locRaw = concat(lit("https://s"), pmod(id, lit(10)).cast("string"),
+        lit(".example.com/p?a="), id.cast("string"), lit("&amp;b=1"))
+      val loc = when(pmod(id, lit(5)) === 0,
+          concat(lit("<![CDATA["), locRaw, lit("]]>"))).otherwise(locRaw)
+      val entry = concat(
+        lit("<url>\n  <loc>"), loc, lit("</loc>\n  <lastmod>2026-0"),
+        (pmod(id, lit(9)) + 1).cast("string"), lit("-01</lastmod>"),
+        when(pmod(id, lit(2)) === 0, lit("\n  <changefreq>daily</changefreq>"))
+          .otherwise(lit("")),
+        lit("\n  <priority>0."), pmod(id, lit(10)).cast("string"),
+        lit("</priority>\n</url>"))
+      val sitemaps = docs
+        .groupBy(pmod(id, lit(10)).as("site"))
+        .agg(concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+          concat_ws("\n", collect_list(entry)),
+          lit("\n</urlset>")).as("xml"))
+      graft.ext.Sitemap.urlEntries(sitemaps, "xml")
+        .select(
+          regexp_extract(col("loc"), "a=([0-9]+)&", 1).cast("long").as("doc_id"),
+          col("loc"), col("lastmod"), col("changefreq"), col("priority"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** q118's per-host robots fixture (host → robots.txt body). h4 has
+    * NO robots file — the absent-robots default is part of the zoo.
+    */
+  private val RobotsFixture: Map[String, String] = Map(
+    "h0.example.com" ->
+      "User-agent: *\nDisallow: /private/\nAllow: /private/public/\n",
+    "h1.example.com" ->
+      "User-agent: *\nDisallow: /\nUser-agent: graftbot\nDisallow: /secret/\n",
+    "h2.example.com" ->
+      "User-agent: alpha\nUser-agent: graftbot\nDisallow: /shared/\nCrawl-delay: 2\n",
+    "h3.example.com" ->
+      "User-agent: other\nDisallow: /\n")
+
+  /** q118's URL zoo: host from doc_id%5 (h4 robots-less), path from
+    * doc_id%6 — [[robotsUrlSql]] is the same table in DuckDB SQL.
+    */
+  private def robotsUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("https://h"), pmod(id, lit(5)).cast("string"), lit(".example.com"),
+      when(pmod(id, lit(6)) === 0, "/private/x")
+        .when(pmod(id, lit(6)) === 1, "/private/public/y")
+        .when(pmod(id, lit(6)) === 2, "/secret/z")
+        .when(pmod(id, lit(6)) === 3, "/shared/w")
+        .when(pmod(id, lit(6)) === 4, "/")
+        .otherwise("/private"))
+
+  private val robotsUrlSql: String =
+    """'https://h' || (doc_id % 5)::VARCHAR || '.example.com' ||
+       CASE doc_id % 6 WHEN 0 THEN '/private/x' WHEN 1 THEN '/private/public/y'
+            WHEN 2 THEN '/secret/z' WHEN 3 THEN '/shared/w' WHEN 4 THEN '/'
+            ELSE '/private' END"""
+
+  /** q116's planted garble: NFD e+combining-acute, n+combining-tilde,
+    * a+combining-grave, and a precomposed \u00E9 that NFC must leave
+    * untouched. Spelled as escapes, never literals — the source
+    * file's own (NFC) encoding would silently precompose a literal
+    * and the fixture would stop exercising the fold.
+    */
+  private val q116Salt: String =
+    " caf" + "e\u0301" + " man\u0303ana" + " d\u00E9ja\u0300"
 
   /** q111/q112's aliasing-URL zoo, one spelling class per doc_id %6
     * residue — [[frontierUrlSql]] is the same table in DuckDB SQL, so
@@ -3665,7 +3851,118 @@ object SparkEntry {
           SELECT doc_id FROM f
           WHERE u IS NOT NULL AND NOT EXISTS (
             SELECT 1 FROM f s WHERE s.doc_id % 3 = 0 AND s.u = f.u)
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+
+    // q101's oracle VERBATIM: the gzip container must decompress to
+    // the identical byte stream, so the same expectation hash-checks
+    // the member walk + record walk end-to-end
+    "q115_warc_gzip" ->
+      """SELECT doc_id,
+                'https://crawl.example.org/doc/' || doc_id AS target_uri,
+                200 AS http_status,
+                'text/plain' AS http_content_type,
+                2 AS n_http_headers,
+                octet_length(encode(text || chr(10) || 'WARC/1.1 inner decoy'))::BIGINT
+                  AS body_octets,
+                md5(text || chr(10) || 'WARC/1.1 inner decoy') AS body_md5
+         FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
+
+    // DuckDB's nfc_normalize is an independent implementation of the
+    // same Unicode normalization tables; the SQL literal embeds the
+    // IDENTICAL q116Salt constant (raw NFD bytes ride through the
+    // JSON artifact), so the two sides can never drift
+    "q116_unicode_nfc" -> {
+      val salt = q116Salt.replace("'", "''")
+      s"""SELECT doc_id,
+                 length(text || '$salt')::BIGINT AS raw_chars,
+                 length(nfc_normalize(text || '$salt'))::BIGINT AS nfc_chars,
+                 (length(text || '$salt') - length(nfc_normalize(text || '$salt')))::BIGINT
+                   AS chars_folded,
+                 md5(nfc_normalize(text || '$salt')) AS nfc_md5
+          FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""
+    },
+
+    // Independent REP evaluation: the raw rules (as parsed from the
+    // fixture bodies) as a VALUES table, group resolution (exact-agent
+    // replaces *) and longest-match-Allow-wins both re-derived in SQL
+    "q118_robots_gate" ->
+      s"""WITH u AS (SELECT doc_id, $robotsUrlSql AS url FROM documents),
+           up AS (SELECT doc_id, url,
+                    lower(regexp_extract(url, '^[a-z]+://(?:[^/?#]*@)?([^/?#:]*)', 1)) AS host,
+                    CASE WHEN regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1) = ''
+                         THEN '/' ELSE regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1)
+                    END AS path
+                  FROM u),
+           r(host, agent, allow, prefix) AS (VALUES
+             ('h0.example.com', '*', false, '/private/'),
+             ('h0.example.com', '*', true,  '/private/public/'),
+             ('h1.example.com', '*', false, '/'),
+             ('h1.example.com', 'graftbot', false, '/secret/'),
+             ('h2.example.com', 'alpha',    false, '/shared/'),
+             ('h2.example.com', 'graftbot', false, '/shared/'),
+             ('h3.example.com', 'other',    false, '/')),
+           haz AS (SELECT DISTINCT host FROM r WHERE agent = 'graftbot'),
+           app AS (SELECT host, allow, prefix FROM r
+                   WHERE agent = 'graftbot'
+                      OR (agent = '*' AND host NOT IN (SELECT host FROM haz))),
+           m AS (SELECT up.doc_id, up.url, app.allow, strlen(app.prefix) AS l
+                 FROM up LEFT JOIN app
+                   ON up.host = app.host AND starts_with(up.path, app.prefix)),
+           b AS (SELECT doc_id, url, allow,
+                        row_number() OVER (PARTITION BY doc_id
+                          ORDER BY l DESC NULLS LAST, allow DESC NULLS LAST) AS rn
+                 FROM m)
+         SELECT doc_id, url, coalesce(allow, true) AS allowed
+         FROM b WHERE rn = 1 ORDER BY doc_id""",
+
+    // q118's chain over the DEDUPED frontier, then one window: offsets
+    // spaced by h2's declared 2 s crawl-delay, 1 s default elsewhere
+    "q119_crawl_schedule" ->
+      s"""WITH uu AS (SELECT $robotsUrlSql AS url, min(doc_id) AS first_doc_id
+                      FROM documents GROUP BY 1),
+           up AS (SELECT url, first_doc_id,
+                    lower(regexp_extract(url, '^[a-z]+://(?:[^/?#]*@)?([^/?#:]*)', 1)) AS host,
+                    CASE WHEN regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1) = ''
+                         THEN '/' ELSE regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1)
+                    END AS path
+                  FROM uu),
+           r(host, agent, allow, prefix) AS (VALUES
+             ('h0.example.com', '*', false, '/private/'),
+             ('h0.example.com', '*', true,  '/private/public/'),
+             ('h1.example.com', '*', false, '/'),
+             ('h1.example.com', 'graftbot', false, '/secret/'),
+             ('h2.example.com', 'alpha',    false, '/shared/'),
+             ('h2.example.com', 'graftbot', false, '/shared/'),
+             ('h3.example.com', 'other',    false, '/')),
+           haz AS (SELECT DISTINCT host FROM r WHERE agent = 'graftbot'),
+           app AS (SELECT host, allow, prefix FROM r
+                   WHERE agent = 'graftbot'
+                      OR (agent = '*' AND host NOT IN (SELECT host FROM haz))),
+           m AS (SELECT up.url, up.first_doc_id, up.host, app.allow,
+                        strlen(app.prefix) AS l
+                 FROM up LEFT JOIN app
+                   ON up.host = app.host AND starts_with(up.path, app.prefix)),
+           b AS (SELECT url, first_doc_id, host, allow,
+                        row_number() OVER (PARTITION BY url
+                          ORDER BY l DESC NULLS LAST, allow DESC NULLS LAST) AS rn
+                 FROM m),
+           ok AS (SELECT url, first_doc_id, host FROM b
+                  WHERE rn = 1 AND coalesce(allow, true))
+         SELECT url, first_doc_id,
+                ((row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+                  * CASE WHEN host = 'h2.example.com' THEN 2.0 ELSE 1.0 END)::DOUBLE
+                  AS fetch_offset_sec
+         FROM ok ORDER BY url""",
+
+    // every extracted field is a closed-form function of doc_id
+    "q120_sitemap_parse" ->
+      """SELECT doc_id,
+                'https://s' || (doc_id % 10)::VARCHAR || '.example.com/p?a='
+                  || doc_id::VARCHAR || '&b=1' AS loc,
+                '2026-0' || (doc_id % 9 + 1)::VARCHAR || '-01' AS lastmod,
+                CASE WHEN doc_id % 2 = 0 THEN 'daily' END AS changefreq,
+                ('0.' || (doc_id % 10)::VARCHAR)::DOUBLE AS priority
+         FROM documents ORDER BY doc_id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -3748,5 +4045,7 @@ object SparkEntry {
     "q104_bloom_stats", "q105_weighted_sample", "q106_pca_project",
     "q107_pca_quality", "q108_audio_frames", "q109_pagerank",
     "q110_pdf_extract", "q111_canonical_url", "q112_frontier_admission",
-    "q113_pq_encode", "q114_pq_recall")
+    "q113_pq_encode", "q114_pq_recall", "q115_warc_gzip",
+    "q116_unicode_nfc", "q117_ivfpq_recall", "q118_robots_gate",
+    "q119_crawl_schedule", "q120_sitemap_parse")
 }

@@ -502,6 +502,24 @@ object Pdf {
       .flatMap { case (id, payload) => parseFile(id, payload) }
   }
 
+  /** Adapt parsed PDFs to the corpus schema [[TextPipeline.cleanCorpus]]
+    * consumes: one row per successfully-extracted DOCUMENT (pages
+    * joined in order with newlines), `(doc_id = file_id, n_pages,
+    * text)` — the container-format input mode beside `Config.htmlInput`
+    * (binary→text needs the typed parse, so it is an upstream adapter,
+    * not a column flag). Refused files yield no row here; surface them
+    * separately from [[parsePages]] (`refused` non-null) — a corpus
+    * build must COUNT refusals, not silently absorb them.
+    */
+  def textCorpus(files: DataFrame, fileIdCol: String, payloadCol: String): DataFrame =
+    parsePages(files, fileIdCol, payloadCol).toDF()
+      .where(col("refused").isNull)
+      .groupBy(col("file_id").as("doc_id"))
+      .agg(
+        max(col("n_pages")).as("n_pages"),
+        array_join(sort_array(collect_list(struct(col("page"), col("text"))))
+          .getField("text"), "\n").as("text"))
+
   // -------------------------------------------------------------------
   // Fixture builder — real multi-page PDFs (classic xref, FlateDecode
   // content streams, byte-exact offsets) from any keyed text table.

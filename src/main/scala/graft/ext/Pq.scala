@@ -117,4 +117,30 @@ object Pq {
       .orderBy(col("adc_dist"), col(idCol))
       .limit(k)
   }
+
+  /** IVF-PQ: the standard billion-vector layout — coarse cells prune
+    * the scan ([[SimilaritySearch.ivfTopK]]'s geometry), PQ codes
+    * shrink what's scanned. Rows outside the `nProbe` nearest cells
+    * never evaluate a distance; rows inside pay the m-lookup ADC sum.
+    * On a cell-partitioned store ([[SimilaritySearch]]'s persisted IVF
+    * index) the cell filter becomes partition pruning and the scan
+    * reads codes only — dim/8 bytes per row instead of 4·dim.
+    */
+  def ivfPqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      coarseCentroids: Seq[Seq[Double]],
+      model: PqModel,
+      nProbe: Int = 2,
+      excludeId: Option[Long] = None): DataFrame = {
+    val cell = SimilaritySearch.nearestCentroid(col(vecCol), coarseCentroids, spherical = false)
+    val probes = SimilaritySearch.probeCellsFor(query, coarseCentroids, nProbe)
+    val pruned = df.where(cell.isin(probes: _*))
+    adcTopK(
+      pruned.select(col(idCol), encode(col(vecCol), model).as("__codes")),
+      idCol, "__codes", query, model, k, excludeId)
+  }
 }

@@ -1,0 +1,179 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing + the crawl-politeness gate — the admission
+  * check that runs BESIDE the frontier key ([[Urls.canonicalUrl]],
+  * [[BloomGate]]) in a crawler: a URL that passes dedup still must
+  * not be fetched if the host's robots.txt disallows it.
+  *
+  * Scope (REP core, RFC 9309 without the Google wildcard extension —
+  * documented, and exactly what makes the gate SQL-oracle-able):
+  *  - `User-agent:` lines stack; a group's rules apply to every agent
+  *    named since the last rule line (the standard group semantics)
+  *  - `Allow:` / `Disallow:` with LITERAL path prefixes; empty
+  *    `Disallow:` emits no rule (allow-all)
+  *  - `Crawl-delay:` captured per (host, agent)
+  *  - matching: the agent's own group if it has ANY rule, else the
+  *    `*` group; within the group the LONGEST matching prefix wins,
+  *    Allow beats Disallow on equal length; no match → allowed
+  *  - `#` comments, blank lines, unknown directives skipped; field
+  *    names case-insensitive
+  *
+  * Shape at scale: robots files are tiny and per-host (one flatMap
+  * row each — per-file CPU, the [[Warc.parseFile]] class); the rules
+  * table is host-cardinality-sized, orders of magnitude smaller than
+  * a frontier, so the gate join broadcasts and the frontier never
+  * shuffles. The verdict per URL is ONE aggregation (max of a
+  * (prefix-length, allow) struct — the [[Dedup]] keep-first shape,
+  * never a window).
+  */
+object Robots {
+
+  /** One parsed rule. `allow=false` is Disallow. */
+  final case class RobotsRule(host: String, agent: String, allow: Boolean, prefix: String)
+
+  /** One crawl-delay directive. */
+  final case class CrawlDelay(host: String, agent: String, delay_sec: Double)
+
+  /** Parse one robots.txt payload. Returns (rules, delays). */
+  def parseFile(host: String, text: String): (Seq[RobotsRule], Seq[CrawlDelay]) = {
+    val rules = Seq.newBuilder[RobotsRule]
+    val delays = Seq.newBuilder[CrawlDelay]
+    var agents = List.empty[String] // current group, most-recent first
+    var inGroupHeader = false       // true while stacking User-agent lines
+    text.split("\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val field = line.substring(0, colon).trim.toLowerCase
+          val value = line.substring(colon + 1).trim
+          field match {
+            case "user-agent" =>
+              agents = if (inGroupHeader) value.toLowerCase :: agents
+                else List(value.toLowerCase)
+              inGroupHeader = true
+            case "allow" | "disallow" =>
+              inGroupHeader = false
+              if (value.nonEmpty)
+                agents.foreach(a => rules += RobotsRule(host, a, field == "allow", value))
+            case "crawl-delay" =>
+              inGroupHeader = false
+              value.toDoubleOption.foreach(d =>
+                agents.foreach(a => delays += CrawlDelay(host, a, d)))
+            case _ => // sitemap/unknown directives: not group members
+          }
+        }
+      }
+    }
+    (rules.result(), delays.result())
+  }
+
+  /** Rules of every robots.txt in `files` (`hostCol` string,
+    * `textCol` string payload). Typed flatMap — per-file CPU.
+    */
+  def parseRules(files: DataFrame, hostCol: String, textCol: String): Dataset[RobotsRule] = {
+    val s = files.sparkSession
+    import s.implicits._
+    files.select(col(hostCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (h, t) => parseFile(h, Option(t).getOrElse(""))._1 }
+  }
+
+  /** Crawl delays of every robots.txt in `files`. */
+  def parseDelays(files: DataFrame, hostCol: String, textCol: String): Dataset[CrawlDelay] = {
+    val s = files.sparkSession
+    import s.implicits._
+    files.select(col(hostCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (h, t) => parseFile(h, Option(t).getOrElse(""))._2 }
+  }
+
+  private def hostOf(url: Column): Column =
+    lower(regexp_extract(url, "^[a-z]+://(?:[^/?#]*@)?([^/?#:]*)", 1))
+
+  private def pathOf(url: Column): Column = {
+    val p = regexp_extract(url, "^[a-z]+://[^/?#]*([^?#]*)", 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** Gate a URL frame on a rules frame for one crawler agent.
+    * Adds `allowed` (boolean) to `urls`; URLs whose host has no
+    * robots rules are allowed (the fetch-failed/absent-robots
+    * default). Group selection and longest-match both happen in ONE
+    * broadcast join + ONE aggregation over the (small) matched-rule
+    * set; the URL frame itself is never shuffled beyond that
+    * aggregation's key.
+    */
+  def allowed(
+      urls: DataFrame,
+      urlCol: String,
+      rules: DataFrame,
+      agent: String): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    // per host: does the agent's OWN group exist (any rule)?
+    val hostHasAgent = rules.where(col("agent") === agentLc)
+      .select(col("host")).distinct()
+      .withColumn("__has_agent", lit(true))
+    val applicable = rules
+      .where(col("agent") === agentLc || col("agent") === "*")
+      .join(hostHasAgent, Seq("host"), "left")
+      // exact-agent group wins entirely when present; else the * group
+      .where(col("agent") === agentLc ||
+        (col("agent") === "*" && col("__has_agent").isNull))
+      .select(col("host"), col("allow"), col("prefix"))
+    val keyed = urls
+      .withColumn("__host", hostOf(col(urlCol)))
+      .withColumn("__path", pathOf(col(urlCol)))
+    keyed
+      .join(broadcast(applicable),
+        keyed("__host") === applicable("host") &&
+          keyed("__path").startsWith(applicable("prefix")),
+        "left")
+      // verdict = the longest matching prefix's allow; Allow wins ties
+      // (struct max orders by (length, allow)); no match → allowed
+      .groupBy(keyed.columns.map(col): _*)
+      .agg(max(when(col("prefix").isNotNull,
+        struct(length(col("prefix")).as("l"), col("allow").as("a")))).as("__best"))
+      .withColumn("allowed",
+        coalesce(col("__best").getField("a"), lit(true)))
+      .drop("__best", "__host", "__path")
+  }
+
+  /** Politeness scheduling: assign each URL a fetch offset so that
+    * same-host fetches are `crawl-delay` seconds apart (the agent's
+    * own delay, else `*`'s, else `defaultDelaySec`). Deterministic
+    * order within a host (by URL), offsets start at 0.
+    *
+    * Shape at scale: ONE window partitioned by host — host cardinality
+    * is the parallelism of a crawl frontier, so partitions are many
+    * and individually small (the per-host fetch list); the delay table
+    * is host-sized and broadcasts.
+    */
+  def schedule(
+      urls: DataFrame,
+      urlCol: String,
+      delays: DataFrame,
+      agent: String,
+      defaultDelaySec: Double = 1.0): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    // per host: the agent's own delay beats *'s (struct max on
+    // (is_exact, delay) keeps ONE row per host without a window)
+    val d = delays
+      .where(col("agent") === agentLc || col("agent") === "*")
+      .groupBy(col("host"))
+      .agg(max(struct((col("agent") === agentLc).as("e"), col("delay_sec").as("d")))
+        .getField("d").as("__delay"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__host")).orderBy(col(urlCol))
+    urls
+      .withColumn("__host", hostOf(col(urlCol)))
+      .join(broadcast(d), col("__host") === d("host"), "left")
+      .withColumn("fetch_offset_sec",
+        (row_number().over(w) - 1).cast("double") *
+          coalesce(col("__delay"), lit(defaultDelaySec)))
+      .drop("host", "__delay", "__host")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sitemap parsing (sitemaps.org XML) — the crawl frontier's OTHER
+  * input stream beside discovered links: `<urlset>` entries carry the
+  * site's own canonical URL list with freshness hints, and
+  * `<sitemapindex>` files fan out to child sitemaps.
+  *
+  * Deliberately regexp-shaped, not a general XML parser: sitemap files
+  * are machine-generated, flat, and spec-bounded (≤50k entries), so
+  * `(?s)`-dotall block extraction + per-block field extraction is both
+  * robust here and fully SQL-oracle-able (DuckDB runs the identical
+  * pattern chain). Everything is a scan-projection HOF over per-row
+  * blocks — no shuffle, no plan surface; CDATA and entity handling
+  * cover the forms real generators emit.
+  */
+object Sitemap {
+
+  private def unwrapCdata(c: Column): Column =
+    regexp_replace(c, "(?s)^\\s*<!\\[CDATA\\[(.*)\\]\\]>\\s*$", "$1")
+
+  private def decodeEntities(c: Column): Column = {
+    // the five XML built-ins; &amp; LAST so it can't re-create others
+    val amp = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, "&lt;", "<"),
+          "&gt;", ">"),
+        "&quot;", "\""),
+      "&apos;", "'")
+    regexp_replace(amp, "&amp;", "&")
+  }
+
+  private def field(block: Column, tag: String): Column = {
+    val raw = regexp_extract(block, s"(?s)<$tag>(.*?)</$tag>", 1)
+    when(raw === "", lit(null).cast("string"))
+      .otherwise(decodeEntities(unwrapCdata(trim(raw))))
+  }
+
+  /** Explode a `<urlset>` sitemap column into one row per `<url>`
+    * entry with `(loc, lastmod, changefreq, priority)`; rows without a
+    * `<loc>` are dropped (spec-invalid). Input columns pass through.
+    */
+  def urlEntries(df: DataFrame, xmlCol: String): DataFrame =
+    df
+      .withColumn("__block",
+        explode(regexp_extract_all(col(xmlCol), lit("(?s)<url>(.*?)</url>"), lit(1))))
+      .withColumn("loc", field(col("__block"), "loc"))
+      .withColumn("lastmod", field(col("__block"), "lastmod"))
+      .withColumn("changefreq", field(col("__block"), "changefreq"))
+      .withColumn("priority", field(col("__block"), "priority").cast("double"))
+      .where(col("loc").isNotNull)
+      .drop("__block")
+
+  /** Child sitemap locations of a `<sitemapindex>` column — the fan-out
+    * list a crawler feeds back into its fetch queue.
+    */
+  def indexEntries(df: DataFrame, xmlCol: String): DataFrame =
+    df
+      .withColumn("__block",
+        explode(regexp_extract_all(col(xmlCol), lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1))))
+      .withColumn("loc", field(col("__block"), "loc"))
+      .withColumn("lastmod", field(col("__block"), "lastmod"))
+      .where(col("loc").isNotNull)
+      .drop("__block")
+}

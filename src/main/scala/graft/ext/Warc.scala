@@ -50,6 +50,7 @@ object Warc {
       body: Array[Byte])
 
   private val Iso = java.nio.charset.StandardCharsets.ISO_8859_1
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
   /** First index of `\r\n\r\n` at or after `from`, or -1. */
   private def blankLine(b: Array[Byte], from: Int): Int = {
@@ -160,6 +161,41 @@ object Warc {
       .flatMap { case (id, payload) => parseFile(id, payload) }
   }
 
+  /** Multi-member gzip decompression. Production WARCs (Common Crawl
+    * among them) gzip EACH RECORD as its own member and concatenate,
+    * so records stay independently seekable; `GZIPInputStream` walks
+    * concatenated members natively, so one linear pass recovers the
+    * full plain-text stream. Truncated/corrupt trailing bytes drop the
+    * TAIL only — bytes decompressed before the corruption survive,
+    * which composes with [[parseFile]]'s last-good-record contract.
+    */
+  def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 4))
+    val buf = new Array[Byte](8192)
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch {
+      case _: java.io.IOException => // truncated/corrupt tail: keep prefix
+    }
+    out.toByteArray
+  }
+
+  /** [[parseRecords]] over gzipped WARC files (`.warc.gz`, member per
+    * record or whole-file — both decompress identically here). Same
+    * typed-flatMap shape; decompression is part of the per-file CPU.
+    */
+  def parseGzipRecords(files: DataFrame, fileIdCol: String, payloadCol: String): Dataset[WarcRecord] = {
+    val s = files.sparkSession
+    import s.implicits._
+    files
+      .select(col(fileIdCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .flatMap { case (id, payload) => parseFile(id, gunzipMembers(payload)) }
+  }
+
   // -------------------------------------------------------------------
   // Fixture builder — deterministic WARC response files from any keyed
   // body table, in pure column algebra (Content-Length via
@@ -201,6 +237,27 @@ object Warc {
     * extractText reassembly shape). Output: `(file_id string,
     * payload binary)`.
     */
+  /** Adapt parsed response records to the corpus schema
+    * [[TextPipeline.cleanCorpus]] consumes (with `htmlInput = true`
+    * when bodies are HTML): `(doc_id = target URI, text = body decoded
+    * UTF-8)`. The [[Pdf.textCorpus]] counterpart for web archives —
+    * compose `parseGzipRecords`-based variants the same way.
+    */
+  def responseCorpus(files: DataFrame, fileIdCol: String, payloadCol: String): DataFrame =
+    parseRecords(files, fileIdCol, payloadCol).toDF()
+      .where(col("warc_type") === "response" && col("http_status") === 200)
+      .select(col("target_uri").as("doc_id"),
+        decode(col("body"), "UTF-8").as("text"))
+
+  // warcinfo record template, single source for the column-algebra and
+  // Scala fixture spellings (the @FILE@ hole is the file id)
+  private val InfoBody = "software: graft-warc-fixture\r\n"
+  private val InfoPre =
+    "WARC/1.1\r\nWARC-Type: warcinfo\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "WARC-Record-ID: <urn:uuid:info-"
+  private val InfoPost =
+    s">\r\nContent-Type: application/warc-fields\r\nContent-Length: ${InfoBody.length}\r\n\r\n$InfoBody\r\n\r\n"
+
   def responseFixture(
       df: DataFrame,
       idCol: String,
@@ -208,12 +265,7 @@ object Warc {
       bodyCol: String,
       numFiles: Int): DataFrame = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
-    val info = "software: graft-warc-fixture\r\n"
-    val infoRecord =
-      concat(
-        lit("WARC/1.1\r\nWARC-Type: warcinfo\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
-          "WARC-Record-ID: <urn:uuid:info-"), col("file_id"),
-        lit(s">\r\nContent-Type: application/warc-fields\r\nContent-Length: ${info.length}\r\n\r\n$info\r\n\r\n"))
+    val infoRecord = concat(lit(InfoPre), col("file_id"), lit(InfoPost))
     df.select(
         pmod(col(idCol), lit(numFiles)).cast("string").as("file_id"),
         struct(
@@ -223,5 +275,43 @@ object Warc {
       .agg(array_join(sort_array(collect_list(col("__r"))).getField("rec"), "").as("__recs"))
       .select(col("file_id"),
         encode(concat(infoRecord, col("__recs")), "UTF-8").as("payload"))
+  }
+
+  /** [[responseFixture]] in production container form: `.warc.gz` with
+    * EACH record its own gzip member (the Common-Crawl layout that
+    * keeps records independently seekable). Record assembly is the
+    * same hash aggregation; member compression runs in a typed map
+    * over the grouped rows — per-file CPU, no extra shuffle. The
+    * decompressed byte stream is IDENTICAL to [[responseFixture]]'s
+    * payload, so the two paths share one oracle.
+    */
+  def responseFixtureGzip(
+      df: DataFrame,
+      idCol: String,
+      uriCol: String,
+      bodyCol: String,
+      numFiles: Int): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val s = df.sparkSession
+    import s.implicits._
+    def member(out: java.io.ByteArrayOutputStream, b: Array[Byte]): Unit = {
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(b)
+      g.finish() // completes THIS member without closing the sink
+    }
+    df.select(
+        pmod(col(idCol), lit(numFiles)).cast("string").as("file_id"),
+        struct(col(idCol).cast("long").as("_1"),
+          responseRecord(col(idCol).cast("string"), col(uriCol), col(bodyCol)).as("_2")).as("__r"))
+      .groupBy(col("file_id"))
+      .agg(sort_array(collect_list(col("__r"))).as("__recs"))
+      .as[(String, Seq[(Long, String)])]
+      .map { case (fileId, recs) =>
+        val out = new java.io.ByteArrayOutputStream()
+        member(out, (InfoPre + fileId + InfoPost).getBytes(Utf8))
+        recs.foreach { case (_, rec) => member(out, rec.getBytes(Utf8)) }
+        (fileId, out.toByteArray)
+      }
+      .toDF("file_id", "payload")
   }
 }

@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorOps.sqdistDescriptor)
     ext.injectFunction(LangScores.descriptor)
     ext.injectFunction(BloomContains.descriptor)
+    UnicodeNormalize.descriptors.foreach(ext.injectFunction)
   }
 }

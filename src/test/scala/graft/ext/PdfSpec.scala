@@ -72,6 +72,25 @@ class PdfSpec extends AnyFunSuite with SparkTestBase {
     assert(pages.toSeq == Seq((1L, 1, 2), (2L, 1, 1), (7L, 2, 2)))
   }
 
+  test("textCorpus: pages rejoin per document and feed cleanCorpus") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "one high quality sentence with many plain words here"),
+        (3L, "another perfectly ordinary english sentence for the gate"))
+      .toDF("doc_id", "text")
+    val files = Pdf.textFixture(docs, "doc_id", "text", numFiles = 1)
+    val corpus = Pdf.textCorpus(files, "file_id", "payload")
+    val rows = corpus.orderBy(col("doc_id")).collect()
+    assert(rows.length == 1 && rows.head.getAs[Int]("n_pages") == 2)
+    // both pages present, in id order, newline-joined
+    val text = rows.head.getAs[String]("text")
+    assert(text.indexOf("one high quality") < text.indexOf("another perfectly"))
+    // the adapter's output schema composes directly into the pipeline
+    val cleaned = TextPipeline.cleanCorpusExact(corpus, "doc_id", "text",
+      TextPipeline.Config(minQuality = 0.0, langs = Seq("en")))
+    assert(cleaned.count() == 1)
+  }
+
   test("extractContentText: uncompressed stream operators directly") {
     val content = ("BT (a) Tj [ (b) -300 (c) -50 (d) ] TJ T* (e) Tj ET " +
       "(outside-BT is ignored) Tj").getBytes(Latin)

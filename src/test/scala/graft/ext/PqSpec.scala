@@ -97,6 +97,19 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.9, s"rerank recall=$recall short=$short30 exact=$exact10")
   }
 
+  test("IVF-PQ: probe pruning stays in-cluster and finds the cluster's members") {
+    val m = Pq.fit(clustered, "embedding", dim = 16, m = 4, k = 16, sampleN = 300)
+    val coarse = SimilaritySearch.learnCentroids(clustered, "embedding", k = 6, sampleN = 300)
+    val query = clustered.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val top = Pq.ivfPqTopK(clustered.where(col("vec_id") =!= 0),
+        "vec_id", "embedding", query, k = 10,
+        coarseCentroids = coarse, model = m, nProbe = 2)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(top.size == 10, s"pruned scan must still fill k: $top")
+    assert(top.forall(_ % 6 == 0), s"IVF-PQ left the query's cluster: $top")
+  }
+
   test("fit rejects invalid shapes") {
     intercept[IllegalArgumentException](
       Pq.fit(clustered, "embedding", dim = 16, m = 5, k = 8))

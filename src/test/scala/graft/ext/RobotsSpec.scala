@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class RobotsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("parseFile: groups, stacking, comments, empty disallow, crawl-delay") {
+    val text =
+      """# front matter comment
+        |User-agent: alpha
+        |User-agent: beta
+        |Disallow: /a/   # trailing comment
+        |Allow: /a/ok
+        |Crawl-delay: 2.5
+        |
+        |User-agent: *
+        |Disallow:
+        |Disallow: /b/
+        |Sitemap: https://h/x.xml
+        |""".stripMargin
+    val (rules, delays) = Robots.parseFile("h", text)
+    assert(rules.toSet == Set(
+      Robots.RobotsRule("h", "alpha", allow = false, "/a/"),
+      Robots.RobotsRule("h", "beta", allow = false, "/a/"),
+      Robots.RobotsRule("h", "alpha", allow = true, "/a/ok"),
+      Robots.RobotsRule("h", "beta", allow = true, "/a/ok"),
+      Robots.RobotsRule("h", "*", allow = false, "/b/")))
+    assert(delays.toSet == Set(
+      Robots.CrawlDelay("h", "alpha", 2.5), Robots.CrawlDelay("h", "beta", 2.5)))
+  }
+
+  test("a rule line closes the user-agent header block") {
+    // UA after a rule line starts a NEW group, not an extension
+    val (rules, _) = Robots.parseFile("h",
+      "User-agent: a\nDisallow: /x/\nUser-agent: b\nDisallow: /y/")
+    assert(rules.toSet == Set(
+      Robots.RobotsRule("h", "a", allow = false, "/x/"),
+      Robots.RobotsRule("h", "b", allow = false, "/y/")))
+  }
+
+  private def gate(urls: Seq[(Long, String)], robots: Seq[(String, String)],
+      agent: String): Map[Long, Boolean] = {
+    val s = spark
+    import s.implicits._
+    val rules = Robots.parseRules(robots.toDF("host", "text"), "host", "text").toDF()
+    Robots.allowed(urls.toDF("id", "url"), "url", rules, agent)
+      .select(col("id"), col("allowed"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+  }
+
+  test("longest match wins; Allow beats Disallow on ties; boundary is prefix-literal") {
+    val robots = Seq("h.example" ->
+      "User-agent: *\nDisallow: /private/\nAllow: /private/public/\nAllow: /tie\nDisallow: /tie")
+    val verdicts = gate(Seq(
+      1L -> "https://h.example/private/x",        // blocked
+      2L -> "https://h.example/private/public/y", // longest match allows
+      3L -> "https://h.example/open",             // no rule → allowed
+      4L -> "https://h.example/private",          // NOT "/private/" prefix → allowed
+      5L -> "https://h.example/tie/z",            // equal length → Allow wins
+      6L -> "https://h.example"                   // empty path reads as "/"
+    ), robots, "anybot")
+    assert(verdicts == Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> true, 5L -> true, 6L -> true))
+  }
+
+  test("schedule: same-host fetches space by resolved crawl-delay") {
+    val s = spark
+    import s.implicits._
+    val robots = Seq(
+      "slow.example" -> "User-agent: *\nCrawl-delay: 5\nUser-agent: graftbot\nCrawl-delay: 2\nDisallow: /x/",
+      "star.example" -> "User-agent: *\nCrawl-delay: 3\n").toDF("host", "text")
+    val delays = Robots.parseDelays(robots, "host", "text").toDF()
+    val urls = Seq(
+      "https://slow.example/a", "https://slow.example/b", "https://slow.example/c",
+      "https://star.example/a", "https://star.example/b",
+      "https://nodelay.example/a", "https://nodelay.example/b").toDF("url")
+    val out = Robots.schedule(urls, "url", delays, "graftbot", defaultDelaySec = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // exact-agent delay (2) beats *'s (5); * delay applies when no exact; default 1
+    assert(out("https://slow.example/a") == 0.0 && out("https://slow.example/b") == 2.0
+      && out("https://slow.example/c") == 4.0)
+    assert(out("https://star.example/a") == 0.0 && out("https://star.example/b") == 3.0)
+    assert(out("https://nodelay.example/a") == 0.0 && out("https://nodelay.example/b") == 1.0)
+  }
+
+  test("exact-agent group replaces the * group entirely; absent robots allows") {
+    val robots = Seq(
+      "a.example" -> "User-agent: *\nDisallow: /\nUser-agent: graftbot\nDisallow: /secret/",
+      "b.example" -> "User-agent: other\nDisallow: /")
+    val verdicts = gate(Seq(
+      1L -> "https://a.example/anything",   // * blocks all, but graftbot group governs
+      2L -> "https://a.example/secret/x",   // graftbot's own rule
+      3L -> "https://b.example/x",          // no graftbot, no * group → allowed
+      4L -> "https://norobots.example/x"    // host absent from rules → allowed
+    ), robots, "GraftBot") // case-insensitive agent
+    assert(verdicts == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+  }
+}

@@ -134,4 +134,46 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     assert(recs.map(_.record_id).drop(1).toSeq ==
       Seq("<urn:uuid:doc-3>", "<urn:uuid:doc-6>", "<urn:uuid:doc-9>"))
   }
+
+  test("gzip container: member-per-record bytes decompress to the plain payload") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "alpha"), (2L, "beta\nbody"), (5L, "gamma WARC/1.1 decoy"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), concat(lit("https://t.example/d/"),
+        col("doc_id").cast("string")).as("uri"), col("text").as("body"))
+    val plain = Warc.responseFixture(docs, "doc_id", "uri", "body", numFiles = 1)
+      .select(col("payload")).head().getAs[Array[Byte]](0)
+    val gz = Warc.responseFixtureGzip(docs, "doc_id", "uri", "body", numFiles = 1)
+      .select(col("payload")).head().getAs[Array[Byte]](0)
+    // the member stream really is compressed, and really is multi-member
+    assert(gz.length < plain.length)
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b)
+    val magics = gz.sliding(2).count(p => (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b)
+    assert(magics >= 4, s"expected one member per record, saw $magics magic pairs")
+    // byte-identical plain stream → identical records
+    assert(Warc.gunzipMembers(gz).sameElements(plain))
+    val viaGz = Warc.parseGzipRecords(
+      Warc.responseFixtureGzip(docs, "doc_id", "uri", "body", numFiles = 1),
+      "file_id", "payload").collect().sortBy(_.rec_offset)
+    assert(viaGz.map(_.warc_type).toSeq == Seq("warcinfo", "response", "response", "response"))
+    assert(viaGz.filter(_.warc_type == "response")
+      .map(r => new String(r.body, java.nio.charset.StandardCharsets.UTF_8)).toSeq ==
+      Seq("alpha", "beta\nbody", "gamma WARC/1.1 decoy"))
+  }
+
+  test("gzip container: truncated tail keeps fully-decompressed records") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "first"), (2L, "second"), (3L, "third"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), lit("https://t.example/x").as("uri"), col("text").as("body"))
+    val gz = Warc.responseFixtureGzip(docs, "doc_id", "uri", "body", numFiles = 1)
+      .select(col("payload")).head().getAs[Array[Byte]](0)
+    // cut into the LAST member: earlier members must survive
+    val cut = java.util.Arrays.copyOfRange(gz, 0, gz.length - 12)
+    val recs = Warc.parseFile("f", Warc.gunzipMembers(cut))
+    assert(recs.nonEmpty && recs.size < 4)
+    assert(recs.head.warc_type == "warcinfo")
+  }
 }
