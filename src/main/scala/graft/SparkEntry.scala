@@ -2033,8 +2033,54 @@ object SparkEntry {
           regexp_extract(col("loc"), "a=([0-9]+)&", 1).cast("long").as("doc_id"),
           col("loc"), col("lastmod"), col("changefreq"), col("priority"))
         .orderBy(col("doc_id"))
+    }),
+
+    // The composed crawl frontier, end-to-end: sitemap ingest →
+    // URL canonicalization (uppercase hosts + utm junk collapse) →
+    // robots politeness gate (s0–s4 disallow /p0, crawl-delay 2) →
+    // Bloom-prefiltered already-crawled dedup → per-host fetch
+    // scheduling. Every stage is an already-oracled operator; this row
+    // proves the COMPOSITION hash-exactly (the output offsets depend
+    // on every stage having admitted exactly the right URL set).
+    "q121_frontier_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id")
+      val rawLoc = concat(lit("https://S"), pmod(id, lit(10)).cast("string"),
+        lit(".Example.com/p"), pmod(id, lit(4)).cast("string"),
+        lit("?a="), id.cast("string"), lit("&amp;b=1&amp;utm_source=map"))
+      val entry = concat(lit("<url><loc>"), rawLoc, lit("</loc></url>"))
+      val sitemaps = docs.groupBy(pmod(id, lit(10)).as("site"))
+        .agg(concat(lit("<urlset>\n"), concat_ws("\n", collect_list(entry)),
+          lit("\n</urlset>")).as("xml"))
+      val canon = graft.ext.Sitemap.urlEntries(sitemaps, "xml")
+        .select(graft.ext.Urls.canonicalUrl(col("loc")).as("url"))
+        .where(col("url").isNotNull).distinct()
+      val robots = FrontierRobotsFixture.toSeq.toDF("host", "text")
+      val rules = graft.ext.Robots.parseRules(robots, "host", "text").toDF()
+      val delays = graft.ext.Robots.parseDelays(robots, "host", "text").toDF()
+      val admitted = graft.ext.Robots
+        .allowed(canon, "url", rules, agent = "graftbot")
+        .where(col("allowed")).drop("allowed")
+      // already-crawled set: the canonical URLs of every doc_id%3==0 row
+      val seen = docs.where(id % 3 === 0)
+        .select(graft.ext.Urls.canonicalUrl(
+          regexp_replace(rawLoc, "&amp;", "&")).as("url"))
+        .where(col("url").isNotNull).distinct()
+      val fresh = graft.ext.BloomGate
+        .bloomedAntiJoin(admitted, "url", seen, "url", fpp = 0.01)
+      graft.ext.Robots
+        .schedule(fresh, "url", delays, agent = "graftbot", defaultDelaySec = 1.0)
+        .orderBy(col("url"))
     })
   )
+
+  /** q121's robots zoo: the first five sitemap hosts disallow `/p0`
+    * and declare a 2 s crawl-delay; s5–s9 publish no robots at all.
+    */
+  private val FrontierRobotsFixture: Map[String, String] =
+    (0 until 5).map(k =>
+      s"s$k.example.com" -> "User-agent: *\nDisallow: /p0\nCrawl-delay: 2\n").toMap
 
   /** q118's per-host robots fixture (host → robots.txt body). h4 has
     * NO robots file — the absent-robots default is part of the zoo.
@@ -3962,7 +4008,30 @@ object SparkEntry {
                 '2026-0' || (doc_id % 9 + 1)::VARCHAR || '-01' AS lastmod,
                 CASE WHEN doc_id % 2 = 0 THEN 'daily' END AS changefreq,
                 ('0.' || (doc_id % 10)::VARCHAR)::DOUBLE AS priority
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // the composed frontier in closed form: canonical URL formula,
+    // robots predicate, already-crawled anti-join, per-host window —
+    // the offsets only match if every stage admitted exactly the
+    // right URL set
+    "q121_frontier_pipeline" ->
+      """WITH c AS (SELECT doc_id,
+                'https://s' || (doc_id % 10)::VARCHAR || '.example.com/p'
+                  || (doc_id % 4)::VARCHAR || '?a=' || doc_id::VARCHAR || '&b=1' AS url,
+                's' || (doc_id % 10)::VARCHAR || '.example.com' AS host
+              FROM documents),
+           adm AS (SELECT url, host FROM c
+                   WHERE NOT (doc_id % 10 < 5 AND doc_id % 4 = 0)),
+           fresh AS (SELECT url, host FROM adm a
+                     WHERE NOT EXISTS (SELECT 1 FROM c s
+                                       WHERE s.doc_id % 3 = 0 AND s.url = a.url))
+         SELECT url,
+                ((row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+                  * CASE WHEN host IN ('s0.example.com','s1.example.com',
+                                       's2.example.com','s3.example.com',
+                                       's4.example.com')
+                         THEN 2.0 ELSE 1.0 END)::DOUBLE AS fetch_offset_sec
+         FROM fresh ORDER BY url"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -4047,5 +4116,5 @@ object SparkEntry {
     "q110_pdf_extract", "q111_canonical_url", "q112_frontier_admission",
     "q113_pq_encode", "q114_pq_recall", "q115_warc_gzip",
     "q116_unicode_nfc", "q117_ivfpq_recall", "q118_robots_gate",
-    "q119_crawl_schedule", "q120_sitemap_parse")
+    "q119_crawl_schedule", "q120_sitemap_parse", "q121_frontier_pipeline")
 }
