@@ -2072,6 +2072,27 @@ object SparkEntry {
       graft.ext.Robots
         .schedule(fresh, "url", delays, agent = "graftbot", defaultDelaySec = 1.0)
         .orderBy(col("url"))
+    }),
+
+    // Compression-ratio quality signal (Gopher-style): DEFLATE bytes /
+    // UTF-8 bytes per document, with a repetition salt on id%7==0 rows
+    // so the artifact shows the signal separating (salted rows compress
+    // visibly better than their unsalted selves). Rows-only — DuckDB
+    // has no deflate; pinned by DeflateSpec's closed-form orderings and
+    // the fixed compression level (zlib 6, deterministic across JVMs).
+    "q122_compression_signal" -> ((s, dir) => {
+      val salted = when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" the same phrase again and"),
+            // 20 exact repeats: unambiguous compressibility
+            concat_ws("", (1 to 20).map(_ => lit(" the same phrase again and")): _*)))
+        .otherwise(col("text"))
+      t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          octet_length(salted).cast("long").as("octets"),
+          org.apache.spark.sql.graft.DeflateSize(salted).as("deflate_octets"),
+          round(TextAnalysis.compressionRatio(salted), 6).as("ratio"),
+          (pmod(col("doc_id"), lit(7)) === 0).as("salted"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4116,5 +4137,6 @@ object SparkEntry {
     "q110_pdf_extract", "q111_canonical_url", "q112_frontier_admission",
     "q113_pq_encode", "q114_pq_recall", "q115_warc_gzip",
     "q116_unicode_nfc", "q117_ivfpq_recall", "q118_robots_gate",
-    "q119_crawl_schedule", "q120_sitemap_parse", "q121_frontier_pipeline")
+    "q119_crawl_schedule", "q120_sitemap_parse", "q121_frontier_pipeline",
+    "q122_compression_signal")
 }

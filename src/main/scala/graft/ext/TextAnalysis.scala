@@ -62,6 +62,18 @@ object TextAnalysis {
     LangId.tokenHits(lower(text), stopwords).cast("double") /
       size(tokens(text)).cast("double")
 
+  /** Compression-ratio quality signal (Gopher-style): DEFLATE bytes /
+    * UTF-8 bytes. Boilerplate and repetition compress far below normal
+    * prose (~0.3–0.45 for English); random glyphs / base64 junk sit
+    * near or above 1.0 — both tails are cut in a production quality
+    * gate. NULL on empty text (no bytes → no ratio). Codegen
+    * expression, per-row O(len), no UDF.
+    */
+  def compressionRatio(text: Column): Column =
+    when(octet_length(text) > 0,
+      org.apache.spark.sql.graft.DeflateSize(text).cast("double") /
+        octet_length(text).cast("double"))
+
   /** Composite quality score in [0,1]: rewards stopword presence and
     * sane token lengths, penalizes punctuation soup and very short
     * docs. Deterministic closed form — a cheap first-pass filter ahead

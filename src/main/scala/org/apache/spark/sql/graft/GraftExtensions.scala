@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorOps.sqdistDescriptor)
     ext.injectFunction(LangScores.descriptor)
     ext.injectFunction(BloomContains.descriptor)
+    ext.injectFunction(DeflateSize.descriptor)
     UnicodeNormalize.descriptors.foreach(ext.injectFunction)
   }
 }
