@@ -171,6 +171,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     "Exchange".r.findAllIn(executed).size shouldBe 1
   }
 
+  test("q121 frontier pipeline never sort-merge joins; Bloom probe present") {
+    // every join in the composed frontier (robots rules, seen set)
+    // must broadcast — the frontier itself may shuffle only for its
+    // verdict aggregation and the per-host scheduling window
+    val p = SparkEntry.queries("q121_frontier_pipeline")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p should not include "SortMergeJoin"
+    p.toLowerCase should include("bloom_contains")
+  }
+
   test("q11 rank filter triggers Spark's partial WindowGroupLimit") {
     // Top-k-per-key via window + rank<=k filter is only scale-safe
     // because Catalyst inserts a MAP-SIDE group limit before the
