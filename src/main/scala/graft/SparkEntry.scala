@@ -91,8 +91,23 @@ object SparkEntry {
     */
   private val evenIdModelCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), TextAnalysis.HashedNgramModel]()
+
+  /** Session-keyed model-cache lookup with eviction: entries whose
+    * session's context has stopped are swept on every access, so the
+    * many short-lived test sessions don't accumulate driver-side frames
+    * bound to dead contexts for the JVM lifetime (the maps would
+    * otherwise only ever grow).
+    */
+  private def sessionCached[V](
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V],
+      s: SparkSession, dir: String)(fit: => V): V = {
+    val it = cache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    cache.computeIfAbsent((s, dir), _ => fit)
+  }
+
   private def evenIdModel(s: SparkSession, dir: String): TextAnalysis.HashedNgramModel =
-    evenIdModelCache.computeIfAbsent((s, dir), _ => {
+    sessionCached(evenIdModelCache, s, dir) {
       val fitted = TextAnalysis.hashedNgramModel(
         t(s, dir, "documents").where(col("doc_id") % 2 === 0),
         "text", col("lang") === "en")
@@ -108,7 +123,7 @@ object SparkEntry {
         .as[(Double, Double)].head()
       TextAnalysis.HashedNgramModel(
         w.toDF("__b", "__w"), Seq(p).toDF("__bias", "__w0"), fitted.hexChars)
-    })
+    }
 
   /** q106/q107 refit the same rank-8 PCA; the model is pure driver-side
     * arrays (moments + Jacobi eigensolve output), so the fit — one full
@@ -119,8 +134,9 @@ object SparkEntry {
   private val pcaModelCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), graft.ext.Pca.PcaModel]()
   private def pcaModel(s: SparkSession, dir: String): graft.ext.Pca.PcaModel =
-    pcaModelCache.computeIfAbsent((s, dir), _ =>
-      graft.ext.Pca.fitPca(t(s, dir, "embeddings"), "embedding", r = 8))
+    sessionCached(pcaModelCache, s, dir) {
+      graft.ext.Pca.fitPca(t(s, dir, "embeddings"), "embedding", r = 8)
+    }
 
   /** q113/q114 share one PQ fit (driver-side codebooks from a bounded
     * sample); session-keyed like the caches above.
@@ -128,9 +144,10 @@ object SparkEntry {
   private val pqModelCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), graft.ext.Pq.PqModel]()
   private def pqModel(s: SparkSession, dir: String): graft.ext.Pq.PqModel =
-    pqModelCache.computeIfAbsent((s, dir), _ =>
+    sessionCached(pqModelCache, s, dir) {
       graft.ext.Pq.fit(t(s, dir, "embeddings"), "embedding",
-        dim = 64, m = 8, k = 64))
+        dim = 64, m = 8, k = 64)
+    }
   private def q89Feed(s: SparkSession, dir: String): String =
     q89FeedCache.computeIfAbsent(dir, _ => {
       val ev = events(s, dir).localCheckpoint() // fans out to starts AND ends
@@ -1836,9 +1853,14 @@ object SparkEntry {
     "q113_pq_encode" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = pqModel(s, dir)
+      // codes are emitted as a comma-joined string, not array<int>: the
+      // driver compare sorts column values in pandas, and numpy arrays
+      // are unhashable/unorderable there (r13 lost this row to exactly
+      // that). The array-typed encode path stays covered by PqSpec.
       emb.select(col("vec_id"),
           graft.ext.Pq.encode(col("embedding"), model).as("codes"))
-        .select(col("vec_id"), col("codes"),
+        .select(col("vec_id"),
+          concat_ws(",", col("codes").cast("array<string>")).as("codes"),
           // ADC to the zero vector = ‖reconstruction‖ — a readable
           // per-row sanity magnitude riding the same lookup path
           round(sqrt(graft.ext.Pq.adcDistance(col("codes"),
@@ -2003,7 +2025,8 @@ object SparkEntry {
     }),
 
     // Sitemap ingest: per-site <urlset> XML assembled from the corpus
-    // (CDATA-wrapped locs on id%5==0, &amp; entities in every query
+    // (CDATA-wrapped locs on id%5==0 — whose &amp; stays LITERAL, per
+    // the XML spec — &amp; entities decoded in every other query
     // string, optional changefreq) and exploded back to entries — the
     // frontier's second input stream beside discovered links. Fully
     // oracled: every extracted field is a closed-form function of
@@ -4021,11 +4044,14 @@ object SparkEntry {
                   AS fetch_offset_sec
          FROM ok ORDER BY url""",
 
-    // every extracted field is a closed-form function of doc_id
+    // every extracted field is a closed-form function of doc_id;
+    // CDATA-wrapped locs (doc_id%5=0) keep their &amp; LITERAL (XML
+    // spec: CDATA content is not entity-decoded), the rest decode
     "q120_sitemap_parse" ->
       """SELECT doc_id,
                 'https://s' || (doc_id % 10)::VARCHAR || '.example.com/p?a='
-                  || doc_id::VARCHAR || '&b=1' AS loc,
+                  || doc_id::VARCHAR
+                  || CASE WHEN doc_id % 5 = 0 THEN '&amp;b=1' ELSE '&b=1' END AS loc,
                 '2026-0' || (doc_id % 9 + 1)::VARCHAR || '-01' AS lastmod,
                 CASE WHEN doc_id % 2 = 0 THEN 'daily' END AS changefreq,
                 ('0.' || (doc_id % 10)::VARCHAR)::DOUBLE AS priority

@@ -80,8 +80,26 @@ object LinkGraph {
     val dangling = nodes
       .join(shares.select(col("src").as("v")).distinct(), Seq("v"), "left_anti")
       .localCheckpoint()
+    // Dataset.unpersist on a localCheckpoint'd frame is a no-op: it
+    // routes through CacheManager.uncacheQuery, which only tracks plans
+    // registered via persist()/cache(), while localCheckpoint persists
+    // the underlying RDD directly. To actually reclaim iterate k−2's
+    // blocks we pull the checkpointed RDD handle out of the returned
+    // frame's plan (its analyzed plan IS a LogicalRDD over that RDD)
+    // and unpersist the RDD itself. A getPersistentRDDs-delta would be
+    // wrong here: Verify runs queries concurrently on one context, so
+    // a delta can capture ANOTHER query's just-pinned blocks.
+    def pin(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val cp = df.localCheckpoint()
+      val handle = cp.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      (cp, handle.toSeq)
+    }
     var prev: DataFrame = null
-    var ranks = nodes.select(col("v"), lit(1.0 / n).as("rank")).localCheckpoint()
+    var prevRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    var (ranks, ranksRdds) =
+      pin(nodes.select(col("v"), lit(1.0 / n).as("rank")))
     val times = Vector.newBuilder[Double]
     var it = 0
     while (it < iterations) {
@@ -94,17 +112,18 @@ object LinkGraph {
         .join(shares, ranks("v") === shares("src"))
         .groupBy(col("dst").as("v"))
         .agg(sum(col("rank") * col("share")).as("__c"))
-      val next = nodes
+      val (next, nextRdds) = pin(nodes
         .join(contrib, Seq("v"), "left")
         .select(col("v"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) + lit(danglingMass / n)))
-            .as("rank"))
-        .localCheckpoint()
+            .as("rank")))
       // next is materialized; the k−2 iterate can never be read again
-      if (prev != null) prev.unpersist(blocking = false)
+      prevRdds.foreach(_.unpersist(blocking = false))
       prev = ranks
+      prevRdds = ranksRdds
       ranks = next
+      ranksRdds = nextRdds
       times += (System.nanoTime() - t0) / 1e9
       it += 1
     }

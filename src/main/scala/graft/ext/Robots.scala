@@ -106,6 +106,13 @@ object Robots {
     * broadcast join + ONE aggregation over the (small) matched-rule
     * set; the URL frame itself is never shuffled beyond that
     * aggregation's key.
+    *
+    * Row multiplicity is preserved exactly (the aggregation key is a
+    * generated per-row id, not the row's columns, so fully-duplicate
+    * input rows stay duplicates), and the rules-side join columns are
+    * renamed to reserved `__`-prefixed names before joining — input
+    * frames may freely carry columns named `host`/`allow`/`prefix`.
+    * `__`-prefixed input columns remain reserved engine-wide.
     */
   def allowed(
       urls: DataFrame,
@@ -123,23 +130,30 @@ object Robots {
       // exact-agent group wins entirely when present; else the * group
       .where(col("agent") === agentLc ||
         (col("agent") === "*" && col("__has_agent").isNull))
-      .select(col("host"), col("allow"), col("prefix"))
+      .select(col("host").as("__r_host"), col("allow").as("__r_allow"),
+        col("prefix").as("__r_prefix"))
     val keyed = urls
+      .withColumn("__rid", monotonically_increasing_id())
       .withColumn("__host", hostOf(col(urlCol)))
       .withColumn("__path", pathOf(col(urlCol)))
+    // verdict = the longest matching prefix's allow; Allow wins ties
+    // (struct max orders by (length, allow)); no match → allowed.
+    // first() per input column is exact here: every row of a __rid
+    // group carries the same input values.
+    val aggCols = urls.columns.map(c => first(col(c)).as(c)) :+
+      max(when(col("__r_prefix").isNotNull,
+        struct(length(col("__r_prefix")).as("l"), col("__r_allow").as("a"))))
+        .as("__best")
     keyed
       .join(broadcast(applicable),
-        keyed("__host") === applicable("host") &&
-          keyed("__path").startsWith(applicable("prefix")),
+        col("__host") === col("__r_host") &&
+          col("__path").startsWith(col("__r_prefix")),
         "left")
-      // verdict = the longest matching prefix's allow; Allow wins ties
-      // (struct max orders by (length, allow)); no match → allowed
-      .groupBy(keyed.columns.map(col): _*)
-      .agg(max(when(col("prefix").isNotNull,
-        struct(length(col("prefix")).as("l"), col("allow").as("a")))).as("__best"))
+      .groupBy(col("__rid"))
+      .agg(aggCols.head, aggCols.tail: _*)
       .withColumn("allowed",
         coalesce(col("__best").getField("a"), lit(true)))
-      .drop("__best", "__host", "__path")
+      .select(urls.columns.map(col) :+ col("allowed"): _*)
   }
 
   /** Politeness scheduling: assign each URL a fetch offset so that
@@ -161,19 +175,21 @@ object Robots {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     // per host: the agent's own delay beats *'s (struct max on
     // (is_exact, delay) keeps ONE row per host without a window)
+    // delays-side column renamed to a reserved name so a user column
+    // called `host` survives the join (same contract as [[allowed]])
     val d = delays
       .where(col("agent") === agentLc || col("agent") === "*")
-      .groupBy(col("host"))
+      .groupBy(col("host").as("__d_host"))
       .agg(max(struct((col("agent") === agentLc).as("e"), col("delay_sec").as("d")))
         .getField("d").as("__delay"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__host")).orderBy(col(urlCol))
     urls
       .withColumn("__host", hostOf(col(urlCol)))
-      .join(broadcast(d), col("__host") === d("host"), "left")
+      .join(broadcast(d), col("__host") === col("__d_host"), "left")
       .withColumn("fetch_offset_sec",
         (row_number().over(w) - 1).cast("double") *
           coalesce(col("__delay"), lit(defaultDelaySec)))
-      .drop("host", "__delay", "__host")
+      .drop("__d_host", "__delay", "__host")
   }
 }

@@ -18,8 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object Sitemap {
 
-  private def unwrapCdata(c: Column): Column =
-    regexp_replace(c, "(?s)^\\s*<!\\[CDATA\\[(.*)\\]\\]>\\s*$", "$1")
+  private val CdataPattern = "(?s)^\\s*<!\\[CDATA\\[(.*)\\]\\]>\\s*$"
 
   private def decodeEntities(c: Column): Column = {
     // the five XML built-ins; &amp; LAST so it can't re-create others
@@ -35,8 +34,13 @@ object Sitemap {
 
   private def field(block: Column, tag: String): Column = {
     val raw = regexp_extract(block, s"(?s)<$tag>(.*?)</$tag>", 1)
+    val t = trim(raw)
+    // CDATA content is LITERAL per the XML spec — entity references
+    // inside it are plain text, so decodeEntities only runs on the
+    // non-CDATA branch (`<![CDATA[a&amp;b]]>` yields `a&amp;b`, not `a&b`).
     when(raw === "", lit(null).cast("string"))
-      .otherwise(decodeEntities(unwrapCdata(trim(raw))))
+      .otherwise(when(t.rlike(CdataPattern), regexp_extract(t, CdataPattern, 1))
+        .otherwise(decodeEntities(t)))
   }
 
   /** Explode a `<urlset>` sitemap column into one row per `<url>`

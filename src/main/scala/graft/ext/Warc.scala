@@ -295,9 +295,14 @@ object Warc {
     val s = df.sparkSession
     import s.implicits._
     def member(out: java.io.ByteArrayOutputStream, b: Array[Byte]): Unit = {
-      val g = new java.util.zip.GZIPOutputStream(out)
-      g.write(b)
-      g.finish() // completes THIS member without closing the sink
+      // each member compresses into its own buffer so the stream — and
+      // its native Deflater — is close()d deterministically; finish()
+      // alone leaves Deflater reclamation to finalization, which a
+      // large fixture build (one stream per record) can outpace
+      val buf = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(buf)
+      try g.write(b) finally g.close() // close() finishes the member
+      buf.writeTo(out)
     }
     df.select(
         pmod(col(idCol), lit(numFiles)).cast("string").as("file_id"),

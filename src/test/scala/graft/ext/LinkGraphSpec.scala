@@ -70,6 +70,23 @@ class LinkGraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
     r(0L) should be > r(1L) // receives 9's full endorsement
   }
 
+  test("iterate memory is bounded: k-2 iterates' RDD blocks are actually dropped") {
+    import spark.implicits._
+    // Dataset.unpersist is a no-op on localCheckpoint'd frames (it only
+    // consults the CacheManager), so pageRankRun unpersists the raw RDD
+    // handles instead. Evidence: after a 7-iteration run the persistent-
+    // RDD delta is the 3 pinned support frames (nodes/shares/dangling)
+    // plus the LAST TWO iterates — not O(iterations) frames.
+    val sc = spark.sparkContext
+    val edges = (0L until 120L).map(i => (i % 12, (i * 7 + 1) % 15))
+    val before = sc.getPersistentRDDs.keySet
+    val run = LinkGraph.pageRankRun(edges.toDF("s", "d"), "s", "d", iterations = 7)
+    run.ranks.count() shouldBe 15
+    val newlyPinned = sc.getPersistentRDDs.keySet -- before
+    newlyPinned.size should be <= 5
+    run.iterSeconds should have size 7
+  }
+
   test("partition-invariant at rounded precision") {
     import spark.implicits._
     val edges = (0L until 200L).map(i => (i % 20, (i * 7 + 3) % 25))

@@ -86,6 +86,27 @@ class RobotsSpec extends AnyFunSuite with SparkTestBase {
     assert(out("https://nodelay.example/a") == 0.0 && out("https://nodelay.example/b") == 1.0)
   }
 
+  test("allowed: duplicate rows keep their multiplicity; host/allow/prefix input columns survive") {
+    val s = spark
+    import s.implicits._
+    val robots = Seq("h.example" -> "User-agent: *\nDisallow: /no/").toDF("host", "text")
+    val rules = Robots.parseRules(robots, "host", "text").toDF()
+    // two fully-identical rows + columns that collide with the rules
+    // frame's names — both must pass through the gate untouched
+    val urls = Seq(
+      ("https://h.example/no/x", "myhost", true, "p0"),
+      ("https://h.example/no/x", "myhost", true, "p0"),
+      ("https://h.example/ok", "other", false, "p1"))
+      .toDF("url", "host", "allow", "prefix")
+    val out = Robots.allowed(urls, "url", rules, "anybot").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getString(0)).count(_ == "https://h.example/no/x") == 2)
+    val byUrl = out.map(r => (r.getString(0),
+      (r.getString(1), r.getBoolean(2), r.getString(3), r.getBoolean(4)))).toMap
+    assert(byUrl("https://h.example/no/x") == (("myhost", true, "p0", false)))
+    assert(byUrl("https://h.example/ok") == (("other", false, "p1", true)))
+  }
+
   test("exact-agent group replaces the * group entirely; absent robots allows") {
     val robots = Seq(
       "a.example" -> "User-agent: *\nDisallow: /\nUser-agent: graftbot\nDisallow: /secret/",

@@ -37,6 +37,11 @@ class SitemapSpec extends AnyFunSuite with SparkTestBase {
       ("https://a.example/ws", None, None, None)))
   }
 
+  test("CDATA content is literal: entity references inside it do NOT decode") {
+    val xml = "<urlset><url><loc><![CDATA[https://e/p?a=1&amp;b=2]]></loc></url></urlset>"
+    assert(entries(xml).map(_._1) == Seq("https://e/p?a=1&amp;b=2"))
+  }
+
   test("all five XML entities decode; &amp; cannot re-create others") {
     val xml = "<urlset><url><loc>https://e/&lt;&gt;&quot;&apos;&amp;lt;</loc></url></urlset>"
     // &amp;lt; must decode to the LITERAL text "&lt;", not to "<"
