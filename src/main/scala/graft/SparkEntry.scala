@@ -2116,8 +2116,303 @@ object SparkEntry {
           round(TextAnalysis.compressionRatio(salted), 6).as("ratio"),
           (pmod(col("doc_id"), lit(7)) === 0).as("salted"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Sitemap DISCOVERY, the full nesting: robots `Sitemap:` directive
+    // → <sitemapindex> → child <urlset> → entries. Only EVEN sites
+    // advertise their index in robots.txt, so the admitted doc set is
+    // exactly the even-site half — un-advertised maps exist but are
+    // never reached (the thing discovery semantics have to get right).
+    // Fully oracled: site/chunk/loc are closed-form in doc_id.
+    "q123_sitemap_discovery" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id")
+      val site = pmod(id, lit(10))
+      val chunk = pmod(floor(id / lit(10)), lit(3))
+      val entry = concat(lit("<url><loc>https://s"), site.cast("string"),
+        lit(".example.com/p?a="), id.cast("string"), lit("</loc></url>"))
+      // one child sitemap per (site, chunk)
+      val children = docs
+        .groupBy(site.as("site"), chunk.as("chunk"))
+        .agg(concat(lit("<urlset>\n"), concat_ws("\n", collect_list(entry)),
+          lit("\n</urlset>")).as("xml"))
+        .withColumn("child_url", concat(lit("https://s"), col("site").cast("string"),
+          lit(".example.com/maps/c"), col("chunk").cast("string"), lit(".xml")))
+      // one <sitemapindex> per site, pointing at its children
+      val index = children
+        .groupBy(col("site"))
+        .agg(concat(lit("<sitemapindex>\n"),
+          concat_ws("\n", sort_array(collect_list(
+            concat(lit("<sitemap><loc>"), col("child_url"), lit("</loc></sitemap>"))))),
+          lit("\n</sitemapindex>")).as("xml"))
+        .withColumn("index_url", concat(lit("https://s"), col("site").cast("string"),
+          lit(".example.com/sitemap_index.xml")))
+      // robots.txt advertises the index — even sites only; mixed-case
+      // field name + comment line exercise the directive scan
+      val robots = index.where(pmod(col("site"), lit(2)) === 0)
+        .select(concat(lit("s"), col("site").cast("string"), lit(".example.com")).as("host"),
+          concat(lit("User-agent: *\nDisallow: /private/\n# discovery\nSiteMap: "),
+            col("index_url")).as("text"))
+      val advertised = graft.ext.Robots.sitemapDirectives(robots, "host", "text")
+      val discoveredIdx = index.join(broadcast(advertised),
+        index("index_url") === advertised("sitemap_url"), "left_semi")
+      val childPtrs = graft.ext.Sitemap.indexEntries(
+        discoveredIdx.select(col("xml")), "xml")
+      val discoveredChildren = children.join(
+        broadcast(childPtrs.select(col("loc").as("__ptr"))),
+        col("child_url") === col("__ptr"), "left_semi")
+      graft.ext.Sitemap.urlEntries(
+          discoveredChildren.select(col("site"), col("chunk"), col("xml")), "xml")
+        .select(
+          regexp_extract(col("loc"), "a=([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("site").cast("long").as("site"),
+          col("chunk").cast("long").as("chunk"),
+          col("loc"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q121's frontier with DISCOVERY as the map source: only hosts
+    // whose robots.txt advertises a sitemap contribute URLs (s0–s4
+    // here — s5–s9 publish no robots, so their maps are never fetched),
+    // then the same canonicalize → robots gate → Bloom dedup →
+    // schedule chain. Oracled end-to-end like q121; the admitted set
+    // differs from q121 exactly by the un-discovered half.
+    "q124_frontier_discovered" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id")
+      val rawLoc = concat(lit("https://S"), pmod(id, lit(10)).cast("string"),
+        lit(".Example.com/p"), pmod(id, lit(4)).cast("string"),
+        lit("?a="), id.cast("string"), lit("&amp;b=1&amp;utm_source=map"))
+      val entry = concat(lit("<url><loc>"), rawLoc, lit("</loc></url>"))
+      val sitemaps = docs.groupBy(pmod(id, lit(10)).as("site"))
+        .agg(concat(lit("<urlset>\n"), concat_ws("\n", collect_list(entry)),
+          lit("\n</urlset>")).as("xml"))
+        .withColumn("map_url", concat(lit("https://s"), col("site").cast("string"),
+          lit(".example.com/sitemap.xml")))
+      val robots = FrontierRobotsDiscoveryFixture.toSeq.toDF("host", "text")
+      val advertised = graft.ext.Robots.sitemapDirectives(robots, "host", "text")
+      val discovered = sitemaps.join(broadcast(advertised),
+        sitemaps("map_url") === advertised("sitemap_url"), "left_semi")
+      val canon = graft.ext.Sitemap.urlEntries(discovered, "xml")
+        .select(graft.ext.Urls.canonicalUrl(col("loc")).as("url"))
+        .where(col("url").isNotNull).distinct()
+      val rules = graft.ext.Robots.parseRules(robots, "host", "text").toDF()
+      val delays = graft.ext.Robots.parseDelays(robots, "host", "text").toDF()
+      val admitted = graft.ext.Robots
+        .allowed(canon, "url", rules, agent = "graftbot")
+        .where(col("allowed")).drop("allowed")
+      val seen = docs.where(id % 3 === 0)
+        .select(graft.ext.Urls.canonicalUrl(
+          regexp_replace(rawLoc, "&amp;", "&")).as("url"))
+        .where(col("url").isNotNull).distinct()
+      val fresh = graft.ext.BloomGate
+        .bloomedAntiJoin(admitted, "url", seen, "url", fpp = 0.01)
+      graft.ext.Robots
+        .schedule(fresh, "url", delays, agent = "graftbot", defaultDelaySec = 1.0)
+        .orderBy(col("url"))
+    }),
+
+    // q121's frontier ADMISSION as a stream: sitemap XMLs arrive as
+    // micro-batches (file source, AvailableNow, ≤3 files per trigger;
+    // every sitemap is written TWICE with different file splits so the
+    // same URL recurs across batches), each batch runs canonicalize →
+    // robots gate → Bloom-prefiltered anti-join against crawled ∪
+    // everything ADMITTED IN EARLIER BATCHES, and appends its survivors
+    // to the admitted store. Scheduling runs once over the accumulated
+    // frontier after replay. Streaming ≡ batch: the oracle is q121's
+    // own closed form — the hash only matches if cross-batch dedup
+    // admitted exactly the batch pipeline's URL set.
+    "q125_frontier_streaming" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id")
+      val rawLoc = concat(lit("https://S"), pmod(id, lit(10)).cast("string"),
+        lit(".Example.com/p"), pmod(id, lit(4)).cast("string"),
+        lit("?a="), id.cast("string"), lit("&amp;b=1&amp;utm_source=map"))
+      val entry = concat(lit("<url><loc>"), rawLoc, lit("</loc></url>"))
+      val sitemaps = docs.groupBy(pmod(id, lit(10)).as("site"))
+        .agg(concat(lit("<urlset>\n"), concat_ws("\n", collect_list(entry)),
+          lit("\n</urlset>")).as("xml"))
+        .localCheckpoint() // written twice below; never recomputed
+      val robots = FrontierRobotsFixture.toSeq.toDF("host", "text")
+      val rules = graft.ext.Robots.parseRules(robots, "host", "text").toDF()
+        .localCheckpoint() // consumed once per micro-batch
+      val delays = graft.ext.Robots.parseDelays(robots, "host", "text").toDF()
+      val seen = docs.where(id % 3 === 0)
+        .select(graft.ext.Urls.canonicalUrl(
+          regexp_replace(rawLoc, "&amp;", "&")).as("url"))
+        .where(col("url").isNotNull).distinct()
+        .localCheckpoint() // consumed once per micro-batch
+      val base = java.nio.file.Files.createTempDirectory("graft-q125").toString
+      try {
+        // the SAME sitemap set twice, split across different file
+        // counts: duplicate URLs land in different micro-batches
+        sitemaps.select(col("xml")).repartition(5)
+          .write.mode("append").text(s"$base/in")
+        sitemaps.select(col("xml")).repartition(7)
+          .write.mode("append").text(s"$base/in")
+        val admittedDir = s"$base/admitted"
+        val fs = new org.apache.hadoop.fs.Path(admittedDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stream = s.readStream
+          .option("wholetext", "true").option("maxFilesPerTrigger", "3")
+          .text(s"$base/in")
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val canon = graft.ext.Sitemap.urlEntries(batch, "value")
+              .select(graft.ext.Urls.canonicalUrl(col("loc")).as("url"))
+              .where(col("url").isNotNull).distinct()
+            val admitted = graft.ext.Robots
+              .allowed(canon, "url", rules, agent = "graftbot")
+              .where(col("allowed")).drop("allowed")
+            val seenSoFar =
+              if (fs.exists(new org.apache.hadoop.fs.Path(admittedDir)))
+                seen.unionByName(s.read.parquet(admittedDir))
+              else seen
+            val fresh = graft.ext.BloomGate
+              .bloomedAntiJoin(admitted, "url", seenSoFar, "url", fpp = 0.01)
+            if (!fresh.isEmpty)
+              fresh.write.mode("append").parquet(admittedDir)
+          }
+          .start()
+        if (!q.awaitTermination(600000L)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q125 streaming replay did not terminate within 600s")
+        }
+        graft.ext.Robots
+          .schedule(s.read.parquet(admittedDir), "url", delays,
+            agent = "graftbot", defaultDelaySec = 1.0)
+          .orderBy(col("url"))
+          .localCheckpoint() // materialize before the temp dirs vanish
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
+    }),
+
+    // Persisted IVF-PQ (the on-disk billion-vector layout): codes
+    // partitioned by coarse cell + codebooks/centroids in a meta
+    // table, then the SAME query answered from disk and from memory.
+    // The row is a round-trip IDENTITY check (the q83 pattern): same
+    // neighbors, same ADC distances to the last bit — deterministic,
+    // pinned at 1.0 / 0.0. Rows-only (kmeans isn't SQL); PqSpec twins
+    // this on the clustered fixture.
+    "q126_ivfpq_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = pqModel(s, dir)
+      val coarse = SimilaritySearch.learnCentroids(emb, "embedding", k = 16)
+      val query = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val rest = emb.where(col("vec_id") =!= 0)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_index").toString
+      try {
+        graft.ext.Pq.writeIvfPqIndex(rest, "vec_id", "embedding",
+          coarse, model, path)
+        val fromIndex = graft.ext.Pq
+          .ivfPqTopKFromIndex(s, path, "vec_id", query, k = 10, nProbe = 4)
+          .withColumnRenamed("adc_dist", "adc_disk")
+        val inMem = graft.ext.Pq.ivfPqTopK(rest, "vec_id", "embedding",
+          query, k = 10, coarseCentroids = coarse, model = model, nProbe = 4)
+        fromIndex.join(inMem, Seq("vec_id"))
+          .agg((count(lit(1)).cast("double") / 10.0).as("identity_at_10"),
+            max(abs(col("adc_disk") - col("adc_dist"))).as("max_adc_dev"))
+          .select(lit(model.m).as("m"), lit(model.k).as("k"),
+            lit(16).as("coarse_cells"), lit(4).as("n_probe"),
+            col("identity_at_10"), col("max_adc_dev"))
+          .localCheckpoint() // materialize before the temp index vanishes
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
+    }),
+
+    // Residual PQ (IVFADC, Jégou et al. §IV) vs direct PQ, side by
+    // side against the exact L2 top-10 — the production construction:
+    // codes spend their resolution on `x − c_cell` instead of x, with
+    // a per-probed-cell query LUT. On this near-uniform corpus the two
+    // paths land close; the clustered PqSpec fixture pins residual ≥
+    // direct where the geometry separates. Rows-only.
+    "q127_pq_residual_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = pqModel(s, dir)
+      val coarse = SimilaritySearch.learnCentroids(emb, "embedding", k = 16)
+      val rmodel = graft.ext.Pq.fitResidual(emb, "embedding", coarse,
+        dim = 64, m = 8, k = 64)
+      val query = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val rest = emb.where(col("vec_id") =!= 0)
+      val exact10 = rest
+        .select(col("vec_id"),
+          org.apache.spark.sql.graft.VectorOps
+            .sqdist(col("embedding"), typedLit(query)).as("__d"))
+        .orderBy(col("__d"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"))
+        .localCheckpoint() // consumed by BOTH recall branches
+      val direct10 = graft.ext.Pq.ivfPqTopK(rest, "vec_id", "embedding",
+        query, k = 10, coarseCentroids = coarse, model = model, nProbe = 4)
+        .select(col("vec_id"))
+      val resid10 = graft.ext.Pq.ivfPqResidualTopK(rest, "vec_id", "embedding",
+        query, k = 10, coarseCentroids = coarse, model = rmodel, nProbe = 4)
+        .select(col("vec_id"))
+      val d = direct10.join(exact10, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)).cast("double") / 10.0).as("direct_recall_at_10"))
+      val r = resid10.join(exact10, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)).cast("double") / 10.0).as("residual_recall_at_10"))
+      d.crossJoin(r)
+        .select(lit(model.m).as("m"), lit(model.k).as("k"),
+          lit(16).as("coarse_cells"), lit(4).as("n_probe"),
+          col("direct_recall_at_10"), col("residual_recall_at_10"))
+    }),
+
+    // Decode-refusal accounting: a format zoo (one payload class per
+    // doc_id%8 — five real decoders, an envelope-only MP4, and the
+    // deliberately-REFUSED MP3/H.264 stubs) audited through the same
+    // decoder chain q32 runs, then counted per (kind, format,
+    // outcome). The refuse-path is driver-visible and fully oracled:
+    // each slot's outcome is a constant of the engine's honest-stub
+    // boundary, so DuckDB states the expectation in closed form.
+    "q128_decode_refusals" -> ((s, dir) => {
+      import s.implicits._
+      val zoo: Map[Int, (String, Array[Byte])] = Map(
+        0 -> (("audio", MediaCodec.Fixtures.sineWav(440, 0.5))),
+        1 -> (("image", MediaCodec.Fixtures.gradientBmp(16, 16))),
+        2 -> (("image", MediaCodec.Fixtures.gradientPng(16, 10))),
+        3 -> (("image", graft.ext.JpegCodec.Fixtures.gradientJpeg(24, 16, mode = "420"))),
+        4 -> (("image", graft.ext.GifCodec.Fixtures.gradientGif(16, 10))),
+        5 -> (("video", MediaCodec.Fixtures.minimalMp4(1000, 5000L))),
+        6 -> (("audio", MediaCodec.Fixtures.mp3Frame())),
+        7 -> (("video", MediaCodec.Fixtures.h264AnnexB())))
+      t(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).cast("int").as("__slot"))
+        .as[(Long, Int)]
+        .map { case (_, slot) =>
+          val (kind, payload) = zoo(slot)
+          val (format, outcome) = MediaCodec.decodeOutcome(payload)
+          (kind, format, outcome)
+        }
+        .toDF("kind", "format", "outcome")
+        .groupBy(col("kind"), col("format"), col("outcome"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("format"))
     })
   )
+
+  /** q124's robots zoo: s0–s4 each disallow `/p0`, declare a 2 s
+    * crawl-delay AND advertise their sitemap (the discovery stream);
+    * s5–s9 publish no robots at all, so their maps stay undiscovered.
+    */
+  private val FrontierRobotsDiscoveryFixture: Map[String, String] =
+    (0 until 5).map(k =>
+      s"s$k.example.com" ->
+        s"User-agent: *\nDisallow: /p0\nCrawl-delay: 2\nSitemap: https://s$k.example.com/sitemap.xml\n").toMap
 
   /** q121's robots zoo: the first five sitemap hosts disallow `/p0`
     * and declare a 2 s crawl-delay; s5–s9 publish no robots at all.
@@ -4078,7 +4373,76 @@ object SparkEntry {
                                        's2.example.com','s3.example.com',
                                        's4.example.com')
                          THEN 2.0 ELSE 1.0 END)::DOUBLE AS fetch_offset_sec
-         FROM fresh ORDER BY url"""
+         FROM fresh ORDER BY url""",
+
+    // discovery in closed form: even sites advertise → even doc_ids
+    // admitted; site/chunk/loc are direct functions of doc_id
+    "q123_sitemap_discovery" ->
+      """SELECT doc_id,
+                (doc_id % 10)::BIGINT AS site,
+                ((doc_id // 10) % 3)::BIGINT AS chunk,
+                'https://s' || (doc_id % 10)::VARCHAR || '.example.com/p?a='
+                  || doc_id::VARCHAR AS loc
+         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+
+    // q121's frontier restricted to the DISCOVERED half (s0–s4 are the
+    // only hosts whose robots advertise a sitemap; they all declare
+    // crawl-delay 2 and disallow /p0)
+    "q124_frontier_discovered" ->
+      """WITH c AS (SELECT doc_id,
+                'https://s' || (doc_id % 10)::VARCHAR || '.example.com/p'
+                  || (doc_id % 4)::VARCHAR || '?a=' || doc_id::VARCHAR || '&b=1' AS url,
+                's' || (doc_id % 10)::VARCHAR || '.example.com' AS host
+              FROM documents),
+           adm AS (SELECT url, host FROM c
+                   WHERE doc_id % 10 < 5 AND doc_id % 4 <> 0),
+           fresh AS (SELECT url, host FROM adm a
+                     WHERE NOT EXISTS (SELECT 1 FROM c s
+                                       WHERE s.doc_id % 3 = 0 AND s.url = a.url))
+         SELECT url,
+                ((row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+                  * 2.0)::DOUBLE AS fetch_offset_sec
+         FROM fresh ORDER BY url""",
+
+    // streaming ≡ batch: the micro-batched admission must reproduce
+    // q121's closed form exactly (same corpus, same stages)
+    "q125_frontier_streaming" ->
+      """WITH c AS (SELECT doc_id,
+                'https://s' || (doc_id % 10)::VARCHAR || '.example.com/p'
+                  || (doc_id % 4)::VARCHAR || '?a=' || doc_id::VARCHAR || '&b=1' AS url,
+                's' || (doc_id % 10)::VARCHAR || '.example.com' AS host
+              FROM documents),
+           adm AS (SELECT url, host FROM c
+                   WHERE NOT (doc_id % 10 < 5 AND doc_id % 4 = 0)),
+           fresh AS (SELECT url, host FROM adm a
+                     WHERE NOT EXISTS (SELECT 1 FROM c s
+                                       WHERE s.doc_id % 3 = 0 AND s.url = a.url))
+         SELECT url,
+                ((row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+                  * CASE WHEN host IN ('s0.example.com','s1.example.com',
+                                       's2.example.com','s3.example.com',
+                                       's4.example.com')
+                         THEN 2.0 ELSE 1.0 END)::DOUBLE AS fetch_offset_sec
+         FROM fresh ORDER BY url""",
+
+    // the honest-stub boundary in closed form: each doc_id%8 slot maps
+    // to one payload class with a CONSTANT audited outcome — decoded
+    // for the five real decoders, envelope_only for MP4 (header real,
+    // samples codec-bound), refused for MP3/H.264
+    "q128_decode_refusals" ->
+      """WITH m AS (SELECT
+           CASE doc_id % 8 WHEN 0 THEN 'audio' WHEN 1 THEN 'image'
+                WHEN 2 THEN 'image' WHEN 3 THEN 'image' WHEN 4 THEN 'image'
+                WHEN 5 THEN 'video' WHEN 6 THEN 'audio' ELSE 'video' END AS kind,
+           CASE doc_id % 8 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
+                WHEN 2 THEN 'png' WHEN 3 THEN 'jpeg' WHEN 4 THEN 'gif'
+                WHEN 5 THEN 'mp4' WHEN 6 THEN 'mp3' ELSE 'h26x' END AS format,
+           CASE doc_id % 8 WHEN 5 THEN 'envelope_only'
+                WHEN 6 THEN 'refused' WHEN 7 THEN 'refused'
+                ELSE 'decoded' END AS outcome
+         FROM documents)
+         SELECT kind, format, outcome, count(*) AS n
+         FROM m GROUP BY 1, 2, 3 ORDER BY format"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -4164,5 +4528,11 @@ object SparkEntry {
     "q113_pq_encode", "q114_pq_recall", "q115_warc_gzip",
     "q116_unicode_nfc", "q117_ivfpq_recall", "q118_robots_gate",
     "q119_crawl_schedule", "q120_sitemap_parse", "q121_frontier_pipeline",
-    "q122_compression_signal")
+    // q125 is NOT benched: 16.7 s at sf0.1, nearly all of it the
+    // micro-batch replay harness (7 sequential batches, per-batch
+    // checkpoint I/O); its operator stages are exactly q121's (timed)
+    // and its streaming machinery is q89's (timed)
+    "q122_compression_signal", "q123_sitemap_discovery",
+    "q124_frontier_discovered", "q126_ivfpq_index",
+    "q127_pq_residual_recall", "q128_decode_refusals")
 }

@@ -806,6 +806,50 @@ object MediaCodec {
       feature = feature)
   }
 
+  /** Magic-byte format sniff — the envelope-level classifier a crawl
+    * pipeline runs before routing a payload to a decoder. Signature
+    * peeks only; the formats are the crawl-dominant set plus the
+    * codec-bound ones this engine deliberately refuses.
+    */
+  def sniffFormat(b: Array[Byte]): String = {
+    def at(i: Int): Int = if (i >= 0 && i < b.length) b(i) & 0xFF else -1
+    def ascii(i: Int, s: String): Boolean =
+      i + s.length <= b.length && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+    if (ascii(0, "RIFF") && ascii(8, "WAVE")) "wav"
+    else if (ascii(0, "BM")) "bmp"
+    else if (at(0) == 'P'.toInt && (at(1) == '5'.toInt || at(1) == '6'.toInt)) "pnm"
+    else if (at(0) == 0x89 && ascii(1, "PNG")) "png"
+    else if (at(0) == 0xFF && at(1) == 0xD8) "jpeg"
+    else if (ascii(0, "GIF8")) "gif"
+    else if (b.length >= 12 &&
+      Set("ftyp", "styp", "moov", "mdat").contains(boxType(b, 0))) "mp4"
+    else if (ascii(0, "ID3") || (at(0) == 0xFF && (at(1) & 0xE0) == 0xE0)) "mp3"
+    else if ((at(0) == 0 && at(1) == 0 && at(2) == 0 && at(3) == 1) ||
+      (at(0) == 0 && at(1) == 0 && at(2) == 1)) "h26x"
+    else "unknown"
+  }
+
+  /** Per-payload decode audit: `(format, outcome)` where outcome is
+    * `decoded` (a real sample decode produced the feature head),
+    * `envelope_only` (real header metadata — dimensions/duration —
+    * but the sample decode is REFUSED: codec-bound), or `refused`
+    * (stub fallback end to end). Runs the SAME decoder chain as
+    * [[decodeBytes]], so the accounting cannot drift from behavior.
+    */
+  def decodeOutcome(payload: Array[Byte]): (String, String) = {
+    val sample = wavPcmStats(payload).isDefined ||
+      bmpPixelStats(payload).isDefined || pnmPixelStats(payload).isDefined ||
+      pngPixelStats(payload).isDefined || JpegCodec.pixelStats(payload).isDefined ||
+      GifCodec.pixelStats(payload).isDefined
+    val envelope = imageDimensions(payload).isDefined ||
+      wavInfo(payload).isDefined || mp4DurationMs(payload).isDefined
+    val outcome =
+      if (sample) "decoded"
+      else if (envelope) "envelope_only"
+      else "refused"
+    (sniffFormat(payload), outcome)
+  }
+
   /** Deterministic zero-dependency real-format payload builders — tiny
     * valid 16-bit-PCM WAV and 24-bpp BMP byte arrays, so driver-visible
     * queries (q32) exercise the REAL sample-decode path
@@ -813,6 +857,37 @@ object MediaCodec {
     * the unit specs.
     */
   object Fixtures {
+
+    /** Minimal ISO-BMFF envelope (ftyp + moov{mvhd v0}): the header
+      * walk reads a REAL duration, but there is no sample data any
+      * codec could decode — the canonical `envelope_only` payload.
+      */
+    def minimalMp4(timescale: Int, durationTicks: Long): Array[Byte] = {
+      def be32(v: Long): Array[Byte] =
+        Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+          ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0x200)
+      val mvhdPayload = be32(0) ++ // version 0 + flags
+        be32(0) ++ be32(0) ++ // creation, modification
+        be32(timescale.toLong) ++ be32(durationTicks)
+      val mvhd = be32(8L + mvhdPayload.length) ++ "mvhd".getBytes ++ mvhdPayload
+      val moov = be32(8L + mvhd.length) ++ "moov".getBytes ++ mvhd
+      ftyp ++ moov
+    }
+
+    /** One MPEG-1 Layer III sync frame header + zero payload bytes —
+      * the sample decode this engine REFUSES (needs a real codec lib).
+      */
+    def mp3Frame(): Array[Byte] =
+      // sync 0xFFE, MPEG-1 layer III, 128 kbps, 44.1 kHz + dead air
+      Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte) ++ Array.fill(412)(0.toByte)
+
+    /** H.264 Annex-B start code + an SPS NAL header byte — refused
+      * likewise (entropy-coded video needs a real codec lib).
+      */
+    def h264AnnexB(): Array[Byte] =
+      Array(0x00, 0x00, 0x00, 0x01, 0x67).map(_.toByte) ++ Array.fill(32)(0x42.toByte)
+
     /** `seconds` of an `amp`-full-scale `freq` Hz mono sine at 16 kHz. */
     def sineWav(freq: Int, amp: Double, seconds: Double = 0.25): Array[Byte] = {
       val sr = 16000

@@ -143,4 +143,145 @@ object Pq {
       pruned.select(col(idCol), encode(col(vecCol), model).as("__codes")),
       idCol, "__codes", query, model, k, excludeId)
   }
+
+  /** The residual of `vec` to its assigned coarse centroid —
+    * `x − c_{cell(x)}` — as a double-array column. The quantity the
+    * IVFADC construction (Jégou et al. 2011, §IV) encodes instead of
+    * the raw vector: residual magnitudes are a fraction of vector
+    * magnitudes once the coarse quantizer has localized, so the same
+    * `m × k` code budget spends its resolution on a much smaller ball.
+    */
+  def residual(vec: Column, coarseCentroids: Seq[Seq[Double]]): Column = {
+    val cell = SimilaritySearch.nearestCentroid(vec, coarseCentroids, spherical = false)
+    val cents = typedLit(coarseCentroids.map(_.toSeq))
+    zip_with(vec.cast("array<double>"), element_at(cents, cell + 1),
+      (a, b) => a - b)
+  }
+
+  /** [[fit]] on residuals to the coarse centroids — the codebooks of
+    * the IVFADC layout. Same bounded-sample contract as [[fit]].
+    */
+  def fitResidual(
+      df: DataFrame,
+      vecCol: String,
+      coarseCentroids: Seq[Seq[Double]],
+      dim: Int,
+      m: Int,
+      k: Int = 16,
+      sampleN: Int = 2000,
+      iters: Int = 5,
+      seed: Long = 42L): PqModel =
+    fit(df.select(residual(col(vecCol), coarseCentroids).as("__resid")),
+      "__resid", dim, m, k, sampleN, iters, seed)
+
+  /** IVFADC top-k: coarse cells prune the scan, RESIDUAL codes score
+    * it. Each probed cell gets its OWN lookup table, computed from the
+    * query's residual to THAT cell's centroid (`q − c_p`) — the
+    * per-cell LUT is what makes residual codes usable at query time.
+    * The per-probe branches are unioned before one global
+    * TakeOrderedAndProject; each branch is a cell-filtered scan
+    * projection, so on a cell-partitioned store every branch is a
+    * partition-pruned read.
+    */
+  def ivfPqResidualTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      coarseCentroids: Seq[Seq[Double]],
+      model: PqModel,
+      nProbe: Int = 2,
+      excludeId: Option[Long] = None): DataFrame = {
+    val cell = SimilaritySearch.nearestCentroid(col(vecCol), coarseCentroids, spherical = false)
+    val probes = SimilaritySearch.probeCellsFor(query, coarseCentroids, nProbe)
+    val branches = probes.map { p =>
+      val qres = query.zip(coarseCentroids(p)).map { case (a, b) => a - b }
+      df.where(cell === p)
+        // deliberate projection boundary: __resid is expensive and
+        // feeds every one of the m×k sqdist probes — passing it to
+        // encode() inline would clone its tree (zip_with + coarse
+        // argmin + the centroid literals) 512× into one projection,
+        // exploding both codegen size and per-row work. CollapseProject
+        // keeps the split (non-cheap alias referenced many times), so
+        // the residual is computed once per row.
+        .select(col(idCol),
+          residual(col(vecCol), coarseCentroids).as("__resid"))
+        .select(col(idCol), encode(col("__resid"), model).as("__codes"))
+        .select(col(idCol),
+          adcDistance(col("__codes"), qres, model).as("adc_dist"))
+    }
+    val scored = branches.reduce(_ unionByName _)
+    excludeId.fold(scored)(id => scored.where(col(idCol) =!= id))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** Persist the IVF-PQ index: PQ codes land in `path/codes` parquet
+    * PARTITIONED BY COARSE CELL, codebooks + coarse centroids land in
+    * `path/meta` as a tiny parquet table — a reader needs only the
+    * path. Build once, query many: [[ivfPqTopKFromIndex]]'s probe is
+    * partition pruning over directories of m-code rows, so a query
+    * reads ~(nProbe/nCells) of the index at m bytes per row (k ≤ 256)
+    * instead of 4·dim — the raw vectors are never stored at all.
+    */
+  def writeIvfPqIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarseCentroids: Seq[Seq[Double]],
+      model: PqModel,
+      path: String): Unit = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(idCol),
+        encode(col(vecCol), model).as("codes"),
+        SimilaritySearch.nearestCentroid(col(vecCol), coarseCentroids,
+          spherical = false).as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+    val metaRows: Seq[(String, Int, Int, Seq[Double], Int)] =
+      coarseCentroids.zipWithIndex.map { case (c, i) =>
+        ("centroid", -1, i, c.toSeq, model.dim)
+      } ++
+        (for (j <- 0 until model.m; c <- 0 until model.k)
+          yield ("codebook", j, c, model.codebooks(j)(c).toSeq, model.dim))
+    metaRows.toDF("kind", "j", "c", "vec", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload `(coarseCentroids, model)` from a [[writeIvfPqIndex]] dir. */
+  def readIvfPqIndexModel(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[Seq[Double]], PqModel) = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    val dim = meta.head.getAs[Int]("dim")
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getSeq[Double](r.fieldIndex("vec")).toSeq
+    val cents = meta.filter(_.getAs[String]("kind") == "centroid")
+      .sortBy(_.getAs[Int]("c")).map(vecOf).toSeq
+    val books = meta.filter(_.getAs[String]("kind") == "codebook")
+      .groupBy(_.getAs[Int]("j")).toVector.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_.getAs[Int]("c")).map(vecOf).toVector }
+    (cents, PqModel(books, dim))
+  }
+
+  /** Query a [[writeIvfPqIndex]] index: probe selection happens on the
+    * reloaded centroids, the cell filter prunes partitions at file
+    * listing, and ADC runs over stored codes — no vector column is
+    * read (there is none), no encode recompute.
+    */
+  def ivfPqTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      nProbe: Int = 2,
+      excludeId: Option[Long] = None): DataFrame = {
+    val (cents, model) = readIvfPqIndexModel(spark, path)
+    val probes = SimilaritySearch.probeCellsFor(query, cents, nProbe)
+    adcTopK(
+      spark.read.parquet(s"$path/codes").where(col("cell").isin(probes: _*)),
+      idCol, "codes", query, model, k, excludeId)
+  }
 }

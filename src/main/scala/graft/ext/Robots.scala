@@ -91,6 +91,25 @@ object Robots {
       .flatMap { case (h, t) => parseFile(h, Option(t).getOrElse(""))._2 }
   }
 
+  /** `Sitemap:` directives of every robots.txt in `files` — the
+    * discovery stream a crawler feeds into sitemap ingest
+    * ([[Sitemap.indexEntries]] / [[Sitemap.urlEntries]]). Per RFC 9309
+    * the directive is NOT group-scoped, so this is a flat line scan:
+    * split → comment-strip → case-insensitive field match, all codegen
+    * projections (and therefore SQL-oracle-able, unlike the stateful
+    * group walk in [[parseFile]]). Output: `(host, sitemap_url)`.
+    */
+  def sitemapDirectives(files: DataFrame, hostCol: String, textCol: String): DataFrame =
+    files
+      .select(col(hostCol).cast("string").as("host"),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .select(col("host"),
+        trim(regexp_replace(col("__line"), "#.*$", "")).as("__clean"))
+      .where(col("__clean").rlike("(?i)^sitemap\\s*:"))
+      .select(col("host"),
+        trim(regexp_replace(col("__clean"), "(?i)^sitemap\\s*:", "")).as("sitemap_url"))
+      .where(col("sitemap_url") =!= "")
+
   private def hostOf(url: Column): Column =
     lower(regexp_extract(url, "^[a-z]+://(?:[^/?#]*@)?([^/?#:]*)", 1))
 

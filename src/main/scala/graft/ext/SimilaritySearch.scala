@@ -494,7 +494,9 @@ object SimilaritySearch {
     // region of a sorted/clustered corpus.
     val raw = df.where(col(vecCol).isNotNull).select(col(vecCol))
       .rdd.takeSample(withReplacement = false, sampleN, seed)
-      .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq)
+      // element-type-agnostic: corpus embeddings are float32, but
+      // derived frames (e.g. [[Pq.residual]]) are double
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toIndexedSeq)
     require(raw.nonEmpty, "cannot learn centroids from an empty frame")
     // Spherical k-means: learn on the unit sphere and keep centroids
     // unit — with unit centroids, the L2 argmin below is the same

@@ -432,6 +432,30 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(2).feature.size shouldBe 8
   }
 
+  test("sniffFormat + decodeOutcome: real decoders report decoded, codec-bound formats refuse honestly") {
+    // the full zoo: (payload, expected format, expected outcome)
+    val zoo = Seq(
+      (MediaCodec.Fixtures.sineWav(440, 0.5), "wav", "decoded"),
+      (MediaCodec.Fixtures.gradientBmp(16, 16), "bmp", "decoded"),
+      (MediaCodec.Fixtures.gradientPgm(8, 8), "pnm", "decoded"),
+      (MediaCodec.Fixtures.gradientPng(16, 10), "png", "decoded"),
+      (JpegCodec.Fixtures.gradientJpeg(24, 16, mode = "420"), "jpeg", "decoded"),
+      (GifCodec.Fixtures.gradientGif(16, 10), "gif", "decoded"),
+      // real header, codec-bound samples: envelope only — never fake pixels
+      (MediaCodec.Fixtures.minimalMp4(1000, 5000L), "mp4", "envelope_only"),
+      // deliberately refused: decoding needs real codec libraries
+      (MediaCodec.Fixtures.mp3Frame(), "mp3", "refused"),
+      (MediaCodec.Fixtures.h264AnnexB(), "h26x", "refused"),
+      (Array.fill[Byte](64)(0x51), "unknown", "refused"))
+    zoo.foreach { case (payload, fmt, outcome) =>
+      withClue(s"format $fmt: ") {
+        MediaCodec.decodeOutcome(payload) shouldBe ((fmt, outcome))
+      }
+    }
+    // the mp4 fixture's advertised duration is really read by the box walk
+    MediaCodec.mp4DurationMs(MediaCodec.Fixtures.minimalMp4(1000, 5000L)) shouldBe Some(5000L)
+  }
+
   test("frameSamplePlan emits timestamps every interval within duration") {
     import spark.implicits._
     val feats = Multimodal.decodeFeatures(media.as[Multimodal.MediaRow]).toDF()

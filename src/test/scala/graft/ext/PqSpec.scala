@@ -116,4 +116,115 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       Pq.fit(clustered, "embedding", dim = 16, m = 4, k = 300))
   }
+
+  test("persisted index round-trips: same neighbors, same ADC distances, pruned read") {
+    val m = Pq.fit(clustered, "embedding", dim = 16, m = 4, k = 16, sampleN = 300)
+    val coarse = SimilaritySearch.learnCentroids(clustered, "embedding", k = 6, sampleN = 300)
+    val query = clustered.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val rest = clustered.where(col("vec_id") =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_idx_spec").toString
+    try {
+      Pq.writeIvfPqIndex(rest, "vec_id", "embedding", coarse, m, path)
+      // the reloaded model is bit-identical to the fitted one
+      val (cents2, m2) = Pq.readIvfPqIndexModel(spark, path)
+      assert(cents2 == coarse.map(_.toSeq) && m2.dim == m.dim)
+      assert(m2.codebooks == m.codebooks)
+      val disk = Pq.ivfPqTopKFromIndex(spark, path, "vec_id", query, k = 10, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val mem = Pq.ivfPqTopK(rest, "vec_id", "embedding", query, k = 10,
+          coarseCentroids = coarse, model = m, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(disk == mem, s"disk=$disk mem=$mem")
+      // probe = partition pruning: the scan's partition filters carry the
+      // cell IN-list, so unprobed cell directories are never listed
+      val plan = Pq.ivfPqTopKFromIndex(spark, path, "vec_id", query, k = 10, nProbe = 2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [cell#") || plan.contains("cell IN"),
+        s"cell probe did not reach the partition filter:\n$plan")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    }
+  }
+
+  /** Fixture for the residual comparison: 6 well-separated centers
+    * (scale 10) whose members vary along a per-cluster LINE — the
+    * within-cluster structure is 1-D and much smaller than the center
+    * separation, exactly the geometry where direct codes starve (the
+    * budget goes to telling centers apart) and residual codes excel
+    * (the whole budget resolves the line).
+    */
+  private def lineClusters = {
+    val s = spark
+    import s.implicits._
+    def h(a: Long, b: Long): Double = {
+      var x = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+      x.toDouble / Long.MaxValue
+    }
+    (0L until 300L).map { id =>
+      val c = (id % 6).toInt
+      // line position DECORRELATED from id (37 is coprime to 50): the
+      // ADC tie-break is by id, so an id-ordered line would hand any
+      // all-ties encoder the exact ordering for free
+      val t = ((id / 6) * 37 % 50).toDouble / 25.0
+      val vec = Array.tabulate(16) { d =>
+        val center = if (d % 6 == c) 10.0 else 0.0
+        val dir = if ((d + 1) % 6 == c) 1.0 else 0.0
+        (center + t * dir + h(id, d.toLong) * 0.001).toFloat
+      }
+      (id, vec)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("residual (IVFADC) codes beat direct codes where the geometry separates") {
+    val coarse = SimilaritySearch.learnCentroids(lineClusters, "embedding", k = 6, sampleN = 300)
+    val direct = Pq.fit(lineClusters, "embedding", dim = 16, m = 4, k = 8, sampleN = 300)
+    val resid = Pq.fitResidual(lineClusters, "embedding", coarse, dim = 16, m = 4, k = 8, sampleN = 300)
+
+    // Independent driver-side reference: reconstruction distortion
+    // E‖x − recon(x)‖² — the quantity residual encoding provably
+    // shrinks (Jégou et al. §IV: the codes only have to cover the
+    // residual ball, not the full center spread).
+    val vecs = lineClusters.collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+    def sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def reconError(x: IndexedSeq[Double], m: Pq.PqModel, offset: IndexedSeq[Double]): Double = {
+      val target = x.zip(offset).map { case (a, b) => a - b }
+      (0 until m.m).map { j =>
+        val s = target.slice(j * m.subDim, (j + 1) * m.subDim)
+        m.codebooks(j).map(c => sq(s, c)).min
+      }.sum
+    }
+    val zero = IndexedSeq.fill(16)(0.0)
+    def cellOf(x: IndexedSeq[Double]): IndexedSeq[Double] =
+      coarse.minBy(c => sq(x, c)).toIndexedSeq
+    val directMse = vecs.map(v => reconError(v, direct, zero)).sum / vecs.length
+    val residMse = vecs.map(v => reconError(v, resid, cellOf(v))).sum / vecs.length
+    assert(residMse * 2 < directMse,
+      s"residual distortion $residMse not clearly below direct $directMse")
+
+    // And the retrieval consequence: recall@10 against exact L2
+    def recallOf(ids: Set[Long], exact: Set[Long]): Double = (ids & exact).size / 10.0
+    val queries = Seq(0L, 1L, 2L)
+    val (dSum, rSum) = queries.map { qid =>
+      val query = lineClusters.where(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val base = lineClusters.where(col("vec_id") =!= qid)
+      val exact10 = base
+        .select(col("vec_id"), org.apache.spark.sql.graft.VectorOps
+          .sqdist(col("embedding"), org.apache.spark.sql.functions.typedLit(query)).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val d10 = Pq.ivfPqTopK(base, "vec_id", "embedding", query, 10, coarse, direct, nProbe = 1)
+        .collect().map(_.getLong(0)).toSet
+      val r10 = Pq.ivfPqResidualTopK(base, "vec_id", "embedding", query, 10, coarse, resid, nProbe = 1)
+        .collect().map(_.getLong(0)).toSet
+      (recallOf(d10, exact10), recallOf(r10, exact10))
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(rSum > dSum, s"residual recall sum $rSum did not beat direct $dSum")
+    assert(rSum >= 0.4 * queries.size, s"residual recall too low: $rSum over ${queries.size} queries")
+  }
 }
