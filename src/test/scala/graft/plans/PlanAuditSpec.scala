@@ -181,6 +181,46 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     p.toLowerCase should include("bloom_contains")
   }
 
+  test("q123 sitemap discovery joins all broadcast; q124 discovered frontier never sort-merges") {
+    // the discovery chain's joins (advertised directives → index,
+    // child pointers → children, robots rules, seen set) are all
+    // host-cardinality-small — every one must broadcast; a sort-merge
+    // join would shuffle a corpus-sized side for a 10-row probe
+    for (name <- Seq("q123_sitemap_discovery", "q124_frontier_discovered")) {
+      val p = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      withClue(s"$name: ") {
+        p should not include "SortMergeJoin"
+        p should include("BroadcastHashJoin")
+      }
+    }
+  }
+
+  test("q126 disk-index probe prunes partitions; ADC scoring is join-free") {
+    // the persisted IVF-PQ read must turn the probe list into
+    // PartitionFilters on the cell directories (reading codes only),
+    // and the ADC scorer is m element_at lookups in the projection
+    val path = java.nio.file.Files.createTempDirectory("graft_audit_pq").toString
+    try {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val model = graft.ext.Pq.fit(e, "embedding", dim = 64, m = 8, k = 16, sampleN = 200)
+      val coarse = graft.ext.SimilaritySearch.learnCentroids(e, "embedding", k = 4, sampleN = 200)
+      graft.ext.Pq.writeIvfPqIndex(e, "vec_id", "embedding", coarse, model, path)
+      val q = e.where(org.apache.spark.sql.functions.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      val df = graft.ext.Pq.ivfPqTopKFromIndex(spark, path, "vec_id", q, k = 5, nProbe = 2)
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      formatted should include("PartitionFilters")
+      "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(formatted)
+        .get.group(1).trim should not be ""
+      df.queryExecution.executedPlan.toString should not include "Join"
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    }
+  }
+
   test("q11 rank filter triggers Spark's partial WindowGroupLimit") {
     // Top-k-per-key via window + rank<=k filter is only scale-safe
     // because Catalyst inserts a MAP-SIDE group limit before the
