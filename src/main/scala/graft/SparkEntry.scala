@@ -2402,6 +2402,46 @@ object SparkEntry {
         .groupBy(col("kind"), col("format"), col("outcome"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("format"))
+    }),
+
+    // BM25 retrieval scoring (Okapi/Lucene idf) of the corpus against a
+    // fixed bag-of-words query — the benchmark-decontamination /
+    // lexical-search scorer. Query terms span the df spectrum plus one
+    // absent term ("zebra": contributes nothing, pinning the
+    // missing-term path). Fully oracled: DuckDB re-derives dl/avgdl/df
+    // and the saturation formula; score rounded to 6dp on both sides.
+    "q129_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("vector", "stream", "merge", "zebra"))
+        .select(col("doc_id"), col("n_matched"), round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact unigram-Jaccard pairs at τ=0.8 via PREFIX FILTERING — the
+    // scale path for EXACT set-similarity joins (q27's brute-force
+    // inverted-index self-join is the oracle twin). Hash-matching q27's
+    // closed form proves the rarest-first prefix index dropped no
+    // qualifying pair while indexing only ~(1−τ)|d|+1 shingles per doc.
+    "q130_prefix_jaccard" -> ((s, dir) => {
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 1, minJaccard = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // The prefix-filter join on a REALISTIC token profile (10k-word
+    // Zipfian vocabulary, planted dup clusters) — the profile where
+    // prefix filtering earns its keep: rare-first prefixes make posting
+    // lists short, so candidates stay near-linear where the 50-word
+    // documents fixture (q130) degenerates to all-pairs. Rows-only
+    // (generated corpus); exactness pinned by DedupSpec's
+    // prefix≡brute-force equality and q130's oracle.
+    "q131_prefix_jaccard_realistic" -> ((s, dir) => {
+      Dedup.prefixJaccardPairs(
+          graft.ext.SyntheticCorpus.realistic(s, t(s, dir, "documents").count()),
+          "doc_id", "text", n = 1, minJaccard = 0.8)
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jaccard")), 6).as("avg_jaccard"),
+          min(col("jaccard")).as("min_jaccard"))
     })
   )
 
@@ -4442,7 +4482,52 @@ object SparkEntry {
                 ELSE 'decoded' END AS outcome
          FROM documents)
          SELECT kind, format, outcome, count(*) AS n
-         FROM m GROUP BY 1, 2, 3 ORDER BY format"""
+         FROM m GROUP BY 1, 2, 3 ORDER BY format""",
+
+    // independent BM25 derivation: dl from the same normalizer ('' → 0
+    // tokens), avgdl over all non-null docs, Lucene idf, k1=1.2 b=0.75;
+    // 'zebra' never matches so it must influence nothing
+    "q129_bm25" ->
+      """WITH d AS (
+           SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               ' ') AS toks,
+             CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                  THEN 0
+                  ELSE len(regexp_split_to_array(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))
+             END::DOUBLE AS dl
+           FROM documents WHERE text IS NOT NULL),
+         stats AS (SELECT count(*)::DOUBLE AS nn, avg(dl)::DOUBLE AS avgdl FROM d),
+         q AS (SELECT unnest(['vector','stream','merge','zebra']) AS term),
+         tf AS (
+           SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+           FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) x
+           JOIN q USING (term)
+           GROUP BY doc_id, dl, term),
+         dfq AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY term)
+         SELECT doc_id, count(*) AS n_matched,
+                round(sum(
+                  ln(1.0 + (nn - dfreq + 0.5) / (dfreq + 0.5)) *
+                  (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+         FROM tf JOIN dfq USING (term), stats
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    // q27's brute-force oracle VERBATIM — the prefix-filter join must
+    // reproduce the exact pair set and jaccard values
+    "q130_prefix_jaccard" ->
+      """WITH w AS (SELECT doc_id,
+                      list_distinct(regexp_split_to_array(
+                        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                        ' ')) AS words
+               FROM documents),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      len(list_intersect(a.words, b.words))::DOUBLE AS c,
+                      len(a.words)::DOUBLE AS na, len(b.words)::DOUBLE AS nb
+               FROM w a, w b WHERE a.doc_id < b.doc_id)
+         SELECT id_a, id_b, c / (na + nb - c) AS jaccard FROM p
+         WHERE c / (na + nb - c) >= 0.8 ORDER BY id_a, id_b"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -4534,5 +4619,10 @@ object SparkEntry {
     // and its streaming machinery is q89's (timed)
     "q122_compression_signal", "q123_sitemap_discovery",
     "q124_frontier_discovered", "q126_ivfpq_index",
-    "q127_pq_residual_recall", "q128_decode_refusals")
+    "q127_pq_residual_recall", "q128_decode_refusals",
+    // q130 is NOT benched: exact Jaccard on the 50-word-vocabulary
+    // documents fixture is inherently near-quadratic in candidates
+    // (every token hot — the q27/q30 brute-twin class); the operator's
+    // scale profile is benched on the realistic token distribution
+    "q129_bm25", "q131_prefix_jaccard_realistic")
 }

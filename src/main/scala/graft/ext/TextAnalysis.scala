@@ -762,6 +762,65 @@ object TextAnalysis {
             + 1.0)).as("weight"))
   }
 
+  /** BM25 relevance scores of every document against a bag-of-words
+    * query — the retrieval scorer behind benchmark decontamination
+    * lookups and nearest-duplicate search when embeddings are absent
+    * (the reference has no search surface; SURVEY.md §2.8 extension).
+    *
+    * Okapi/Lucene formulation over [[normalize]]d tokens:
+    * `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`,
+    * `contrib(t,d) = idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`,
+    * `score(d) = Σ contrib` over DISTINCT query terms present in `d`
+    * (a term repeated in the query does not double-count — the
+    * bag-of-words query is a set here, the common engine choice).
+    * `dl` counts normalized tokens; `avgdl` averages over every
+    * non-null document (empty ⇒ 0). Null documents are omitted per
+    * the object's null-text convention.
+    *
+    * Output: `(idCol, n_matched, score)` — one row per document
+    * matching ≥1 query term.
+    *
+    * Shape at scale: the query-term `isin` filter lands BEFORE the
+    * (doc,term) aggregation, so the posting-list agg touches only
+    * matching tokens, not the corpus vocabulary; `dl` is a scalar
+    * codegen projection (no second explode); per-term df and the
+    * (N, avgdl) scalar row are broadcast. One explode + one filtered
+    * hash agg + two broadcast joins — no corpus-sized shuffle beyond
+    * the (doc, query-term) agg, which is ≤ |query| rows per doc.
+    */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.distinct
+    val norm = normalize(col(textCol))
+    val docs = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        when(norm === "", 0).otherwise(size(split(norm, " "))).cast("double").as("__dl"),
+        norm.as("__norm"))
+    val stats = docs.agg(count(lit(1)).as("__N"), avg(col("__dl")).as("__avgdl"))
+    val qtf = docs
+      .select(col("__id"), col("__dl"), explode(split(col("__norm"), " ")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("__id"), col("__dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val docFreq = qtf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("__df"))
+    qtf.join(broadcast(docFreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        sum(
+          log(lit(1.0) + (col("__N") - col("__df") + 0.5) / (col("__df") + 0.5)) *
+            (col("__tf") * (k1 + 1.0)) /
+            (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+          .as("score"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Out-of-vocabulary rate per document: the fraction of a document's
     * token occurrences falling outside the corpus's top-`vocabSize`
     * tokens — the tokenizer-coverage / domain-shift signal (a doc full

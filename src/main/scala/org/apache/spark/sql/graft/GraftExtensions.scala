@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(SigMatchCount.descriptor)
+    ext.injectFunction(SortedIntersectCount.descriptor)
     ext.injectFunction(VectorOps.dotDescriptor)
     ext.injectFunction(VectorOps.sqdistDescriptor)
     ext.injectFunction(LangScores.descriptor)

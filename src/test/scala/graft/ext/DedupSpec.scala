@@ -142,6 +142,58 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     pairs.head.getDouble(2) shouldBe 1.0
   }
 
+  test("prefix-filter jaccard equals the full-index brute force") {
+    import spark.implicits._
+    // adversarial: a universal hot token ("the") in every doc — the
+    // prefix index must still find exactly the qualifying pairs, via
+    // the rare tokens, without ever joining on the hot one
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over lazy dog"),
+      (2L, "the quick brown fox jumps over lazy cat"),
+      (3L, "the quick brown fox jumps over lazy dog"),
+      (4L, "the slow green turtle walks under heavy rain"),
+      (5L, "the slow green turtle walks under heavy rain today"),
+      (6L, "the completely different words appear here now")).toDF("id", "text")
+    for (tau <- Seq(0.5, 0.8); n <- Seq(1, 2)) {
+      val brute = ngramJaccardPairs(docs, "id", "text", n = n,
+          minJaccard = tau, maxDocFreq = 0L)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val fast = prefixJaccardPairs(docs, "id", "text", n = n, minJaccard = tau)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      withClue(s"tau=$tau n=$n: ") { fast shouldBe brute }
+    }
+  }
+
+  test("prefix-filter jaccard keeps a pair sitting exactly at the threshold") {
+    import spark.implicits._
+    // |a|=|b|=5, overlap 4 -> J = 4/6 = 0.666..; at tau = 2/3 the pair
+    // must survive (>=, not >) and the prefix length floor (|d| -
+    // ceil(tau*|d|) + 1 = 5-4+1 = 2) still indexes a shared rare token
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta")).toDF("id", "text")
+    val out = prefixJaccardPairs(docs, "id", "text", n = 1, minJaccard = 4.0 / 6.0)
+      .collect()
+    out.length shouldBe 1
+    out.head.getDouble(2) shouldBe 4.0 / 6.0 +- 1e-15
+  }
+
+  test("prefix-filter jaccard: identical docs 1.0, disjoint absent, null/empty text safe") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("a b c d e f g")),
+      (2L, Some("a b c d e f g")),
+      (3L, Some("q r s t u v w")),
+      (4L, None: Option[String]),
+      (5L, Some(""))).toDF("id", "text")
+    val pairs = prefixJaccardPairs(docs, "id", "text", n = 2, minJaccard = 0.5)
+      .collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((1L, 2L))
+    pairs.head.getDouble(2) shouldBe 1.0
+  }
+
   test("connected components: transitive chain collapses to min label") {
     import spark.implicits._
     val nodes = (1L to 6L).toDF("id")

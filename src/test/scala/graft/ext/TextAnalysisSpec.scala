@@ -69,6 +69,42 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
       (2L, "a", 1L, 1.0), (2L, "c", 1L, idf1))
   }
 
+  test("bm25: hand-computed Okapi scores; absent term inert; query is a set") {
+    import spark.implicits._
+    // N=3 scorable docs (null omitted), dl = 2, 3, 0; avgdl = 5/3
+    val docs = Seq(
+      (1L, Some("cat dog")),
+      (2L, Some("cat cat fish")),
+      (3L, Some("")),
+      (4L, None: Option[String])).toDF("doc_id", "text")
+    def contrib(tf: Double, df: Double, dl: Double): Double = {
+      val n = 3.0; val avgdl = 5.0 / 3.0
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    }
+    val out = TextAnalysis.bm25(docs, "doc_id", "text", Seq("cat", "fish", "zebra"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.map(x => (x._1, x._2)) shouldBe Array((1L, 1L), (2L, 2L))
+    out(0)._3 shouldBe contrib(1, 2, 2) +- 1e-12
+    out(1)._3 shouldBe (contrib(2, 2, 3) + contrib(1, 1, 3)) +- 1e-12
+    // a repeated query term must not double-count (bag-of-words SET)
+    val dup = TextAnalysis.bm25(docs, "doc_id", "text", Seq("cat", "cat", "fish"))
+      .orderBy("doc_id").collect().map(_.getDouble(2))
+    dup(0) shouldBe out(0)._3
+    dup(1) shouldBe out(1)._3
+  }
+
+  test("bm25: longer doc scores below shorter at equal tf (length normalization)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat dog"),
+      (2L, "cat dog bird fish mouse horse goat frog")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", "text", Seq("cat"))
+      .orderBy("doc_id").collect().map(_.getDouble(2))
+    out(0) should be > out(1)
+  }
+
   test("redactPii replaces each PII class with its typed tag") {
     def red(s: String): String = one[String](TextAnalysis.redactPii(col("t")), s)
     red("mail me at jo.an+x@sub.example.org please") shouldBe
