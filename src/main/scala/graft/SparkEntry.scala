@@ -2442,6 +2442,99 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           round(avg(col("jaccard")), 6).as("avg_jaccard"),
           min(col("jaccard")).as("min_jaccard"))
+    }),
+
+    // Anchor-text aggregation: the link graph turned into per-target
+    // labels. Salted pages cite each target twice under ALIASING
+    // spellings (uppercase host + default :443 + tracking param vs the
+    // plain form) with DIFFERENT anchor texts (nested <b>, &amp;
+    // entity, a multiline anchor), plus a relative href that must not
+    // aggregate. Canonicalization merges the spellings — n_anchors
+    // counts both, top_anchor is the deterministic argmax. Fully
+    // oracled (closed form in doc_id, q99/q128 pattern).
+    "q132_anchor_agg" -> ((s, dir) => {
+      val k = (col("doc_id") % 7).cast("string")
+      val j = (col("doc_id") % 5).cast("string")
+      val m = (col("doc_id") % 3).cast("string")
+      val page = concat(
+        lit("<p>pre</p><a href=\"https://T"), k,
+        lit(".EXAMPLE.com:443/page?utm_source=x\">Visit "), m,
+        lit("</a> <a href='https://t"), k,
+        lit(".example.com/page'>Read <b>more</b> &amp; again "), m,
+        lit("</a>\n<a href=\"https://m"), j,
+        lit(".example.net/x\">line1\nline2 "), m,
+        lit("</a> <a href=\"/about\">about</a>"))
+      TextPipeline.anchorTextSummary(
+          t(s, dir, "documents").select(col("doc_id"), page.as("__html")),
+          "doc_id", "__html")
+        .orderBy(col("target"))
+    }),
+
+    // HITS hubs/authorities on the q109 link fixture — the crawl
+    // companion to PageRank (hubs seed crawls, authorities rank
+    // content). Fully oracled: DuckDB unrolls all 10 power iterations
+    // (both half-steps + L2 norms) and differences the last two
+    // authority vectors for the residual, exactly like q109.
+    "q133_hits" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val edges = docs.select(
+        (col("doc_id") % 20).as("src"),
+        ((col("doc_id") * 7 + 3) % 25).as("dst"))
+      val run = graft.ext.LinkGraph.hitsRun(edges, "src", "dst", iterations = 10)
+      run.scores
+        .select(col("node"), round(col("auth"), 6).as("auth"),
+          round(col("hub"), 6).as("hub"),
+          round(lit(run.l1Residual), 6).as("l1_residual"))
+        .orderBy(col("node"))
+    }),
+
+    // Z-order (Morton) codes over a synthetic 2-D key — the
+    // multi-dimensional data-skipping layout's bit math, oracled from
+    // the SAME generation loop that builds the Spark expression
+    // (Layout.mortonCodeSql — single source of truth). The file-level
+    // skipping effect (tight per-file bounding boxes on BOTH columns)
+    // is pinned in LayoutSpec.
+    "q134_zorder" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.plans.Layout.mortonCode(
+            col("doc_id") % 256, (col("doc_id") * 31 + 7) % 256, 8).as("zval"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The link-graph capstone: real HTML pages → anchor extraction →
+    // canonicalized targets → host-level 0/1 adjacency → PageRank.
+    // Each page links its host to two others, one under an ALIASING
+    // spelling (uppercase + :443 + tracking param) that only counts
+    // because canonicalization lands it on the same host key; a
+    // relative href must not become an edge. Fully oracled: the edge
+    // set is closed-form in doc_id and the shared unrolled-PageRank
+    // oracle (q109's) replays all 10 iterations — extraction,
+    // canonicalization, host keying, AND the iteration math are all on
+    // the hash path.
+    "q135_linkgraph_pipeline" -> ((s, dir) => {
+      val id = col("doc_id")
+      val page = concat(
+        lit("<a href=\"https://h"), pmod(id * 3 + 1, lit(8)).cast("string"),
+        lit(".example.org/x\">next</a> <a href='https://H"),
+        pmod(id * 5 + 2, lit(8)).cast("string"),
+        lit(".EXAMPLE.org:443/y?utm_source=z'>other</a> "),
+        lit("<a href=\"/self\">self</a>"))
+      val pages = t(s, dir, "documents").select(id.as("doc_id"), page.as("__html"))
+      val edges = TextPipeline.anchorPairs(pages, "doc_id", "__html")
+        .where(col("href").rlike("(?i)^https?://"))
+        .select(
+          concat(lit("h"), pmod(col("doc_id"), lit(8)).cast("string"),
+            lit(".example.org")).as("src"),
+          regexp_extract(graft.ext.Urls.canonicalUrl(col("href")),
+            "^https://([^/]+)/", 1).as("dst"))
+        .where(col("dst") =!= "")
+        .distinct()
+      val run = graft.ext.LinkGraph
+        .pageRankRun(edges, "src", "dst", damping = 0.85, iterations = 10)
+      run.ranks
+        .select(col("node"), round(col("rank"), 6).as("pagerank"),
+          round(lit(run.l1Residual), 6).as("l1_residual"))
+        .orderBy(col("node"))
     })
   )
 
@@ -2602,6 +2695,49 @@ object SparkEntry {
                ORDER BY cs DESC, vec_id LIMIT 10)
        SELECT (SELECT count(*) FROM ivf JOIN ex USING (vec_id))::DOUBLE / 10.0
          AS recall_at_10"""
+
+  /** Ten damping-0.85 PageRank iterations unrolled over an
+    * `ew(src, dst, w)` edge base — shared by every PageRank oracle
+    * (q109's synthetic fixture, q135's extracted host graph), so the
+    * iteration math has ONE spelling. MATERIALIZED throughout: each
+    * pr_i is referenced twice by level i+1 (and pr9 a third time by
+    * the residual row) — inlined CTEs would expand the unrolled chain
+    * EXPONENTIALLY (2^10 copies of the base scan; the residual
+    * addition pushed DuckDB past its open-file budget exactly this
+    * way).
+    */
+  private def unrolledPageRankSql(ewBodySql: String): String = {
+    val base =
+      s"""WITH ew AS ($ewBodySql),
+           nodes AS (SELECT DISTINCT v
+                     FROM (SELECT src AS v FROM ew UNION SELECT dst FROM ew)),
+           nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+           shares AS (SELECT src, dst,
+                             w / sum(w) OVER (PARTITION BY src) AS share
+                      FROM ew),
+           dang AS (SELECT v FROM nodes
+                    WHERE v NOT IN (SELECT DISTINCT src FROM ew)),
+           pr0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes, nn)"""
+    val iters = (1 to 10).map { i =>
+      val p = s"pr${i - 1}"
+      s""",
+           dm$i AS MATERIALIZED (SELECT coalesce(sum(r), 0) AS m FROM $p
+                    WHERE v IN (SELECT v FROM dang)),
+           c$i AS MATERIALIZED (SELECT s.dst AS v, sum(p.r * s.share) AS c
+                   FROM $p p JOIN shares s ON p.v = s.src GROUP BY s.dst),
+           pr$i AS MATERIALIZED (SELECT nodes.v,
+                           (1 - 0.85) / nn.n
+                             + 0.85 * (coalesce(c$i.c, 0) + dm$i.m / nn.n) AS r
+                    FROM nodes LEFT JOIN c$i ON nodes.v = c$i.v, nn, dm$i)"""
+    }.mkString
+    base + iters +
+      """,
+           res AS (SELECT sum(abs(a.r - b.r)) AS rr
+                   FROM pr10 a JOIN pr9 b ON a.v = b.v)
+           SELECT v AS node, round(r, 6) AS pagerank,
+                  round(res.rr, 6) AS l1_residual
+           FROM pr10, res ORDER BY node"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter_project" ->
@@ -4197,46 +4333,10 @@ object SparkEntry {
     // The identical 10 power iterations, unrolled from one template
     // (recursive CTEs restrict aggregation in the recursive term, and
     // an unrolled chain is also closer to what the Spark loop runs)
-    "q109_pagerank" -> {
-      val base =
-        """WITH ew AS (
-             SELECT doc_id % 20 AS src, (doc_id * 7 + 3) % 25 AS dst,
-                    count(*)::DOUBLE AS w
-             FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
-           nodes AS (SELECT DISTINCT v
-                     FROM (SELECT src AS v FROM ew UNION SELECT dst FROM ew)),
-           nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-           shares AS (SELECT src, dst,
-                             w / sum(w) OVER (PARTITION BY src) AS share
-                      FROM ew),
-           dang AS (SELECT v FROM nodes
-                    WHERE v NOT IN (SELECT DISTINCT src FROM ew)),
-           pr0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes, nn)"""
-      // MATERIALIZED: each pr_i is referenced twice by level i+1 (and
-      // pr9 a third time by the residual row) — inlined CTEs would
-      // expand the unrolled chain EXPONENTIALLY (2^10 copies of the
-      // base scan; the residual addition pushed DuckDB past its
-      // open-file budget exactly this way)
-      val iters = (1 to 10).map { i =>
-        val p = s"pr${i - 1}"
-        s""",
-           dm$i AS MATERIALIZED (SELECT coalesce(sum(r), 0) AS m FROM $p
-                    WHERE v IN (SELECT v FROM dang)),
-           c$i AS MATERIALIZED (SELECT s.dst AS v, sum(p.r * s.share) AS c
-                   FROM $p p JOIN shares s ON p.v = s.src GROUP BY s.dst),
-           pr$i AS MATERIALIZED (SELECT nodes.v,
-                           (1 - 0.85) / nn.n
-                             + 0.85 * (coalesce(c$i.c, 0) + dm$i.m / nn.n) AS r
-                    FROM nodes LEFT JOIN c$i ON nodes.v = c$i.v, nn, dm$i)"""
-      }.mkString
-      base + iters +
-        """,
-           res AS (SELECT sum(abs(a.r - b.r)) AS rr
-                   FROM pr10 a JOIN pr9 b ON a.v = b.v)
-           SELECT v AS node, round(r, 6) AS pagerank,
-                  round(res.rr, 6) AS l1_residual
-           FROM pr10, res ORDER BY node"""
-    },
+    "q109_pagerank" -> unrolledPageRankSql(
+      """SELECT doc_id % 20 AS src, (doc_id * 7 + 3) % 25 AS dst,
+                count(*)::DOUBLE AS w
+         FROM documents WHERE text IS NOT NULL GROUP BY 1, 2"""),
 
     // Expected page text in closed form (round-trip identity + the
     // documented Tj/TJ salt); page numbering = ascending doc_id within
@@ -4527,7 +4627,97 @@ object SparkEntry {
                       len(a.words)::DOUBLE AS na, len(b.words)::DOUBLE AS nb
                FROM w a, w b WHERE a.doc_id < b.doc_id)
          SELECT id_a, id_b, c / (na + nb - c) AS jaccard FROM p
-         WHERE c / (na + nb - c) >= 0.8 ORDER BY id_a, id_b"""
+         WHERE c / (na + nb - c) >= 0.8 ORDER BY id_a, id_b""",
+
+    // the salted link zoo in closed form: each doc cites its t-target
+    // twice (two spellings, one canonical URL, two anchor texts) and
+    // its m-target once; the relative href never aggregates; top
+    // anchor = highest count, ties to the lexicographically smallest
+    "q132_anchor_agg" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS k, doc_id % 5 AS j,
+                           doc_id % 3 AS m
+               FROM documents),
+         a AS (
+           SELECT doc_id,
+                  'https://t' || k || '.example.com/page' AS target,
+                  'Visit ' || m AS anchor FROM d
+           UNION ALL
+           SELECT doc_id, 'https://t' || k || '.example.com/page',
+                  'Read more & again ' || m FROM d
+           UNION ALL
+           SELECT doc_id, 'https://m' || j || '.example.net/x',
+                  'line1 line2 ' || m FROM d),
+         tot AS (SELECT target, count(*) AS n_anchors,
+                        count(DISTINCT doc_id) AS n_docs
+                 FROM a GROUP BY target),
+         cnt AS (SELECT target, anchor, count(*) AS c
+                 FROM a GROUP BY target, anchor),
+         top AS (SELECT target, anchor AS top_anchor
+                 FROM (SELECT target, anchor,
+                         row_number() OVER (PARTITION BY target
+                           ORDER BY c DESC, anchor) AS rn
+                       FROM cnt)
+                 WHERE rn = 1)
+         SELECT target, n_anchors, n_docs, top_anchor
+         FROM tot JOIN top USING (target)
+         ORDER BY target""",
+
+    // all 10 HITS power iterations unrolled (a-half-step, L2 norm,
+    // h-half-step, L2 norm — MATERIALIZED for the same
+    // exponential-expansion reason as q109's chain), residual =
+    // Σ|a10 − a9|
+    "q133_hits" -> {
+      val base =
+        """WITH e AS (
+             SELECT DISTINCT doc_id % 20 AS src, (doc_id * 7 + 3) % 25 AS dst
+             FROM documents WHERE text IS NOT NULL),
+           nodes AS (SELECT DISTINCT v
+                     FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+           h0 AS (SELECT v, 1.0 AS h FROM nodes)"""
+      val iters = (1 to 10).map { i =>
+        val hp = s"h${i - 1}"
+        s""",
+           ar$i AS MATERIALIZED (SELECT e.dst AS v, sum(h.h) AS a
+                   FROM $hp h JOIN e ON h.v = e.src GROUP BY e.dst),
+           af$i AS MATERIALIZED (SELECT nodes.v, coalesce(ar$i.a, 0) AS a
+                   FROM nodes LEFT JOIN ar$i ON nodes.v = ar$i.v),
+           an$i AS MATERIALIZED (SELECT sqrt(sum(a * a)) AS s FROM af$i),
+           a$i AS MATERIALIZED (SELECT v, a / an$i.s AS a FROM af$i, an$i),
+           hr$i AS MATERIALIZED (SELECT e.src AS v, sum(a.a) AS h
+                   FROM a$i a JOIN e ON a.v = e.dst GROUP BY e.src),
+           hf$i AS MATERIALIZED (SELECT nodes.v, coalesce(hr$i.h, 0) AS h
+                   FROM nodes LEFT JOIN hr$i ON nodes.v = hr$i.v),
+           hn$i AS MATERIALIZED (SELECT sqrt(sum(h * h)) AS s FROM hf$i),
+           h$i AS MATERIALIZED (SELECT v, h / hn$i.s AS h FROM hf$i, hn$i)"""
+      }.mkString
+      base + iters +
+        """,
+           res AS (SELECT sum(abs(x.a - y.a)) AS rr
+                   FROM a10 x JOIN a9 y ON x.v = y.v)
+           SELECT a10.v AS node, round(a10.a, 6) AS auth,
+                  round(h10.h, 6) AS hub, round(res.rr, 6) AS l1_residual
+           FROM a10 JOIN h10 ON a10.v = h10.v, res ORDER BY node"""
+    },
+
+    // closed-form host edges (the aliased spelling must canonicalize
+    // onto the same host; the relative href must vanish) through the
+    // SAME unrolled-PageRank chain as q109
+    "q135_linkgraph_pipeline" -> unrolledPageRankSql(
+      """SELECT src, dst, 1.0::DOUBLE AS w FROM (
+           SELECT DISTINCT 'h' || (doc_id % 8) || '.example.org' AS src,
+                  'h' || ((doc_id * 3 + 1) % 8) || '.example.org' AS dst
+           FROM documents
+           UNION
+           SELECT DISTINCT 'h' || (doc_id % 8) || '.example.org',
+                  'h' || ((doc_id * 5 + 2) % 8) || '.example.org'
+           FROM documents)"""),
+
+    // bit-interleave formula GENERATED from the same loop as the Spark
+    // expression
+    "q134_zorder" ->
+      s"""SELECT doc_id, (${graft.plans.Layout.mortonCodeSql(
+        "doc_id % 256", "(doc_id * 31 + 7) % 256", 8)}) AS zval
+         FROM documents ORDER BY doc_id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -4624,5 +4814,6 @@ object SparkEntry {
     // documents fixture is inherently near-quadratic in candidates
     // (every token hot — the q27/q30 brute-twin class); the operator's
     // scale profile is benched on the realistic token distribution
-    "q129_bm25", "q131_prefix_jaccard_realistic")
+    "q129_bm25", "q131_prefix_jaccard_realistic", "q132_anchor_agg",
+    "q133_hits", "q134_zorder", "q135_linkgraph_pipeline")
 }

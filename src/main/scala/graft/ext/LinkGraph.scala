@@ -134,4 +134,106 @@ object LinkGraph {
         .head().getDouble(0)
     PageRankRun(ranks.withColumnRenamed("v", "node"), times.result(), residual)
   }
+
+  /** A finished HITS run: `(node, auth, hub)` scores plus the L1
+    * residual `Σ|a_k − a_{k−1}|` of the authority vector — the same
+    * convergence evidence [[PageRankRun]] carries.
+    */
+  final case class HitsRun(scores: DataFrame, l1Residual: Double)
+
+  /** Kleinberg's HITS over `(srcCol, dstCol)` edge rows — hubs point at
+    * good authorities, authorities are pointed at by good hubs. The
+    * crawl-curation complement of PageRank: seed-list building wants
+    * hubs (directories, link pages), content selection wants
+    * authorities. Edges are DEDUPLICATED (the classic 0/1 adjacency);
+    * parallel edges carry no extra weight.
+    *
+    * Per iteration: `a(v) = Σ_{u→v} h(u)`, L2-normalized; then
+    * `h(u) = Σ_{u→v} a(v)`, L2-normalized — the power iteration on
+    * AᵀA / AAᵀ. Nodes without in-edges hold auth 0, without out-edges
+    * hub 0. Fixed `iterations` like [[pageRankRun]]; the residual says
+    * how converged the run is.
+    *
+    * Shape at scale: the deduped edge table pins once and every
+    * iteration is two keyed joins + two hash aggregations (shuffle by
+    * dst, then by src) plus a 1-row norm aggregate collected to the
+    * driver — the same per-iteration exchange count as PageRank.
+    * Iterate memory is bounded exactly as in [[pageRankRun]]: the
+    * k−2 iterate's checkpointed RDD blocks are dropped as soon as k
+    * materializes.
+    */
+  def hitsRun(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 10): HitsRun = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .localCheckpoint() // re-joined twice per iteration
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v")))
+      .distinct()
+      .localCheckpoint()
+    require(nodes.count() > 0, "hits needs at least one edge")
+    def pin(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val cp = df.localCheckpoint()
+      val handle = cp.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      (cp, handle.toSeq)
+    }
+    def l2Normalized(raw: DataFrame, valueCol: String)
+        : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val filled = nodes.join(raw, Seq("v"), "left")
+        .select(col("v"), coalesce(col(valueCol), lit(0.0)).as(valueCol))
+      val norm = filled.agg(sqrt(sum(col(valueCol) * col(valueCol))))
+        .head().getDouble(0)
+      require(norm > 0, "HITS norm collapsed to 0 — graph has no edges")
+      pin(filled.select(col("v"), (col(valueCol) / norm).as(valueCol)))
+    }
+    var (hub, hubRdds) = pin(nodes.select(col("v"), lit(1.0).as("h")))
+    var auth: DataFrame = null
+    var authRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    var prevAuth: DataFrame = null
+    var prevAuthRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    var it = 0
+    while (it < iterations) {
+      val (nextAuth, nextAuthRdds) = l2Normalized(
+        hub.join(e, hub("v") === e("src"))
+          .groupBy(col("dst").as("v")).agg(sum(col("h")).as("a")),
+        "a")
+      val (nextHub, nextHubRdds) = l2Normalized(
+        nextAuth.join(e, nextAuth("v") === e("dst"))
+          .groupBy(col("src").as("v")).agg(sum(col("a")).as("h")),
+        "h")
+      // nextAuth/nextHub are materialized; k−2 can never be read again
+      prevAuthRdds.foreach(_.unpersist(blocking = false))
+      prevAuth = auth
+      prevAuthRdds = authRdds
+      auth = nextAuth
+      authRdds = nextAuthRdds
+      hubRdds.foreach(_.unpersist(blocking = false))
+      hub = nextHub
+      hubRdds = nextHubRdds
+      it += 1
+    }
+    val residual =
+      if (prevAuth == null) Double.NaN
+      else auth.as("x").join(prevAuth.as("y"), col("x.v") === col("y.v"))
+        .agg(sum(abs(col("x.a") - col("y.a"))))
+        .head().getDouble(0)
+    HitsRun(
+      auth.join(hub, Seq("v"))
+        .select(col("v").as("node"), col("a").as("auth"), col("h").as("hub")),
+      residual)
+  }
+
+  /** [[hitsRun]]'s scores only. */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 10): DataFrame =
+    hitsRun(edges, srcCol, dstCol, iterations).scores
 }

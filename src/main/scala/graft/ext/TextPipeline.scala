@@ -445,6 +445,70 @@ object TextPipeline {
       lit("href\\s*=\\s*[\"'](?:https?:)?//(?:[^/?#\"'\\s@]*@)?" +
         "([\\p{L}\\p{N}_-]+(?:\\.[\\p{L}\\p{N}_-]+)*)"), lit(1))
 
+  /** `(doc_id, href, anchor)` triples from `<a href=…>…</a>` elements —
+    * the raw anchor-text stream. Anchor-text corpora are a standard
+    * pretraining signal (link text describes the TARGET page, written
+    * by an independent author), and per-target anchor aggregation is
+    * how a crawl turns its link graph into labels.
+    *
+    * One regex drives two `regexp_extract_all` calls (group 1 = href,
+    * group 2 = inner markup) whose match lists are positionally
+    * identical by construction, zipped and exploded in one generator.
+    * `(?is)`: anchors spanning lines and any tag case. Inner markup is
+    * flattened with [[stripTags]] (entities decoded, whitespace
+    * collapsed). Quote handling matches [[hrefHostnames]]: either
+    * quote style opens, the value runs to the next quote.
+    *
+    * Shape at scale: the whole extraction is a codegen scan projection
+    * plus one explode — no join, no shuffle; downstream aggregation
+    * ([[anchorTextSummary]]) owns the keyed exchanges.
+    */
+  def anchorPairs(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val re = "(?is)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>(.*?)</a\\s*>"
+    df.select(col(idCol).as("doc_id"),
+        regexp_extract_all(col(htmlCol), lit(re), lit(1)).as("__h"),
+        regexp_extract_all(col(htmlCol), lit(re), lit(2)).as("__t"))
+      .select(col("doc_id"), explode(arrays_zip(col("__h"), col("__t"))).as("__z"))
+      .select(col("doc_id"),
+        col("__z.__h").as("href"),
+        stripTags(col("__z.__t")).as("anchor"))
+  }
+
+  /** Per-target anchor-text rollup over the absolute http(s) links of
+    * [[anchorPairs]]: targets keyed by [[Urls.canonicalUrl]] (aliasing
+    * spellings — case, default ports, tracking params — merge into one
+    * row), with total anchor count, distinct citing documents, and the
+    * most frequent anchor spelling (ties break to the lexicographically
+    * smallest, deterministic).
+    *
+    * Output: `(target, n_anchors, n_docs, top_anchor)`.
+    *
+    * Shape at scale: canonicalization is a scan projection; then two
+    * hash aggregations keyed by target — (target, anchor) counts → the
+    * struct-min argmax, and (target) totals with a distinct-doc count —
+    * joined on target. Everything shuffles by the same key once; no
+    * window over the link stream.
+    */
+  def anchorTextSummary(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val pairs = anchorPairs(df, idCol, htmlCol)
+      .where(col("href").rlike("(?i)^https?://"))
+      .select(col("doc_id"), Urls.canonicalUrl(col("href")).as("target"),
+        col("anchor"))
+      // feeds both aggregations — pin the explode + canonicalize pass
+      .localCheckpoint()
+    val top = pairs.groupBy(col("target"), col("anchor"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("target"))
+      // min of (-count, anchor): highest count, ties to smallest text
+      .agg(min(struct((-col("__c")).as("__nc"), col("anchor").as("__a")))
+        .as("__top"))
+      .select(col("target"), col("__top.__a").as("top_anchor"))
+    pairs.groupBy(col("target"))
+      .agg(count(lit(1)).as("n_anchors"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .join(top, Seq("target"))
+  }
+
   /** Drop documents that cite any blocklisted URL domain — the
     * provenance gate (spam/SEO/adult domain lists) that runs alongside
     * the quality gate in a crawl-curation pipeline. For a bounded

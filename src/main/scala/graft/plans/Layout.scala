@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers for 100 TB-scale joins: key salting for skew
@@ -48,6 +48,73 @@ object Layout {
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Morton (Z-order) code of two non-negative integer columns, `bits`
+    * bits each, interleaved x-high: bit i of x lands at position 2i+1,
+    * bit i of y at 2i. Inputs must already sit in [0, 2^bits) —
+    * compose with [[rankScaled]] for arbitrary numerics.
+    *
+    * Pure shift/and/or arithmetic (2·bits codegen ops, no UDF, no
+    * branch), and [[mortonCodeSql]] emits the IDENTICAL formula for
+    * DuckDB from the same loop, so the q row oracles the bit math
+    * end-to-end from one source of truth (the canonicalUrlSql pattern).
+    */
+  def mortonCode(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
+
+  /** [[mortonCode]]'s formula as a DuckDB SQL expression over the two
+    * argument expressions — generated from the same loop.
+    */
+  def mortonCodeSql(xExpr: String, yExpr: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).flatMap(i => Seq(
+      s"(((($xExpr) >> $i) & 1) << ${2 * i + 1})",
+      s"(((($yExpr) >> $i) & 1) << ${2 * i})")).mkString(" | ")
+  }
+
+  /** Min-max scale a numeric column into [0, 2^bits) as a long —
+    * `lo`/`hi` are the column's bounds (compute them once with an agg
+    * and pass literals; a 1-row broadcast cross-join keeps the plan
+    * lazy if preferred). Values at `hi` map to 2^bits − 1.
+    */
+  def rankScaled(v: Column, lo: Double, hi: Double, bits: Int): Column = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val span = hi - lo
+    val maxCode = (1L << bits) - 1
+    least(lit(maxCode), greatest(lit(0L),
+      floor((v.cast("double") - lo) / span * (maxCode + 1)).cast("long")))
+  }
+
+  /** Rewrite `df` into Z-order along two integer-coded columns: range
+    * partition + sort by the interleaved code. Each written file then
+    * covers a small 2-D tile, so its parquet min/max stats are TIGHT ON
+    * BOTH columns and a 2-D box predicate prunes most row groups —
+    * where a linear sort gives tight stats on one column and full-range
+    * stats on the other. This is the multi-dimensional data-skipping
+    * layout for scan-heavy tables (time × key, host × depth).
+    *
+    * The helper column is dropped before return; write the result with
+    * `maxRecordsPerFile` (or one task per output partition) so file
+    * boundaries track the range partitioning.
+    */
+  def zOrdered(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      bits: Int,
+      partitions: Int): DataFrame =
+    df.withColumn("__z", mortonCode(col(xCol), col(yCol), bits))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
 
   /** True when the compiled physical plan contains no shuffle exchange
     * of any kind (hash, range, or single-partition) — the assertion that

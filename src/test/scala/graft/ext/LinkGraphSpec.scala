@@ -96,4 +96,48 @@ class LinkGraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
         .toMap
     at(1) shouldBe at(8)
   }
+
+  test("hits: star graph closed form — center is the hub, leaves the authorities") {
+    import spark.implicits._
+    // 0 -> 1..4: auth(leaf) = 1/2 (L2 norm over 4 equal), hub(0) = 1
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("s", "d")
+    val run = LinkGraph.hitsRun(edges, "s", "d", iterations = 5)
+    val m = run.scores.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    m(0L)._1 shouldBe 0.0
+    m(0L)._2 shouldBe 1.0 +- 1e-12
+    (1L to 4L).foreach { v =>
+      m(v)._1 shouldBe 0.5 +- 1e-12
+      m(v)._2 shouldBe 0.0
+    }
+    // the star is an eigenvector from iteration 1 — residual exactly 0
+    run.l1Residual shouldBe 0.0 +- 1e-12
+  }
+
+  test("hits: reversing every edge swaps auth and hub") {
+    import spark.implicits._
+    val raw = (0L until 200L).map(i => (i % 20, (i * 7 + 3) % 25))
+    val fwd = LinkGraph.hits(raw.toDF("s", "d"), "s", "d")
+      .collect().map(r => (r.getLong(0), (math.rint(r.getDouble(1) * 1e9) / 1e9,
+        math.rint(r.getDouble(2) * 1e9) / 1e9))).toMap
+    val rev = LinkGraph.hits(raw.map(_.swap).toDF("s", "d"), "s", "d")
+      .collect().map(r => (r.getLong(0), (math.rint(r.getDouble(1) * 1e9) / 1e9,
+        math.rint(r.getDouble(2) * 1e9) / 1e9))).toMap
+    fwd.keySet shouldBe rev.keySet
+    fwd.foreach { case (v, (a, h)) =>
+      rev(v)._1 shouldBe h
+      rev(v)._2 shouldBe a
+    }
+  }
+
+  test("hits: parallel edges carry no extra weight (0/1 adjacency)") {
+    import spark.implicits._
+    val once = Seq((0L, 1L), (0L, 2L), (3L, 1L)).toDF("s", "d")
+    val dup = Seq((0L, 1L), (0L, 1L), (0L, 1L), (0L, 2L), (3L, 1L)).toDF("s", "d")
+    val a = LinkGraph.hits(once, "s", "d").collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9) / 1e9)).toMap
+    val b = LinkGraph.hits(dup, "s", "d").collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9) / 1e9)).toMap
+    a shouldBe b
+  }
 }

@@ -221,4 +221,52 @@ class TextPipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
     TextPipeline.filterByDomains(df, "text", Seq("BAD.example.net"))
       .select("doc_id").as[Long].collect().toSet shouldBe Set(5L, 6L)
   }
+
+  test("anchorPairs: href/anchor stay paired; multiline, nested tags, entities") {
+    import spark.implicits._
+    val html =
+      """<a href="https://a.example.com/x">First link</a> filler
+        |<a href='https://b.example.com/y'>spans
+        |two lines</a>
+        |<A HREF="https://c.example.com/z">click <b>here</b> &amp; now</A>
+        |<a href="/relative">rel</a>
+        |<a name="anchor-no-href">not a link</a>""".stripMargin
+    val out = TextPipeline.anchorPairs(
+        Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .orderBy("href").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    out shouldBe Array(
+      ("/relative", "rel"),
+      ("https://a.example.com/x", "First link"),
+      ("https://b.example.com/y", "spans two lines"),
+      ("https://c.example.com/z", "click here & now"))
+  }
+
+  test("anchorTextSummary merges aliasing spellings and picks a deterministic top") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1 cites the same canonical target twice, two spellings
+      (1L, "<a href=\"https://T.EXAMPLE.com:443/p?utm_source=x\">alpha</a>" +
+        "<a href='https://t.example.com/p'>beta</a>"),
+      // doc 2 cites it once more with anchor beta -> beta wins (2 vs 1)
+      (2L, "<a href=\"https://t.example.com/p\">beta</a>" +
+        "<a href=\"/rel\">skipped</a>"),
+      (3L, (null: String))).toDF("doc_id", "html")
+    val out = TextPipeline.anchorTextSummary(docs, "doc_id", "html").collect()
+    out.length shouldBe 1
+    val r = out.head
+    r.getString(0) shouldBe "https://t.example.com/p"
+    r.getLong(1) shouldBe 3L // n_anchors: both spellings + doc 2's
+    r.getLong(2) shouldBe 2L // n_docs
+    r.getString(3) shouldBe "beta"
+  }
+
+  test("anchorTextSummary top-anchor tie breaks to the smaller text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<a href=\"https://t.example.com/\">zeta</a>"),
+      (2L, "<a href=\"https://t.example.com/\">alpha</a>")).toDF("doc_id", "html")
+    val out = TextPipeline.anchorTextSummary(docs, "doc_id", "html").collect()
+    out.head.getString(3) shouldBe "alpha"
+  }
 }
