@@ -2535,6 +2535,72 @@ object SparkEntry {
         .select(col("node"), round(col("rank"), 6).as("pagerank"),
           round(lit(run.l1Residual), 6).as("l1_residual"))
         .orderBy(col("node"))
+    }),
+
+    // Count-min-sketch heavy hitters: the one-pass bounded-memory
+    // counting form that survives 100 TB, where q51's exact top-k hash
+    // aggregates the full vocabulary. The sketch (Spark's mergeable
+    // count_min_sketch aggregate, fixed seed) is probed for q51's
+    // exact top-10 tokens; CMS error is ONE-SIDED, so every estimate
+    // must be >= its exact count (`overcount >= 0` on every row is on
+    // the artifact). Rows-only — the estimate depends on the sketch's
+    // hash family; exactness bounded by oracled q51 + SketchSpec's
+    // one-sided/eps-bound/merge properties.
+    "q136_cms_heavy_hitters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(
+          explode(split(TextAnalysis.normalize(col("text")), " ")).as("token"))
+        .where(col("token") =!= "")
+      val sketchBytes = toks
+        .agg(count_min_sketch(col("token"), lit(0.0001), lit(0.99), lit(42)))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+      import s.implicits._
+      val top = TextAnalysis.topTokens(docs, "text", 10)
+        .as[(String, Long)].collect()
+      top.map { case (tok, exact) =>
+        val est = cms.estimateCount(tok)
+        (tok, exact, est, est - exact)
+      }.toSeq.toDF("token", "exact_cnt", "cms_est", "overcount")
+        .orderBy(col("exact_cnt").desc, col("token"))
+    }),
+
+    // Warm-start (incremental) PageRank: after an edge delta, ranks
+    // re-converge from the previous fixed point in a fraction of the
+    // cold-start iterations — the crawl-refresh shape (at 10^10 pages
+    // you never re-run 50 iterations from uniform). Both 2-iteration
+    // runs execute on the SAME post-delta graph; the warm one must land
+    // closer to the fixed point (smaller L1 residual). Rows-only
+    // (residuals are convergence diagnostics); the ranks themselves
+    // are oracled via q109/q135 and the warm-start dominance is pinned
+    // in LinkGraphSpec.
+    "q137_pagerank_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      // quadratic dst: in-degree is SKEWED (quadratic residues), so the
+      // fixed point is far from uniform — q109's linear fixture is
+      // doubly-stochastic (uniform fixed point), where a warm start
+      // equals a cold one by construction
+      val base = docs.select(
+        (col("doc_id") % 20).as("src"),
+        ((col("doc_id") * col("doc_id") + 3) % 25).as("dst"))
+      val delta = docs.where(col("doc_id") % 67 === 0).select(
+        (col("doc_id") % 25).as("src"),
+        ((col("doc_id") * 13 + 5) % 30).as("dst"))
+      val after = base.unionByName(delta)
+      val prev = graft.ext.LinkGraph
+        .pageRankRun(base, "src", "dst", iterations = 12)
+      val warm = graft.ext.LinkGraph
+        .pageRankWarmRun(after, "src", "dst", prev.ranks, iterations = 2)
+      val cold = graft.ext.LinkGraph
+        .pageRankRun(after, "src", "dst", iterations = 2)
+      import s.implicits._
+      Seq((warm.l1Residual, cold.l1Residual,
+          warm.l1Residual < cold.l1Residual))
+        .toDF("warm_l1_residual", "cold_l1_residual", "warm_beats_cold")
+        .select(round(col("warm_l1_residual"), 6).as("warm_l1_residual"),
+          round(col("cold_l1_residual"), 6).as("cold_l1_residual"),
+          col("warm_beats_cold"))
     })
   )
 
@@ -4815,5 +4881,6 @@ object SparkEntry {
     // (every token hot — the q27/q30 brute-twin class); the operator's
     // scale profile is benched on the realistic token distribution
     "q129_bm25", "q131_prefix_jaccard_realistic", "q132_anchor_agg",
-    "q133_hits", "q134_zorder", "q135_linkgraph_pipeline")
+    "q133_hits", "q134_zorder", "q135_linkgraph_pipeline",
+    "q136_cms_heavy_hitters", "q137_pagerank_incremental")
 }

@@ -130,6 +130,39 @@ class LinkGraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("warm-started PageRank converges tighter than cold on the same delta graph") {
+    import spark.implicits._
+    // quadratic dst — skewed in-degree, so the fixed point is far from
+    // uniform (a doubly-stochastic fixture makes warm ≡ cold)
+    val base = (0L until 200L).map(i => (i % 20, (i * i + 3) % 25))
+    val delta = (0L until 8L).map(i => (i % 25, (i * 13 + 5) % 30))
+    val after = (base ++ delta).toDF("s", "d")
+    val prev = LinkGraph.pageRankRun(base.toDF("s", "d"), "s", "d", iterations = 12)
+    val warm = LinkGraph.pageRankWarmRun(after, "s", "d", prev.ranks, iterations = 2)
+    val cold = LinkGraph.pageRankRun(after, "s", "d", iterations = 2)
+    warm.l1Residual should be < cold.l1Residual
+    // and the warm run still walks toward the SAME fixed point: its
+    // ranks are closer to a long converged run than the cold 2-iter
+    val ref = LinkGraph.pageRank(after, "s", "d", iterations = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    def l1(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => math.abs(r.getDouble(1) - ref(r.getLong(0)))).sum
+    l1(warm.ranks) should be < l1(cold.ranks)
+  }
+
+  test("warm start with new nodes: absent ids start at 1/n, run completes") {
+    import spark.implicits._
+    val prev = LinkGraph.pageRankRun(
+      Seq((0L, 1L), (1L, 0L)).toDF("s", "d"), "s", "d", iterations = 3)
+    // delta introduces node 2, unseen by prev
+    val run = LinkGraph.pageRankWarmRun(
+      Seq((0L, 1L), (1L, 0L), (1L, 2L)).toDF("s", "d"), "s", "d",
+      prev.ranks, iterations = 5)
+    val m = run.ranks.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    m.keySet shouldBe Set(0L, 1L, 2L)
+    m.values.foreach(_ should be > 0.0)
+  }
+
   test("hits: parallel edges carry no extra weight (0/1 adjacency)") {
     import spark.implicits._
     val once = Seq((0L, 1L), (0L, 2L), (3L, 1L)).toDF("s", "d")

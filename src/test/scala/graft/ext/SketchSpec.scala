@@ -44,4 +44,34 @@ class SketchSpec extends AnyFunSuite with Matchers with SparkTestBase {
       }
     }
   }
+
+  test("count-min sketch: one-sided error, eps*N bound, exact merge identity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Zipf-ish token stream: token t_i appears 1000/i times, i=1..50
+    val rows = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"t$i"))
+    val df = rows.toDF("token")
+    val n = rows.size.toLong
+    val eps = 0.001
+    def sketchOf(d: org.apache.spark.sql.DataFrame) =
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(
+          d.agg(count_min_sketch(col("token"), lit(eps), lit(0.99), lit(42)))
+            .head().getAs[Array[Byte]](0)))
+    val cms = sketchOf(df)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (tok, cnt) =>
+      val est = cms.estimateCount(tok)
+      est should be >= cnt // CMS never undercounts
+      est should be <= cnt + math.ceil(eps * n).toLong * 3 // generous eps*N bound
+    }
+    // merging per-partition sketches = the single-pass sketch, exactly
+    // (same hash family, counters are sums): estimates must be equal
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    val merged = sketchOf(h1.toDF("token"))
+    merged.mergeInPlace(sketchOf(h2.toDF("token")))
+    exact.keys.foreach { tok =>
+      merged.estimateCount(tok) shouldBe cms.estimateCount(tok)
+    }
+  }
 }

@@ -221,6 +221,51 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("q129 BM25 filters postings before the agg; stats sides broadcast") {
+    // the query-term isin must sit under the (doc,term) aggregation —
+    // a plan aggregating the full vocabulary before filtering would
+    // shuffle the corpus's entire token stream; df and (N, avgdl) are
+    // broadcast, so no sort-merge join anywhere
+    val df = SparkEntry.queries("q129_bm25")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    p should not include "SortMergeJoin"
+    p should include("BroadcastNestedLoopJoin") // the 1-row stats ride
+    // optimized plan: the isin lands below the (doc,term) Aggregate
+    val opt = df.queryExecution.optimizedPlan.toString
+    val aggIdx = opt.indexOf("Aggregate")
+    val filterIdx = opt.indexOf("IN (vector,stream,merge,zebra)")
+    aggIdx should be >= 0
+    filterIdx should be > aggIdx // rendered below = later in the string
+  }
+
+  test("q132 anchor extraction: one generator, no join; summary never sort-merges") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // extraction stage (pre-checkpoint): a single explode of the
+    // zipped match lists, everything else scan projection
+    val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), concat(lit("<a href=\"https://x.example.com/\">t</a>"),
+        col("text")).as("__html"))
+    val pairs = graft.ext.TextPipeline.anchorPairs(pages, "doc_id", "__html")
+    val pp = pairs.queryExecution.executedPlan.toString
+    pp should not include "Join"
+    pp.toLowerCase should not include "lambdafunction"
+    "Generate".r.findAllIn(pp).size shouldBe 1
+    // full summary (checkpointed pair stream + two aggs): no sort-merge
+    val p = SparkEntry.queries("q132_anchor_agg")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p should not include "SortMergeJoin"
+  }
+
+  test("q134 z-order codes are a pure scan projection") {
+    // 2·bits shift/or ops in the projection: no join, no generator,
+    // and the only exchange is the output ORDER BY
+    val p = SparkEntry.queries("q134_zorder")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p should not include "Join"
+    p should not include "Generate"
+    "Exchange".r.findAllIn(p).size shouldBe 1
+  }
+
   test("q11 rank filter triggers Spark's partial WindowGroupLimit") {
     // Top-k-per-key via window + rank<=k filter is only scale-safe
     // because Catalyst inserts a MAP-SIDE group limit before the
