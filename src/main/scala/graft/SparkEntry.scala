@@ -2601,6 +2601,32 @@ object SparkEntry {
         .select(round(col("warm_l1_residual"), 6).as("warm_l1_residual"),
           round(col("cold_l1_residual"), 6).as("cold_l1_residual"),
           col("warm_beats_cold"))
+    }),
+
+    // Frequency-domain audio features: per-frame radix-2 FFT over real
+    // PCM bytes — dominant frequency, spectral centroid, and peak-bin
+    // magnitude share per tone. Each media id carries a PURE TONE at a
+    // known frequency, so `peak_hz` must land within one bin of the
+    // generator's frequency and `peak_mag_rel` near 1 — the artifact
+    // itself exposes whether the FFT resolves the planted tones.
+    // Rows-only (FFT bin arithmetic has no DuckDB twin); closed forms
+    // pinned in AudioFramesSpec.
+    "q138_audio_spectra" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(40).as[Long].map(id => Multimodal.MediaRow(
+        id, "audio",
+        graft.ext.MediaCodec.Fixtures.sineWav(
+          freq = 500 + 125 * (id % 8).toInt, amp = 0.5, seconds = 0.25)))
+      Multimodal.audioSpectralFeatures(media, frameMs = 64).toDF()
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          round(avg(col("peak_hz")), 2).as("avg_peak_hz"),
+          round(avg(col("centroid_hz")), 2).as("avg_centroid_hz"),
+          round(min(col("peak_mag_rel")), 4).as("min_peak_share"))
+        .withColumn("tone_hz", lit(500) + lit(125) * (col("media_id") % 8))
+        .withColumn("peak_within_bin",
+          abs(col("avg_peak_hz") - col("tone_hz")) <= lit(16000.0 / 1024))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -4882,5 +4908,6 @@ object SparkEntry {
     // scale profile is benched on the realistic token distribution
     "q129_bm25", "q131_prefix_jaccard_realistic", "q132_anchor_agg",
     "q133_hits", "q134_zorder", "q135_linkgraph_pipeline",
-    "q136_cms_heavy_hitters", "q137_pagerank_incremental")
+    "q136_cms_heavy_hitters", "q137_pagerank_incremental",
+    "q138_audio_spectra")
 }

@@ -116,6 +116,32 @@ object Multimodal {
           AudioFrame(r.media_id, idx, startMs, rms, peak, zcr)
       })
   }
+
+  /** One spectral row per audio frame. */
+  final case class AudioSpectrum(
+      media_id: Long,
+      frame: Int,
+      peak_hz: Double, // dominant-frequency bin center
+      centroid_hz: Double, // magnitude-weighted mean frequency
+      peak_mag_rel: Double) // peak bin's share of non-DC magnitude
+
+  /** Frame-level FREQUENCY-domain features over 16-bit PCM WAV
+    * payloads: each `frameMs` window FFT'd
+    * ([[MediaCodec.wavSpectralFeatures]] — radix-2, channel 0,
+    * rectangular window) to its dominant frequency, spectral centroid,
+    * and peak-magnitude share — the tone/speech/noise discriminators
+    * the time-domain [[audioFrameFeatures]] (rms/peak/zcr) can't see.
+    * Same scale shape: a typed flatMap, per-payload CPU in the scan,
+    * only the narrow (id, frame, features) stream ever shuffles.
+    */
+  def audioSpectralFeatures(media: Dataset[MediaRow], frameMs: Int): Dataset[AudioSpectrum] = {
+    import media.sparkSession.implicits._
+    media.flatMap(r =>
+      MediaCodec.wavSpectralFeatures(r.payload, frameMs).map {
+        case (idx, peakHz, centroidHz, rel) =>
+          AudioSpectrum(r.media_id, idx, peakHz, centroidHz, rel)
+      })
+  }
 }
 
 /** The decode boundary. ENVELOPE properties are decoded for real with
@@ -548,11 +574,14 @@ object MediaCodec {
     * trailing partial frame is reported over its actual sample count.
     * Empty for non-RIFF / non-PCM16 payloads or `frameMs <= 0`.
     */
-  def wavFrameFeatures(b: Array[Byte], frameMs: Int): Seq[(Int, Long, Double, Double, Double)] = {
-    if (frameMs <= 0) return Nil
+  /** RIFF/WAVE chunk walk shared by every PCM reader: returns
+    * (sampleRate, channels, dataOff, nSamples16) for canonical 16-bit
+    * PCM, or None for anything else.
+    */
+  private def wavPcmLayout(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (b.length < 12 ||
         b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
-        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return Nil
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
     var i = 12
     var fmtOk = false
     var rate = 0
@@ -562,7 +591,7 @@ object MediaCodec {
     while (i + 8 <= b.length && (!fmtOk || dataOff < 0)) {
       val size = le32(b, i + 4) & 0xFFFFFFFFL
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
-        if (size < 16 || i + 8 + 16 > b.length) return Nil
+        if (size < 16 || i + 8 + 16 > b.length) return None
         fmtOk = le16(b, i + 8) == 1 && le16(b, i + 22) == 16
         channels = le16(b, i + 10)
         rate = le32(b, i + 12)
@@ -570,11 +599,20 @@ object MediaCodec {
         dataOff = i + 8
         dataLen = math.min(size, (b.length - dataOff).toLong).toInt
       }
-      if (size > Int.MaxValue - 16L) return Nil
+      if (size > Int.MaxValue - 16L) return None
       i += 8 + size.toInt + (size.toInt & 1)
     }
     val n = dataLen / 2
-    if (!fmtOk || dataOff < 0 || n == 0 || rate <= 0 || channels <= 0) return Nil
+    if (!fmtOk || dataOff < 0 || n == 0 || rate <= 0 || channels <= 0) None
+    else Some((rate, channels, dataOff, n))
+  }
+
+  def wavFrameFeatures(b: Array[Byte], frameMs: Int): Seq[(Int, Long, Double, Double, Double)] = {
+    if (frameMs <= 0) return Nil
+    val (rate, channels, dataOff, n) = wavPcmLayout(b) match {
+      case Some(l) => l
+      case None => return Nil
+    }
     val perFrame = math.max(1L, rate.toLong * channels * frameMs / 1000L).toInt
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double, Double)]
     var f = 0
@@ -603,6 +641,112 @@ object MediaCodec {
       s0 += m
     }
     out.toSeq
+  }
+
+  /** Per-frame SPECTRAL features of 16-bit PCM WAV audio: radix-2
+    * Cooley-Tukey FFT over each frame's first 2^k channel-0 samples,
+    * yielding the dominant frequency (peak magnitude bin, DC excluded)
+    * and the spectral centroid — the two features a speech/music/noise
+    * gate reads first. Rectangular window, deterministic arithmetic.
+    *
+    * Returns (frame, peak_hz, centroid_hz, peak_mag_rel) per frame with
+    * ≥ 16 samples; `peak_mag_rel` is the peak bin's share of total
+    * non-DC magnitude (a pure tone reads near 1, noise near 1/bins).
+    */
+  def wavSpectralFeatures(b: Array[Byte], frameMs: Int): Seq[(Int, Double, Double, Double)] = {
+    if (frameMs <= 0) return Nil
+    val (rate, channels, dataOff, n) = wavPcmLayout(b) match {
+      case Some(l) => l
+      case None => return Nil
+    }
+    val mono = n / channels
+    val perFrame = math.max(1L, rate.toLong * frameMs / 1000L).toInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double, Double)]
+    var f = 0
+    var s0 = 0
+    while (s0 < mono) {
+      val m = math.min(perFrame, mono - s0)
+      // largest power of two ≤ m (FFT length), min 16 samples
+      var len = Integer.highestOneBit(m)
+      if (len >= 16) {
+        val re = new Array[Double](len)
+        val im = new Array[Double](len)
+        var s = 0
+        while (s < len) {
+          val off = dataOff + 2 * ((s0 + s) * channels) // channel 0
+          re(s) = ((b(off) & 0xFF) | (b(off + 1) << 8)).toShort.toDouble
+          s += 1
+        }
+        fftInPlace(re, im)
+        // magnitude spectrum over bins 1 .. len/2 (DC excluded)
+        var peakBin = 1
+        var peakMag = 0.0
+        var magSum = 0.0
+        var centNum = 0.0
+        var bin = 1
+        while (bin <= len / 2) {
+          val mag = math.sqrt(re(bin) * re(bin) + im(bin) * im(bin))
+          if (mag > peakMag) { peakMag = mag; peakBin = bin }
+          magSum += mag
+          centNum += mag * bin
+          bin += 1
+        }
+        val hzPerBin = rate.toDouble / len
+        out += ((f,
+          peakBin * hzPerBin,
+          if (magSum > 0) centNum / magSum * hzPerBin else 0.0,
+          if (magSum > 0) peakMag / magSum else 0.0))
+      }
+      f += 1
+      s0 += m
+    }
+    out.toSeq
+  }
+
+  /** Iterative radix-2 Cooley-Tukey, in place; length must be a power
+    * of two. Textbook construction: bit-reversal permutation, then
+    * log2(n) butterfly passes.
+    */
+  private def fftInPlace(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    // bit-reversal permutation
+    var j = 0
+    var i = 1
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(blk + k); val ui = im(blk + k)
+          val vr = re(blk + k + len / 2) * cr - im(blk + k + len / 2) * ci
+          val vi = re(blk + k + len / 2) * ci + im(blk + k + len / 2) * cr
+          re(blk + k) = ur + vr; im(blk + k) = ui + vi
+          re(blk + k + len / 2) = ur - vr; im(blk + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
   }
 
   /** Walk JPEG marker segments from SOI to the first SOFn (C0–CF minus
