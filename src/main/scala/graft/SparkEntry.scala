@@ -2627,8 +2627,47 @@ object SparkEntry {
         .withColumn("peak_within_bin",
           abs(col("avg_peak_hz") - col("tone_hz")) <= lit(16000.0 / 1024))
         .orderBy(col("media_id"))
+    }),
+
+    // RFC 9309 wildcard robots matching (`*` any-sequence, trailing
+    // `$` end anchor, specificity = rule-text length): a 2-host × 6-
+    // path zoo where every verdict depends on a wildcard semantic —
+    // $-anchored PDF block with a longer $-anchored Allow carve-out,
+    // mid-pattern * vs a longer literal Allow, and an anchored /tmp$
+    // that must NOT block /tmp/x. Fully oracled (verdicts closed-form
+    // per (host, path) slot, q128 style).
+    "q139_robots_wildcards" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val host = concat(lit("w"), pmod(id, lit(2)).cast("string"),
+        lit(".example.com"))
+      val path = element_at(
+        array(lit("/a.pdf"), lit("/pub/x.pdf"), lit("/pub/x.pdfz"),
+          lit("/private1/x"), lit("/private-pub/x"), lit("/tmp")),
+        (pmod(shiftright(id, 1), lit(6)) + 1).cast("int"))
+      val urls = t(s, dir, "documents")
+        .select(concat(lit("https://"), host, path).as("url"))
+      val robots = WildcardRobotsFixture.toSeq.toDF("host", "text")
+      val rules = graft.ext.Robots.parseRules(robots, "host", "text").toDF()
+      graft.ext.Robots.allowedWildcards(urls, "url", rules, "graftbot")
+        .groupBy(col("url"), col("allowed"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("url"))
     })
   )
+
+  /** q139's wildcard robots zoo (RFC 9309 §2.2.3 specials): w0 blocks
+    * PDFs everywhere except under /pub (both rules `$`-anchored, the
+    * Allow longer and therefore more specific); w1 blocks the
+    * wildcarded private dirs ("/private" + star + slash) but allows
+    * the longer literal /private-pub/, and `$`-anchors /tmp so /tmp/x
+    * stays crawlable.
+    */
+  private val WildcardRobotsFixture: Map[String, String] = Map(
+    "w0.example.com" ->
+      "User-agent: *\nDisallow: /*.pdf$\nAllow: /pub/*.pdf$\n",
+    "w1.example.com" ->
+      "User-agent: *\nDisallow: /private*/\nAllow: /private-pub/\nDisallow: /tmp$\n")
 
   /** q124's robots zoo: s0–s4 each disallow `/p0`, declare a 2 s
     * crawl-delay AND advertise their sitemap (the discovery stream);
@@ -4804,6 +4843,28 @@ object SparkEntry {
                   'h' || ((doc_id * 5 + 2) % 8) || '.example.org'
            FROM documents)"""),
 
+    // the wildcard verdict table in closed form: host = w(doc_id%2),
+    // path slot = (doc_id//2)%6; every (host, slot) verdict hand-
+    // derived from the RFC rules (w0: only the bare .pdf outside /pub
+    // blocks; w1: /private*/ blocks unless the longer literal allow
+    // matches, /tmp$ blocks only the exact path)
+    "q139_robots_wildcards" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 2 AS h, (doc_id // 2) % 6 AS p
+           FROM documents),
+         m AS (SELECT
+           'https://w' || h || '.example.com' ||
+             CASE p WHEN 0 THEN '/a.pdf' WHEN 1 THEN '/pub/x.pdf'
+                  WHEN 2 THEN '/pub/x.pdfz' WHEN 3 THEN '/private1/x'
+                  WHEN 4 THEN '/private-pub/x' ELSE '/tmp' END AS url,
+           CASE WHEN h = 0 AND p = 0 THEN FALSE
+                WHEN h = 1 AND p = 3 THEN FALSE
+                WHEN h = 1 AND p = 5 THEN FALSE
+                ELSE TRUE END AS allowed
+         FROM d)
+         SELECT url, allowed, count(*) AS n
+         FROM m GROUP BY url, allowed ORDER BY url""",
+
     // bit-interleave formula GENERATED from the same loop as the Spark
     // expression
     "q134_zorder" ->
@@ -4909,5 +4970,5 @@ object SparkEntry {
     "q129_bm25", "q131_prefix_jaccard_realistic", "q132_anchor_agg",
     "q133_hits", "q134_zorder", "q135_linkgraph_pipeline",
     "q136_cms_heavy_hitters", "q137_pagerank_incremental",
-    "q138_audio_spectra")
+    "q138_audio_spectra", "q139_robots_wildcards")
 }

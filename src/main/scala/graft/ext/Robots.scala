@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * [[BloomGate]]) in a crawler: a URL that passes dedup still must
   * not be fetched if the host's robots.txt disallows it.
   *
-  * Scope (REP core, RFC 9309 without the Google wildcard extension —
-  * documented, and exactly what makes the gate SQL-oracle-able):
+  * Scope (REP core; [[allowed]] matches LITERAL prefixes — the
+  * SQL-oracle-able base — and [[allowedWildcards]] opts into the RFC
+  * 9309 §2.2.3 special characters, star + end-anchor, oracled by a
+  * closed-form verdict zoo instead):
   *  - `User-agent:` lines stack; a group's rules apply to every agent
   *    named since the last rule line (the standard group semantics)
   *  - `Allow:` / `Disallow:` with LITERAL path prefixes; empty
@@ -137,7 +139,33 @@ object Robots {
       urls: DataFrame,
       urlCol: String,
       rules: DataFrame,
-      agent: String): DataFrame = {
+      agent: String): DataFrame =
+    allowedImpl(urls, urlCol, rules, agent, wildcards = false)
+
+  /** [[allowed]] with RFC 9309 §2.2.3 special characters enabled:
+    * `*` in a rule path matches any character sequence and a trailing
+    * `$` anchors the rule to the path's end; precedence stays "most
+    * specific = longest RULE TEXT, Allow beats Disallow on ties"
+    * (the RFC measures specificity in pattern octets, not matched
+    * octets). Patterns translate to regexes in a codegen projection
+    * (escape metachars → `\*`→`.*` → trailing `\$`→`$`), and the
+    * match becomes a per-(url, rule) `regexp_like` on the broadcast
+    * join — rules are host-cardinality-small, so the regex row count
+    * is |matched pairs|, not the frontier.
+    */
+  def allowedWildcards(
+      urls: DataFrame,
+      urlCol: String,
+      rules: DataFrame,
+      agent: String): DataFrame =
+    allowedImpl(urls, urlCol, rules, agent, wildcards = true)
+
+  private def allowedImpl(
+      urls: DataFrame,
+      urlCol: String,
+      rules: DataFrame,
+      agent: String,
+      wildcards: Boolean): DataFrame = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     // per host: does the agent's OWN group exist (any rule)?
     val hostHasAgent = rules.where(col("agent") === agentLc)
@@ -151,22 +179,35 @@ object Robots {
         (col("agent") === "*" && col("__has_agent").isNull))
       .select(col("host").as("__r_host"), col("allow").as("__r_allow"),
         col("prefix").as("__r_prefix"))
+      .withColumn("__r_re",
+        if (!wildcards) lit(null).cast("string")
+        else {
+          // pattern → regex: escape metachars, then the (now-escaped)
+          // REP specials back to their meanings: \* → .*, trailing \$
+          // → end anchor; everything else literal, match from start
+          val esc = regexp_replace(col("__r_prefix"),
+            "([.^$+?()\\[\\]{}|\\\\*])", "\\\\$1")
+          val star = regexp_replace(esc, "\\\\\\*", ".*")
+          concat(lit("^"), regexp_replace(star, "\\\\\\$$", "\\$"))
+        })
     val keyed = urls
       .withColumn("__rid", monotonically_increasing_id())
       .withColumn("__host", hostOf(col(urlCol)))
       .withColumn("__path", pathOf(col(urlCol)))
-    // verdict = the longest matching prefix's allow; Allow wins ties
-    // (struct max orders by (length, allow)); no match → allowed.
-    // first() per input column is exact here: every row of a __rid
-    // group carries the same input values.
+    // verdict = the most specific matching rule's allow (longest RULE
+    // TEXT; Allow wins ties — struct max orders by (length, allow));
+    // no match → allowed. first() per input column is exact here:
+    // every row of a __rid group carries the same input values.
     val aggCols = urls.columns.map(c => first(col(c)).as(c)) :+
       max(when(col("__r_prefix").isNotNull,
         struct(length(col("__r_prefix")).as("l"), col("__r_allow").as("a"))))
         .as("__best")
+    val matchCond =
+      if (wildcards) regexp_like(col("__path"), col("__r_re"))
+      else col("__path").startsWith(col("__r_prefix"))
     keyed
       .join(broadcast(applicable),
-        col("__host") === col("__r_host") &&
-          col("__path").startsWith(col("__r_prefix")),
+        col("__host") === col("__r_host") && matchCond,
         "left")
       .groupBy(col("__rid"))
       .agg(aggCols.head, aggCols.tail: _*)

@@ -119,4 +119,57 @@ class RobotsSpec extends AnyFunSuite with SparkTestBase {
     ), robots, "GraftBot") // case-insensitive agent
     assert(verdicts == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
   }
+
+  private def gateW(urls: Seq[(Long, String)], robots: Seq[(String, String)],
+      agent: String): Map[Long, Boolean] = {
+    val s = spark
+    import s.implicits._
+    val rules = Robots.parseRules(robots.toDF("host", "text"), "host", "text").toDF()
+    Robots.allowedWildcards(urls.toDF("id", "url"), "url", rules, agent)
+      .select(col("id"), col("allowed"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+  }
+
+  test("wildcards: * matches any sequence, trailing $ anchors, specificity = rule text") {
+    val robots = Seq("w.example" ->
+      "User-agent: *\nDisallow: /*.pdf$\nAllow: /pub/*.pdf$\nDisallow: /tmp$")
+    val verdicts = gateW(Seq(
+      1L -> "https://w.example/a.pdf",       // $-anchored wildcard block
+      2L -> "https://w.example/deep/b.pdf",  // * spans slashes
+      3L -> "https://w.example/pub/x.pdf",   // longer Allow wins
+      4L -> "https://w.example/a.pdfz",      // $ anchor: no match
+      5L -> "https://w.example/tmp",         // exact anchored block
+      6L -> "https://w.example/tmp/x"        // /tmp$ must NOT block below
+    ), robots, "anybot")
+    assert(verdicts == Map(1L -> false, 2L -> false, 3L -> true,
+      4L -> true, 5L -> false, 6L -> true))
+  }
+
+  test("wildcards: mid-pattern * vs longer literal Allow; regex metachars stay literal") {
+    val robots = Seq("w.example" ->
+      "User-agent: *\nDisallow: /private*/\nAllow: /private-pub/\nDisallow: /q?a=(1)")
+    val verdicts = gateW(Seq(
+      1L -> "https://w.example/private1/x",    // wildcard block
+      2L -> "https://w.example/private-pub/x", // longer literal Allow wins
+      3L -> "https://w.example/privateX/",     // wildcard block (trailing /)
+      4L -> "https://w.example/private",       // no trailing / → pattern needs the /
+      5L -> "https://w.example/other"          // untouched
+    ), robots, "anybot")
+    assert(verdicts == Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> true, 5L -> true))
+  }
+
+  test("wildcards off: allowed() keeps literal-prefix semantics for * in text") {
+    // the literal matcher treats '*' as an ordinary character —
+    // documented REP-core behavior, pinned so enabling wildcards is an
+    // explicit opt-in rather than a silent change
+    val robots = Seq("w.example" -> "User-agent: *\nDisallow: /*.pdf$")
+    val s = spark
+    import s.implicits._
+    val rules = Robots.parseRules(robots.toDF("host", "text"), "host", "text").toDF()
+    val out = Robots.allowed(
+      Seq((1L, "https://w.example/a.pdf")).toDF("id", "url"), "url", rules, "anybot")
+      .select("allowed").head().getBoolean(0)
+    assert(out) // literal "/*.pdf$" prefix never matches
+  }
 }
