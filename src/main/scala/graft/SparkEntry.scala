@@ -2653,6 +2653,54 @@ object SparkEntry {
         .groupBy(col("url"), col("allowed"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("url"))
+    }),
+
+    // Freshness-driven recrawl scheduling: parsed sitemap entries with
+    // per-slot changefreq (daily/weekly/monthly/never/absent) and
+    // month-varying lastmod, scored as staleness = age/period against
+    // a fixed as-of date — the prioritization pass between sitemap
+    // ingest (q120) and the fetch schedule (q119). Fully oracled: the
+    // entry fields are closed-form in doc_id and DuckDB re-derives the
+    // period table and date arithmetic.
+    "q140_recrawl_priority" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id")
+      val freq = element_at(
+        array(lit("daily"), lit("weekly"), lit("monthly"), lit("never"),
+          lit(null).cast("string")), // slot 4 → null (absent)
+        (pmod(id, lit(5)) + 1).cast("int"))
+      val entry = concat(
+        lit("<url><loc>https://s"), pmod(id, lit(10)).cast("string"),
+        lit(".example.com/p"), id.cast("string"), lit("</loc><lastmod>2026-0"),
+        (pmod(id, lit(8)) + 1).cast("string"), lit("-15</lastmod>"),
+        when(freq.isNotNull,
+          concat(lit("<changefreq>"), freq, lit("</changefreq>")))
+          .otherwise(lit("")),
+        lit("</url>"))
+      val sitemaps = docs.groupBy(pmod(id, lit(10)).as("site"))
+        .agg(concat(lit("<urlset>"), concat_ws("", collect_list(entry)),
+          lit("</urlset>")).as("xml"))
+      graft.ext.Sitemap
+        .recrawlPriority(
+          graft.ext.Sitemap.urlEntries(sitemaps, "xml"), asOf = "2026-08-14")
+        .select(
+          regexp_extract(col("loc"), "/p([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("loc"), col("changefreq"),
+          // +0.0 collapses IEEE -0.0 (a future lastmod over an infinite
+          // period) to +0.0 — the oracle does the same, else the driver's
+          // bit-exact float hash splits on the sign of zero
+          (round(col("staleness"), 6) + lit(0.0)).as("staleness"), col("due"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic epoch shuffle: the reproducible pseudo-random
+    // permutation a training run lays its shards in. md5 coordinate →
+    // engine-independent, so DuckDB re-derives the EXACT order — the
+    // first 20 rows of epoch "e1" are hash-verified end-to-end.
+    "q141_epoch_shuffle" -> ((s, dir) => {
+      Sampling.epochShuffle(t(s, dir, "documents"), "doc_id", "e1")
+        .select(col("doc_id"), col("__shuffle_key").as("shuffle_key"))
+        .limit(20)
     })
   )
 
@@ -4865,6 +4913,36 @@ object SparkEntry {
          SELECT url, allowed, count(*) AS n
          FROM m GROUP BY url, allowed ORDER BY url""",
 
+    // period table + date arithmetic re-derived; entry fields closed-
+    // form in doc_id (slot 4 omits changefreq → monthly default; never
+    // → infinite period → staleness 0, not due)
+    "q140_recrawl_priority" ->
+      """WITH d AS (
+           SELECT doc_id,
+             'https://s' || (doc_id % 10) || '.example.com/p' || doc_id AS loc,
+             ('2026-0' || ((doc_id % 8) + 1) || '-15')::DATE AS lastmod,
+             CASE doc_id % 5 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                  WHEN 2 THEN 'monthly' WHEN 3 THEN 'never' ELSE NULL
+             END AS changefreq
+           FROM documents),
+         s AS (SELECT doc_id, loc, changefreq,
+                 date_diff('day', lastmod, DATE '2026-08-14')::DOUBLE /
+                   CASE changefreq WHEN 'daily' THEN 1.0 WHEN 'weekly' THEN 7.0
+                        WHEN 'monthly' THEN 30.0
+                        WHEN 'never' THEN 'infinity'::DOUBLE
+                        ELSE 30.0 END AS staleness
+               FROM d)
+         SELECT doc_id, loc, changefreq,
+                round(staleness, 6) + 0.0 AS staleness,
+                staleness >= 1.0 AS due
+         FROM s ORDER BY doc_id""",
+
+    // the permutation's first 20 rows, re-derived from the same md5
+    // coordinate
+    "q141_epoch_shuffle" ->
+      """SELECT doc_id, md5(doc_id::VARCHAR || ':e1') AS shuffle_key
+         FROM documents ORDER BY shuffle_key, doc_id LIMIT 20""",
+
     // bit-interleave formula GENERATED from the same loop as the Spark
     // expression
     "q134_zorder" ->
@@ -4970,5 +5048,6 @@ object SparkEntry {
     "q129_bm25", "q131_prefix_jaccard_realistic", "q132_anchor_agg",
     "q133_hits", "q134_zorder", "q135_linkgraph_pipeline",
     "q136_cms_heavy_hitters", "q137_pagerank_incremental",
-    "q138_audio_spectra", "q139_robots_wildcards")
+    "q138_audio_spectra", "q139_robots_wildcards",
+    "q140_recrawl_priority", "q141_epoch_shuffle")
 }

@@ -146,6 +146,27 @@ object Sampling {
       .drop("__wskey")
   }
 
+  /** Deterministic epoch shuffle: a reproducible pseudo-random
+    * permutation of the corpus — each training epoch passes a new
+    * `epoch` label and gets an independent-looking order, while the
+    * same label always reproduces the same permutation (restart-safe,
+    * engine-independent: the key is md5 of the row key + label, so an
+    * external system can re-derive the exact order — oracle-checked).
+    * Ties are impossible for distinct keys; the trailing key column in
+    * the sort makes even pathological collisions deterministic.
+    *
+    * Shape at scale: ONE range-partitioned sort on the md5 coordinate —
+    * the same class as any global `orderBy`, and the standard way to
+    * lay out training shards (write the sorted frame with
+    * `maxRecordsPerFile` = shard size). No driver round-trip, no
+    * per-epoch reshuffle state. The sort coordinate stays on the frame
+    * as `__shuffle_key` (reserved prefix) for shard bookkeeping.
+    */
+  def epochShuffle(df: DataFrame, keyCol: String, epoch: String): DataFrame =
+    df.withColumn("__shuffle_key",
+        md5(concat(col(keyCol).cast("string"), lit(":"), lit(epoch))))
+      .orderBy(col("__shuffle_key"), col(keyCol))
+
   /** Sequence packing — concat-and-chunk bookkeeping for LLM training:
     * documents are laid end-to-end in md5-coordinate order and the
     * resulting token stream is sliced into fixed `seqLen` windows; each

@@ -58,6 +58,32 @@ object Sitemap {
       .where(col("loc").isNotNull)
       .drop("__block")
 
+  /** Freshness-driven recrawl scheduling over parsed sitemap entries
+    * ([[urlEntries]] output): `staleness` = days since `lastmod`
+    * divided by the `changefreq` period (always/hourly 1/24, daily 1,
+    * weekly 7, monthly 30, yearly 365, never ∞ → staleness 0; absent
+    * changefreq defaults to monthly, the conservative read), and
+    * `due` = staleness ≥ 1 — a page is due when at least one declared
+    * change period has elapsed. A null `lastmod` (never seen) is due
+    * with null staleness. Adds `(staleness, due)`; pure scan
+    * projection, no shuffle — ordering/top-k is the caller's.
+    */
+  def recrawlPriority(entries: DataFrame, asOf: String): DataFrame = {
+    val period = when(lower(col("changefreq")).isin("always", "hourly"), 1.0 / 24)
+      .when(lower(col("changefreq")) === "daily", 1.0)
+      .when(lower(col("changefreq")) === "weekly", 7.0)
+      .when(lower(col("changefreq")) === "monthly", 30.0)
+      .when(lower(col("changefreq")) === "yearly", 365.0)
+      .when(lower(col("changefreq")) === "never", Double.PositiveInfinity)
+      .otherwise(30.0) // absent/unknown → monthly
+    val age = datediff(to_date(lit(asOf)), to_date(col("lastmod"))).cast("double")
+    entries
+      .withColumn("staleness",
+        when(col("lastmod").isNull, lit(null).cast("double"))
+          .otherwise(age / period))
+      .withColumn("due", col("lastmod").isNull || col("staleness") >= 1.0)
+  }
+
   /** Child sitemap locations of a `<sitemapindex>` column — the fan-out
     * list a crawler feeds back into its fetch queue.
     */

@@ -285,4 +285,20 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .queryExecution.executedPlan.toString
     plan should include("TakeOrderedAndProject")
   }
+
+  test("epochShuffle: a permutation, stable per epoch, different across epochs") {
+    import spark.implicits._
+    val df = (0L until 500L).toDF("id")
+    def order(epoch: String) = Sampling.epochShuffle(df, "id", epoch)
+      .select("id").as[Long].collect().toSeq
+    val e1 = order("e1")
+    e1.sorted shouldBe (0L until 500L) // permutation: nothing lost
+    order("e1") shouldBe e1 // reproducible
+    val e2 = order("e2")
+    e2 should not be e1 // epochs decorrelate
+    e2.sorted shouldBe (0L until 500L)
+    // partition-invariant: the order is data-derived, not planner-derived
+    Sampling.epochShuffle(df.repartition(7), "id", "e1")
+      .select("id").as[Long].collect().toSeq shouldBe e1
+  }
 }

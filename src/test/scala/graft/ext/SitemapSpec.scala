@@ -65,4 +65,31 @@ class SitemapSpec extends AnyFunSuite with SparkTestBase {
     assert(entries("<urlset></urlset>").isEmpty)
     assert(entries("not xml at all").isEmpty)
   }
+
+  test("recrawlPriority: staleness = age/period, due at >=1, never/absent/null handled") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val entries = Seq(
+      ("a", "2026-08-10", "daily"),    // age 4 / 1 -> 4.0, due
+      ("b", "2026-08-10", "weekly"),   // 4 / 7 -> not due
+      ("c", "2026-07-01", "monthly"),  // 44 / 30 -> due
+      ("d", "2020-01-01", "never"),    // infinite period -> 0, not due
+      ("e", "2026-01-01", null),       // absent -> monthly default, due
+      ("f", null, "daily"),            // never seen -> due, null staleness
+      ("g", "2026-08-15", "daily")     // future lastmod -> negative, not due
+    ).toDF("loc", "lastmod", "changefreq")
+    val out = Sitemap.recrawlPriority(entries, asOf = "2026-08-14")
+      .select("loc", "staleness", "due").collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Double]), r.getBoolean(2))))
+      .toMap
+    assert(out("a") == ((Some(4.0), true)))
+    assert(math.abs(out("b")._1.get - 4.0 / 7.0) < 1e-12)
+    assert(!out("b")._2)
+    assert(out("c")._2)
+    assert(out("d") == ((Some(0.0), false)))
+    assert(out("e")._2)
+    assert(out("f") == ((None, true)))
+    assert(out("g")._1.get < 0.0)
+    assert(!out("g")._2)
+  }
 }
