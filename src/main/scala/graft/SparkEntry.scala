@@ -2701,7 +2701,16 @@ object SparkEntry {
       Sampling.epochShuffle(t(s, dir, "documents"), "doc_id", "e1")
         .select(col("doc_id"), col("__shuffle_key").as("shuffle_key"))
         .limit(20)
-    })
+    }),
+
+    // Interpolated Kneser–Ney bigram perplexity — the smoothed LM
+    // quality signal (the CCNet-gate construction) upgrading q77's MLE
+    // model with absolute discounting + continuation mass. Fully
+    // oracled: DuckDB re-derives all four model tables from the same
+    // token stream.
+    "q142_kn_bigram" -> ((s, dir) =>
+      TextAnalysis.knBigramXent(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")))
   )
 
   /** q139's wildcard robots zoo (RFC 9309 §2.2.3 specials): w0 blocks
@@ -4948,7 +4957,34 @@ object SparkEntry {
     "q134_zorder" ->
       s"""SELECT doc_id, (${graft.plans.Layout.mortonCodeSql(
         "doc_id % 256", "(doc_id * 31 + 7) % 256", 8)}) AS zval
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // interpolated Kneser–Ney (D = 0.75): bigram counts, context
+    // totals + follower fan-out, continuation fan-in, and the type
+    // total all re-derived from the same normalize/split
+    "q142_kn_bigram" ->
+      """WITH x AS (
+           SELECT doc_id, regexp_split_to_array(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+             ' ') AS w
+           FROM documents),
+         d AS (SELECT * FROM x WHERE len(w) >= 2),
+         b AS (SELECT doc_id, w[g.i] AS prev, w[g.i + 1] AS cur
+               FROM d, unnest(generate_series(1, len(w) - 1)) AS g(i)),
+         bc AS (SELECT prev, cur, count(*) AS cb FROM b GROUP BY prev, cur),
+         ctx AS (SELECT prev, sum(cb) AS ctot, count(*) AS nfollow
+                 FROM bc GROUP BY prev),
+         cont AS (SELECT cur, count(*) AS nprec FROM bc GROUP BY cur),
+         tt AS (SELECT count(*) AS t FROM bc),
+         s AS (SELECT doc_id,
+                 greatest(cb - 0.75, 0) / ctot
+                   + (0.75 * nfollow / ctot) * (nprec::DOUBLE / t) AS p
+               FROM b JOIN bc USING (prev, cur) JOIN ctx USING (prev)
+                    JOIN cont USING (cur) CROSS JOIN tt)
+         SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                round(-avg(ln(p)), 6) AS kn_xent_nats,
+                round(exp(-avg(ln(p))), 6) AS kn_ppl
+         FROM s GROUP BY doc_id ORDER BY doc_id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -5049,5 +5085,5 @@ object SparkEntry {
     "q133_hits", "q134_zorder", "q135_linkgraph_pipeline",
     "q136_cms_heavy_hitters", "q137_pagerank_incremental",
     "q138_audio_spectra", "q139_robots_wildcards",
-    "q140_recrawl_priority", "q141_epoch_shuffle")
+    "q140_recrawl_priority", "q141_epoch_shuffle", "q142_kn_bigram")
 }

@@ -564,6 +564,84 @@ object TextAnalysis {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** Interpolated Kneser–Ney bigram cross-entropy — the SMOOTHED
+    * upgrade of [[bigramCrossEntropy]]'s MLE model, and the
+    * construction production LM-based quality filters (CCNet's KenLM
+    * gate) actually use. Absolute discounting takes a fixed `discount`
+    * D off every observed bigram count and redistributes that mass
+    * through the CONTINUATION distribution — how many distinct
+    * contexts a word follows, not how often it occurs — so boilerplate
+    * that always trails the same one word stops looking "probable in
+    * general":
+    *
+    *   p(w|u) = max(c(u,w) − D, 0) / c(u·)
+    *          + (D · N₁₊(u·) / c(u·)) · N₁₊(·w) / N₁₊(··)
+    *
+    * where `c(u·)` is the count of bigrams starting with u, `N₁₊(u·)`
+    * the distinct words following u, `N₁₊(·w)` the distinct contexts
+    * preceding w, and `N₁₊(··)` the total distinct bigram types.
+    * Scored as `-mean ln p` over the document's transitions (plus
+    * `kn_ppl = exp` of it); the model is the corpus's own, so every
+    * scored bigram is observed and the interpolation term only
+    * redistributes mass (no zero-probability events, no <unk>
+    * machinery). Documents with fewer than two tokens have no
+    * transitions and are absent from the output.
+    *
+    * Shape at scale: identical to [[bigramCrossEntropy]] — the bigram
+    * stream is pinned once, and ALL FOUR model tables (bigram counts,
+    * context totals + follower fan-out, continuation fan-in, the 1-row
+    * type total) derive from the pinned bigram-TYPE table, which is
+    * orders of magnitude smaller than the stream (Zipf), so smoothing
+    * costs two extra vocabulary-sized hash aggregations and one extra
+    * equi-join over the MLE form — nothing that rescans the corpus. No
+    * window, no sort, no HOF.
+    */
+  def knBigramXent(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val docs = df
+      .select(col(idCol).as("__id"), split(normalize(col(textCol)), " ").as("__w"))
+      .where(size(col("__w")) >= 2)
+    val bi = docs
+      .select(col("__id"), col("__w"), posexplode(col("__w")).as(Seq("__p", "prev")))
+      .where(col("__p") < size(col("__w")) - 1)
+      .select(col("__id"), col("prev"),
+        element_at(col("__w"), col("__p") + 2).as("cur"))
+      .localCheckpoint()
+    // the bigram-TYPE table feeds three derived model tables + the
+    // scoring join — pin it so the stream aggregates exactly once
+    val bc = bi.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("__cb"))
+      .localCheckpoint()
+    // per-context: token total c(u·) and follower fan-out N₁₊(u·)
+    // (bc is distinct per (prev, cur), so count(*) IS the fan-out)
+    val ctx = bc.groupBy(col("prev"))
+      .agg(sum(col("__cb")).as("__ctot"), count(lit(1)).as("__nfollow"))
+    // continuation fan-in N₁₊(·w) and the 1-row type total N₁₊(··)
+    val cont = bc.groupBy(col("cur")).agg(count(lit(1)).as("__nprec"))
+    val types = broadcast(bc.agg(count(lit(1)).as("__T")))
+    val p =
+      (greatest(col("__cb").cast("double") - lit(discount), lit(0.0))
+        / col("__ctot")) +
+        (lit(discount) * col("__nfollow") / col("__ctot")) *
+          (col("__nprec").cast("double") / col("__T"))
+    val xent = avg(log(p)) * lit(-1.0)
+    bi.join(bc, Seq("prev", "cur"))
+      .join(ctx, Seq("prev"))
+      .join(cont, Seq("cur"))
+      .crossJoin(types)
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(xent, 6).as("kn_xent_nats"),
+        round(exp(xent), 6).as("kn_ppl"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Cross-document duplicate n-gram fraction — the corpus-level
     * repetition signal (RefinedWeb/Dolma-style): for each document, the
     * fraction of its n-gram OCCURRENCES whose gram also appears in at

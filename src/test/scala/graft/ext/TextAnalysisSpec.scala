@@ -286,6 +286,37 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(0)._3 should be < out(1)._3
   }
 
+  test("knBigramXent: hand-computed interpolated Kneser-Ney probabilities") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b"),   // transitions: (a,b) (b,a) (a,b)
+      (2L, "a c"),       // transition: (a,c)
+      (3L, "solo")       // < 2 tokens -> absent
+    ).toDF("doc_id", "text")
+    val out = knBigramXent(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // bc: (a,b)=2 (b,a)=1 (a,c)=1; T=3 types
+    // ctx a: ctot=3 nfollow=2; ctx b: ctot=1 nfollow=1
+    // cont: nprec(a)=nprec(b)=nprec(c)=1
+    // p(b|a) = 1.25/3 + (.75*2/3)(1/3) = 7/12
+    // p(a|b) = 0.25/1 + (.75*1/1)(1/3) = 1/2
+    // p(c|a) = 0.25/3 + (.75*2/3)(1/3) = 1/4
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val x1 = -(2 * math.log(7.0 / 12) + math.log(0.5)) / 3
+    val x2 = -math.log(0.25)
+    out shouldBe Array(
+      (1L, 3L, r6(x1), r6(math.exp(x1))),
+      (2L, 1L, r6(x2), r6(math.exp(x2))))
+    // discounting strictly lowers every observed bigram's probability
+    // vs the MLE model, so KN entropy is strictly higher per doc
+    val mle = bigramCrossEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getDouble(2))
+    out(0)._3 should be > mle(0)
+    out(1)._3 should be > mle(1)
+  }
+
   test("oovRate: tokens outside the top-k vocabulary, deterministic vocab tie-break") {
     import spark.implicits._
     val df = Seq(
