@@ -2710,7 +2710,28 @@ object SparkEntry {
     // token stream.
     "q142_kn_bigram" -> ((s, dir) =>
       TextAnalysis.knBigramXent(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Skew-salted join: half the corpus lands on one foreign key (the
+    // hot-domain shape), the salt spreads it across 32 reducer buckets,
+    // and the merge hint keeps the demonstration on the shuffled path a
+    // broadcast would short-circuit. Fully oracled: the salted join's
+    // output is EXACTLY the plain join's (salt-independence is the
+    // operator's correctness contract), so DuckDB runs the plain join.
+    "q143_salted_join" -> ((s, dir) => {
+      val skewed = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(7))
+          .otherwise(pmod(col("doc_id"), lit(25))).cast("int").as("nkey"))
+      val dim = t(s, dir, "nation")
+        .select(col("n_nationkey").as("nkey"), col("n_name"))
+      graft.operators.SkewJoin
+        .saltedInnerJoin(skewed, dim, Seq("nkey"), salts = 32,
+          forceShuffle = true)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("n_name"))
+    })
   )
 
   /** q139's wildcard robots zoo (RFC 9309 §2.2.3 specials): w0 blocks
@@ -4984,7 +5005,19 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_bigrams,
                 round(-avg(ln(p)), 6) AS kn_xent_nats,
                 round(exp(-avg(ln(p))), 6) AS kn_ppl
-         FROM s GROUP BY doc_id ORDER BY doc_id"""
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
+
+    // the PLAIN join — salt-independence means the salted plan must
+    // reproduce it exactly
+    "q143_salted_join" ->
+      """WITH d AS (
+           SELECT doc_id, n_chars,
+             CASE WHEN doc_id % 2 = 0 THEN 7 ELSE doc_id % 25 END AS nkey
+           FROM documents)
+         SELECT n.n_name AS n_name, count(*)::BIGINT AS n_docs,
+                sum(d.n_chars)::BIGINT AS sum_chars
+         FROM d JOIN nation n ON d.nkey = n.n_nationkey
+         GROUP BY n.n_name ORDER BY n_name"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -5085,5 +5118,6 @@ object SparkEntry {
     "q133_hits", "q134_zorder", "q135_linkgraph_pipeline",
     "q136_cms_heavy_hitters", "q137_pagerank_incremental",
     "q138_audio_spectra", "q139_robots_wildcards",
-    "q140_recrawl_priority", "q141_epoch_shuffle", "q142_kn_bigram")
+    "q140_recrawl_priority", "q141_epoch_shuffle", "q142_kn_bigram",
+    "q143_salted_join")
 }
