@@ -2731,7 +2731,38 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("n_name"))
-    })
+    }),
+
+    // Rendezvous (highest-random-weight) sharding: per-shard document
+    // counts at S=8, plus how many of each shard's keys MOVE when the
+    // ring grows to S=9 — HRW's minimal-churn contract (≈ 1/9 total)
+    // made driver-visible. Fully oracled: DuckDB re-derives the argmax
+    // from the same md5 probes.
+    "q144_rendezvous_shard" -> ((s, dir) => {
+      val id = col("doc_id")
+      t(s, dir, "documents")
+        .select(id,
+          Sampling.rendezvousShard(id, 8).as("shard8"),
+          Sampling.rendezvousShard(id, 9).as("shard9"))
+        .groupBy(col("shard8"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard9") =!= col("shard8"), 1L).otherwise(0L))
+            .as("moved"))
+        .orderBy(col("shard8"))
+    }),
+
+    // Temperature-scaled language mix (T = 2): the exponent-smoothed
+    // sampling weights a multilingual run would draw languages with,
+    // over whitespace-token mass. Fully oracled: shares and the
+    // normalizers re-derive from the same token counts.
+    "q145_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureWeights(t(s, dir, "documents"), "lang",
+          TextAnalysis.tokenCount(col("text")), temperature = 2.0)
+        .select(col("lang"), col("n_tokens"),
+          round(col("nat_share"), 6).as("nat_share"),
+          round(col("temp_share"), 6).as("temp_share"),
+          round(col("epoch_factor"), 6).as("epoch_factor"))
+        .orderBy(col("lang")))
   )
 
   /** q139's wildcard robots zoo (RFC 9309 §2.2.3 specials): w0 blocks
@@ -5017,7 +5048,44 @@ object SparkEntry {
          SELECT n.n_name AS n_name, count(*)::BIGINT AS n_docs,
                 sum(d.n_chars)::BIGINT AS sum_chars
          FROM d JOIN nation n ON d.nkey = n.n_nationkey
-         GROUP BY n.n_name ORDER BY n_name"""
+         GROUP BY n.n_name ORDER BY n_name""",
+
+    // arg_max over the same md5 probe strings; hex compare is
+    // lexicographic in both engines
+    "q144_rendezvous_shard" ->
+      """WITH s8 AS (
+           SELECT doc_id,
+             arg_max(g.s, md5(doc_id::VARCHAR || ':' || g.s)) AS shard8
+           FROM documents, unnest(generate_series(0, 7)) AS g(s)
+           GROUP BY doc_id),
+         s9 AS (
+           SELECT doc_id,
+             arg_max(g.s, md5(doc_id::VARCHAR || ':' || g.s)) AS shard9
+           FROM documents, unnest(generate_series(0, 8)) AS g(s)
+           GROUP BY doc_id)
+         SELECT shard8::INT AS shard8, count(*)::BIGINT AS n_docs,
+                sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END)::BIGINT
+                  AS moved
+         FROM s8 JOIN s9 USING (doc_id)
+         GROUP BY shard8 ORDER BY shard8""",
+
+    // p^(1/2) reweighting over the same whitespace token counts
+    "q145_temperature_mix" ->
+      """WITH g AS (
+           SELECT lang,
+             sum(len(regexp_split_to_array(trim(text), '\s+'))::BIGINT)
+               AS n_tokens
+           FROM documents GROUP BY lang),
+         t AS (SELECT sum(n_tokens)::DOUBLE AS nn FROM g),
+         s AS (SELECT lang, n_tokens, n_tokens / nn AS p,
+                      pow(n_tokens / nn, 0.5) AS pt
+               FROM g CROSS JOIN t),
+         z AS (SELECT sum(pt) AS zz FROM s)
+         SELECT lang, n_tokens,
+                round(p, 6) AS nat_share,
+                round(pt / zz, 6) AS temp_share,
+                round(pt / zz / p, 6) AS epoch_factor
+         FROM s CROSS JOIN z ORDER BY lang"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -5119,5 +5187,5 @@ object SparkEntry {
     "q136_cms_heavy_hitters", "q137_pagerank_incremental",
     "q138_audio_spectra", "q139_robots_wildcards",
     "q140_recrawl_priority", "q141_epoch_shuffle", "q142_kn_bigram",
-    "q143_salted_join")
+    "q143_salted_join", "q144_rendezvous_shard", "q145_temperature_mix")
 }

@@ -167,6 +167,73 @@ object Sampling {
         md5(concat(col(keyCol).cast("string"), lit(":"), lit(epoch))))
       .orderBy(col("__shuffle_key"), col(keyCol))
 
+  /** Rendezvous (highest-random-weight) shard assignment: the shard of
+    * a key is `argmax over s of md5(key ":" s)` — every participant
+    * computes the same answer with NO coordination or lookup table, and
+    * when the shard count grows from S to S+1, ONLY the keys whose new
+    * shard wins move (≈ 1/(S+1) of them), versus `key mod S`
+    * reassigning nearly everything. That minimal-churn property is why
+    * consistent placement (cache rings, shard maps, worker-sticky
+    * routing of training shards) uses HRW instead of modulo.
+    *
+    * Pure codegen projection — `shards` md5 probes and a `greatest`
+    * over (hash, shard) structs, no explode, no shuffle, no state. Ties
+    * break to the larger shard index via the struct's second field
+    * (md5 ties across distinct probe strings do not occur in practice,
+    * but the order stays total either way). Engine-independent: md5 of
+    * the decimal key string, so an external system (or the oracle)
+    * re-derives the exact placement.
+    */
+  def rendezvousShard(key: Column, shards: Int): Column = {
+    require(shards >= 1 && shards <= 256,
+      s"shards must be in [1, 256] for the inline-probe form, got $shards")
+    if (shards == 1) lit(0)
+    else {
+      val cands = (0 until shards).map(sIdx =>
+        struct(
+          md5(concat(key.cast("string"), lit(":" + sIdx))).as("h"),
+          lit(sIdx).as("s")))
+      greatest(cands: _*).getField("s")
+    }
+  }
+
+  /** Temperature-scaled mixture weights — the multilingual/multi-domain
+    * rebalancing rule (the mBERT/XLM-R exponent-smoothed sampler): a
+    * group with natural share `p` is sampled with weight
+    * `p^(1/T) / Σ p^(1/T)`. `T = 1` keeps natural proportions; `T → ∞`
+    * approaches uniform; values in (1, ∞) lift low-resource groups
+    * without letting them dominate. Output per group: the weight mass
+    * (`n_tokens`), `nat_share`, `temp_share`, and `epoch_factor` =
+    * temp/nat — how many effective epochs of the group one pass of the
+    * mixed corpus consumes (the oversampling factor trainers watch for
+    * small-group overfitting).
+    *
+    * Shape at scale: one hash aggregation collapses the corpus to
+    * |groups| rows; both normalizers are 1-row broadcast cross-joins
+    * over that tiny table. Nothing after the first agg touches corpus
+    * bytes.
+    */
+  def temperatureWeights(
+      df: DataFrame,
+      groupCol: String,
+      weight: Column,
+      temperature: Double): DataFrame = {
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    val groups = df.groupBy(col(groupCol))
+      .agg(sum(weight.cast("long")).as("n_tokens"))
+      .localCheckpoint() // tiny; feeds both normalizers + the output
+    val total = broadcast(groups.agg(sum(col("n_tokens")).as("__N")))
+    val shared = groups.crossJoin(total)
+      .withColumn("__p", col("n_tokens").cast("double") / col("__N"))
+      .withColumn("__pt", pow(col("__p"), lit(1.0 / temperature)))
+    val z = broadcast(shared.agg(sum(col("__pt")).as("__Z")))
+    shared.crossJoin(z)
+      .select(col(groupCol), col("n_tokens"),
+        col("__p").as("nat_share"),
+        (col("__pt") / col("__Z")).as("temp_share"),
+        (col("__pt") / col("__Z") / col("__p")).as("epoch_factor"))
+  }
+
   /** Sequence packing — concat-and-chunk bookkeeping for LLM training:
     * documents are laid end-to-end in md5-coordinate order and the
     * resulting token stream is sliced into fixed `seqLen` windows; each

@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.functions.{abs, col, max, min}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -300,5 +301,59 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // partition-invariant: the order is data-derived, not planner-derived
     Sampling.epochShuffle(df.repartition(7), "id", "e1")
       .select("id").as[Long].collect().toSeq shouldBe e1
+  }
+
+  test("rendezvousShard matches a driver-side HRW reference; minimal churn on growth") {
+    import spark.implicits._
+    val n = 2000
+    val df = spark.range(n).toDF("id")
+    def ref(key: Long, shards: Int): Int =
+      (0 until shards).maxBy { s =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$key:$s".getBytes("UTF-8"))
+        (d.map("%02x".format(_)).mkString, s)
+      }
+    val out = df.select(col("id"),
+        Sampling.rendezvousShard(col("id"), 8).as("s8"),
+        Sampling.rendezvousShard(col("id"), 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    out.foreach { case (id, s8, s9) =>
+      s8 shouldBe ref(id, 8)
+      s9 shouldBe ref(id, 9)
+    }
+    // every shard populated, roughly balanced (uniform expectation 250)
+    val sizes = out.groupBy(_._2).view.mapValues(_.size).toMap
+    sizes.keySet shouldBe (0 until 8).toSet
+    sizes.values.min should be > 150
+    // growth churn: only keys won by the NEW shard move — exactly the
+    // keys whose 9-shard argmax is shard 8
+    val moved = out.count { case (_, s8, s9) => s8 != s9 }
+    moved shouldBe out.count(_._3 == 8)
+    moved.toDouble / n should be < 0.25 // ~1/9 expected, modulo noise
+    // shards == 1 degenerates to constant 0
+    df.select(Sampling.rendezvousShard(col("id"), 1).as("s"))
+      .agg(max("s"), min("s")).head.toSeq shouldBe Seq(0, 0)
+  }
+
+  test("temperatureWeights: closed-form shares; T=1 is the identity mix") {
+    import spark.implicits._
+    // masses 90 / 10: p = .9/.1; T=2 -> pt = sqrt(p); shares
+    val df = (Seq.fill(9)(("a", 10L)) :+ (("b", 10L))).toDF("g", "w")
+    val out = Sampling.temperatureWeights(df, "g", col("w"), 2.0)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val za = math.sqrt(0.9) + math.sqrt(0.1)
+    out(0)._1 shouldBe "a"
+    out(0)._2 shouldBe 90L
+    out(0)._3 shouldBe 0.9 +- 1e-12
+    out(0)._4 shouldBe math.sqrt(0.9) / za +- 1e-12
+    out(1)._4 shouldBe math.sqrt(0.1) / za +- 1e-12
+    // temperature softens but never inverts the order; shares sum to 1
+    out(0)._4 should be > out(1)._4
+    (out(0)._4 + out(1)._4) shouldBe 1.0 +- 1e-12
+    // T = 1: temp_share == nat_share
+    Sampling.temperatureWeights(df, "g", col("w"), 1.0)
+      .select(max(abs(col("temp_share") - col("nat_share"))))
+      .head.getDouble(0) should be < 1e-12
   }
 }
