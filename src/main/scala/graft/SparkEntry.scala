@@ -2763,6 +2763,16 @@ object SparkEntry {
           round(col("temp_share"), 6).as("temp_share"),
           round(col("epoch_factor"), 6).as("epoch_factor"))
         .orderBy(col("lang")))
+,
+    // Neyman-allocation stratified sample (40% budget, strata = lang,
+    // variance of n_chars): the admitted set itself is the output —
+    // rates AND per-row admissions re-derive in DuckDB from the same
+    // stddev/md5 arithmetic, so the whole allocation chain is oracled.
+    "q146_neyman_sample" -> ((s, dir) =>
+      Sampling.neymanSample(t(s, dir, "documents"), "lang", "doc_id",
+          col("n_chars"), budgetFrac = 0.4)
+        .select(col("doc_id"), col("lang"), col("__rate").as("rate"))
+        .orderBy(col("doc_id")))
   )
 
   /** q139's wildcard robots zoo (RFC 9309 §2.2.3 specials): w0 blocks
@@ -5085,7 +5095,27 @@ object SparkEntry {
                 round(p, 6) AS nat_share,
                 round(pt / zz, 6) AS temp_share,
                 round(pt / zz / p, 6) AS epoch_factor
-         FROM s CROSS JOIN z ORDER BY lang"""
+         FROM s CROSS JOIN z ORDER BY lang""",
+
+    // same stddev/rate/md5-threshold chain; fixed-width lowercase hex
+    // compares lexicographically = numerically in both engines
+    "q146_neyman_sample" ->
+      """WITH st AS (
+           SELECT lang, count(*) AS nh,
+                  coalesce(stddev_samp(n_chars), 0.0) AS sh
+           FROM documents GROUP BY lang),
+         tot AS (SELECT sum(nh)::DOUBLE AS n, sum(nh * sh) AS m FROM st),
+         r AS (SELECT lang,
+                 round(CASE WHEN m > 0
+                       THEN least(1.0, 0.4 * n * sh / m)
+                       ELSE 0.4 END, 6) AS rate
+               FROM st CROSS JOIN tot)
+         SELECT d.doc_id, d.lang, r.rate
+         FROM documents d JOIN r USING (lang)
+         WHERE r.rate >= 1.0
+            OR substr(md5(d.doc_id::VARCHAR), 1, 12) <
+               printf('%012x', floor(r.rate * 281474976710656)::BIGINT)
+         ORDER BY d.doc_id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -5187,5 +5217,6 @@ object SparkEntry {
     "q136_cms_heavy_hitters", "q137_pagerank_incremental",
     "q138_audio_spectra", "q139_robots_wildcards",
     "q140_recrawl_priority", "q141_epoch_shuffle", "q142_kn_bigram",
-    "q143_salted_join", "q144_rendezvous_shard", "q145_temperature_mix")
+    "q143_salted_join", "q144_rendezvous_shard", "q145_temperature_mix",
+    "q146_neyman_sample")
 }

@@ -197,6 +197,66 @@ object Sampling {
     }
   }
 
+  /** Stratified sampling with Neyman allocation: given a global budget
+    * of `budgetFrac · N` rows, each stratum h receives sample mass
+    * proportional to `n_h · s_h` (its size times its within-stratum
+    * standard deviation of `value`) — the allocation that minimizes the
+    * variance of the stratified estimate of `mean(value)`. High-variance
+    * strata are sampled harder; a constant stratum needs almost no rows
+    * to pin its mean. The per-stratum RATE is therefore
+    * `budgetFrac · N · s_h / Σ_j n_j s_j`, capped at 1 (the cap spills
+    * no mass — the budget is a target, not an exact count, as in any
+    * rate-based sampler). If every stratum is constant (`Σ n_j s_j = 0`)
+    * the allocation degenerates and proportional sampling (`rate =
+    * budgetFrac` everywhere) is used instead. A singleton stratum has
+    * no sample stddev; it contributes 0 allocation mass.
+    *
+    * Admission is content-keyed and engine-independent (the
+    * [[contentSample]] coordinate, widened to a numeric threshold so
+    * rates need not be multiples of 1/256): row admitted iff the first
+    * 12 md5 hex chars of its key, as a 48-bit integer, fall below
+    * `rate · 2⁴⁸`. The comparison stays on the hex STRING (fixed-width
+    * lowercase hex compares lexicographically = numerically), with the
+    * threshold rendered by `%012x`; the rate is rounded to 6 decimals
+    * first so both sides of an external re-derivation (the oracle)
+    * agree bit-for-bit. Rows keyed into a stratum are admitted
+    * independently, so re-running on a grown corpus keeps every
+    * previously admitted row whose stratum rate did not shrink.
+    *
+    * Shape at scale: one stats aggregation (|strata| rows), two 1-row
+    * totals, a broadcast join of the tiny rate table back onto the
+    * corpus, and a codegen md5-prefix filter — no shuffle of corpus
+    * bytes, no sort, no window.
+    */
+  def neymanSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      value: Column,
+      budgetFrac: Double): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac must be in (0,1], got $budgetFrac")
+    val stats = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__nh"),
+        coalesce(stddev_samp(value), lit(0.0)).as("__sh"))
+      .localCheckpoint() // tiny; feeds the totals AND the rate table
+    val tot = broadcast(stats.agg(
+      sum(col("__nh")).as("__N"),
+      sum(col("__nh") * col("__sh")).as("__M")))
+    val rates = broadcast(stats.crossJoin(tot)
+      .select(col(strataCol),
+        round(
+          when(col("__M") > 0,
+            least(lit(1.0),
+              lit(budgetFrac) * col("__N") * col("__sh") / col("__M")))
+            .otherwise(lit(budgetFrac)), 6).as("__rate")))
+    val prefix = substring(md5(col(keyCol).cast("string")), 1, 12)
+    val threshold = format_string("%012x",
+      floor(col("__rate") * lit(281474976710656L)).cast("long"))
+    df.join(rates, strataCol)
+      .where(col("__rate") >= 1.0 || prefix < threshold)
+  }
+
   /** Temperature-scaled mixture weights — the multilingual/multi-domain
     * rebalancing rule (the mBERT/XLM-R exponent-smoothed sampler): a
     * group with natural share `p` is sampled with weight

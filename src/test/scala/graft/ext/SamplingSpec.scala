@@ -303,6 +303,49 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .select("id").as[Long].collect().toSeq shouldBe e1
   }
 
+  test("neymanSample: allocation follows n_h*s_h; admission is content-keyed and nested") {
+    import spark.implicits._
+    // stratum a: high variance (values 0/1000 alternating), stratum b:
+    // constant, stratum c: singleton -> s=0. Neyman should pour the
+    // budget into a and starve b/c.
+    val rows =
+      (1 to 1000).map(i => (i.toLong, "a", if (i % 2 == 0) 1000.0 else 0.0)) ++
+      (1001 to 2000).map(i => (i.toLong, "b", 500.0)) ++
+      Seq((9999L, "c", 123.0))
+    val df = rows.toDF("id", "g", "v")
+    val out = Sampling.neymanSample(df, "g", "id", col("v"), budgetFrac = 0.3)
+      .select("id", "g", "__rate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byG = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // all mass to a: rate_a = min(1, .3 * 2001 * s_a / (1000 s_a)) = .6003
+    byG.getOrElse("b", 0) shouldBe 0
+    byG.getOrElse("c", 0) shouldBe 0
+    val rateA = out.find(_._2 == "a").get._3
+    rateA shouldBe BigDecimal(0.3 * 2001 / 1000)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+    // admission matches the driver-side md5 reference exactly
+    def admitted(id: Long, rate: Double): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      rate >= 1.0 || h < f"${math.floor(rate * 281474976710656L.toDouble).toLong}%012x"
+    }
+    val expectA = (1 to 1000).map(_.toLong).filter(admitted(_, rateA))
+    out.filter(_._2 == "a").map(_._1).sorted shouldBe expectA
+    // sample size tracks the budgeted count for the one funded stratum
+    math.abs(byG("a") - rateA * 1000).toDouble should be < 60.0
+    // nested: a SMALLER budget admits a subset of the larger one
+    val small = Sampling.neymanSample(df, "g", "id", col("v"), budgetFrac = 0.1)
+      .select("id").as[Long].collect().toSet
+    small.subsetOf(out.map(_._1).toSet) shouldBe true
+    // all-constant strata degenerate to proportional sampling
+    val const = (1 to 500).map(i => (i.toLong, if (i % 2 == 0) "x" else "y", 7.0))
+      .toDF("id", "g", "v")
+    val rates = Sampling.neymanSample(const, "g", "id", col("v"), 0.25)
+      .select("__rate").distinct().as[Double].collect()
+    rates shouldBe Array(0.25)
+  }
+
   test("rendezvousShard matches a driver-side HRW reference; minimal churn on growth") {
     import spark.implicits._
     val n = 2000
