@@ -2773,6 +2773,16 @@ object SparkEntry {
           col("n_chars"), budgetFrac = 0.4)
         .select(col("doc_id"), col("lang"), col("__rate").as("rate"))
         .orderBy(col("doc_id")))
+,
+    // Content-defined chunking (gear-hash CDC) + cross-document shared-
+    // byte accounting — the shift-robust dedup granularity between
+    // exact-doc (q17) and n-gram span (q60) dedup. rows-only (the gear
+    // table and md5 chunking have no SQL twin); bounded by CdcSpec's
+    // coverage/bounds/shift-resync/reference-equality properties.
+    "q147_cdc_chunks" -> ((s, dir) =>
+      graft.ext.Cdc.crossDocChunkStats(t(s, dir, "documents"),
+          "doc_id", "text", minSize = 64, maskBits = 6, maxSize = 1024)
+        .orderBy(col("doc_id")))
   )
 
   /** q139's wildcard robots zoo (RFC 9309 §2.2.3 specials): w0 blocks
@@ -5218,5 +5228,5 @@ object SparkEntry {
     "q138_audio_spectra", "q139_robots_wildcards",
     "q140_recrawl_priority", "q141_epoch_shuffle", "q142_kn_bigram",
     "q143_salted_join", "q144_rendezvous_shard", "q145_temperature_mix",
-    "q146_neyman_sample")
+    "q146_neyman_sample", "q147_cdc_chunks")
 }
