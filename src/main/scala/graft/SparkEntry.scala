@@ -2783,6 +2783,40 @@ object SparkEntry {
       graft.ext.Cdc.crossDocChunkStats(t(s, dir, "documents"),
           "doc_id", "text", minSize = 64, maskBits = 6, maxSize = 1024)
         .orderBy(col("doc_id")))
+,
+    // Platt-scaled calibration of the held-out classifier scores
+    // (q91's model/eval split): fitted (a, b) plus ECE/Brier before
+    // and after scaling — the scorecard that says whether the gate's
+    // probabilities can be thresholded by value. rows-only (iterative
+    // MLE); bounded by CalibrationSpec's parameter recovery, closed
+    // forms, and ECE-improvement tests.
+    "q148_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val held = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      val scored = TextAnalysis
+        .scoreHashedNgrams(held, "doc_id", "text", evenIdModel(s, dir))
+        .join(held.select(col("doc_id"), (col("lang") === "en").as("__y")),
+          Seq("doc_id"))
+        .localCheckpoint() // feeds the Newton passes + both scorecards
+      val (a, b) = graft.ext.Calibration.plattFit(
+        scored, col("score"), col("__y"))
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val raw = graft.ext.Calibration
+        .calibrationScore(scored,
+          graft.ext.Calibration.plattProb(col("score"), 1.0, 0.0), col("__y"))
+        .select(col("n"), round(col("ece"), 6).as("ece_raw"),
+          round(col("brier"), 6).as("brier_raw"))
+      val cal = graft.ext.Calibration
+        .calibrationScore(scored,
+          graft.ext.Calibration.plattProb(col("score"), a, b), col("__y"))
+        .select(round(col("ece"), 6).as("ece_platt"),
+          round(col("brier"), 6).as("brier_platt"))
+      raw.crossJoin(cal)
+        .select(col("n"), lit(r6(a)).as("platt_a"), lit(r6(b)).as("platt_b"),
+          col("ece_raw"), col("ece_platt"), col("brier_raw"),
+          col("brier_platt"))
+    })
   )
 
   /** q139's wildcard robots zoo (RFC 9309 §2.2.3 specials): w0 blocks
@@ -5228,5 +5262,5 @@ object SparkEntry {
     "q138_audio_spectra", "q139_robots_wildcards",
     "q140_recrawl_priority", "q141_epoch_shuffle", "q142_kn_bigram",
     "q143_salted_join", "q144_rendezvous_shard", "q145_temperature_mix",
-    "q146_neyman_sample", "q147_cdc_chunks")
+    "q146_neyman_sample", "q147_cdc_chunks", "q148_calibration")
 }
