@@ -2816,6 +2816,24 @@ object SparkEntry {
         .select(col("n"), lit(r6(a)).as("platt_a"), lit(r6(b)).as("platt_b"),
           col("ece_raw"), col("ece_platt"), col("brier_raw"),
           col("brier_platt"))
+    }),
+
+    // CDC re-crawl delta: every document re-crawled with an injected
+    // banner prefix (the shifted-content edit class). The row shows
+    // CDC chunking recovering the unchanged tail (high shared
+    // fraction) while fixed windows lose it (near zero) — the
+    // shift-robustness contract as driver-visible data. rows-only;
+    // bounded by CdcSpec's re-sync property and reference equality.
+    "q149_cdc_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          concat(lit("UPDATE v2 banner! "), col("text")).as("text2"))
+      // chunk sizing matched to the corpus's ~300-byte documents
+      // (expected chunk ≈ 24 + 2⁵ bytes): several chunks per doc, so
+      // the banner costs the head chunk and the tail re-syncs
+      graft.ext.Cdc.deltaStats(docs, "doc_id", "text", "text2",
+          minSize = 24, maskBits = 5, maxSize = 256, fixedWidth = 56)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -5262,5 +5280,6 @@ object SparkEntry {
     "q138_audio_spectra", "q139_robots_wildcards",
     "q140_recrawl_priority", "q141_epoch_shuffle", "q142_kn_bigram",
     "q143_salted_join", "q144_rendezvous_shard", "q145_temperature_mix",
-    "q146_neyman_sample", "q147_cdc_chunks", "q148_calibration")
+    "q146_neyman_sample", "q147_cdc_chunks", "q148_calibration",
+    "q149_cdc_delta")
 }

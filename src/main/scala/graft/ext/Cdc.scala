@@ -118,6 +118,72 @@ object Cdc {
       }
   }
 
+  /** Per-document delta between two versions of the same text (the
+    * re-crawl diff at chunk granularity): chunk BOTH versions, then
+    * count the bytes of the new version lying in chunks the old
+    * version also has — multiset semantics, `Σ len · min(countOld,
+    * countNew)` over (md5, len) — alongside the SAME statistic at a
+    * fixed window width. On an edit that shifts content (the common
+    * case: an inserted ad, a changed header), CDC re-synchronizes and
+    * reports the unchanged tail as unchanged, while fixed windows all
+    * shift and report near-zero reuse; the two columns side by side
+    * are the operator's value proposition as data. Fixed windows reuse
+    * [[chunkBytes]] with `min = max = width` (max forces every
+    * boundary).
+    *
+    * Shape at scale: both chunkings are per-row linear CPU in one
+    * typed flatMap; the multiset intersection is a (id, hash, len)
+    * hash aggregation and one equi-join per statistic — no all-pairs,
+    * no window, payload bytes never shuffle.
+    */
+  def deltaStats(
+      df: DataFrame,
+      idCol: String,
+      oldCol: String,
+      newCol: String,
+      minSize: Int = 64,
+      maskBits: Int = 6,
+      maxSize: Int = 1024,
+      fixedWidth: Int = 128): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    require(fixedWidth >= 1, s"fixedWidth must be >= 1, got $fixedWidth")
+    val pairs = df
+      .select(col(idCol).cast("long"),
+        coalesce(col(oldCol), lit("")), coalesce(col(newCol), lit("")))
+      .as[(Long, String, String)]
+    // one flatMap emits both sides under both chunkings: (id, scheme,
+    // side, md5, len) — side 0 = old, 1 = new
+    val ch = pairs.flatMap { case (id, oldT, newT) =>
+      val ob = oldT.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val nb = newT.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      def emit(scheme: String, bs: Array[Byte], side: Int, mn: Int, bits: Int, mx: Int) =
+        chunkBytes(id, bs, mn, bits, mx)
+          .map(c => (id, scheme, side, c.chunk_md5, c.len))
+      emit("cdc", ob, 0, minSize, maskBits, maxSize) ++
+        emit("cdc", nb, 1, minSize, maskBits, maxSize) ++
+        emit("fixed", ob, 0, fixedWidth, 1, fixedWidth) ++
+        emit("fixed", nb, 1, fixedWidth, 1, fixedWidth)
+    }.toDF(idCol, "__scheme", "__side", "__md5", "__len")
+    val counts = ch.groupBy(col(idCol), col("__scheme"), col("__md5"), col("__len"))
+      .agg(
+        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cb"))
+    val perScheme = counts.groupBy(col(idCol), col("__scheme"))
+      .agg(
+        sum(col("__len") * col("__cb")).as("__newBytes"),
+        sum(col("__len") * least(col("__ca"), col("__cb"))).as("__shared"))
+      .withColumn("__frac",
+        when(col("__newBytes") > 0,
+          round(col("__shared").cast("double") / col("__newBytes"), 6))
+          .otherwise(lit(1.0)))
+    perScheme.groupBy(col(idCol))
+      .agg(
+        max(when(col("__scheme") === "cdc", col("__newBytes"))).as("new_bytes"),
+        max(when(col("__scheme") === "cdc", col("__frac"))).as("cdc_shared_frac"),
+        max(when(col("__scheme") === "fixed", col("__frac"))).as("fixed_shared_frac"))
+  }
+
   /** Cross-document chunk-dedup rollup: per document, its chunk count,
     * total bytes, and the fraction of its BYTES lying in chunks whose
     * (md5, len) also occurs in at least one OTHER document — the

@@ -102,6 +102,26 @@ class CdcSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.count(_.id == 2L) shouldBe 0
   }
 
+  test("deltaStats: CDC survives a prefix edit, fixed windows do not; identity is 1.0") {
+    import spark.implicits._
+    val body = new String(bytes(8000, 44), java.nio.charset.StandardCharsets.UTF_8)
+    val df = Seq(
+      (1L, body, "BANNER-" + body),                // shifted edit
+      (2L, body, body),                            // unchanged re-crawl
+      (3L, body, new String(bytes(8000, 55),
+        java.nio.charset.StandardCharsets.UTF_8))  // full rewrite
+    ).toDF("id", "old", "new")
+    val out = Cdc.deltaStats(df, "id", "old", "new")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    out(0)._2 should be > 0.9   // CDC re-syncs past the banner
+    out(0)._3 should be < 0.05  // every fixed window shifted
+    out(1)._2 shouldBe 1.0      // identical text: full reuse either way
+    out(1)._3 shouldBe 1.0
+    out(2)._2 should be < 0.05  // a rewrite shares nothing under either
+    out(2)._3 should be < 0.05
+  }
+
   test("crossDocChunkStats: planted shared block detected, unique doc at zero") {
     import spark.implicits._
     val shared = new String(bytes(4000, 11), java.nio.charset.StandardCharsets.UTF_8)
