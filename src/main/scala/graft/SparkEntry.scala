@@ -2834,7 +2834,18 @@ object SparkEntry {
       graft.ext.Cdc.deltaStats(docs, "doc_id", "text", "text2",
           minSize = 24, maskBits = 5, maxSize = 256, fixedWidth = 56)
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Poisson-bootstrap CI for mean document length per language —
+    // distributed error bars in one scan. Fully oracled: the replica
+    // weights are the same md5-uniform + generated inverse-CDF chain
+    // in both engines, integer replica sums are exact, and the
+    // quantile interpolation matches (the q40 percentile precedent).
+    "q150_bootstrap_ci" -> ((s, dir) =>
+      graft.ext.Bootstrap.poissonBootstrapCi(
+          t(s, dir, "documents"), "doc_id", col("n_chars"), "lang",
+          replicas = 64)
+        .orderBy(col("lang")))
   )
 
   /** q139's wildcard robots zoo (RFC 9309 §2.2.3 specials): w0 blocks
@@ -5177,7 +5188,30 @@ object SparkEntry {
          WHERE r.rate >= 1.0
             OR substr(md5(d.doc_id::VARCHAR), 1, 12) <
                printf('%012x', floor(r.rate * 281474976710656)::BIGINT)
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+
+    // replica weights re-derived from the same md5 uniform + the CASE
+    // chain GENERATED from the same Poisson CDF constants
+    "q150_bootstrap_ci" ->
+      s"""WITH b AS (
+           SELECT lang, n_chars, g.r AS r,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':' || g.r), 1, 12))::BIGINT
+               / 281474976710656.0 AS u
+           FROM documents, unnest(generate_series(0, 63)) AS g(r)),
+         w AS (SELECT lang, r, n_chars,
+                 ${graft.ext.Bootstrap.poissonWeightSql("u")} AS w
+               FROM b),
+         m AS (SELECT lang, r, sum(w * n_chars)::DOUBLE / sum(w) AS mr
+               FROM w GROUP BY lang, r),
+         p AS (SELECT lang, quantile_cont(mr, 0.025) AS lo,
+                      quantile_cont(mr, 0.975) AS hi
+               FROM m GROUP BY lang),
+         s AS (SELECT lang, count(*)::BIGINT AS n,
+                      sum(n_chars)::DOUBLE / count(*) AS mean
+               FROM documents GROUP BY lang)
+         SELECT s.lang, s.n, round(s.mean, 6) AS mean,
+                round(p.lo, 6) AS ci_lo, round(p.hi, 6) AS ci_hi
+         FROM s JOIN p USING (lang) ORDER BY lang"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -5281,5 +5315,5 @@ object SparkEntry {
     "q140_recrawl_priority", "q141_epoch_shuffle", "q142_kn_bigram",
     "q143_salted_join", "q144_rendezvous_shard", "q145_temperature_mix",
     "q146_neyman_sample", "q147_cdc_chunks", "q148_calibration",
-    "q149_cdc_delta")
+    "q149_cdc_delta", "q150_bootstrap_ci")
 }
