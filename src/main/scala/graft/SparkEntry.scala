@@ -2846,6 +2846,27 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", col("n_chars"), "lang",
           replicas = 64)
         .orderBy(col("lang")))
+,
+    // Bucketed interval-overlap join over event time windows (even vs
+    // odd event ids, keyed by type): the equi-join-on-cells construction
+    // that replaces the planner's BroadcastNestedLoopJoin for range
+    // predicates. Fully oracled: DuckDB runs the plain theta join
+    // (its IEJoin makes the quadratic form tractable at oracle scale).
+    "q151_interval_join" -> ((s, dir) => {
+      val iv = events(s, dir).select(
+        col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("st"))
+        .withColumn("en", col("st") + (pmod(col("event_id"), lit(7)) + 1) * 30)
+      val joined = graft.operators.RangeJoin.overlapJoin(
+        iv.where(pmod(col("event_id"), lit(2)) === 0),
+        iv.where(pmod(col("event_id"), lit(2)) === 1),
+        "st", "en", bucket = 128, keys = Seq("event_type"))
+      joined.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(least(col("en"), col("r_en")) - greatest(col("st"), col("r_st")))
+            .as("sum_overlap"))
+        .orderBy(col("event_type"))
+    })
   )
 
   /** q139's wildcard robots zoo (RFC 9309 §2.2.3 specials): w0 blocks
@@ -5211,7 +5232,23 @@ object SparkEntry {
                FROM documents GROUP BY lang)
          SELECT s.lang, s.n, round(s.mean, 6) AS mean,
                 round(p.lo, 6) AS ci_lo, round(p.hi, 6) AS ci_hi
-         FROM s JOIN p USING (lang) ORDER BY lang"""
+         FROM s JOIN p USING (lang) ORDER BY lang""",
+
+    // the plain theta join the bucketed plan must reproduce exactly;
+    // floor(epoch()) matches Spark's flooring unix_timestamp
+    "q151_interval_join" ->
+      """WITH iv AS (
+           SELECT event_id, event_type,
+                  floor(epoch(ts))::BIGINT AS st,
+                  floor(epoch(ts))::BIGINT + (event_id % 7 + 1) * 30 AS en
+           FROM events)
+         SELECT l.event_type AS event_type, count(*)::BIGINT AS n_pairs,
+                sum(least(l.en, r.en) - greatest(l.st, r.st))::BIGINT
+                  AS sum_overlap
+         FROM iv l JOIN iv r ON l.event_type = r.event_type
+           AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+           AND l.st <= r.en AND r.st <= l.en
+         GROUP BY l.event_type ORDER BY event_type"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -5315,5 +5352,5 @@ object SparkEntry {
     "q140_recrawl_priority", "q141_epoch_shuffle", "q142_kn_bigram",
     "q143_salted_join", "q144_rendezvous_shard", "q145_temperature_mix",
     "q146_neyman_sample", "q147_cdc_chunks", "q148_calibration",
-    "q149_cdc_delta", "q150_bootstrap_ci")
+    "q149_cdc_delta", "q150_bootstrap_ci", "q151_interval_join")
 }
