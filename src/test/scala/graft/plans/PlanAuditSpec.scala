@@ -266,6 +266,49 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     "Exchange".r.findAllIn(p).size shouldBe 1
   }
 
+  test("q142 Kneser-Ney stays HOF-free; model tables join, corpus aggregates once") {
+    val p = plans("q142_kn_bigram")
+    p.toLowerCase should not include "lambdafunction"
+  }
+
+  test("q143 salted join shuffles on (key, salt) and never nested-loops") {
+    val p = SparkEntry.queries("q143_salted_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p should include("SortMergeJoin") // forceShuffle keeps the demo honest
+    p should not include "BroadcastNestedLoopJoin"
+    "hashpartitioning\\([^)]*__salt".r.findFirstIn(p) should not be empty
+  }
+
+  test("q144 rendezvous sharding is a pure projection (no explode) before the agg") {
+    val p = SparkEntry.queries("q144_rendezvous_shard")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p should not include "Generate" // 17 inline md5 probes, zero row blowup
+    p should not include "Join"
+  }
+
+  test("q146 Neyman admission broadcasts the rate table onto the scan") {
+    val p = SparkEntry.queries("q146_neyman_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("q150 bootstrap replicas partial-aggregate before the shuffle") {
+    // the corpus×replicas stream must collapse map-side to
+    // |groups|·replicas partial rows — losing the partial agg would
+    // shuffle 64× the corpus
+    val p = SparkEntry.queries("q150_bootstrap_ci")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p.toLowerCase should include("partial")
+    p should not include "SortMergeJoin" // 5-row sides broadcast
+  }
+
+  test("q151 interval join runs as an equi-join, not a nested loop") {
+    val p = SparkEntry.queries("q151_interval_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q11 rank filter triggers Spark's partial WindowGroupLimit") {
     // Top-k-per-key via window + rank<=k filter is only scale-safe
     // because Catalyst inserts a MAP-SIDE group limit before the
