@@ -2866,6 +2866,31 @@ object SparkEntry {
           sum(least(col("en"), col("r_en")) - greatest(col("st"), col("r_st")))
             .as("sum_overlap"))
         .orderBy(col("event_type"))
+    }),
+
+    // Manifest-log table time travel: commit the even half as v1,
+    // append the odd half as v2, then read VERSION 1 back through the
+    // manifest while the head count rides along from readLatest — the
+    // snapshot-isolation round trip as an oracled identity (the q83/
+    // q92 filesystem-round-trip pattern, applied to the table format).
+    "q152_snapshot_read" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val base = java.nio.file.Files.createTempDirectory("graft-q152").toString
+      try {
+        graft.sink.ManifestTable.append(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0), base)
+        graft.sink.ManifestTable.append(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1), base)
+        val latestN = graft.sink.ManifestTable.readLatest(s, base)
+          .agg(count(lit(1)).as("latest_n"))
+        graft.sink.ManifestTable.readVersion(s, base, 1)
+          .crossJoin(broadcast(latestN))
+          .orderBy(col("doc_id"))
+          .localCheckpoint() // materialize before deleting the table
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
     })
   )
 
@@ -5248,7 +5273,14 @@ object SparkEntry {
          FROM iv l JOIN iv r ON l.event_type = r.event_type
            AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
            AND l.st <= r.en AND r.st <= l.en
-         GROUP BY l.event_type ORDER BY event_type"""
+         GROUP BY l.event_type ORDER BY event_type""",
+
+    // version 1 = the even half; the head count (after the append)
+    // covers the whole table — the round trip must be an identity
+    "q152_snapshot_read" ->
+      """SELECT d.doc_id, d.lang,
+                (SELECT count(*) FROM documents)::BIGINT AS latest_n
+         FROM documents d WHERE d.doc_id % 2 = 0 ORDER BY d.doc_id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -5352,5 +5384,6 @@ object SparkEntry {
     "q140_recrawl_priority", "q141_epoch_shuffle", "q142_kn_bigram",
     "q143_salted_join", "q144_rendezvous_shard", "q145_temperature_mix",
     "q146_neyman_sample", "q147_cdc_chunks", "q148_calibration",
-    "q149_cdc_delta", "q150_bootstrap_ci", "q151_interval_join")
+    "q149_cdc_delta", "q150_bootstrap_ci", "q151_interval_join",
+    "q152_snapshot_read")
 }

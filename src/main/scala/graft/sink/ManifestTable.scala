@@ -1,0 +1,125 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-isolated parquet table with a manifest log — the minimal
+  * time-travel table format (the Delta/Iceberg idea reduced to its
+  * load-bearing core): data files are IMMUTABLE once written, and a
+  * numbered manifest names the exact file set of each version, so
+  *
+  *  - readers never see a half-written commit (they read the file
+  *    list from a manifest that only exists once complete),
+  *  - concurrent writers serialize on manifest creation (rename onto
+  *    an existing name fails → re-read the head and retry), and
+  *  - any historical version stays readable (`readVersion`) until a
+  *    retention pass deletes unreferenced data dirs.
+  *
+  * Layout: `<path>/data/d-<uuid>/` parquet dirs (one per commit) and
+  * `<path>/_manifests/v%05d.manifest` text files — line 1 the version,
+  * each further line one data dir name relative to `<path>` (a
+  * deliberately trivial format: atomic visibility comes from the
+  * rename, not the encoding). `append` carries the parent's dirs
+  * forward; `overwrite` starts the list fresh.
+  *
+  * Scale shape: a commit is one parquet write (cluster-parallel) plus
+  * one driver-side manifest rename; a read is `spark.read.parquet`
+  * over the listed dirs — partition pruning, pushdown, and schema
+  * merge behave exactly as on any parquet path set. The manifest is
+  * O(commits) lines, not O(files): compaction/retention would rewrite
+  * it the same way commits do. On object stores without atomic rename
+  * the manifest step needs a put-if-absent primitive (the same caveat
+  * every log-structured table format documents).
+  */
+object ManifestTable {
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(path: String) = new Path(path, "_manifests")
+
+  private val ManifestName = "v(\\d{5})\\.manifest".r
+
+  /** Committed versions, ascending (empty for a fresh path). */
+  def versions(spark: SparkSession, path: String): Seq[Int] = {
+    val d = manifestDir(path)
+    val f = fs(spark, path)
+    if (!f.exists(d)) Seq.empty
+    else
+      f.listStatus(d).toSeq.map(_.getPath.getName).collect {
+        case ManifestName(v) => v.toInt
+      }.sorted
+  }
+
+  private def readManifest(
+      spark: SparkSession, path: String, version: Int): Seq[String] = {
+    val p = new Path(manifestDir(path), f"v$version%05d.manifest")
+    val f = fs(spark, path)
+    val in = f.open(p)
+    try {
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      require(lines.headOption.contains(version.toString),
+        s"manifest $p corrupt: header ${lines.headOption} != $version")
+      lines.tail.filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  private def commit(
+      df: DataFrame, path: String, carryParent: Boolean): Int = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    val dataDir = s"data/d-${java.util.UUID.randomUUID().toString}"
+    df.write.parquet(new Path(path, dataDir).toString)
+    val mdir = manifestDir(path)
+    f.mkdirs(mdir)
+    var attempt = 0
+    while (attempt < 20) {
+      val head = versions(spark, path).lastOption
+      val next = head.getOrElse(0) + 1
+      val parentDirs =
+        if (carryParent) head.map(readManifest(spark, path, _)).getOrElse(Nil)
+        else Nil
+      val body = (next.toString +: (parentDirs :+ dataDir)).mkString("\n")
+      val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val target = new Path(mdir, f"v$next%05d.manifest")
+      // rename onto an existing name fails -> a concurrent writer won
+      // this version; re-read the head and try the next number
+      if (!f.exists(target) && f.rename(tmp, target)) return next
+      f.delete(tmp, false): Unit
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not commit to $path after 20 attempts (livelock?)")
+  }
+
+  /** Commit `df` as a new version containing the parent version's data
+    * plus this batch. Returns the committed version number.
+    */
+  def append(df: DataFrame, path: String): Int =
+    commit(df, path, carryParent = true)
+
+  /** Commit `df` as a new version REPLACING the table contents (prior
+    * versions stay readable). Returns the committed version number.
+    */
+  def overwrite(df: DataFrame, path: String): Int =
+    commit(df, path, carryParent = false)
+
+  /** Read an exact historical version. */
+  def readVersion(spark: SparkSession, path: String, version: Int): DataFrame = {
+    require(versions(spark, path).contains(version),
+      s"version $version not committed at $path")
+    val dirs = readManifest(spark, path, version)
+      .map(d => new Path(path, d).toString)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Read the table head. */
+  def readLatest(spark: SparkSession, path: String): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    readVersion(spark, path, vs.last)
+  }
+}
