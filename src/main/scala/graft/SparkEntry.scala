@@ -2891,6 +2891,17 @@ object SparkEntry {
         val p = new org.apache.hadoop.fs.Path(base)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
       }
+    }),
+
+    // Matryoshka truncation recall: cosine top-10 over the first
+    // 8/16/32 of 64 embedding components vs the full-width exact
+    // top-10 — the store-fewer-floats serving measurement. Fully
+    // oracled: DuckDB slices the same lists and re-ranks.
+    "q153_matryoshka_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.matryoshkaRecall(e, "vec_id", "embedding",
+        queryVector(e, 0L), k = 10, dims = Seq(8, 16, 32),
+        excludeId = Some(0L))
     })
   )
 
@@ -5280,7 +5291,40 @@ object SparkEntry {
     "q152_snapshot_read" ->
       """SELECT d.doc_id, d.lang,
                 (SELECT count(*) FROM documents)::BIGINT AS latest_n
-         FROM documents d WHERE d.doc_id % 2 = 0 ORDER BY d.doc_id"""
+         FROM documents d WHERE d.doc_id % 2 = 0 ORDER BY d.doc_id""",
+
+    // the same slices, cosines, and (sim desc, id) tie-break re-ranked
+    // in DuckDB; recall counts are integers / 10
+    "q153_matryoshka_recall" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                    WHERE vec_id = 0),
+         c AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+               FROM embeddings e, q WHERE e.vec_id <> 0),
+         s AS (SELECT vec_id,
+                 list_dot_product(v, qe)
+                   / (sqrt(list_dot_product(v, v))
+                      * sqrt(list_dot_product(qe, qe))) AS c64,
+                 list_dot_product(v[1:8], qe[1:8])
+                   / (sqrt(list_dot_product(v[1:8], v[1:8]))
+                      * sqrt(list_dot_product(qe[1:8], qe[1:8]))) AS c8,
+                 list_dot_product(v[1:16], qe[1:16])
+                   / (sqrt(list_dot_product(v[1:16], v[1:16]))
+                      * sqrt(list_dot_product(qe[1:16], qe[1:16]))) AS c16,
+                 list_dot_product(v[1:32], qe[1:32])
+                   / (sqrt(list_dot_product(v[1:32], v[1:32]))
+                      * sqrt(list_dot_product(qe[1:32], qe[1:32]))) AS c32
+               FROM c, q),
+         t64 AS (SELECT vec_id FROM s ORDER BY c64 DESC, vec_id LIMIT 10),
+         t8  AS (SELECT vec_id FROM s ORDER BY c8  DESC, vec_id LIMIT 10),
+         t16 AS (SELECT vec_id FROM s ORDER BY c16 DESC, vec_id LIMIT 10),
+         t32 AS (SELECT vec_id FROM s ORDER BY c32 DESC, vec_id LIMIT 10)
+         SELECT 10 AS k,
+           (SELECT count(*) FROM t8 JOIN t64 USING (vec_id))::DOUBLE / 10.0
+             AS recall_d8,
+           (SELECT count(*) FROM t16 JOIN t64 USING (vec_id))::DOUBLE / 10.0
+             AS recall_d16,
+           (SELECT count(*) FROM t32 JOIN t64 USING (vec_id))::DOUBLE / 10.0
+             AS recall_d32"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -5385,5 +5429,5 @@ object SparkEntry {
     "q143_salted_join", "q144_rendezvous_shard", "q145_temperature_mix",
     "q146_neyman_sample", "q147_cdc_chunks", "q148_calibration",
     "q149_cdc_delta", "q150_bootstrap_ci", "q151_interval_join",
-    "q152_snapshot_read")
+    "q152_snapshot_read", "q153_matryoshka_recall")
 }

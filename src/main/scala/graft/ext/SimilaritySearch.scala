@@ -170,6 +170,50 @@ object SimilaritySearch {
     filtered.orderBy(col("cosine_sim").desc, col(idCol).asc).limit(k)
   }
 
+  /** Matryoshka (MRL) truncation quality: recall@k of cosine top-k
+    * computed over only the FIRST `d` embedding components, against
+    * the full-width exact top-k, for each width in `dims` — the
+    * measurement behind serving truncated matryoshka embeddings (store
+    * and scan d of D floats; if recall holds, the index shrinks D/d×
+    * and the scan speeds up the same factor). One output row:
+    * `k` plus one `recall_d<d>` column per width.
+    *
+    * On non-MRL-trained embeddings (this fixture) truncation recall is
+    * expected to DEGRADE at small d — the row documents the baseline
+    * an MRL-trained model would be compared against.
+    *
+    * Shape at scale: one scan per width (each a [[topKByCosine]] —
+    * TakeOrderedAndProject over a scan projection, no shuffle of
+    * vectors), k-row joins for the intersections, a 1-row cross-join
+    * assembly. Widths share nothing downstream of the scan, so a
+    * production measurement would fuse them into one pass; the
+    * per-width spelling keeps each plan auditable.
+    */
+  def matryoshkaRecall(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      dims: Seq[Int],
+      excludeId: Option[Long] = None): DataFrame = {
+    require(dims.nonEmpty, "dims must be non-empty")
+    require(dims.forall(d => d >= 1 && d <= query.length),
+      s"every dim must be in [1, ${query.length}], got $dims")
+    val full = topKByCosine(df, idCol, vecCol, query, k, excludeId)
+      .select(col(idCol))
+    val recalls = dims.map { d =>
+      val truncated = df.withColumn("__tv",
+        slice(col(vecCol), 1, d).cast("array<double>"))
+      topKByCosine(truncated, idCol, "__tv", query.take(d), k, excludeId)
+        .select(col(idCol))
+        .join(full, Seq(idCol))
+        .agg((count(lit(1)).cast("double") / k).as(s"recall_d$d"))
+    }
+    recalls.foldLeft(df.sparkSession.range(1).select(lit(k).as("k")))(
+      (acc, r) => acc.crossJoin(broadcast(r)))
+  }
+
   /** One scored neighbor candidate. */
   final case class Scored(id: Long, score: Double)
 

@@ -307,4 +307,29 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
       centroids, tau = 0.5).orderBy("vec_id").collect().map(_.toSeq)
     a shouldBe b
   }
+
+  test("matryoshkaRecall: full width is exact; informative prefix keeps recall") {
+    import spark.implicits._
+    // information concentrated in the first 4 dims: the tail is a
+    // constant, so truncating to >= 4 must reproduce the full ranking
+    val q = Seq(1.0, 0.5, -0.25, 0.125) ++ Seq.fill(4)(0.01)
+    val df = (1 to 200).map { i =>
+      val raw = Seq(
+        math.sin(i * 0.37), math.cos(i * 0.53),
+        math.sin(i * 0.11 + 1), math.cos(i * 0.29 + 2))
+      // unit-norm head + constant tail: the full cosine is then a
+      // strictly monotone transform of the 4-dim cosine, so d=4 must
+      // reproduce the full ranking exactly
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      val head = raw.map(_ / n)
+      (i.toLong, (head ++ Seq.fill(4)(0.5)).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = SimilaritySearch.matryoshkaRecall(
+      df, "vec_id", "embedding", q, k = 10, dims = Seq(2, 4, 8)).head()
+    out.getInt(0) shouldBe 10
+    val (r2, r4, r8) = (out.getDouble(1), out.getDouble(2), out.getDouble(3))
+    r8 shouldBe 1.0 // d = D: the truncated ranking IS the full ranking
+    r4 shouldBe 1.0 // constant tail adds a constant to every score pair
+    r2 should be <= r4 // dropping informative dims cannot help
+  }
 }
