@@ -2902,6 +2902,80 @@ object SparkEntry {
       SimilaritySearch.matryoshkaRecall(e, "vec_id", "embedding",
         queryVector(e, 0L), k = 10, dims = Seq(8, 16, 32),
         excludeId = Some(0L))
+    }),
+
+    // Exactly-once streaming append into the manifest table: the
+    // corpus streams in 4 micro-batches through foreachBatch +
+    // appendIdempotent, then the WHOLE stream replays from a fresh
+    // checkpoint — every replayed commit must be skipped by the batch
+    // ledger. Oracled identity: duplicates or lost batches both break
+    // the hash, and n_versions pins the ledger (4, not 8).
+    "q154_streaming_manifest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val base = java.nio.file.Files.createTempDirectory("graft-q154").toString
+      try {
+        val in = s"$base/in"
+        val table = s"$base/table"
+        docs.repartitionByRange(4, col("doc_id")).write.parquet(in)
+        def run(cp: String): Unit = {
+          val q = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+            .writeStream
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              graft.sink.ManifestTable.appendIdempotent(batch, table, id): Unit
+            }
+            .start()
+          if (!q.awaitTermination(600000L)) {
+            q.stop()
+            throw new IllegalStateException(
+              "q154 streaming replay did not terminate within 600s")
+          }
+        }
+        run(s"$base/cp1")
+        run(s"$base/cp2") // fresh checkpoint: full replay, all skipped
+        val nVersions = graft.sink.ManifestTable.versions(s, table).size
+        graft.sink.ManifestTable.readLatest(s, table)
+          .crossJoin(broadcast(s.range(1).select(lit(nVersions).as("n_versions"))))
+          .orderBy(col("doc_id"))
+          .localCheckpoint() // materialize before the temp dirs vanish
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
+    }),
+
+    // Compaction + retention on the manifest table: two appends, a
+    // compact (head file set rewritten as ONE dir), then vacuum to one
+    // kept version — contents must survive untouched while the
+    // physical layout collapses. Oracled identity with the layout
+    // facts (1 version, 1 data dir) pinned in the row.
+    "q155_table_compaction" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val base = java.nio.file.Files.createTempDirectory("graft-q155").toString
+      try {
+        graft.sink.ManifestTable.append(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0), base)
+        graft.sink.ManifestTable.append(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1), base)
+        graft.sink.ManifestTable.compact(s, base)
+        graft.sink.ManifestTable.vacuum(s, base, keepVersions = 1)
+        val nVersions = graft.sink.ManifestTable.versions(s, base).size
+        val fsys = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val nDirs = fsys
+          .listStatus(new org.apache.hadoop.fs.Path(base, "data")).length
+        graft.sink.ManifestTable.readLatest(s, base)
+          .crossJoin(broadcast(s.range(1).select(
+            lit(nVersions).as("versions_after"), lit(nDirs).as("data_dirs"))))
+          .orderBy(col("doc_id"))
+          .localCheckpoint() // materialize before the temp dirs vanish
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
     })
   )
 
@@ -5324,7 +5398,18 @@ object SparkEntry {
            (SELECT count(*) FROM t16 JOIN t64 USING (vec_id))::DOUBLE / 10.0
              AS recall_d16,
            (SELECT count(*) FROM t32 JOIN t64 USING (vec_id))::DOUBLE / 10.0
-             AS recall_d32"""
+             AS recall_d32""",
+
+    // exactly-once: the table equals the corpus, and the ledger holds
+    // 4 versions (one per first-run batch), not 8
+    "q154_streaming_manifest" ->
+      """SELECT doc_id, lang, 4 AS n_versions
+         FROM documents ORDER BY doc_id""",
+
+    // compact+vacuum preserve contents; layout facts pinned
+    "q155_table_compaction" ->
+      """SELECT doc_id, lang, 1 AS versions_after, 1 AS data_dirs
+         FROM documents ORDER BY doc_id"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -5429,5 +5514,8 @@ object SparkEntry {
     "q143_salted_join", "q144_rendezvous_shard", "q145_temperature_mix",
     "q146_neyman_sample", "q147_cdc_chunks", "q148_calibration",
     "q149_cdc_delta", "q150_bootstrap_ci", "q151_interval_join",
-    "q152_snapshot_read", "q153_matryoshka_recall")
+    // q154 is NOT benched: its wall is the sequential micro-batch
+    // replay harness ×2 (the q125 rationale); its sink is q152/q155's
+    // (timed) and its streaming machinery is q89's (timed)
+    "q152_snapshot_read", "q153_matryoshka_recall", "q155_table_compaction")
 }

@@ -51,7 +51,8 @@ object ManifestTable {
       }.sorted
   }
 
-  private def readManifest(
+  /** All manifest lines (markers included) of a version. */
+  private def manifestLines(
       spark: SparkSession, path: String, version: Int): Seq[String] = {
     val p = new Path(manifestDir(path), f"v$version%05d.manifest")
     val f = fs(spark, path)
@@ -64,8 +65,16 @@ object ManifestTable {
     } finally in.close()
   }
 
+  /** Data dirs of a version (`#`-prefixed marker lines carry commit
+    * metadata — batch ids, compaction provenance — and are not dirs).
+    */
+  private def readManifest(
+      spark: SparkSession, path: String, version: Int): Seq[String] =
+    manifestLines(spark, path, version).filterNot(_.startsWith("#"))
+
   private def commit(
-      df: DataFrame, path: String, carryParent: Boolean): Int = {
+      df: DataFrame, path: String, carryParent: Boolean,
+      markers: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     val dataDir = s"data/d-${java.util.UUID.randomUUID().toString}"
@@ -79,7 +88,8 @@ object ManifestTable {
       val parentDirs =
         if (carryParent) head.map(readManifest(spark, path, _)).getOrElse(Nil)
         else Nil
-      val body = (next.toString +: (parentDirs :+ dataDir)).mkString("\n")
+      val body = ((next.toString +: markers) ++ (parentDirs :+ dataDir))
+        .mkString("\n")
       val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, false)
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -106,6 +116,64 @@ object ManifestTable {
     */
   def overwrite(df: DataFrame, path: String): Int =
     commit(df, path, carryParent = false)
+
+  /** Batch ids already committed (the `#batch:` markers across all
+    * manifests) — the idempotence ledger for streaming writers.
+    */
+  def committedBatchIds(spark: SparkSession, path: String): Set[Long] =
+    versions(spark, path).flatMap(v =>
+      manifestLines(spark, path, v).collect {
+        case s if s.startsWith("#batch:") => s.stripPrefix("#batch:").toLong
+      }).toSet
+
+  /** Exactly-once streaming append: commit `df` tagged with its
+    * micro-batch id, SKIPPING the commit (returns None) if that batch
+    * id is already in the ledger — the `foreachBatch` sink contract
+    * that makes checkpoint-recovery replays (and full from-scratch
+    * replays of a deterministic source) idempotent. Returns the
+    * committed version otherwise.
+    */
+  def appendIdempotent(
+      df: DataFrame, path: String, batchId: Long): Option[Int] = {
+    if (committedBatchIds(df.sparkSession, path).contains(batchId)) None
+    else Some(commit(df, path, carryParent = true,
+      markers = Seq(s"#batch:$batchId")))
+  }
+
+  /** Rewrite the head version's file set into ONE data dir and commit
+    * it as a new version (older versions stay readable until
+    * [[vacuum]]). The small-files remedy: a long append history reads
+    * as one dir afterwards. Returns the committed version.
+    */
+  def compact(spark: SparkSession, path: String): Int =
+    commit(readLatest(spark, path), path, carryParent = false,
+      markers = Seq("#compact"))
+
+  /** Retention: keep the newest `keepVersions` manifests, delete every
+    * older manifest AND every data dir no kept version references.
+    * Time travel to a vacuumed version then fails loudly at
+    * [[readVersion]]'s version check instead of half-reading. Returns
+    * the deleted data dirs.
+    */
+  def vacuum(
+      spark: SparkSession, path: String, keepVersions: Int): Seq[String] = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val f = fs(spark, path)
+    val all = versions(spark, path)
+    val (drop, keep) = all.splitAt(math.max(0, all.length - keepVersions))
+    val referenced = keep.flatMap(readManifest(spark, path, _)).toSet
+    val dataRoot = new Path(path, "data")
+    val unreferenced =
+      if (!f.exists(dataRoot)) Seq.empty
+      else f.listStatus(dataRoot).toSeq.map(s => s"data/${s.getPath.getName}")
+        .filterNot(referenced.contains)
+    // manifests first: a reader that still resolves a dropped version
+    // mid-vacuum fails at the version check, not at a missing file
+    drop.foreach(v =>
+      f.delete(new Path(manifestDir(path), f"v$v%05d.manifest"), false): Unit)
+    unreferenced.foreach(d => f.delete(new Path(path, d), true): Unit)
+    unreferenced
+  }
 
   /** Read an exact historical version. */
   def readVersion(spark: SparkSession, path: String, version: Int): DataFrame = {

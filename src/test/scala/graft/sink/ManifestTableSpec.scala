@@ -55,6 +55,43 @@ class ManifestTableSpec extends AnyFunSuite with Matchers with SparkTestBase {
       ManifestTable.readVersion(spark, path, 7)
   }
 
+  test("appendIdempotent commits each batch id once; replays skip") {
+    import spark.implicits._
+    val path = tmp()
+    ManifestTable.appendIdempotent(Seq(1L).toDF("id"), path, batchId = 0)
+      .shouldBe(Some(1))
+    ManifestTable.appendIdempotent(Seq(2L).toDF("id"), path, batchId = 1)
+      .shouldBe(Some(2))
+    // checkpoint-recovery replay of batch 1: skipped, nothing changes
+    ManifestTable.appendIdempotent(Seq(2L).toDF("id"), path, batchId = 1)
+      .shouldBe(None)
+    ManifestTable.committedBatchIds(spark, path) shouldBe Set(0L, 1L)
+    ManifestTable.versions(spark, path) shouldBe Seq(1, 2)
+    ids(ManifestTable.readLatest(spark, path)) shouldBe Seq(1L, 2L)
+  }
+
+  test("compact collapses the head to one dir; vacuum drops history and orphans") {
+    import spark.implicits._
+    val path = tmp()
+    ManifestTable.append((1L to 3L).toDF("id"), path)
+    ManifestTable.append((4L to 5L).toDF("id"), path)
+    val v3 = ManifestTable.compact(spark, path)
+    v3 shouldBe 3
+    ids(ManifestTable.readLatest(spark, path)) shouldBe (1L to 5L)
+    // pre-compaction versions still readable until vacuum
+    ids(ManifestTable.readVersion(spark, path, 2)) shouldBe (1L to 5L)
+    val deleted = ManifestTable.vacuum(spark, path, keepVersions = 1)
+    deleted.length shouldBe 2 // the two original append dirs
+    ManifestTable.versions(spark, path) shouldBe Seq(3)
+    ids(ManifestTable.readLatest(spark, path)) shouldBe (1L to 5L)
+    an[IllegalArgumentException] should be thrownBy
+      ManifestTable.readVersion(spark, path, 2) // vacuumed: fails loudly
+    // the data root holds exactly the compacted dir
+    val f = new org.apache.hadoop.fs.Path(path, "data")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.listStatus(new org.apache.hadoop.fs.Path(path, "data")).length shouldBe 1
+  }
+
   test("interleaved committers serialize onto distinct versions") {
     import spark.implicits._
     val path = tmp()
