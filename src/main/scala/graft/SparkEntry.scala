@@ -2976,6 +2976,28 @@ object SparkEntry {
         val p = new org.apache.hadoop.fs.Path(base)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
       }
+    }),
+
+    // Version-to-version CDC on the manifest table: v1 = docs with a
+    // stale flag, v2 = overwrite where every third doc's flag flipped
+    // — the diff must emit exactly the flipped docs, each as one
+    // removed + one added row. Oracled closed-form.
+    "q156_table_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val v1 = docs.withColumn("flag", lit(0))
+      val v2 = docs.withColumn("flag",
+        when(pmod(col("doc_id"), lit(3)) === 0, 1).otherwise(0))
+      val base = java.nio.file.Files.createTempDirectory("graft-q156").toString
+      try {
+        graft.sink.ManifestTable.append(v1, base)
+        graft.sink.ManifestTable.overwrite(v2, base)
+        graft.sink.ManifestTable.diff(s, base, fromVersion = 1, toVersion = 2)
+          .orderBy(col("doc_id"), col("change"))
+          .localCheckpoint() // materialize before the temp dirs vanish
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
     })
   )
 
@@ -5409,7 +5431,16 @@ object SparkEntry {
     // compact+vacuum preserve contents; layout facts pinned
     "q155_table_compaction" ->
       """SELECT doc_id, lang, 1 AS versions_after, 1 AS data_dirs
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // the flipped docs, one removed (flag 0) + one added (flag 1) each
+    "q156_table_diff" ->
+      """SELECT c.change, d.doc_id, d.lang,
+                CASE WHEN c.change = 'added' THEN 1 ELSE 0 END AS flag
+         FROM documents d,
+              (SELECT 'added' AS change UNION ALL SELECT 'removed') c
+         WHERE d.doc_id % 3 = 0
+         ORDER BY d.doc_id, c.change"""
   )
 
   /** Headline bench subset: every query that is sf0.1-safe by design
@@ -5517,5 +5548,6 @@ object SparkEntry {
     // q154 is NOT benched: its wall is the sequential micro-batch
     // replay harness ×2 (the q125 rationale); its sink is q152/q155's
     // (timed) and its streaming machinery is q89's (timed)
-    "q152_snapshot_read", "q153_matryoshka_recall", "q155_table_compaction")
+    "q152_snapshot_read", "q153_matryoshka_recall", "q155_table_compaction",
+    "q156_table_diff")
 }

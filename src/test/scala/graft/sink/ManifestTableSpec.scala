@@ -92,6 +92,20 @@ class ManifestTableSpec extends AnyFunSuite with Matchers with SparkTestBase {
     f.listStatus(new org.apache.hadoop.fs.Path(path, "data")).length shouldBe 1
   }
 
+  test("diff: multiset CDC between versions, both directions") {
+    import spark.implicits._
+    val path = tmp()
+    ManifestTable.append(Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("id", "v"), path)
+    ManifestTable.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), path)
+    val d = ManifestTable.diff(spark, path, 1, 2)
+      .orderBy("id", "change").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // one of the duplicate (2,b) copies vanished; (3,c) appeared
+    d.toSeq shouldBe Seq(("removed", 2L, "b"), ("added", 3L, "c"))
+    // identical versions diff to empty
+    ManifestTable.diff(spark, path, 2, 2).count() shouldBe 0
+  }
+
   test("interleaved committers serialize onto distinct versions") {
     import spark.implicits._
     val path = tmp()
