@@ -2978,6 +2978,37 @@ object SparkEntry {
       }
     }),
 
+    // Binary (sign-bit) embedding quantization: 64 floats → two packed
+    // 32-bit words; Hamming top-10 and Hamming-shortlist-50 →
+    // exact-cosine rerank, each scored as recall vs the exact top-10.
+    // Fully oracled: the packing SQL is GENERATED from the same loop
+    // and recalls are integer counts / 10.
+    "q157_binary_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.hammingRerankRecall(e, "vec_id", "embedding",
+        queryVector(e, 0L), k = 10, shortlist = 50, excludeId = Some(0L))
+    }),
+
+    // Incremental append-only read: v2's NEW rows read directly from
+    // the dirs its manifest added — no diff shuffle. Oracled: the
+    // added set is exactly the odd half.
+    "q158_incremental_read" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val base = java.nio.file.Files.createTempDirectory("graft-q158").toString
+      try {
+        graft.sink.ManifestTable.append(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0), base)
+        graft.sink.ManifestTable.append(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1), base)
+        graft.sink.ManifestTable.readAppended(s, base, 1, 2)
+          .orderBy(col("doc_id"))
+          .localCheckpoint() // materialize before the temp dirs vanish
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
+    }),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -5433,6 +5464,42 @@ object SparkEntry {
       """SELECT doc_id, lang, 1 AS versions_after, 1 AS data_dirs
          FROM documents ORDER BY doc_id""",
 
+    // packing CASE chains GENERATED from the same loop; Hamming =
+    // bit_count(xor) on each word; ties (ham, id) / (cos, id)
+    "q157_binary_ann" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe,
+                  ${SimilaritySearch.signBitPackSql("embedding", 0, 32)} AS qb0,
+                  ${SimilaritySearch.signBitPackSql("embedding", 32, 64)} AS qb1
+           FROM embeddings WHERE vec_id = 0),
+         c AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+                  ${SimilaritySearch.signBitPackSql("e.embedding", 0, 32)} AS b0,
+                  ${SimilaritySearch.signBitPackSql("e.embedding", 32, 64)} AS b1
+               FROM embeddings e WHERE e.vec_id <> 0),
+         h AS (SELECT c.vec_id, c.v,
+                 bit_count(xor(c.b0::BIGINT, q.qb0::BIGINT))
+                   + bit_count(xor(c.b1::BIGINT, q.qb1::BIGINT)) AS ham
+               FROM c, q),
+         cs AS (SELECT c.vec_id,
+                  list_dot_product(c.v, q.qe)
+                    / (sqrt(list_dot_product(c.v, c.v))
+                       * sqrt(list_dot_product(q.qe, q.qe))) AS sim
+                FROM c, q),
+         exact AS (SELECT vec_id FROM cs ORDER BY sim DESC, vec_id LIMIT 10),
+         hamtop AS (SELECT vec_id FROM h ORDER BY ham ASC, vec_id LIMIT 10),
+         short AS (SELECT vec_id FROM h ORDER BY ham ASC, vec_id LIMIT 50),
+         rr AS (SELECT cs.vec_id FROM cs JOIN short USING (vec_id)
+                ORDER BY cs.sim DESC, cs.vec_id LIMIT 10)
+         SELECT 10 AS k, 50 AS shortlist,
+           (SELECT count(*) FROM hamtop JOIN exact USING (vec_id))::DOUBLE
+             / 10.0 AS recall_hamming,
+           (SELECT count(*) FROM rr JOIN exact USING (vec_id))::DOUBLE
+             / 10.0 AS recall_rerank""",
+
+    // the incremental read IS the odd half
+    "q158_incremental_read" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE doc_id % 2 = 1 ORDER BY doc_id""",
+
     // the flipped docs, one removed (flag 0) + one added (flag 1) each
     "q156_table_diff" ->
       """SELECT c.change, d.doc_id, d.lang,
@@ -5549,5 +5616,5 @@ object SparkEntry {
     // replay harness ×2 (the q125 rationale); its sink is q152/q155's
     // (timed) and its streaming machinery is q89's (timed)
     "q152_snapshot_read", "q153_matryoshka_recall", "q155_table_compaction",
-    "q156_table_diff")
+    "q156_table_diff", "q157_binary_ann", "q158_incremental_read")
 }

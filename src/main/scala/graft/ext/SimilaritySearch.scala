@@ -214,6 +214,87 @@ object SimilaritySearch {
       (acc, r) => acc.crossJoin(broadcast(r)))
   }
 
+  /** Sign bits of vector components `[from, until)` packed into one
+    * long (component i sets bit `i − from` iff `vec[i] >= 0`) — the
+    * 1-bit embedding quantization: 64 float32 components become one
+    * BIGINT, a 32× compression whose Hamming distance approximates
+    * angular distance well enough to shortlist. Packed in ≤ 32-bit
+    * halves so the generated SQL twin ([[signBitPackSql]]) never
+    * shifts into a BIGINT sign bit.
+    */
+  def signBitPack(vec: Column, from: Int, until: Int): Column = {
+    require(from >= 0 && until > from && until - from <= 32,
+      s"pack at most 32 bits per word, got [$from, $until)")
+    (from until until).map(i =>
+      when(element_at(vec, i + 1) >= 0, lit(1L << (i - from)))
+        .otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+  }
+
+  /** The SAME packing as an ANSI SQL expression over 1-based list
+    * expression `vecExpr` — generated from one loop (the single-source
+    * oracle pattern).
+    */
+  def signBitPackSql(vecExpr: String, from: Int, until: Int): String =
+    (from until until).map(i =>
+      s"(CASE WHEN $vecExpr[${i + 1}] >= 0 THEN ${1L << (i - from)} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Driver-side packing of a query vector (for the probe literals). */
+  private def signBitsOf(q: Seq[Double], from: Int, until: Int): Long =
+    (from until until).foldLeft(0L)((acc, i) =>
+      if (q(i) >= 0) acc | (1L << (i - from)) else acc)
+
+  /** Binary (sign-bit) ANN quality: Hamming-distance top-k over the
+    * packed bits, and Hamming shortlist → exact-cosine rerank top-k,
+    * each measured as recall against the exact full-precision top-k.
+    * One row: `k`, `shortlist`, `recall_hamming`, `recall_rerank`.
+    * The production layout scans ONE long (plus one more per extra 32
+    * dims) per candidate — `bit_count(xor)` is a handful of
+    * instructions — and touches float vectors only for the shortlist.
+    *
+    * Shape at scale: the Hamming scan is a projection over two packed
+    * columns into a TakeOrderedAndProject; the rerank joins the
+    * `shortlist`-row id set back to the vectors (broadcast) before one
+    * more bounded top-k. No vector ever shuffles.
+    */
+  def hammingRerankRecall(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      shortlist: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    require(query.length <= 64, s"demo packing covers <= 64 dims, got ${query.length}")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val mid = math.min(32, query.length)
+    val v = col(vecCol)
+    val packed = df.select(col(idCol), v,
+      signBitPack(v, 0, mid).as("__b0"),
+      (if (query.length > mid) signBitPack(v, mid, query.length) else lit(0L))
+        .as("__b1"))
+    val base = excludeId.fold(packed)(x => packed.where(col(idCol) =!= x))
+    val ham = (bit_count(col("__b0").bitwiseXOR(lit(signBitsOf(query, 0, mid)))) +
+      bit_count(col("__b1").bitwiseXOR(lit(signBitsOf(query, mid, query.length)))))
+      .as("__ham")
+    val ranked = base.select(col(idCol), v, ham)
+      .orderBy(col("__ham").asc, col(idCol).asc)
+    val exact = topKByCosine(df, idCol, vecCol, query, k, excludeId)
+      .select(col(idCol))
+    val hamTop = ranked.limit(k).select(col(idCol))
+      .join(exact, Seq(idCol))
+      .agg((count(lit(1)).cast("double") / k).as("recall_hamming"))
+    val rerank = topKByCosine(
+        ranked.limit(shortlist).select(col(idCol), v), idCol, vecCol, query, k)
+      .select(col(idCol))
+      .join(exact, Seq(idCol))
+      .agg((count(lit(1)).cast("double") / k).as("recall_rerank"))
+    df.sparkSession.range(1)
+      .select(lit(k).as("k"), lit(shortlist).as("shortlist"))
+      .crossJoin(broadcast(hamTop))
+      .crossJoin(broadcast(rerank))
+  }
+
   /** One scored neighbor candidate. */
   final case class Scored(id: Long, score: Double)
 

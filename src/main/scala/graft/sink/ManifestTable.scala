@@ -199,6 +199,32 @@ object ManifestTable {
         from.exceptAll(to).select(lit("removed").as("change"), col("*")))
   }
 
+  /** Incremental read for append-only histories: the rows `toVersion`
+    * added over `fromVersion`, read DIRECTLY from the data dirs the
+    * later manifest added — no exceptAll, no shuffle, no scan of the
+    * carried-forward dirs (at 100 TB that is the difference between an
+    * incremental consumer reading one day and re-reading the table).
+    * Throws if the lineage is not append-only between the two versions
+    * (an overwrite or compaction rewrote dirs — use [[diff]] there,
+    * which pays the general-case cost).
+    */
+  def readAppended(
+      spark: SparkSession, path: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(versions(spark, path).contains(fromVersion),
+      s"version $fromVersion not committed at $path")
+    require(versions(spark, path).contains(toVersion),
+      s"version $toVersion not committed at $path")
+    val from = readManifest(spark, path, fromVersion).toSet
+    val to = readManifest(spark, path, toVersion)
+    require(from.subsetOf(to.toSet),
+      s"versions $fromVersion -> $toVersion are not append-only " +
+        s"(dirs were rewritten); use diff() for the general case")
+    val added = to.filterNot(from.contains).map(d => new Path(path, d).toString)
+    if (added.isEmpty) spark.read.parquet(new Path(path, to.head).toString).limit(0)
+    else spark.read.parquet(added: _*)
+  }
+
   /** Read an exact historical version. */
   def readVersion(spark: SparkSession, path: String, version: Int): DataFrame = {
     require(versions(spark, path).contains(version),

@@ -332,4 +332,39 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     r4 shouldBe 1.0 // constant tail adds a constant to every score pair
     r2 should be <= r4 // dropping informative dims cannot help
   }
+
+  test("signBitPack matches a driver-side reference; Hamming rerank recovers exact top-k") {
+    import spark.implicits._
+    val dim = 64
+    def vec(i: Int): Seq[Double] =
+      (0 until dim).map(j => math.sin(i * 0.7 + j * 1.3))
+    val df = (1 to 300).map(i => (i.toLong, vec(i).map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    // packing equals the driver-side fold, both words
+    val packed = df.select(col("vec_id"),
+        SimilaritySearch.signBitPack(col("embedding"), 0, 32).as("b0"),
+        SimilaritySearch.signBitPack(col("embedding"), 32, 64).as("b1"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def ref(q: Seq[Double], from: Int, until: Int): Long =
+      (from until until).foldLeft(0L)((acc, i) =>
+        if (q(i) >= 0) acc | (1L << (i - from)) else acc)
+    (1 to 300).foreach { i =>
+      val (b0, b1) = packed(i.toLong)
+      b0 shouldBe ref(vec(i), 0, 32)
+      b1 shouldBe ref(vec(i), 32, 64)
+    }
+    // a shortlist the size of the corpus makes rerank EXACT (recall 1)
+    val out = SimilaritySearch.hammingRerankRecall(
+      df, "vec_id", "embedding", vec(7), k = 10, shortlist = 299,
+      excludeId = Some(7L)).head()
+    out.getDouble(3) shouldBe 1.0
+    // pure Hamming at k is an approximation: bounded, not trivially 0
+    out.getDouble(2) should be <= 1.0
+    out.getDouble(2) should be >= 0.0
+    // a realistic shortlist dominates pure Hamming (rerank can't hurt)
+    val out50 = SimilaritySearch.hammingRerankRecall(
+      df, "vec_id", "embedding", vec(7), k = 10, shortlist = 50,
+      excludeId = Some(7L)).head()
+    out50.getDouble(3) should be >= out50.getDouble(2)
+  }
 }

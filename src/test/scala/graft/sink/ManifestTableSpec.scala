@@ -106,6 +106,21 @@ class ManifestTableSpec extends AnyFunSuite with Matchers with SparkTestBase {
     ManifestTable.diff(spark, path, 2, 2).count() shouldBe 0
   }
 
+  test("readAppended reads only the new dirs; refuses rewritten lineage") {
+    import spark.implicits._
+    val path = tmp()
+    ManifestTable.append((1L to 3L).toDF("id"), path)
+    ManifestTable.append((4L to 6L).toDF("id"), path)
+    ids(ManifestTable.readAppended(spark, path, 1, 2)) shouldBe (4L to 6L)
+    // same-version increment is empty (schema intact)
+    ManifestTable.readAppended(spark, path, 2, 2).count() shouldBe 0
+    ManifestTable.readAppended(spark, path, 2, 2).columns shouldBe Array("id")
+    // overwrite breaks append-only lineage: fail loudly, point at diff
+    ManifestTable.overwrite(Seq(9L).toDF("id"), path)
+    an[IllegalArgumentException] should be thrownBy
+      ManifestTable.readAppended(spark, path, 2, 3)
+  }
+
   test("interleaved committers serialize onto distinct versions") {
     import spark.implicits._
     val path = tmp()
