@@ -3009,6 +3009,40 @@ object SparkEntry {
       }
     }),
 
+    // Column profiling scorecard over the documents table: nulls,
+    // exact distincts, native-typed min/max per column. Fully oracled
+    // (a UNION ALL of per-column aggregates in DuckDB).
+    "q159_profile" -> ((s, dir) =>
+      graft.ext.DataProfile.profile(t(s, dir, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy(col("col_name"))),
+
+    // Collocation extraction: adjacent-pair PMI top-50 (min pair
+    // count 5) over the corpus — the lexical-association op. Fully
+    // oracled: counts, totals, and the rounded-before-ranking PMI all
+    // re-derive in DuckDB.
+    "q160_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 5, k = 50)),
+
+    // Per-node triangle counts over a deterministic 50-node graph
+    // derived from doc ids — the local clustering signal (link-farm
+    // density). Fully oracled: DuckDB enumerates the same a<b<c
+    // triangles.
+    "q161_triangles" -> ((s, dir) => {
+      val id = col("doc_id")
+      // ~60% of the 20-node pair grid survives the keep filter — a
+      // triangle-rich but non-complete deterministic graph (the
+      // one-edge-per-doc functional graph x→7x+3 has NO 3-cycles
+      // mod 50 — checked — hence this two-coordinate form)
+      val edges = t(s, dir, "documents").select(
+        pmod(id, lit(20)).as("src"),
+        pmod(floor(id / 20), lit(20)).cast("long").as("dst"))
+        .where(pmod(col("src") * 3 + col("dst") * 7, lit(5)) < 3)
+      graft.ext.LinkGraph.triangleCounts(edges, "src", "dst")
+        .orderBy(col("node"))
+    }),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -5500,6 +5534,82 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
          WHERE doc_id % 2 = 1 ORDER BY doc_id""",
 
+    // native-typed min/max rendered as strings, one UNION ALL branch
+    // per column
+    "q159_profile" ->
+      """SELECT 'doc_id' AS col_name,
+                sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+                count(DISTINCT doc_id)::BIGINT AS n_distinct,
+                min(doc_id)::VARCHAR AS min_value, max(doc_id)::VARCHAR AS max_value
+         FROM documents
+         UNION ALL
+         SELECT 'lang',
+                sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT lang)::BIGINT, min(lang), max(lang)
+         FROM documents
+         UNION ALL
+         SELECT 'n_chars',
+                sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT n_chars)::BIGINT,
+                min(n_chars)::VARCHAR, max(n_chars)::VARCHAR
+         FROM documents
+         UNION ALL
+         SELECT 'source',
+                sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT source)::BIGINT, min(source), max(source)
+         FROM documents
+         UNION ALL
+         SELECT 'text',
+                sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT text)::BIGINT, min(text), max(text)
+         FROM documents
+         ORDER BY col_name""",
+
+    // same bigram/unigram totals; pmi rounded to 6 BEFORE the
+    // (pmi desc, pair) ranking so the top-50 cut matches
+    "q160_collocations" ->
+      """WITH x AS (
+           SELECT doc_id, regexp_split_to_array(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+             ' ') AS w
+           FROM documents),
+         d AS (SELECT * FROM x WHERE len(w) >= 2),
+         b AS (SELECT w[g.i] AS prev, w[g.i + 1] AS cur
+               FROM d, unnest(generate_series(1, len(w) - 1)) AS g(i)),
+         bc AS (SELECT prev, cur, count(*) AS n_pair FROM b
+                GROUP BY prev, cur HAVING count(*) >= 5),
+         uc AS (SELECT t AS tok, count(*) AS cu
+                FROM (SELECT unnest(w) AS t FROM d) GROUP BY t),
+         tot AS (SELECT (SELECT count(*) FROM b)::DOUBLE AS bb,
+                        (SELECT sum(cu) FROM uc)::DOUBLE AS uu)
+         SELECT bc.prev, bc.cur, bc.n_pair::BIGINT AS n_pair,
+                round(ln((bc.n_pair / tot.bb) /
+                  ((up.cu / tot.uu) * (uc2.cu / tot.uu))), 6) AS pmi
+         FROM bc
+         JOIN uc up ON up.tok = bc.prev
+         JOIN uc uc2 ON uc2.tok = bc.cur
+         CROSS JOIN tot
+         ORDER BY pmi DESC, bc.prev, bc.cur LIMIT 50""",
+
+    // the same a<b<c enumeration, corners exploded to per-node counts
+    "q161_triangles" ->
+      """WITH g AS (
+           SELECT doc_id % 20 AS src, (doc_id // 20) % 20 AS dst
+           FROM documents),
+         raw AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+                 FROM g WHERE (src * 3 + dst * 7) % 5 < 3),
+         e AS (SELECT DISTINCT a, b FROM raw WHERE a <> b),
+         tri AS (SELECT e1.a, e1.b, e2.b AS c
+                 FROM e e1
+                 JOIN e e2 ON e2.a = e1.b
+                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         corners AS (
+           SELECT a AS node FROM tri
+           UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri)
+         SELECT node, count(*)::BIGINT AS n_triangles
+         FROM corners GROUP BY node ORDER BY node""",
+
     // the flipped docs, one removed (flag 0) + one added (flag 1) each
     "q156_table_diff" ->
       """SELECT c.change, d.doc_id, d.lang,
@@ -5616,5 +5726,6 @@ object SparkEntry {
     // replay harness ×2 (the q125 rationale); its sink is q152/q155's
     // (timed) and its streaming machinery is q89's (timed)
     "q152_snapshot_read", "q153_matryoshka_recall", "q155_table_compaction",
-    "q156_table_diff", "q157_binary_ann", "q158_incremental_read")
+    "q156_table_diff", "q157_binary_ann", "q158_incremental_read",
+    "q159_profile", "q160_collocations", "q161_triangles")
 }

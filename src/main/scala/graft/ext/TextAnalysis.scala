@@ -642,6 +642,57 @@ object TextAnalysis {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** Collocation extraction — adjacent token pairs ranked by pointwise
+    * mutual information, `PMI = ln( (c(ab)/B) / ((c(a)/U)(c(b)/U)) )`
+    * over the corpus's bigram (B) and token (U) totals: pairs that
+    * co-occur far above chance ("machine learning", "new york") float
+    * to the top; frequent-but-independent pairs sink. `minCount`
+    * suppresses the classic PMI pathology (a pair seen twice in a tiny
+    * corpus scoring arbitrarily high). The PMI is rounded to 6 BEFORE
+    * the ranking so the (pmi desc, pair) order — and therefore the
+    * top-k cut — is reproducible across engines whose `ln` differs in
+    * the last ulp.
+    *
+    * Shape at scale: the [[bigramCrossEntropy]] stream shapes — pinned
+    * bigram stream, vocabulary-sized count tables, two equi-joins, one
+    * TakeOrderedAndProject for the top-k. No window, no HOF.
+    */
+  def collocations(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 5,
+      k: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val docs = df
+      .select(col(idCol).as("__id"), split(normalize(col(textCol)), " ").as("__w"))
+      .where(size(col("__w")) >= 2)
+    val bi = docs
+      .select(posexplode(col("__w")).as(Seq("__p", "prev")), col("__w"))
+      .where(col("__p") < size(col("__w")) - 1)
+      .select(col("prev"), element_at(col("__w"), col("__p") + 2).as("cur"))
+      .localCheckpoint()
+    val bc = bi.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+    val uc = docs.select(explode(col("__w")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__cu"))
+      .localCheckpoint() // joined twice (prev and cur marginals)
+    val totals = broadcast(bi.agg(count(lit(1)).as("__B"))
+      .crossJoin(uc.agg(sum(col("__cu")).as("__U"))))
+    bc
+      .join(uc.select(col("__t").as("prev"), col("__cu").as("__cp")), Seq("prev"))
+      .join(uc.select(col("__t").as("cur"), col("__cu").as("__cc")), Seq("cur"))
+      .crossJoin(totals)
+      .select(col("prev"), col("cur"), col("n_pair"),
+        round(log((col("n_pair").cast("double") / col("__B")) /
+          ((col("__cp").cast("double") / col("__U")) *
+            (col("__cc").cast("double") / col("__U")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("prev"), col("cur"))
+      .limit(k)
+  }
+
   /** Cross-document duplicate n-gram fraction — the corpus-level
     * repetition signal (RefinedWeb/Dolma-style): for each document, the
     * fraction of its n-gram OCCURRENCES whose gram also appears in at

@@ -173,4 +173,26 @@ class LinkGraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9) / 1e9)).toMap
     a shouldBe b
   }
+
+  test("triangleCounts: closed forms on K4 and a triangle+tail; direction/duplicates collapse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum => sqlSum}
+    // K4: every node sits in C(3,2) = 3 triangles
+    val k4 = (for { a <- 0 to 3; b <- 0 to 3 if a < b } yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    LinkGraph.triangleCounts(k4, "src", "dst")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq shouldBe Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L))
+    // triangle 0-1-2 plus tail 2-3: node 3 in no triangle -> absent
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L)).toDF("src", "dst")
+    LinkGraph.triangleCounts(tri, "src", "dst")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq shouldBe Seq((0L, 1L), (1L, 1L), (2L, 1L))
+    // reversed duplicates, self-loops, and parallel edges change nothing
+    val messy = Seq((1L, 0L), (0L, 1L), (2L, 1L), (0L, 2L), (2L, 0L),
+      (1L, 1L), (0L, 1L)).toDF("src", "dst")
+    LinkGraph.triangleCounts(messy, "src", "dst")
+      .agg(sqlSum(col("n_triangles")))
+      .head.getLong(0) shouldBe 3L // one triangle, three corners
+  }
 }

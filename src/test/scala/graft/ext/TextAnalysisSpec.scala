@@ -317,6 +317,32 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(1)._3 should be > mle(1)
   }
 
+  test("collocations: hand-computed PMI, minCount gate, deterministic ranking") {
+    import spark.implicits._
+    // "a b" appears 3x and a/b appear ONLY together; "x y" appears 3x
+    // but x and y are also frequent apart -> "a b" must out-PMI "x y"
+    val df = Seq(
+      (1L, "a b c a b c a b"),
+      (2L, "x y x y x y x x x y y y")
+    ).toDF("doc_id", "text")
+    val out = collocations(df, "doc_id", "text", minCount = 3, k = 10)
+      .select("prev", "cur", "n_pair", "pmi")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // U = 8 + 12 = 20 tokens; B = 7 + 11 = 18 bigrams
+    // c(ab)=3, c(a)=3, c(b)=3 -> pmi = ln((3/18)/((3/20)(3/20)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ab = out.find(p => p._1 == "a" && p._2 == "b").get
+    ab._3 shouldBe 3L
+    ab._4 shouldBe r6(math.log((3.0 / 18) / ((3.0 / 20) * (3.0 / 20))))
+    val xy = out.find(p => p._1 == "x" && p._2 == "y").get
+    ab._4 should be > xy._4 // exclusive pair beats promiscuous pair
+    // pairs below minCount are absent ("b c" appears twice)
+    out.exists(p => p._1 == "b" && p._2 == "c") shouldBe false
+    // ranked by (pmi desc, prev, cur)
+    out.map(_._4).toSeq shouldBe out.map(_._4).toSeq.sorted.reverse
+  }
+
   test("oovRate: tokens outside the top-k vocabulary, deterministic vocab tie-break") {
     import spark.implicits._
     val df = Seq(
