@@ -161,4 +161,44 @@ class StreamingCorrelationSpec extends AnyFunSuite with Matchers with SparkTestB
       row.head.getAs[java.sql.Date]("date").toString shouldBe "2024-05-25"
     } finally query.stop()
   }
+
+  test("startStreamJoin: window-bounded matches only; append sink receives the pair") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val startLines = MemoryStream[String]
+    val endLines = MemoryStream[String]
+    val out = Files.createTempDirectory("graft-ssj").resolve("joined").toString
+    def startJson(id: String, ts: String) =
+      s"""{"trip_id":"$id","pickup_location_id":1,"dropoff_location_id":2,
+         |"vendor_id":1,"pickup_datetime":"$ts",
+         |"estimated_dropoff_datetime":"$ts",
+         |"estimated_fare_amount":10.0}""".stripMargin.replaceAll("\n", "")
+    def endJson(id: String, ts: String) =
+      s"""{"trip_id":"$id","dropoff_datetime":"$ts","rate_code":1.0,
+         |"passenger_count":1.0,"trip_distance":1.0,"fare_amount":20.5,
+         |"tip_amount":0.0,"payment_type":1.0,"trip_type":1.0}"""
+        .stripMargin.replaceAll("\n", "")
+    val query = TripStreamJob.startStreamJoin(
+      spark, startLines.toDF(), endLines.toDF(), out,
+      Files.createTempDirectory("graft-ssj-ckpt").toString,
+      trigger = Trigger.ProcessingTime("100 milliseconds"),
+      joinWindow = "1 hour")
+    try {
+      // in-window end matches; 2-hours-later end falls outside the
+      // window; an end before pickup never matches
+      startLines.addData(
+        startJson("in", "2024-05-25 10:00:00"),
+        startJson("late", "2024-05-25 10:00:00"),
+        startJson("early", "2024-05-25 10:00:00"))
+      endLines.addData(
+        endJson("in", "2024-05-25 10:30:00"),
+        endJson("late", "2024-05-25 12:00:00"),
+        endJson("early", "2024-05-25 09:59:00"))
+      query.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .select("trip_id", "fare_amount").collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+      rows.toSeq shouldBe Seq(("in", 20.5))
+    } finally query.stop()
+  }
 }
