@@ -3078,6 +3078,28 @@ object SparkEntry {
       }
     }),
 
+    // Schema evolution on the manifest table: v2's append introduces a
+    // `quality` column; the merged-schema head read surfaces it as
+    // null for v1's rows. Oracled closed-form union.
+    "q163_schema_evolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val base = java.nio.file.Files.createTempDirectory("graft-q163").toString
+      try {
+        graft.sink.ManifestTable.append(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0), base)
+        graft.sink.ManifestTable.append(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1)
+            .withColumn("quality", pmod(col("doc_id"), lit(7)).cast("long")),
+          base)
+        graft.sink.ManifestTable.readLatest(s, base, mergeSchema = true)
+          .orderBy(col("doc_id"))
+          .localCheckpoint() // materialize before the temp dirs vanish
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
+    }),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -5655,6 +5677,13 @@ object SparkEntry {
          FROM events WHERE event_type <> 'error'
          GROUP BY CAST(ts AS DATE) ORDER BY date""",
 
+    // evolved column null for the pre-evolution half
+    "q163_schema_evolution" ->
+      """SELECT doc_id, lang,
+                CASE WHEN doc_id % 2 = 1 THEN doc_id % 7 END::BIGINT
+                  AS quality
+         FROM documents ORDER BY doc_id""",
+
     // the flipped docs, one removed (flag 0) + one added (flag 1) each
     "q156_table_diff" ->
       """SELECT c.change, d.doc_id, d.lang,
@@ -5776,5 +5805,5 @@ object SparkEntry {
     // q162 IS benched (unlike the foreachBatch replays): the interval
     // join runs under ONE AvailableNow trigger over the shared q89
     // feed — the streaming machinery itself is the thing timed
-    "q162_stream_stream_join")
+    "q162_stream_stream_join", "q163_schema_evolution")
 }

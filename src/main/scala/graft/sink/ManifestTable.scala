@@ -225,19 +225,27 @@ object ManifestTable {
     else spark.read.parquet(added: _*)
   }
 
-  /** Read an exact historical version. */
-  def readVersion(spark: SparkSession, path: String, version: Int): DataFrame = {
+  /** Read an exact historical version. With `mergeSchema` the read
+    * unifies schemas across the version's data dirs (columns a later
+    * append introduced read as null in earlier files) — the
+    * schema-evolution contract of every log-structured table format.
+    */
+  def readVersion(
+      spark: SparkSession, path: String, version: Int,
+      mergeSchema: Boolean = false): DataFrame = {
     require(versions(spark, path).contains(version),
       s"version $version not committed at $path")
     val dirs = readManifest(spark, path, version)
       .map(d => new Path(path, d).toString)
-    spark.read.parquet(dirs: _*)
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(dirs: _*)
   }
 
   /** Read the table head. */
-  def readLatest(spark: SparkSession, path: String): DataFrame = {
+  def readLatest(
+      spark: SparkSession, path: String,
+      mergeSchema: Boolean = false): DataFrame = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed versions at $path")
-    readVersion(spark, path, vs.last)
+    readVersion(spark, path, vs.last, mergeSchema)
   }
 }

@@ -121,6 +121,18 @@ class ManifestTableSpec extends AnyFunSuite with Matchers with SparkTestBase {
       ManifestTable.readAppended(spark, path, 2, 3)
   }
 
+  test("mergeSchema surfaces evolved columns as nulls for earlier files") {
+    import spark.implicits._
+    val path = tmp()
+    ManifestTable.append(Seq((1L, "a")).toDF("id", "v"), path)
+    ManifestTable.append(Seq((2L, "b", 9L)).toDF("id", "v", "extra"), path)
+    val merged = ManifestTable.readLatest(spark, path, mergeSchema = true)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    merged.toSeq shouldBe Seq((1L, "a", -1L), (2L, "b", 9L))
+  }
+
   test("interleaved committers serialize onto distinct versions") {
     import spark.implicits._
     val path = tmp()
