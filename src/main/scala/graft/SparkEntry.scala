@@ -3100,6 +3100,37 @@ object SparkEntry {
       }
     }),
 
+    // Corpus-curation capstone (the LLM-data counterpart of the q121
+    // crawl capstone): exact dedup keep-first → quality gate (q21's
+    // score ≥ 0.5) → Kneser–Ney perplexity gate (≤ survivor median) →
+    // per-language doc/token/pack rollup. Every stage is individually
+    // oracled (q17/q21/q142/q40's percentile parity); the composed
+    // hash depends on each stage keeping exactly the right set.
+    "q164_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kn = TextAnalysis.knBigramXent(docs, "doc_id", "text")
+        .select(col("doc_id"), col("kn_ppl"))
+      val gated = Dedup.exact(docs, Seq("text"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("text"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("__q"))
+        .where(col("__q") >= 0.5)
+        // sub-2-token docs have no transitions, hence no perplexity:
+        // the inner join drops them (a doc the LM can't score fails
+        // the LM gate) — the oracle mirrors with the same JOIN
+        .join(kn, Seq("doc_id"))
+        .localCheckpoint() // feeds the median AND the final filter
+      val med = broadcast(
+        gated.agg(percentile(col("kn_ppl"), lit(0.5)).as("__med")))
+      gated.crossJoin(med)
+        .where(col("kn_ppl") <= col("__med"))
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("__t"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"),
+          sum(ceil(col("__t").cast("double") / 512)).as("n_packs"))
+        .orderBy(col("lang"))
+    }),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -5677,6 +5708,69 @@ object SparkEntry {
          FROM events WHERE event_type <> 'error'
          GROUP BY CAST(ts AS DATE) ORDER BY date""",
 
+    // q17's dedup + q21's quality formula + q142's KN chain + the
+    // q40-parity median, composed; pack count = ceil(tokens/512)
+    "q164_curation_pipeline" ->
+      """WITH dd AS (
+           SELECT doc_id, lang, text FROM (
+             SELECT doc_id, lang, text,
+                    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1),
+         qx AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+             length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE
+               / length(text)::DOUBLE AS punct_ratio
+           FROM dd),
+         qy AS (
+           SELECT doc_id,
+             len(toks)::DOUBLE AS ntok,
+             len(list_filter(ltoks, t -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], t)))::DOUBLE
+               / len(toks)::DOUBLE AS sw_ratio,
+             list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+               / len(toks)::DOUBLE AS avg_len,
+             punct_ratio
+           FROM qx),
+         q AS (SELECT doc_id, round(
+                 least(ntok / 64.0, 1.0) * 0.3
+               + least(sw_ratio * 4.0, 1.0) * 0.3
+               + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2
+               + greatest(1.0 - abs(avg_len - 5.0) / 10.0, 0.0) * 0.2, 6)
+                 AS quality
+               FROM qy),
+         kx AS (
+           SELECT doc_id, regexp_split_to_array(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+             ' ') AS w
+           FROM documents),
+         kd AS (SELECT * FROM kx WHERE len(w) >= 2),
+         kb AS (SELECT doc_id, w[g.i] AS prev, w[g.i + 1] AS cur
+               FROM kd, unnest(generate_series(1, len(w) - 1)) AS g(i)),
+         kbc AS (SELECT prev, cur, count(*) AS cb FROM kb GROUP BY prev, cur),
+         kctx AS (SELECT prev, sum(cb) AS ctot, count(*) AS nfollow
+                 FROM kbc GROUP BY prev),
+         kcont AS (SELECT cur, count(*) AS nprec FROM kbc GROUP BY cur),
+         ktt AS (SELECT count(*) AS t FROM kbc),
+         ks AS (SELECT doc_id,
+                 greatest(cb - 0.75, 0) / ctot
+                   + (0.75 * nfollow / ctot) * (nprec::DOUBLE / t) AS p
+               FROM kb JOIN kbc USING (prev, cur) JOIN kctx USING (prev)
+                    JOIN kcont USING (cur) CROSS JOIN ktt),
+         kn AS (SELECT doc_id, round(exp(-avg(ln(p))), 6) AS kn_ppl
+               FROM ks GROUP BY doc_id),
+         surv AS (SELECT dd.doc_id, dd.lang, dd.text, kn.kn_ppl
+                  FROM dd JOIN q USING (doc_id) JOIN kn USING (doc_id)
+                  WHERE q.quality >= 0.5),
+         med AS (SELECT quantile_cont(kn_ppl, 0.5) AS m FROM surv),
+         kept AS (SELECT lang,
+                    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS t
+                  FROM surv, med WHERE kn_ppl <= m)
+         SELECT lang, count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS n_tokens,
+                sum(ceil(t / 512.0)::BIGINT)::BIGINT AS n_packs
+         FROM kept GROUP BY lang ORDER BY lang""",
+
     // evolved column null for the pre-evolution half
     "q163_schema_evolution" ->
       """SELECT doc_id, lang,
@@ -5805,5 +5899,6 @@ object SparkEntry {
     // q162 IS benched (unlike the foreachBatch replays): the interval
     // join runs under ONE AvailableNow trigger over the shared q89
     // feed — the streaming machinery itself is the thing timed
-    "q162_stream_stream_join", "q163_schema_evolution")
+    "q162_stream_stream_join", "q163_schema_evolution",
+    "q164_curation_pipeline")
 }
