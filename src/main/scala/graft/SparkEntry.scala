@@ -3131,6 +3131,33 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Hard-negative mining for contrastive training: for each of 10
+    // query vectors, the 3 most-similar candidates with a DIFFERENT
+    // label — the pairs that actually move an embedding model. The
+    // q25 shape: bounded query set broadcast against one corpus scan,
+    // per-query rank window. Fully oracled (q23's cosine parity).
+    "q165_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = broadcast(e.where(col("vec_id") < 10).select(
+        col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qv"),
+        col("label").as("__ql")))
+      val scored = e.crossJoin(queries)
+        .where(col("label") =!= col("__ql"))
+        .select(col("query_id"), col("vec_id"),
+          SimilaritySearch.cosine(
+            col("embedding").cast("array<double>"), col("__qv"))
+            .as("cosine_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine_sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("cosine_sim"), 6).as("cosine_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -5708,6 +5735,25 @@ object SparkEntry {
          FROM events WHERE event_type <> 'error'
          GROUP BY CAST(ts AS DATE) ORDER BY date""",
 
+    // same pairs, label-mismatch filter, (sim desc, id) rank window
+    "q165_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                           label AS ql
+                    FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT q.query_id, e.vec_id,
+                 list_dot_product(e.embedding::DOUBLE[], q.qv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+               FROM embeddings e, q WHERE e.label <> q.ql),
+         r AS (SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rank
+               FROM s)
+         SELECT query_id, rank::INT AS rank, vec_id,
+                round(sim, 6) AS cosine_sim
+         FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
+
     // q17's dedup + q21's quality formula + q142's KN chain + the
     // q40-parity median, composed; pack count = ceil(tokens/512)
     "q164_curation_pipeline" ->
@@ -5900,5 +5946,5 @@ object SparkEntry {
     // join runs under ONE AvailableNow trigger over the shared q89
     // feed — the streaming machinery itself is the thing timed
     "q162_stream_stream_join", "q163_schema_evolution",
-    "q164_curation_pipeline")
+    "q164_curation_pipeline", "q165_hard_negatives")
 }
