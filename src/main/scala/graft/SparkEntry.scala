@@ -3158,6 +3158,49 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Streaming exact dedup through Spark's NATIVE
+    // dropDuplicatesWithinWatermark (state evicted once the watermark
+    // passes a key's event time — bounded state, unlike plain
+    // dropDuplicates): the events table doubled (copies co-located
+    // per key so batching cannot split them past the watermark),
+    // replayed, deduped, rolled up daily. Oracled against the batch
+    // distinct set.
+    "q166_streaming_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = events(s, dir).select(col("event_id"), col("ts"), col("value"))
+      val base = java.nio.file.Files.createTempDirectory("graft-q166").toString
+      try {
+        ev.unionAll(ev).repartition(col("event_id"))
+          .write.parquet(s"$base/in")
+        val deduped = s.readStream
+          .schema(ev.schema).parquet(s"$base/in")
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+        val q = deduped.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(600000L)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q166 streaming replay did not terminate within 600s")
+        }
+        s.read.parquet(s"$base/out")
+          .groupBy(to_date(col("ts")).as("date"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(38,12)")).cast("double")
+              .as("total_value"))
+          .orderBy(col("date"))
+          .localCheckpoint() // materialize before the temp dirs vanish
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
+    }),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -5735,6 +5778,13 @@ object SparkEntry {
          FROM events WHERE event_type <> 'error'
          GROUP BY CAST(ts AS DATE) ORDER BY date""",
 
+    // the doubled feed deduped back to the batch distinct set
+    "q166_streaming_dedup" ->
+      """SELECT CAST(ts AS DATE) AS date, count(*)::BIGINT AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                  AS total_value
+         FROM events GROUP BY CAST(ts AS DATE) ORDER BY date""",
+
     // same pairs, label-mismatch filter, (sim desc, id) rank window
     "q165_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
@@ -5946,5 +5996,6 @@ object SparkEntry {
     // join runs under ONE AvailableNow trigger over the shared q89
     // feed — the streaming machinery itself is the thing timed
     "q162_stream_stream_join", "q163_schema_evolution",
-    "q164_curation_pipeline", "q165_hard_negatives")
+    "q164_curation_pipeline", "q165_hard_negatives",
+    "q166_streaming_dedup")
 }
