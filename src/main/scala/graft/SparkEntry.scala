@@ -3201,6 +3201,36 @@ object SparkEntry {
       }
     }),
 
+    // Curation audit: q164's pipeline re-run as per-document LINEAGE —
+    // which stage dropped each doc ('dup' / 'quality' / 'unscored' /
+    // 'ppl') or 'kept'. The provenance view an operator of the
+    // pipeline actually debugs with. Oracled end-to-end from the same
+    // stage chains; the first failing stage owns the verdict.
+    "q167_curation_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kn = TextAnalysis.knBigramXent(docs, "doc_id", "text")
+        .select(col("doc_id"), col("kn_ppl"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("text")).orderBy(col("doc_id"))
+      val staged = docs
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__q", round(TextAnalysis.qualityScore(col("text")), 6))
+        .join(kn, Seq("doc_id"), "left")
+        .localCheckpoint() // median + verdict both read it
+      val med = broadcast(staged
+        .where(col("__rn") === 1 && col("__q") >= 0.5 &&
+          col("kn_ppl").isNotNull)
+        .agg(percentile(col("kn_ppl"), lit(0.5)).as("__med")))
+      staged.crossJoin(med)
+        .select(col("doc_id"),
+          when(col("__rn") > 1, "dup")
+            .when(col("__q") < 0.5, "quality")
+            .when(col("kn_ppl").isNull, "unscored")
+            .when(col("kn_ppl") > col("__med"), "ppl")
+            .otherwise("kept").as("stage"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -5778,6 +5808,69 @@ object SparkEntry {
          FROM events WHERE event_type <> 'error'
          GROUP BY CAST(ts AS DATE) ORDER BY date""",
 
+    // the q164 chains re-used; first failing stage owns the verdict
+    "q167_curation_audit" ->
+      """WITH dd AS (
+           SELECT doc_id, lang, text,
+                  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM documents),
+         qx AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+             length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE
+               / length(text)::DOUBLE AS punct_ratio
+           FROM documents),
+         qy AS (
+           SELECT doc_id,
+             len(toks)::DOUBLE AS ntok,
+             len(list_filter(ltoks, t -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], t)))::DOUBLE
+               / len(toks)::DOUBLE AS sw_ratio,
+             list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+               / len(toks)::DOUBLE AS avg_len,
+             punct_ratio
+           FROM qx),
+         q AS (SELECT doc_id, round(
+                 least(ntok / 64.0, 1.0) * 0.3
+               + least(sw_ratio * 4.0, 1.0) * 0.3
+               + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2
+               + greatest(1.0 - abs(avg_len - 5.0) / 10.0, 0.0) * 0.2, 6)
+                 AS quality
+               FROM qy),
+         kx AS (
+           SELECT doc_id, regexp_split_to_array(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+             ' ') AS w
+           FROM documents),
+         kd AS (SELECT * FROM kx WHERE len(w) >= 2),
+         kb AS (SELECT doc_id, w[g.i] AS prev, w[g.i + 1] AS cur
+               FROM kd, unnest(generate_series(1, len(w) - 1)) AS g(i)),
+         kbc AS (SELECT prev, cur, count(*) AS cb FROM kb GROUP BY prev, cur),
+         kctx AS (SELECT prev, sum(cb) AS ctot, count(*) AS nfollow
+                 FROM kbc GROUP BY prev),
+         kcont AS (SELECT cur, count(*) AS nprec FROM kbc GROUP BY cur),
+         ktt AS (SELECT count(*) AS t FROM kbc),
+         ks AS (SELECT doc_id,
+                 greatest(cb - 0.75, 0) / ctot
+                   + (0.75 * nfollow / ctot) * (nprec::DOUBLE / t) AS p
+               FROM kb JOIN kbc USING (prev, cur) JOIN kctx USING (prev)
+                    JOIN kcont USING (cur) CROSS JOIN ktt),
+         kn AS (SELECT doc_id, round(exp(-avg(ln(p))), 6) AS kn_ppl
+               FROM ks GROUP BY doc_id),
+         st AS (SELECT dd.doc_id, dd.rn, q.quality, kn.kn_ppl
+                FROM dd JOIN q USING (doc_id)
+                LEFT JOIN kn USING (doc_id)),
+         med AS (SELECT quantile_cont(kn_ppl, 0.5) AS m FROM st
+                 WHERE rn = 1 AND quality >= 0.5 AND kn_ppl IS NOT NULL)
+         SELECT doc_id,
+                CASE WHEN rn > 1 THEN 'dup'
+                     WHEN quality < 0.5 THEN 'quality'
+                     WHEN kn_ppl IS NULL THEN 'unscored'
+                     WHEN kn_ppl > m THEN 'ppl'
+                     ELSE 'kept' END AS stage
+         FROM st, med ORDER BY doc_id""",
+
     // the doubled feed deduped back to the batch distinct set
     "q166_streaming_dedup" ->
       """SELECT CAST(ts AS DATE) AS date, count(*)::BIGINT AS n_events,
@@ -5997,5 +6090,5 @@ object SparkEntry {
     // feed — the streaming machinery itself is the thing timed
     "q162_stream_stream_join", "q163_schema_evolution",
     "q164_curation_pipeline", "q165_hard_negatives",
-    "q166_streaming_dedup")
+    "q166_streaming_dedup", "q167_curation_audit")
 }
