@@ -3231,6 +3231,57 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DLQ accountability as a driver row (S4's corrupt-record side
+    // output made directly visible): a JSON feed where every 10th
+    // line is mangled and every 25th is a null-key tombstone — decode
+    // and quarantine must partition the feed EXACTLY (no line lost,
+    // none double-counted). Oracled closed-form in event_id.
+    "q168_dlq_counts" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val id = col("event_id")
+      val wire = ev.select(id.as("__id"),
+        when(pmod(id, lit(10)) === 3, concat(lit("{not json "), id.cast("string")))
+          .when(pmod(id, lit(25)) === 7,
+            concat(lit("{\"value\":"), col("value").cast("string"), lit("}")))
+          .otherwise(concat(
+            lit("{\"trip_id\":\""), id.cast("string"),
+            lit("\",\"value\":"), col("value").cast("string"), lit("}")))
+          .as("value"))
+        .localCheckpoint() // decode + quarantine both read it
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("trip_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val ok = EventReader.decodeJson(wire, schema)
+        .agg(count(lit(1)).as("n_decoded"))
+      val dlq = EventReader.corruptRecords(wire, schema)
+        .agg(count(lit(1)).as("n_quarantined"))
+      val total = wire.agg(count(lit(1)).as("n_input"))
+      broadcast(total).crossJoin(broadcast(ok)).crossJoin(broadcast(dlq))
+        .select(col("n_input"), col("n_decoded"), col("n_quarantined"),
+          (col("n_input") - col("n_decoded") - col("n_quarantined"))
+            .as("n_lost"))
+    }),
+
+    // Source-format breadth: the documents table written to ORC and
+    // read back through the manifest-free plain path — the round-trip
+    // identity proves the ORC source/sink end to end. Oracled.
+    "q169_orc_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val base = java.nio.file.Files.createTempDirectory("graft-q169").toString
+      try {
+        docs.write.orc(s"$base/t")
+        s.read.orc(s"$base/t")
+          .orderBy(col("doc_id"))
+          .localCheckpoint() // materialize before the temp dir vanishes
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
+    }),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -5808,6 +5859,21 @@ object SparkEntry {
          FROM events WHERE event_type <> 'error'
          GROUP BY CAST(ts AS DATE) ORDER BY date""",
 
+    // exact partition of the feed: mangled (id%10=3) + tombstone
+    // (id%25=7, disjoint classes mod 50) quarantine, rest decode
+    "q168_dlq_counts" ->
+      """SELECT count(*)::BIGINT AS n_input,
+                sum(CASE WHEN event_id % 10 <> 3 AND event_id % 25 <> 7
+                         THEN 1 ELSE 0 END)::BIGINT AS n_decoded,
+                sum(CASE WHEN event_id % 10 = 3 OR event_id % 25 = 7
+                         THEN 1 ELSE 0 END)::BIGINT AS n_quarantined,
+                0::BIGINT AS n_lost
+         FROM events""",
+
+    // round-trip identity through ORC
+    "q169_orc_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
+
     // the q164 chains re-used; first failing stage owns the verdict
     "q167_curation_audit" ->
       """WITH dd AS (
@@ -6090,5 +6156,6 @@ object SparkEntry {
     // feed — the streaming machinery itself is the thing timed
     "q162_stream_stream_join", "q163_schema_evolution",
     "q164_curation_pipeline", "q165_hard_negatives",
-    "q166_streaming_dedup", "q167_curation_audit")
+    "q166_streaming_dedup", "q167_curation_audit", "q168_dlq_counts",
+    "q169_orc_roundtrip")
 }
