@@ -3282,6 +3282,21 @@ object SparkEntry {
       }
     }),
 
+    // Pure-SQL surface: the engine driven ENTIRELY through
+    // spark.sql(...) text — temp views + the SQL-registered native
+    // nfc_normalize expression — no DataFrame operators in the query
+    // body. Oracled: DuckDB's independent nfc_normalize + md5 agree
+    // (the q116 parity), so the fingerprint counts match exactly.
+    "q170_sql_surface" -> ((s, dir) => {
+      org.apache.spark.sql.graft.UnicodeNormalize.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents_v")
+      s.sql("""
+        SELECT lang, count(*) AS n_docs,
+               count(DISTINCT md5(nfc_normalize(text))) AS n_distinct_nfc,
+               min(length(nfc_normalize(text))) AS min_nfc_len
+        FROM documents_v GROUP BY lang ORDER BY lang""")
+    }),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -5874,6 +5889,15 @@ object SparkEntry {
     "q169_orc_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
 
+    // DuckDB's own nfc_normalize (independent implementation — the
+    // q116 parity) under the same rollup
+    "q170_sql_surface" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+                count(DISTINCT md5(nfc_normalize(text)))::BIGINT
+                  AS n_distinct_nfc,
+                min(length(nfc_normalize(text)))::BIGINT AS min_nfc_len
+         FROM documents GROUP BY lang ORDER BY lang""",
+
     // the q164 chains re-used; first failing stage owns the verdict
     "q167_curation_audit" ->
       """WITH dd AS (
@@ -6157,5 +6181,5 @@ object SparkEntry {
     "q162_stream_stream_join", "q163_schema_evolution",
     "q164_curation_pipeline", "q165_hard_negatives",
     "q166_streaming_dedup", "q167_curation_audit", "q168_dlq_counts",
-    "q169_orc_roundtrip")
+    "q169_orc_roundtrip", "q170_sql_surface")
 }
