@@ -3297,6 +3297,55 @@ object SparkEntry {
         FROM documents_v GROUP BY lang ORDER BY lang""")
     }),
 
+    // Pivot (crosstab) surface: language × source document counts as
+    // a wide table — `groupBy().pivot()` with explicit values so the
+    // plan is a single pass (no distinct-values pre-query). Oracled
+    // via conditional aggregation.
+    "q171_pivot" -> ((s, dir) => {
+      val srcs = Seq("src0", "src1", "src2", "src3", "src4")
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .pivot("source", srcs)
+        .agg(count(lit(1)))
+        .na.fill(0L, srcs)
+        .orderBy(col("lang"))
+    }),
+
+    // Null-safe equality join (<=>): every third doc's key nulled on
+    // BOTH sides — null<=>null matches (one bucket), null=null does
+    // not. The row carries both counts so the semantic difference is
+    // itself the artifact. Oracled (IS NOT DISTINCT FROM).
+    "q172_nullsafe_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val key = when(pmod(col("doc_id"), lit(3)) === 0, lit(null))
+        .otherwise(pmod(col("doc_id"), lit(7))).cast("long")
+      val a = docs.select(col("doc_id").as("a_id"), key.as("k"))
+      val b = docs.select(col("doc_id").as("b_id"), key.as("k2"))
+      val nullSafe = a.join(b, col("k") <=> col("k2"))
+        .agg(count(lit(1)).as("n_nullsafe"))
+      val plain = a.join(b, col("k") === col("k2"))
+        .agg(count(lit(1)).as("n_plain"))
+      broadcast(nullSafe).crossJoin(broadcast(plain))
+    }),
+
+    // Sliding window frame: 7-row moving average of the daily event
+    // count over the ordered date series (ROWS BETWEEN 6 PRECEDING).
+    // The unpartitioned window is small-BY-CONSTRUCTION: it runs over
+    // the |dates|-row daily aggregate (30 rows at any SF — one row per
+    // day), never over events (the q100/q65 small-window class).
+    // Oracled — identical frame semantics in DuckDB.
+    "q173_moving_avg" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("date"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("date")).rowsBetween(-6, 0)
+      daily
+        .select(col("date"), col("n_events"),
+          round(avg(col("n_events")).over(w), 6).as("ma7"))
+        .orderBy(col("date"))
+    }),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -5889,6 +5938,38 @@ object SparkEntry {
     "q169_orc_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
 
+    // conditional aggregation is the pivot's SQL twin
+    "q171_pivot" ->
+      """SELECT lang,
+           sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS src0,
+           sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::BIGINT AS src1,
+           sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)::BIGINT AS src2,
+           sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END)::BIGINT AS src3,
+           sum(CASE WHEN source = 'src4' THEN 1 ELSE 0 END)::BIGINT AS src4
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    // IS NOT DISTINCT FROM vs = on the same nulled key
+    "q172_nullsafe_join" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN NULL ELSE doc_id % 7 END AS k
+           FROM documents)
+         SELECT
+           (SELECT count(*) FROM d a JOIN d b
+            ON a.k IS NOT DISTINCT FROM b.k)::BIGINT AS n_nullsafe,
+           (SELECT count(*) FROM d a JOIN d b ON a.k = b.k)::BIGINT
+             AS n_plain""",
+
+    // identical ROWS-frame semantics
+    "q173_moving_avg" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS date, count(*)::BIGINT AS n_events
+           FROM events GROUP BY CAST(ts AS DATE))
+         SELECT date, n_events,
+                round(avg(n_events) OVER (ORDER BY date
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+         FROM daily ORDER BY date""",
+
     // DuckDB's own nfc_normalize (independent implementation — the
     // q116 parity) under the same rollup
     "q170_sql_surface" ->
@@ -6181,5 +6262,6 @@ object SparkEntry {
     "q162_stream_stream_join", "q163_schema_evolution",
     "q164_curation_pipeline", "q165_hard_negatives",
     "q166_streaming_dedup", "q167_curation_audit", "q168_dlq_counts",
-    "q169_orc_roundtrip", "q170_sql_surface")
+    "q169_orc_roundtrip", "q170_sql_surface", "q171_pivot",
+    "q172_nullsafe_join", "q173_moving_avg")
 }
