@@ -3346,6 +3346,25 @@ object SparkEntry {
         .orderBy(col("date"))
     }),
 
+    // Incremental connected components (the crawl-graph q137
+    // analogue): labels from the old edge set warm-start the
+    // propagation over the grown edge set — append-only growth only
+    // merges components, so carried labels are sound lower bounds.
+    // Fixture: per-decade chains 0-1-2-3, the new edges attach
+    // offset 4. Oracled closed-form; the rounds saving is pinned in
+    // DedupSpec.
+    "q174_incremental_cc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ids = docs.select(col("doc_id").as("id"))
+      def chainPairs(maxOff: Int) = docs
+        .where(pmod(col("doc_id"), lit(10)) < maxOff)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      val oldLabels = Dedup.connectedComponents(ids, chainPairs(3))
+      val (warm, _) = Dedup.connectedComponentsFrom(
+        ids, chainPairs(4), Some(oldLabels))
+      warm.orderBy(col("id"))
+    }),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -5938,6 +5957,14 @@ object SparkEntry {
     "q169_orc_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
 
+    // chains 0..4 per decade collapse to the decade base; 5..9 stay
+    // singletons
+    "q174_incremental_cc" ->
+      """SELECT doc_id AS id,
+                CASE WHEN doc_id % 10 <= 4 THEN doc_id - (doc_id % 10)
+                     ELSE doc_id END AS component
+         FROM documents ORDER BY id""",
+
     // conditional aggregation is the pivot's SQL twin
     "q171_pivot" ->
       """SELECT lang,
@@ -6263,5 +6290,5 @@ object SparkEntry {
     "q164_curation_pipeline", "q165_hard_negatives",
     "q166_streaming_dedup", "q167_curation_audit", "q168_dlq_counts",
     "q169_orc_roundtrip", "q170_sql_surface", "q171_pivot",
-    "q172_nullsafe_join", "q173_moving_avg")
+    "q172_nullsafe_join", "q173_moving_avg", "q174_incremental_cc")
 }

@@ -789,11 +789,42 @@ object Dedup {
     * lineage each round. Non-convergence within `maxIter` THROWS —
     * partial labels would silently split clusters downstream.
     */
-  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsFrom(nodes, pairs, init = None, maxIter)._1
+
+  /** [[connectedComponents]] with a WARM START: `init` is a previous
+    * labeling `(id, component)` carried into the first round, the
+    * incremental-crawl shape (the [[graft.ext.LinkGraph]] warm-PageRank
+    * analogue): when edges are only ever ADDED, components only MERGE,
+    * so a carried label is a valid lower bound and the propagation
+    * starts steps from the fixed point instead of from singletons.
+    * Returns (labels, rounds) — the round count is the evidence the
+    * warm start buys anything. Nodes absent from `init` (new pages)
+    * start at their own id; carried labels whose node vanished fall
+    * back to the node's own id (a DROPPED edge, by contrast, can SPLIT
+    * a component and makes any warm start unsound — rebuild cold).
+    */
+  def connectedComponentsFrom(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      init: Option[DataFrame],
+      maxIter: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("component")).localCheckpoint()
+    var labels = (init match {
+      case None => nodes.select(col("id"), col("id").as("component"))
+      case Some(prev) =>
+        // a warm label must itself be a LIVE node id (pointer jumping
+        // self-joins the label table on labels) — guard both ways
+        val live = nodes.select(col("id").as("__live"))
+        nodes
+          .join(prev.select(col("id"), col("component").as("__c0")), Seq("id"), "left")
+          .join(live, col("__c0") === col("__live"), "left")
+          .select(col("id"),
+            when(col("__live").isNotNull, least(col("__c0"), col("id")))
+              .otherwise(col("id")).as("component"))
+    }).localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -827,7 +858,7 @@ object Dedup {
           "pointer jumping that needs a component of diameter ~2^" +
           s"$maxIter; raise maxIter only after checking the pair edges " +
           "for pathology")
-    labels
+    (labels, iter)
   }
 
   /** Representative selection for duplicate clusters: keep, per

@@ -278,6 +278,30 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     pairs.count() shouldBe 0
   }
 
+  test("connectedComponentsFrom: warm start matches cold and converges in fewer rounds") {
+    import spark.implicits._
+    // one long chain 0-1-...-49 grown by appending edge (49,50): the
+    // cold run pays O(log diameter) rounds; the warm run starts at the
+    // old fixed point and only absorbs the new node
+    val nodes = (0L to 50L).toDF("id")
+    val oldPairs = (0L until 49L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val allPairs = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (oldLabels, _) = Dedup.connectedComponentsFrom(nodes, oldPairs, None)
+    val (cold, coldRounds) = Dedup.connectedComponentsFrom(nodes, allPairs, None)
+    val (warm, warmRounds) =
+      Dedup.connectedComponentsFrom(nodes, allPairs, Some(oldLabels))
+    warm.orderBy("id").collect().map(_.toSeq) shouldBe
+      cold.orderBy("id").collect().map(_.toSeq)
+    warm.select("component").distinct().count() shouldBe 1
+    warmRounds should be < coldRounds
+    // a carried label pointing at a VANISHED node falls back to id
+    val stale = Seq((5L, 999L)).toDF("id", "component")
+    val (fixed, _) = Dedup.connectedComponentsFrom(
+      Seq(5L, 6L).toDF("id"), Seq((5L, 6L)).toDF("id_a", "id_b"), Some(stale))
+    fixed.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq shouldBe Seq((5L, 5L), (6L, 5L))
+  }
+
   test("keepBestPerCluster keeps the argmax-score row per component, id tie-break") {
     import spark.implicits._
     val docs = Seq(
