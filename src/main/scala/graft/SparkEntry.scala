@@ -192,6 +192,30 @@ object SparkEntry {
       feed
     })
 
+  /** The q164/q175 curated survivor set: exact dedup keep-first →
+    * quality ≥ 0.5 → Kneser–Ney perplexity ≤ survivor median. Sub-2-
+    * token docs have no transitions, hence no perplexity: the inner
+    * join drops them (a doc the LM can't score fails the LM gate) —
+    * the oracle mirrors with the same JOIN. Returns
+    * (doc_id, lang, text).
+    */
+  private def curatedSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val kn = TextAnalysis.knBigramXent(docs, "doc_id", "text")
+      .select(col("doc_id"), col("kn_ppl"))
+    val gated = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("text"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("__q"))
+      .where(col("__q") >= 0.5)
+      .join(kn, Seq("doc_id"))
+      .localCheckpoint() // feeds the median AND the final filter
+    val med = broadcast(
+      gated.agg(percentile(col("kn_ppl"), lit(0.5)).as("__med")))
+    gated.crossJoin(med)
+      .where(col("kn_ppl") <= col("__med"))
+      .select(col("doc_id"), col("lang"), col("text"))
+  }
+
   /** The q31/q45 LSH hyperplanes as DuckDB DOUBLE[] literals: the same
     * deterministic doubles [[SimilaritySearch.hyperplanes]] embeds in
     * the Spark plan, so the q45 oracle reproduces the sign-bucketing
@@ -3106,30 +3130,14 @@ object SparkEntry {
     // per-language doc/token/pack rollup. Every stage is individually
     // oracled (q17/q21/q142/q40's percentile parity); the composed
     // hash depends on each stage keeping exactly the right set.
-    "q164_curation_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val kn = TextAnalysis.knBigramXent(docs, "doc_id", "text")
-        .select(col("doc_id"), col("kn_ppl"))
-      val gated = Dedup.exact(docs, Seq("text"), "doc_id")
-        .select(col("doc_id"), col("lang"), col("text"),
-          round(TextAnalysis.qualityScore(col("text")), 6).as("__q"))
-        .where(col("__q") >= 0.5)
-        // sub-2-token docs have no transitions, hence no perplexity:
-        // the inner join drops them (a doc the LM can't score fails
-        // the LM gate) — the oracle mirrors with the same JOIN
-        .join(kn, Seq("doc_id"))
-        .localCheckpoint() // feeds the median AND the final filter
-      val med = broadcast(
-        gated.agg(percentile(col("kn_ppl"), lit(0.5)).as("__med")))
-      gated.crossJoin(med)
-        .where(col("kn_ppl") <= col("__med"))
+    "q164_curation_pipeline" -> ((s, dir) =>
+      curatedSurvivors(s, dir)
         .select(col("lang"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("__t"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"),
           sum(ceil(col("__t").cast("double") / 512)).as("n_packs"))
-        .orderBy(col("lang"))
-    }),
+        .orderBy(col("lang"))),
 
     // Hard-negative mining for contrastive training: for each of 10
     // query vectors, the 3 most-similar candidates with a DIFFERENT
@@ -3363,6 +3371,26 @@ object SparkEntry {
       val (warm, _) = Dedup.connectedComponentsFrom(
         ids, chainPairs(4), Some(oldLabels))
       warm.orderBy(col("id"))
+    }),
+
+    // Export capstone ("ship it"): the curated survivor set laid out
+    // as training shards — md5-order concat-and-chunk packing (q65's
+    // distributed prefix sum) into 512-token packs, 16 packs per
+    // shard; per-shard doc/token/pack-range stats. Oracled END-TO-END:
+    // the q164 survivor chain + the q65 packing CTE + the rollup, all
+    // in one DuckDB query.
+    "q175_export_shards" -> ((s, dir) => {
+      val kept = curatedSurvivors(s, dir)
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long"))
+      Sampling.packSequences(kept, "doc_id", "n_tokens", 512L)
+        .withColumn("shard", floor(col("pack_id") / 16).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("pack_id")).as("first_pack"),
+          max(col("pack_id")).as("last_pack"))
+        .orderBy(col("shard"))
     }),
 
     // Version-to-version CDC on the manifest table: v1 = docs with a
@@ -5957,6 +5985,80 @@ object SparkEntry {
     "q169_orc_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
 
+    // q164's survivor chain + q65's prefix-sum packing + the shard
+    // rollup in one query
+    "q175_export_shards" ->
+      """WITH dd AS (
+           SELECT doc_id, lang, text FROM (
+             SELECT doc_id, lang, text,
+                    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1),
+         qx AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+             length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE
+               / length(text)::DOUBLE AS punct_ratio
+           FROM dd),
+         qy AS (
+           SELECT doc_id,
+             len(toks)::DOUBLE AS ntok,
+             len(list_filter(ltoks, t -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], t)))::DOUBLE
+               / len(toks)::DOUBLE AS sw_ratio,
+             list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+               / len(toks)::DOUBLE AS avg_len,
+             punct_ratio
+           FROM qx),
+         q AS (SELECT doc_id, round(
+                 least(ntok / 64.0, 1.0) * 0.3
+               + least(sw_ratio * 4.0, 1.0) * 0.3
+               + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2
+               + greatest(1.0 - abs(avg_len - 5.0) / 10.0, 0.0) * 0.2, 6)
+                 AS quality
+               FROM qy),
+         kx AS (
+           SELECT doc_id, regexp_split_to_array(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+             ' ') AS w
+           FROM documents),
+         kd AS (SELECT * FROM kx WHERE len(w) >= 2),
+         kb AS (SELECT doc_id, w[g.i] AS prev, w[g.i + 1] AS cur
+               FROM kd, unnest(generate_series(1, len(w) - 1)) AS g(i)),
+         kbc AS (SELECT prev, cur, count(*) AS cb FROM kb GROUP BY prev, cur),
+         kctx AS (SELECT prev, sum(cb) AS ctot, count(*) AS nfollow
+                 FROM kbc GROUP BY prev),
+         kcont AS (SELECT cur, count(*) AS nprec FROM kbc GROUP BY cur),
+         ktt AS (SELECT count(*) AS t FROM kbc),
+         ks AS (SELECT doc_id,
+                 greatest(cb - 0.75, 0) / ctot
+                   + (0.75 * nfollow / ctot) * (nprec::DOUBLE / t) AS p
+               FROM kb JOIN kbc USING (prev, cur) JOIN kctx USING (prev)
+                    JOIN kcont USING (cur) CROSS JOIN ktt),
+         kn AS (SELECT doc_id, round(exp(-avg(ln(p))), 6) AS kn_ppl
+               FROM ks GROUP BY doc_id),
+         surv0 AS (SELECT dd.doc_id, dd.lang, dd.text, kn.kn_ppl
+                  FROM dd JOIN q USING (doc_id) JOIN kn USING (doc_id)
+                  WHERE q.quality >= 0.5),
+         med AS (SELECT quantile_cont(kn_ppl, 0.5) AS m FROM surv0),
+         surv AS (SELECT s2.doc_id, s2.text FROM surv0 s2, med
+                  WHERE s2.kn_ppl <= med.m),
+         px AS (SELECT doc_id,
+                  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT
+                    AS n_tokens,
+                  md5(doc_id::VARCHAR) AS k2
+                FROM surv),
+         pr AS (SELECT doc_id, n_tokens,
+                  coalesce(sum(n_tokens) OVER (ORDER BY k2, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0)::BIGINT AS sofar
+                FROM px)
+         SELECT (sofar // 512 // 16)::BIGINT AS shard,
+                count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+                min(sofar // 512)::BIGINT AS first_pack,
+                max(sofar // 512)::BIGINT AS last_pack
+         FROM pr GROUP BY (sofar // 512 // 16) ORDER BY shard""",
+
     // chains 0..4 per decade collapse to the decade base; 5..9 stay
     // singletons
     "q174_incremental_cc" ->
@@ -6290,5 +6392,6 @@ object SparkEntry {
     "q164_curation_pipeline", "q165_hard_negatives",
     "q166_streaming_dedup", "q167_curation_audit", "q168_dlq_counts",
     "q169_orc_roundtrip", "q170_sql_surface", "q171_pivot",
-    "q172_nullsafe_join", "q173_moving_avg", "q174_incremental_cc")
+    "q172_nullsafe_join", "q173_moving_avg", "q174_incremental_cc",
+    "q175_export_shards")
 }
