@@ -3393,6 +3393,23 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    // Drift detection (PSI): reference = even docs' quality scores,
+    // current = odd docs' scores SHIFTED by a planted +0.08 on every
+    // fourth doc (a visible-but-moderate drift), binned by the
+    // reference deciles. Fully oracled — cuts, bins, smoothing, and
+    // terms re-derived in DuckDB.
+    "q176_drift_psi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = round(TextAnalysis.qualityScore(col("text")), 6)
+      val ref = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(q.as("m"))
+      val cur = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .select(round(q + when(pmod(col("doc_id"), lit(4)) === 1, 0.08)
+          .otherwise(0.0), 6).as("m"))
+      graft.ext.DataProfile.psi(ref, cur, col("m"), bins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -5985,6 +6002,72 @@ object SparkEntry {
     "q169_orc_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
 
+    // reference-decile cuts (quantile_cont parity), CASE binning,
+    // Laplace smoothing, rounded terms
+    "q176_drift_psi" ->
+      """WITH qv AS (
+           SELECT doc_id,
+             round(
+               least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE
+                 / 64.0, 1.0) * 0.3
+             + least(len(list_filter(
+                 regexp_split_to_array(trim(lower(text)), '\s+'),
+                 t -> list_contains(
+                   ['the','a','of','and','to','in','is','it','that','for'], t)))::DOUBLE
+                 / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE
+                 * 4.0, 1.0) * 0.3
+             + greatest(1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE
+                 / length(text)::DOUBLE * 4.0, 0.0) * 0.2
+             + greatest(1.0 - abs(list_sum(list_transform(
+                 regexp_split_to_array(trim(text), '\s+'), t -> length(t)))::DOUBLE
+                 / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE - 5.0)
+                 / 10.0, 0.0) * 0.2, 6) AS q
+           FROM documents),
+         ref AS (SELECT q AS m FROM qv WHERE doc_id % 2 = 0),
+         cur AS (SELECT round(q + CASE WHEN doc_id % 4 = 1 THEN 0.08
+                                       ELSE 0.0 END, 6) AS m
+                 FROM qv WHERE doc_id % 2 = 1),
+         cuts AS (SELECT
+             round(quantile_cont(m, 0.1), 6) AS c1,
+             round(quantile_cont(m, 0.2), 6) AS c2,
+             round(quantile_cont(m, 0.3), 6) AS c3,
+             round(quantile_cont(m, 0.4), 6) AS c4,
+             round(quantile_cont(m, 0.5), 6) AS c5,
+             round(quantile_cont(m, 0.6), 6) AS c6,
+             round(quantile_cont(m, 0.7), 6) AS c7,
+             round(quantile_cont(m, 0.8), 6) AS c8,
+             round(quantile_cont(m, 0.9), 6) AS c9
+           FROM ref),
+         rb AS (SELECT
+             (CASE WHEN m > c1 THEN 1 ELSE 0 END) + (CASE WHEN m > c2 THEN 1 ELSE 0 END)
+           + (CASE WHEN m > c3 THEN 1 ELSE 0 END) + (CASE WHEN m > c4 THEN 1 ELSE 0 END)
+           + (CASE WHEN m > c5 THEN 1 ELSE 0 END) + (CASE WHEN m > c6 THEN 1 ELSE 0 END)
+           + (CASE WHEN m > c7 THEN 1 ELSE 0 END) + (CASE WHEN m > c8 THEN 1 ELSE 0 END)
+           + (CASE WHEN m > c9 THEN 1 ELSE 0 END) AS bin
+           FROM ref, cuts),
+         cb AS (SELECT
+             (CASE WHEN m > c1 THEN 1 ELSE 0 END) + (CASE WHEN m > c2 THEN 1 ELSE 0 END)
+           + (CASE WHEN m > c3 THEN 1 ELSE 0 END) + (CASE WHEN m > c4 THEN 1 ELSE 0 END)
+           + (CASE WHEN m > c5 THEN 1 ELSE 0 END) + (CASE WHEN m > c6 THEN 1 ELSE 0 END)
+           + (CASE WHEN m > c7 THEN 1 ELSE 0 END) + (CASE WHEN m > c8 THEN 1 ELSE 0 END)
+           + (CASE WHEN m > c9 THEN 1 ELSE 0 END) AS bin
+           FROM cur, cuts),
+         rc AS (SELECT bin, count(*) AS n_ref FROM rb GROUP BY bin),
+         cc AS (SELECT bin, count(*) AS n_cur FROM cb GROUP BY bin),
+         b AS (SELECT g.b AS bin,
+                      coalesce(rc.n_ref, 0) AS n_ref,
+                      coalesce(cc.n_cur, 0) AS n_cur
+               FROM unnest(generate_series(0, 9)) AS g(b)
+               LEFT JOIN rc ON rc.bin = g.b LEFT JOIN cc ON cc.bin = g.b),
+         tt AS (SELECT sum(n_ref)::DOUBLE AS nr, sum(n_cur)::DOUBLE AS nc
+                FROM b)
+         SELECT bin::INT AS bin, n_ref::BIGINT AS n_ref,
+                n_cur::BIGINT AS n_cur,
+                round(((n_cur + 0.5) / (nc + 5.0) - (n_ref + 0.5) / (nr + 5.0))
+                  * ln(((n_cur + 0.5) / (nc + 5.0))
+                       / ((n_ref + 0.5) / (nr + 5.0))), 6) AS psi_term
+         FROM b, tt ORDER BY bin""",
+
     // q164's survivor chain + q65's prefix-sum packing + the shard
     // rollup in one query
     "q175_export_shards" ->
@@ -6393,5 +6476,5 @@ object SparkEntry {
     "q166_streaming_dedup", "q167_curation_audit", "q168_dlq_counts",
     "q169_orc_roundtrip", "q170_sql_surface", "q171_pivot",
     "q172_nullsafe_join", "q173_moving_avg", "q174_incremental_cc",
-    "q175_export_shards")
+    "q175_export_shards", "q176_drift_psi")
 }
