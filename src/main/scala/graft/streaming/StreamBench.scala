@@ -214,6 +214,41 @@ object StreamBench {
     replay(spark, "stream_bounded_state", s"$base/t-starts/__slice=*", s"$base/t-ends/__slice=*",
       s"$base/run2", filesPerTrigger = 1, timeoutMs = 600000L, nTrips, cpus)
 
+    // ---- Run 3: interval-join bounded state — the DECLARATIVE
+    // correlation ([[TripStreamJob.startStreamJoin]], q162's operator)
+    // over the SAME time-sliced feed: the state horizon is derived by
+    // the engine from watermark + join window (no keyed-state code),
+    // so the symmetric-hash-join state should show the same
+    // bounded-by-horizon profile as run 2's explicit fMGWS state.
+    val m3 = new Metrics
+    spark.streams.addListener(m3)
+    def lines3(dir: String) = spark.readStream
+      .option("maxFilesPerTrigger", "1").text(dir)
+    val wall3 = System.nanoTime()
+    val q3 = TripStreamJob.startStreamJoin(
+      spark,
+      startLines = lines3(s"$base/t-starts/__slice=*"),
+      endLines = lines3(s"$base/t-ends/__slice=*"),
+      outPath = s"$base/run3/joined",
+      checkpointDir = s"$base/run3/ckpt",
+      trigger = Trigger.AvailableNow(),
+      watermarkDelay = "10 minutes",
+      joinWindow = "10 minutes")
+    q3.awaitTermination()
+    val secs3 = (System.nanoTime() - wall3) / 1e9
+    var waited3 = 0
+    while (m3.inputRows < 2L * nTrips && waited3 < 100) {
+      Thread.sleep(100); waited3 += 1
+    }
+    spark.streams.removeListener(m3)
+    val matched = spark.read.parquet(s"$base/run3/joined").count()
+    println(
+      s"""{"metric":"stream_join_bounded_state","value":${(m3.inputRows / secs3).round},""" +
+        s""""unit":"rows/sec","rows":${m3.inputRows},"wall_sec":$secs3,""" +
+        s""""batches":${m3.batches},"peak_state_rows":${m3.peakState},""" +
+        s""""evicted_rows":${m3.removed},"matched":$matched,""" +
+        s""""n_trips":$nTrips,"cpus":$cpus}""")
+
     spark.stop()
   }
 }
