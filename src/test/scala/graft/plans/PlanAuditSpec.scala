@@ -309,6 +309,29 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q157 binary ANN packs in the scan projection; no sort-merge anywhere") {
+    // the sign-bit packing is 64 inline compares in the projection (no
+    // Generate row blowup), and every join is a k-row broadcast
+    val p = SparkEntry.queries("q157_binary_ann")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p should not include "Generate"
+    p should not include "SortMergeJoin"
+  }
+
+  test("q165 hard negatives broadcast the query set; the corpus scans once") {
+    val p = SparkEntry.queries("q165_hard_negatives")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p should include("BroadcastNestedLoopJoin") // 10-row query side rides along
+    p should not include "SortMergeJoin"
+  }
+
+  test("q176 PSI joins stay broadcast; binning is a projection over the cuts row") {
+    val p = SparkEntry.queries("q176_drift_psi")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p should not include "SortMergeJoin"
+    p should not include "Generate"
+  }
+
   test("q11 rank filter triggers Spark's partial WindowGroupLimit") {
     // Top-k-per-key via window + rank<=k filter is only scale-safe
     // because Catalyst inserts a MAP-SIDE group limit before the
