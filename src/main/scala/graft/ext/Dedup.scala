@@ -789,6 +789,37 @@ object Dedup {
     * lineage each round. Non-convergence within `maxIter` THROWS —
     * partial labels would silently split clusters downstream.
     */
+  /** Banding-parameter auto-tuner: the (bands, rowsPerBand) split of
+    * `numHashes` MinHash values whose S-curve
+    * `P(candidate | jaccard = s) = 1 − (1 − s^r)^b` best separates at
+    * threshold `tau` — minimizing the sum of the false-positive area
+    * below tau and the false-negative area above it on a fixed
+    * midpoint grid (deterministic; ties break to the smaller band
+    * count). High thresholds want long bands (steep late curve), low
+    * thresholds many short bands; the standard rule-of-thumb
+    * `tau ≈ (1/b)^(1/r)` falls out of the optimum, spec-pinned.
+    * Driver-side closed-form search over the divisors of `numHashes`
+    * — call it once, feed the result to the banded-LSH operators.
+    */
+  def lshParamsFor(numHashes: Int, tau: Double, steps: Int = 1000): (Int, Int) = {
+    require(numHashes >= 2, s"numHashes must be >= 2, got $numHashes")
+    require(tau > 0 && tau < 1, s"tau must be in (0,1), got $tau")
+    val candidates = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(r => (numHashes / r, r)) // (bands, rowsPerBand)
+    candidates.minBy { case (b, r) =>
+      var err = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        err += (if (s < tau) p else 1.0 - p)
+        i += 1
+      }
+      err
+    }
+  }
+
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame =
     connectedComponentsFrom(nodes, pairs, init = None, maxIter)._1
 

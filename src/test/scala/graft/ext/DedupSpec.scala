@@ -278,6 +278,27 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     pairs.count() shouldBe 0
   }
 
+  test("lshParamsFor: optimum tracks the threshold; rule-of-thumb holds") {
+    // higher threshold -> longer bands (steeper, later S-curve)
+    val (bLo, rLo) = Dedup.lshParamsFor(128, tau = 0.3)
+    val (bHi, rHi) = Dedup.lshParamsFor(128, tau = 0.9)
+    rHi should be > rLo
+    bLo should be > bHi
+    bLo * rLo shouldBe 128
+    bHi * rHi shouldBe 128
+    // the chosen split's implied threshold (1/b)^(1/r) lands near tau
+    def implied(b: Int, r: Int) = math.pow(1.0 / b, 1.0 / r)
+    math.abs(implied(bLo, rLo) - 0.3) should be < 0.15
+    math.abs(implied(bHi, rHi) - 0.9) should be < 0.1
+    // the q28/q48 production split (16 bands x 8 rows, implied
+    // threshold (1/16)^(1/8) ≈ 0.707) is the tuner's optimum at ~0.7;
+    // at the operators' tau = 0.8 the tuner prefers (8, 16) — i.e.
+    // the production split deliberately leans RECALL (candidates at
+    // 0.7+ still surface; the exact verify pass discards them)
+    Dedup.lshParamsFor(128, tau = 0.7) shouldBe ((16, 8))
+    Dedup.lshParamsFor(128, tau = 0.8) shouldBe ((8, 16))
+  }
+
   test("connectedComponentsFrom: warm start matches cold and converges in fewer rounds") {
     import spark.implicits._
     // one long chain 0-1-...-49 grown by appending edge (49,50): the
