@@ -133,6 +133,23 @@ class ManifestTableSpec extends AnyFunSuite with Matchers with SparkTestBase {
     merged.toSeq shouldBe Seq((1L, "a", -1L), (2L, "b", 9L))
   }
 
+  test("RACING committers serialize: dense versions, no lost rows") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = tmp()
+    // 8 threads commit concurrently; the rename CAS must serialize
+    // them onto versions 1..8 with every batch surviving exactly once
+    val futures = (1 to 8).map(i => Future {
+      ManifestTable.append(Seq(i.toLong).toDF("id"), path)
+    })
+    val versions = Await.result(Future.sequence(futures), 120.seconds)
+    versions.sorted shouldBe (1 to 8)
+    ManifestTable.versions(spark, path) shouldBe (1 to 8)
+    ids(ManifestTable.readLatest(spark, path)) shouldBe (1L to 8L)
+  }
+
   test("interleaved committers serialize onto distinct versions") {
     import spark.implicits._
     val path = tmp()
