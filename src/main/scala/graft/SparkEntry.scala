@@ -3447,6 +3447,29 @@ object SparkEntry {
         .orderBy(col("policy"))
     }),
 
+    // Authority-weighted crawl budgets: q109's converged PageRank
+    // turned into per-host fetch quotas (10,000-fetch budget split by
+    // rank share) — the allocation pass between ranking (q109) and
+    // scheduling (q119). Fully oracled through the shared unrolled-
+    // PageRank generator, so the iteration math has ONE spelling.
+    "q178_crawl_quota" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val edges = docs.select(
+        (col("doc_id") % 20).as("src"),
+        ((col("doc_id") * 7 + 3) % 25).as("dst"))
+      val ranks = graft.ext.LinkGraph
+        .pageRankRun(edges, "src", "dst", damping = 0.85, iterations = 10)
+        .ranks
+        .select(col("node"), round(col("rank"), 6).as("pagerank"))
+        .localCheckpoint() // total + quota both read it
+      val tot = broadcast(ranks.agg(sum(col("pagerank")).as("__z")))
+      ranks.crossJoin(tot)
+        .select(col("node"), col("pagerank"),
+          round(lit(10000) * col("pagerank") / col("__z"), 0)
+            .cast("long").as("fetch_quota"))
+        .orderBy(col("node"))
+    }),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -3651,7 +3674,19 @@ object SparkEntry {
     * addition pushed DuckDB past its open-file budget exactly this
     * way).
     */
-  private def unrolledPageRankSql(ewBodySql: String): String = {
+  private def unrolledPageRankSql(ewBodySql: String): String =
+    unrolledPageRankCtes(ewBodySql) +
+      """,
+           res AS (SELECT sum(abs(a.r - b.r)) AS rr
+                   FROM pr10 a JOIN pr9 b ON a.v = b.v)
+           SELECT v AS node, round(r, 6) AS pagerank,
+                  round(res.rr, 6) AS l1_residual
+           FROM pr10, res ORDER BY node"""
+
+  /** The WITH-chain through `pr10` alone, for oracles that consume
+    * the converged ranks differently (q178's quota allocation).
+    */
+  private def unrolledPageRankCtes(ewBodySql: String): String = {
     val base =
       s"""WITH ew AS ($ewBodySql),
            nodes AS (SELECT DISTINCT v
@@ -3675,13 +3710,7 @@ object SparkEntry {
                              + 0.85 * (coalesce(c$i.c, 0) + dm$i.m / nn.n) AS r
                     FROM nodes LEFT JOIN c$i ON nodes.v = c$i.v, nn, dm$i)"""
     }.mkString
-    base + iters +
-      """,
-           res AS (SELECT sum(abs(a.r - b.r)) AS rr
-                   FROM pr10 a JOIN pr9 b ON a.v = b.v)
-           SELECT v AS node, round(r, 6) AS pagerank,
-                  round(res.rr, 6) AS l1_residual
-           FROM pr10, res ORDER BY node"""
+    base + iters
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -6039,6 +6068,19 @@ object SparkEntry {
     "q169_orc_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
 
+    // the shared unrolled chain; quota from the ROUNDED ranks so the
+    // share division is bit-identical
+    "q178_crawl_quota" -> (unrolledPageRankCtes(
+      """SELECT doc_id % 20 AS src, (doc_id * 7 + 3) % 25 AS dst,
+                count(*)::DOUBLE AS w
+         FROM documents WHERE text IS NOT NULL GROUP BY 1, 2""") +
+      """,
+           ranks AS (SELECT v AS node, round(r, 6) AS pagerank FROM pr10),
+           tot AS (SELECT sum(pagerank) AS z FROM ranks)
+           SELECT node, pagerank,
+                  round(10000 * pagerank / z, 0)::BIGINT AS fetch_quota
+           FROM ranks, tot ORDER BY node"""),
+
     // both orders re-derived; final batch may be short (count * max)
     "q177_length_batching" ->
       """WITH d AS (
@@ -6540,5 +6582,6 @@ object SparkEntry {
     "q166_streaming_dedup", "q167_curation_audit", "q168_dlq_counts",
     "q169_orc_roundtrip", "q170_sql_surface", "q171_pivot",
     "q172_nullsafe_join", "q173_moving_avg", "q174_incremental_cc",
-    "q175_export_shards", "q176_drift_psi", "q177_length_batching")
+    "q175_export_shards", "q176_drift_psi", "q177_length_batching",
+    "q178_crawl_quota")
 }
