@@ -96,15 +96,37 @@ object ManifestTable {
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val target = new Path(mdir, f"v$next%05d.manifest")
-      // rename onto an existing name fails -> a concurrent writer won
-      // this version; re-read the head and try the next number
-      if (!f.exists(target) && f.rename(tmp, target)) return next
+      // atomic publish-if-absent: a concurrent writer winning this
+      // version makes the publish FAIL -> re-read the head, retry
+      val won = publishIfAbsent(f, tmp, target)
       f.delete(tmp, false): Unit
+      if (won) return next
       attempt += 1
     }
     throw new IllegalStateException(
       s"could not commit to $path after 20 attempts (livelock?)")
   }
+
+  /** Make `target` exist with `tmp`'s contents IFF it does not exist,
+    * atomically. On local filesystems Hadoop's `rename` is POSIX
+    * `renameTo`, which silently OVERWRITES an existing destination —
+    * an exists()-then-rename CAS loses a racing commit (caught by
+    * ManifestTableSpec's racing-committers test). `Files.createLink`
+    * is `link(2)`: it fails with EEXIST atomically, which is exactly
+    * the needed primitive. On HDFS-like filesystems rename-without-
+    * overwrite is itself atomic, so the rename path is correct there.
+    */
+  private def publishIfAbsent(
+      f: org.apache.hadoop.fs.FileSystem, tmp: Path, target: Path): Boolean =
+    if (f.getScheme == "file") {
+      def local(p: Path) = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(local(target), local(tmp))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else !f.exists(target) && f.rename(tmp, target)
 
   /** Commit `df` as a new version containing the parent version's data
     * plus this batch. Returns the committed version number.
