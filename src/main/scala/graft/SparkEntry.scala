@@ -3470,6 +3470,53 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Table-as-a-stream: the manifest table consumed INCREMENTALLY by
+    // Spark's native file source (readStream over data/*) — run 1
+    // drains v1, a second append lands, run 2 on the SAME checkpoint
+    // picks up ONLY the new files (the file source's seen-set is the
+    // increment tracker; readAppended q158 is the manifest-exact
+    // batch twin). Each run tags its rows, so which-run-consumed-what
+    // is ON the oracled row. Oracled closed-form.
+    "q179_table_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val base = java.nio.file.Files.createTempDirectory("graft-q179").toString
+      try {
+        val table = s"$base/table"
+        val outDir = s"$base/out"
+        def drain(phase: Int): Unit = {
+          val q = s.readStream.schema(docs.schema)
+            .parquet(s"$table/data/*")
+            .writeStream
+            .option("checkpointLocation", s"$base/ckpt") // SHARED across runs
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              if (!b.isEmpty)
+                b.withColumn("phase", lit(phase))
+                  .write.mode("append").parquet(outDir)
+            }
+            .start()
+          if (!q.awaitTermination(600000L)) {
+            q.stop()
+            throw new IllegalStateException(
+              s"q179 phase $phase did not terminate within 600s")
+          }
+        }
+        graft.sink.ManifestTable.append(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0), table)
+        drain(1)
+        graft.sink.ManifestTable.append(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1), table)
+        drain(2)
+        s.read.parquet(outDir)
+          .orderBy(col("doc_id"))
+          .localCheckpoint() // materialize before the temp dirs vanish
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
+    }),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -6068,6 +6115,12 @@ object SparkEntry {
     "q169_orc_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
 
+    // each half consumed by exactly one run
+    "q179_table_stream" ->
+      """SELECT doc_id, lang,
+                CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS phase
+         FROM documents ORDER BY doc_id""",
+
     // the shared unrolled chain; quota from the ROUNDED ranks so the
     // share division is bit-identical
     "q178_crawl_quota" -> (unrolledPageRankCtes(
@@ -6583,5 +6636,5 @@ object SparkEntry {
     "q169_orc_roundtrip", "q170_sql_surface", "q171_pivot",
     "q172_nullsafe_join", "q173_moving_avg", "q174_incremental_cc",
     "q175_export_shards", "q176_drift_psi", "q177_length_batching",
-    "q178_crawl_quota")
+    "q178_crawl_quota", "q179_table_stream")
 }
