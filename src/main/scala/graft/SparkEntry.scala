@@ -3517,6 +3517,46 @@ object SparkEntry {
       }
     }),
 
+    // Ranked-retrieval evaluation (nDCG@10): 10 query docs, candidates
+    // ranked by closest document length, graded relevance from
+    // (lang, source) agreement — DCG against the per-query IDEAL
+    // ordering over ALL candidates, not just the retrieved ten. The
+    // metric row retrieval changes are judged by. Fully oracled.
+    "q180_ndcg" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val queries = broadcast(docs.where(col("doc_id") < 10).select(
+        col("doc_id").as("query_id"), col("lang").as("__ql"),
+        col("source").as("__qs"), col("n_chars").as("__qn")))
+      val cand = docs.crossJoin(queries)
+        .where(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          abs(col("n_chars") - col("__qn")).as("__dist"),
+          when(col("lang") === col("__ql") && col("source") === col("__qs"), 3)
+            .when(col("lang") === col("__ql"), 1).otherwise(0).as("__rel"))
+        .localCheckpoint() // retrieved AND ideal rankings both read it
+      def gain(rankCol: org.apache.spark.sql.Column) =
+        (pow(lit(2.0), col("__rel")) - 1.0) / log2(rankCol + 1.0)
+      val wR = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("__dist"), col("doc_id"))
+      val wI = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("__rel").desc, col("doc_id"))
+      val dcg = cand.withColumn("__r", row_number().over(wR))
+        .where(col("__r") <= 10)
+        .groupBy(col("query_id"))
+        .agg(sum(gain(col("__r"))).as("__dcg"))
+      val idcg = cand.withColumn("__r", row_number().over(wI))
+        .where(col("__r") <= 10)
+        .groupBy(col("query_id"))
+        .agg(sum(gain(col("__r"))).as("__idcg"))
+      dcg.join(idcg, Seq("query_id"))
+        .select(col("query_id"), round(col("__dcg"), 6).as("dcg"),
+          round(col("__idcg"), 6).as("idcg"),
+          round(col("__dcg") / col("__idcg"), 6).as("ndcg"))
+        .orderBy(col("query_id"))
+    }),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -6115,6 +6155,34 @@ object SparkEntry {
     "q169_orc_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
 
+    // same rankings (dist asc / rel desc, doc_id ties), same gains
+    "q180_ndcg" ->
+      """WITH q AS (SELECT doc_id AS query_id, lang AS ql, source AS qs,
+                           n_chars AS qn
+                    FROM documents WHERE doc_id < 10),
+         cand AS (SELECT q.query_id, d.doc_id,
+                    abs(d.n_chars - q.qn) AS dist,
+                    CASE WHEN d.lang = q.ql AND d.source = q.qs THEN 3
+                         WHEN d.lang = q.ql THEN 1 ELSE 0 END AS rel
+                  FROM documents d, q WHERE d.doc_id <> q.query_id),
+         rr AS (SELECT query_id, rel,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dist, doc_id) AS r
+                FROM cand),
+         ii AS (SELECT query_id, rel,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, doc_id) AS r
+                FROM cand),
+         dcg AS (SELECT query_id,
+                   sum((pow(2.0, rel) - 1) / log2(r + 1.0)) AS g
+                 FROM rr WHERE r <= 10 GROUP BY query_id),
+         idcg AS (SELECT query_id,
+                    sum((pow(2.0, rel) - 1) / log2(r + 1.0)) AS g
+                  FROM ii WHERE r <= 10 GROUP BY query_id)
+         SELECT d.query_id, round(d.g, 6) AS dcg, round(i.g, 6) AS idcg,
+                round(d.g / i.g, 6) AS ndcg
+         FROM dcg d JOIN idcg i USING (query_id) ORDER BY query_id""",
+
     // each half consumed by exactly one run
     "q179_table_stream" ->
       """SELECT doc_id, lang,
@@ -6636,5 +6704,5 @@ object SparkEntry {
     "q169_orc_roundtrip", "q170_sql_surface", "q171_pivot",
     "q172_nullsafe_join", "q173_moving_avg", "q174_incremental_cc",
     "q175_export_shards", "q176_drift_psi", "q177_length_batching",
-    "q178_crawl_quota", "q179_table_stream")
+    "q178_crawl_quota", "q179_table_stream", "q180_ndcg")
 }
