@@ -5899,9 +5899,9 @@ object SparkEntry {
            FROM documents GROUP BY lang),
          t AS (SELECT sum(n_tokens)::DOUBLE AS nn FROM g),
          s AS (SELECT lang, n_tokens, n_tokens / nn AS p,
-                      pow(n_tokens / nn, 0.5) AS pt
+                      round(sqrt(n_tokens / nn), 12) AS pt
                FROM g CROSS JOIN t),
-         z AS (SELECT sum(pt) AS zz FROM s)
+         z AS (SELECT sum(pt::DECIMAL(38,18))::DOUBLE AS zz FROM s)
          SELECT lang, n_tokens,
                 round(p, 6) AS nat_share,
                 round(pt / zz, 6) AS temp_share,

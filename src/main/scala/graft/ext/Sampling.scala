@@ -283,10 +283,22 @@ object Sampling {
       .agg(sum(weight.cast("long")).as("n_tokens"))
       .localCheckpoint() // tiny; feeds both normalizers + the output
     val total = broadcast(groups.agg(sum(col("n_tokens")).as("__N")))
+    // IEEE 754 guarantees sqrt is correctly rounded while pow is not
+    // (engines' pow implementations legitimately differ by ULPs), so
+    // the common T = 2 case takes the reproducible spelling. The
+    // smoothed weight is then pinned to 12 decimals and the normalizer
+    // summed exactly in decimal(38,18): Z becomes independent of both
+    // summation order and libm, so downstream shares are bit-identical
+    // on any engine/partitioning.
+    val exponent = 1.0 / temperature
+    val ptRaw =
+      if (exponent == 0.5) sqrt(col("__p"))
+      else pow(col("__p"), lit(exponent))
     val shared = groups.crossJoin(total)
       .withColumn("__p", col("n_tokens").cast("double") / col("__N"))
-      .withColumn("__pt", pow(col("__p"), lit(1.0 / temperature)))
-    val z = broadcast(shared.agg(sum(col("__pt")).as("__Z")))
+      .withColumn("__pt", round(ptRaw, 12))
+    val z = broadcast(shared.agg(
+      sum(col("__pt").cast("decimal(38,18)")).cast("double").as("__Z")))
     shared.crossJoin(z)
       .select(col(groupCol), col("n_tokens"),
         col("__p").as("nat_share"),
