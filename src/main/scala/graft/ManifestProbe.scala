@@ -49,7 +49,9 @@ object ManifestProbe {
       println(f"read  $commits-dir head: ${tFrag}%.2f s (warm ${tFrag2}%.2f s)")
       println(f"compact: ${tCompact}%.2f s; read 1-dir head: ${tOne}%.2f s " +
         f"(warm ${tOne2}%.2f s)")
-      val deleted = graft.sink.ManifestTable.vacuum(spark, base, keepVersions = 1)
+      // graceMs=0: single-writer probe, no commit can be in flight
+      val deleted = graft.sink.ManifestTable
+        .vacuum(spark, base, keepVersions = 1, graceMs = 0L)
       println(s"vacuum: ${deleted.length} data dirs reclaimed")
     } finally {
       def rm(f: java.io.File): Unit = {

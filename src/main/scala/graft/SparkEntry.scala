@@ -3031,7 +3031,9 @@ object SparkEntry {
         graft.sink.ManifestTable.append(
           docs.where(pmod(col("doc_id"), lit(2)) === 1), base)
         graft.sink.ManifestTable.compact(s, base)
-        graft.sink.ManifestTable.vacuum(s, base, keepVersions = 1)
+        // graceMs=0: this table is private to the query — no writer
+        // can be in flight, so immediate reclaim is safe here
+        graft.sink.ManifestTable.vacuum(s, base, keepVersions = 1, graceMs = 0L)
         val nVersions = graft.sink.ManifestTable.versions(s, base).size
         val fsys = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -94,7 +94,8 @@ object Cdc {
 
   /** CDC chunks of a string column's UTF-8 bytes: one row per chunk.
     * Empty/null text emits no rows (a document with no bytes has no
-    * chunks — join back on id to see absences).
+    * chunks — join back on id to see absences); rows whose id is null
+    * or not castable to long are likewise dropped.
     */
   def chunks(
       df: DataFrame,
@@ -109,8 +110,11 @@ object Cdc {
       s"maskBits must be in [1, 48], got $maskBits")
     val s = df.sparkSession
     import s.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
-      .where(col(textCol).isNotNull)
+    df.select(col(idCol).try_cast("long"), col(textCol))
+      // a null id (null input, or a non-numeric string — try_cast
+      // yields null where ANSI cast would throw) would NPE in the
+      // typed decode below — drop it beside the null-text rows
+      .where(col(idCol).try_cast("long").isNotNull && col(textCol).isNotNull)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         chunkBytes(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8),

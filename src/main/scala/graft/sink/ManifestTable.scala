@@ -140,14 +140,37 @@ object ManifestTable {
   def overwrite(df: DataFrame, path: String): Int =
     commit(df, path, carryParent = false)
 
+  private val LedgerName = "b-.*\\.ledger".r
+
+  /** Batch ids preserved by [[vacuum]] from deleted manifests — without
+    * this, retention would forget ledger entries and a late
+    * `appendIdempotent` replay of an old micro-batch could double-commit.
+    */
+  private def ledgerBatchIds(spark: SparkSession, path: String): Set[Long] = {
+    val d = manifestDir(path)
+    val f = fs(spark, path)
+    if (!f.exists(d)) Set.empty
+    else f.listStatus(d).toSeq
+      .filter(s => LedgerName.pattern.matcher(s.getPath.getName).matches())
+      .flatMap { s =>
+        val in = f.open(s.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .collect { case l if l.startsWith("#batch:") =>
+            l.stripPrefix("#batch:").toLong }.toList
+        finally in.close()
+      }.toSet
+  }
+
   /** Batch ids already committed (the `#batch:` markers across all
-    * manifests) — the idempotence ledger for streaming writers.
+    * manifests, plus ids [[vacuum]] carried into ledger sidecars when
+    * it deleted old manifests) — the idempotence ledger for streaming
+    * writers. The ledger survives retention by construction.
     */
   def committedBatchIds(spark: SparkSession, path: String): Set[Long] =
     versions(spark, path).flatMap(v =>
       manifestLines(spark, path, v).collect {
         case s if s.startsWith("#batch:") => s.stripPrefix("#batch:").toLong
-      }).toSet
+      }).toSet ++ ledgerBatchIds(spark, path)
 
   /** Exactly-once streaming append: commit `df` tagged with its
     * micro-batch id, SKIPPING the commit (returns None) if that batch
@@ -166,31 +189,69 @@ object ManifestTable {
   /** Rewrite the head version's file set into ONE data dir and commit
     * it as a new version (older versions stay readable until
     * [[vacuum]]). The small-files remedy: a long append history reads
-    * as one dir afterwards. Returns the committed version.
+    * as one dir afterwards. The full batch-id ledger rides along as
+    * markers on the compacted manifest, so retention that keeps only
+    * the compacted head still remembers every committed micro-batch.
+    * Returns the committed version.
     */
   def compact(spark: SparkSession, path: String): Int =
     commit(readLatest(spark, path), path, carryParent = false,
-      markers = Seq("#compact"))
+      markers = "#compact" +:
+        committedBatchIds(spark, path).toSeq.sorted.map(id => s"#batch:$id"))
+
+  /** Default vacuum grace window: an unreferenced data dir younger than
+    * this is left alone. A concurrent committer writes its data dir
+    * BEFORE publishing its manifest — reclaiming young dirs would
+    * delete a racing commit's files between those two steps and leave
+    * the winner's manifest pointing at nothing (the same age-based
+    * retention rule Delta's `deletedFileRetentionDuration` and
+    * Iceberg's `expire_snapshots` apply).
+    */
+  val DefaultVacuumGraceMs: Long = 15 * 60 * 1000L
 
   /** Retention: keep the newest `keepVersions` manifests, delete every
-    * older manifest AND every data dir no kept version references.
-    * Time travel to a vacuumed version then fails loudly at
-    * [[readVersion]]'s version check instead of half-reading. Returns
-    * the deleted data dirs.
+    * older manifest AND every data dir no kept version references —
+    * except dirs younger than `graceMs` (see [[DefaultVacuumGraceMs]];
+    * pass 0 only when no writer can be in flight). `#batch:` markers on
+    * deleted manifests are first carried into an immutable ledger
+    * sidecar so [[committedBatchIds]] never forgets them. Time travel
+    * to a vacuumed version then fails loudly at [[readVersion]]'s
+    * version check instead of half-reading. Returns the deleted data
+    * dirs.
     */
   def vacuum(
-      spark: SparkSession, path: String, keepVersions: Int): Seq[String] = {
+      spark: SparkSession, path: String, keepVersions: Int,
+      graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val f = fs(spark, path)
     val all = versions(spark, path)
     val (drop, keep) = all.splitAt(math.max(0, all.length - keepVersions))
     val referenced = keep.flatMap(readManifest(spark, path, _)).toSet
     val dataRoot = new Path(path, "data")
+    val now = System.currentTimeMillis()
     val unreferenced =
       if (!f.exists(dataRoot)) Seq.empty
-      else f.listStatus(dataRoot).toSeq.map(s => s"data/${s.getPath.getName}")
+      else f.listStatus(dataRoot).toSeq
+        .filter(s => now - s.getModificationTime >= graceMs)
+        .map(s => s"data/${s.getPath.getName}")
         .filterNot(referenced.contains)
-    // manifests first: a reader that still resolves a dropped version
+    // ledger BEFORE manifest deletion (crash between the two leaves a
+    // harmless duplicate, never a forgotten batch id)
+    val keptIds = keep.flatMap(v => manifestLines(spark, path, v).collect {
+      case s if s.startsWith("#batch:") => s.stripPrefix("#batch:").toLong
+    }).toSet ++ ledgerBatchIds(spark, path)
+    val orphanIds = drop.flatMap(v => manifestLines(spark, path, v).collect {
+      case s if s.startsWith("#batch:") => s.stripPrefix("#batch:").toLong
+    }).distinct.filterNot(keptIds)
+    if (orphanIds.nonEmpty) {
+      val p = new Path(manifestDir(path),
+        s"b-${java.util.UUID.randomUUID()}.ledger")
+      val out = f.create(p, false)
+      try out.write(orphanIds.sorted.map(id => s"#batch:$id").mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // manifests next: a reader that still resolves a dropped version
     // mid-vacuum fails at the version check, not at a missing file
     drop.foreach(v =>
       f.delete(new Path(manifestDir(path), f"v$v%05d.manifest"), false): Unit)

@@ -102,6 +102,16 @@ class CdcSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.count(_.id == 2L) shouldBe 0
   }
 
+  test("chunks drops null and non-numeric ids instead of NPEing") {
+    import spark.implicits._
+    val df = Seq(
+      (null.asInstanceOf[String], "some text body for chunking"),
+      ("not-a-number", "another text body"),
+      ("7", "kept row text")).toDF("doc_id", "text")
+    val out = Cdc.chunks(df, "doc_id", "text", Min, Bits, Max).collect()
+    out.map(_.id).distinct.toSeq shouldBe Seq(7L)
+  }
+
   test("deltaStats: CDC survives a prefix edit, fixed windows do not; identity is 1.0") {
     import spark.implicits._
     val body = new String(bytes(8000, 44), java.nio.charset.StandardCharsets.UTF_8)

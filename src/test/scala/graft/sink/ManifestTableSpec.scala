@@ -70,6 +70,31 @@ class ManifestTableSpec extends AnyFunSuite with Matchers with SparkTestBase {
     ids(ManifestTable.readLatest(spark, path)) shouldBe Seq(1L, 2L)
   }
 
+  test("batch ledger survives retention: vacuum and compact carry ids") {
+    import spark.implicits._
+    val path = tmp()
+    ManifestTable.appendIdempotent(Seq(1L).toDF("id"), path, batchId = 0)
+    ManifestTable.appendIdempotent(Seq(2L).toDF("id"), path, batchId = 1)
+    ManifestTable.appendIdempotent(Seq(3L).toDF("id"), path, batchId = 2)
+    // vacuum away the manifests carrying #batch:0 and #batch:1 — the
+    // ids must survive in the ledger sidecar, so a late checkpoint
+    // replay of batch 0 still skips instead of double-committing
+    ManifestTable.vacuum(spark, path, keepVersions = 1, graceMs = 0L)
+    ManifestTable.versions(spark, path) shouldBe Seq(3)
+    ManifestTable.committedBatchIds(spark, path) shouldBe Set(0L, 1L, 2L)
+    ManifestTable.appendIdempotent(Seq(1L).toDF("id"), path, batchId = 0)
+      .shouldBe(None)
+    ids(ManifestTable.readLatest(spark, path)) shouldBe Seq(1L, 2L, 3L)
+    // compact writes the full ledger onto its own manifest; a second
+    // vacuum that keeps only the compacted head forgets nothing
+    ManifestTable.compact(spark, path)
+    ManifestTable.vacuum(spark, path, keepVersions = 1, graceMs = 0L)
+    ManifestTable.committedBatchIds(spark, path) shouldBe Set(0L, 1L, 2L)
+    ManifestTable.appendIdempotent(Seq(9L).toDF("id"), path, batchId = 2)
+      .shouldBe(None)
+    ids(ManifestTable.readLatest(spark, path)) shouldBe Seq(1L, 2L, 3L)
+  }
+
   test("compact collapses the head to one dir; vacuum drops history and orphans") {
     import spark.implicits._
     val path = tmp()
@@ -80,7 +105,12 @@ class ManifestTableSpec extends AnyFunSuite with Matchers with SparkTestBase {
     ids(ManifestTable.readLatest(spark, path)) shouldBe (1L to 5L)
     // pre-compaction versions still readable until vacuum
     ids(ManifestTable.readVersion(spark, path, 2)) shouldBe (1L to 5L)
-    val deleted = ManifestTable.vacuum(spark, path, keepVersions = 1)
+    // default grace window protects young dirs (everything here is
+    // seconds old): manifests drop but no data dir may be reclaimed —
+    // a racing committer's unpublished dir must survive retention...
+    ManifestTable.vacuum(spark, path, keepVersions = 1) shouldBe empty
+    // ...then graceMs=0 (no writer in flight) reclaims the orphans
+    val deleted = ManifestTable.vacuum(spark, path, keepVersions = 1, graceMs = 0L)
     deleted.length shouldBe 2 // the two original append dirs
     ManifestTable.versions(spark, path) shouldBe Seq(3)
     ids(ManifestTable.readLatest(spark, path)) shouldBe (1L to 5L)
