@@ -13,9 +13,33 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Streaming state-store provider, selected by the
+    * `SPARK_GRAFT_STATE_STORE` env var (`rocksdb` | `hdfs`; default
+    * `hdfs` = Spark's in-memory HDFSBackedStateStoreProvider). At
+    * 100 TB the keyed state (fMGWS correlation, stream-stream join
+    * buffers) must spill — RocksDB keeps state off-heap on local disk
+    * with changelog checkpointing, so per-executor state is bounded by
+    * disk, not heap. Wired here (not per-query) because the provider
+    * is a session-global engine property; StreamBench measures both
+    * providers on the same feed (BENCH_NOTES §streaming).
+    */
+  def stateStoreProvider: String =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs").toLowerCase match {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case _ =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    }
+
   /** Apply engine defaults onto any builder (local or cluster). */
   def configure(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.streaming.stateStore.providerClass", stateStoreProvider)
+      // incremental (changelog) checkpoints: upload per-batch deltas,
+      // not full RocksDB snapshots — the setting is inert on the
+      // default provider
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
