@@ -2434,12 +2434,13 @@ object SparkEntry {
     }),
 
     // Decode-refusal accounting: a format zoo (one payload class per
-    // doc_id%8 — five real decoders, an envelope-only MP4, and the
-    // deliberately-REFUSED MP3/H.264 stubs) audited through the same
-    // decoder chain q32 runs, then counted per (kind, format,
-    // outcome). The refuse-path is driver-visible and fully oracled:
-    // each slot's outcome is a constant of the engine's honest-stub
-    // boundary, so DuckDB states the expectation in closed form.
+    // doc_id%9 — six real decoders including progressive SOF2 JPEG,
+    // an envelope-only MP4, and the deliberately-REFUSED MP3/H.264
+    // stubs) audited through the same decoder chain q32 runs, then
+    // counted per (kind, format, outcome). The refuse-path is
+    // driver-visible and fully oracled: each slot's outcome is a
+    // constant of the engine's honest-stub boundary, so DuckDB states
+    // the expectation in closed form.
     "q128_decode_refusals" -> ((s, dir) => {
       import s.implicits._
       val zoo: Map[Int, (String, Array[Byte])] = Map(
@@ -2450,9 +2451,11 @@ object SparkEntry {
         4 -> (("image", graft.ext.GifCodec.Fixtures.gradientGif(16, 10))),
         5 -> (("video", MediaCodec.Fixtures.minimalMp4(1000, 5000L))),
         6 -> (("audio", MediaCodec.Fixtures.mp3Frame())),
-        7 -> (("video", MediaCodec.Fixtures.h264AnnexB())))
+        7 -> (("video", MediaCodec.Fixtures.h264AnnexB())),
+        8 -> (("image",
+          graft.ext.JpegCodec.Fixtures.gradientJpegProgressive(24, 16, mode = "420"))))
       t(s, dir, "documents")
-        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).cast("int").as("__slot"))
+        .select(col("doc_id"), pmod(col("doc_id"), lit(9)).cast("int").as("__slot"))
         .as[(Long, Int)]
         .map { case (_, slot) =>
           val (kind, payload) = zoo(slot)
@@ -5764,13 +5767,15 @@ object SparkEntry {
     // samples codec-bound), refused for MP3/H.264
     "q128_decode_refusals" ->
       """WITH m AS (SELECT
-           CASE doc_id % 8 WHEN 0 THEN 'audio' WHEN 1 THEN 'image'
+           CASE doc_id % 9 WHEN 0 THEN 'audio' WHEN 1 THEN 'image'
                 WHEN 2 THEN 'image' WHEN 3 THEN 'image' WHEN 4 THEN 'image'
-                WHEN 5 THEN 'video' WHEN 6 THEN 'audio' ELSE 'video' END AS kind,
-           CASE doc_id % 8 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
+                WHEN 5 THEN 'video' WHEN 6 THEN 'audio' WHEN 7 THEN 'video'
+                ELSE 'image' END AS kind,
+           CASE doc_id % 9 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
                 WHEN 2 THEN 'png' WHEN 3 THEN 'jpeg' WHEN 4 THEN 'gif'
-                WHEN 5 THEN 'mp4' WHEN 6 THEN 'mp3' ELSE 'h26x' END AS format,
-           CASE doc_id % 8 WHEN 5 THEN 'envelope_only'
+                WHEN 5 THEN 'mp4' WHEN 6 THEN 'mp3' WHEN 7 THEN 'h26x'
+                ELSE 'jpeg_progressive' END AS format,
+           CASE doc_id % 9 WHEN 5 THEN 'envelope_only'
                 WHEN 6 THEN 'refused' WHEN 7 THEN 'refused'
                 ELSE 'decoded' END AS outcome
          FROM documents)

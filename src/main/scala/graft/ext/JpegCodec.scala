@@ -1,23 +1,31 @@
 package graft.ext
 
-/** Zero-dependency baseline JPEG (JFIF) pixel decode — the other
-  * dominant crawl image format joining PNG behind the REAL side of the
-  * multimodal stub boundary ([[MediaCodec.decodeBytes]]). Implements
-  * the public ITU T.81 baseline process: marker walk (DQT/DHT/SOF0/
-  * SOF1/DRI/SOS), canonical Huffman entropy decode with byte
-  * un-stuffing and restart markers, dequantization + inverse zigzag,
-  * separable floating IDCT, nearest-neighbor chroma upsampling for the
-  * standard subsampling layouts, and BT.601 YCbCr→RGB. Grayscale
-  * (1 component) and YCbCr (3 components) frames; progressive (SOF2+),
-  * arithmetic coding, hierarchical, 12-bit, and multi-scan sequential
-  * files return None and fall to the deterministic stub like any
-  * unrecognized payload — the honest boundary.
+/** Zero-dependency JPEG (JFIF) pixel decode — the dominant crawl image
+  * format joining PNG behind the REAL side of the multimodal stub
+  * boundary ([[MediaCodec.decodeBytes]]). Implements the public ITU
+  * T.81 processes a crawl actually meets:
   *
-  * Verified THREE ways in JpegSpec: own-encoder round trip against the
-  * closed-form gradient, cross-checked against the JDK's independent
-  * ImageIO decoder on the same bytes, and decoding ImageIO-ENCODED
-  * files (externally-produced JPEGs, including the JDK writer's own
-  * subsampling choice) back to the known gradient.
+  *  - **baseline / extended sequential** (SOF0/SOF1): marker walk
+  *    (DQT/DHT/DRI/SOS), canonical Huffman entropy decode with byte
+  *    un-stuffing and restart markers, dequantization + inverse
+  *    zigzag, separable floating IDCT — streamed block by block;
+  *  - **progressive** (SOF2, T.81 Annex G): multi-scan coefficient
+  *    accumulation — interleaved/single-component DC first+refinement,
+  *    per-component AC spectral bands with EOB-run coding, successive-
+  *    approximation AC refinement — then one dequantize+IDCT pass at
+  *    EOI;
+  *
+  * with nearest-neighbor chroma upsampling for the standard
+  * subsampling layouts and BT.601 YCbCr→RGB. Grayscale (1 component)
+  * and YCbCr (3 components) frames; arithmetic coding, hierarchical,
+  * 12-bit, and multi-scan SEQUENTIAL files return None and fall to the
+  * deterministic stub like any unrecognized payload — the honest
+  * boundary.
+  *
+  * Verified in JpegSpec against the JDK's independent ImageIO codec in
+  * both directions (own encoder → ImageIO decode; ImageIO-encoded
+  * baseline AND progressive files → own decoder) plus the closed-form
+  * gradient round trip.
   */
 object JpegCodec {
 
@@ -153,19 +161,33 @@ object JpegCodec {
     var restartInterval = 0
     var w = 0; var h = 0
     var comps: Array[Comp] = null
+    var progressive = false
+    // frame geometry (set at SOF — both paths and the output crop use it)
+    var hmax = 0; var vmax = 0; var mcusX = 0; var mcusY = 0
+    var planeW: Array[Int] = null; var planeH: Array[Int] = null
+    // progressive coefficient accumulator: per component, one Int per
+    // coefficient in ZIGZAG index order per block (quantized domain —
+    // successive-approximation bits land on RAW coefficients; the
+    // dequantize-and-IDCT pass runs once, after EOI)
+    var coefStore: Array[Array[Int]] = null
+    var nProgScans = 0
+    var sawEoi = false
     var scanStart = -1
     var dcSel: Array[Int] = null
     var acSel: Array[Int] = null
 
     var i = 2
-    while (scanStart < 0) {
-      if (i + 3 >= b.length) return None
+    while (scanStart < 0 && !sawEoi) {
+      if (i + 1 >= b.length) return None
       if ((b(i) & 0xFF) != 0xFF) return None
       val marker = b(i + 1) & 0xFF
       if (marker == 0xFF) { i += 1 } // fill byte
       else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) i += 2
-      else if (marker == 0xD9) return None // EOI before any scan
-      else {
+      else if (marker == 0xD9) {
+        // EOI: legal end only after at least one progressive scan
+        if (progressive && nProgScans > 0) sawEoi = true else return None
+      } else {
+        if (i + 3 >= b.length) return None
         val len = be16(b, i + 2)
         if (len < 2 || i + 2 + len > b.length) return None
         val seg = i + 4
@@ -203,13 +225,19 @@ object JpegCodec {
               if (tc == 0) dcTab(th) = tbl else acTab(th) = tbl
               p += 17 + nv
             }
-          case 0xC0 | 0xC1 => // baseline / extended sequential Huffman
-            if (b(seg) != 8) return None // 12-bit is not baseline
+          case 0xC0 | 0xC1 | 0xC2 => // sequential Huffman / progressive
+            progressive = marker == 0xC2
+            if (b(seg) != 8) return None // 12-bit precision unsupported
             h = be16(b, seg + 1)
             w = be16(b, seg + 3)
             val nc = b(seg + 5) & 0xFF
             if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
+            // canvas caps before any allocation: sequential streams
+            // block-by-block (byte planes only); progressive must hold
+            // every raw coefficient until EOI (4 B/sample), so its cap
+            // is tighter
             if (w.toLong * h > (1L << 26)) return None // 64 M pixel cap
+            if (progressive && w.toLong * h > (1L << 24)) return None
             if (seg + 6 + 3 * nc > segEnd) return None
             comps = Array.tabulate(nc) { c =>
               val p = seg + 6 + 3 * c
@@ -219,48 +247,109 @@ object JpegCodec {
                 cc.tq > 3) return None
               cc
             }
-          case m if m >= 0xC2 && m <= 0xCF && m != 0xC4 && m != 0xC8 &&
+            hmax = comps.map(_.hi).max
+            vmax = comps.map(_.vi).max
+            mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            planeW = comps.map(c => mcusX * c.hi * 8)
+            planeH = comps.map(c => mcusY * c.vi * 8)
+            if (progressive)
+              coefStore = comps.indices.map(c =>
+                new Array[Int](planeW(c) * planeH(c))).toArray
+          case m if m >= 0xC3 && m <= 0xCF && m != 0xC4 && m != 0xC8 &&
               m != 0xCC =>
-            return None // progressive / arithmetic / lossless / 12-bit
+            return None // arithmetic / lossless / hierarchical / 12-bit
           case 0xDD =>
             if (len != 4) return None
             restartInterval = be16(b, seg)
           case 0xDA => // SOS
             if (comps == null) return None
             val ns = b(seg) & 0xFF
-            // multi-scan sequential (one component per scan) is legal
-            // T.81 but rare; only the single interleaved scan every
-            // mainstream encoder writes is supported
-            if (ns != comps.length) return None
             if (seg + 1 + 2 * ns + 3 > segEnd) return None
-            dcSel = new Array[Int](comps.length)
-            acSel = new Array[Int](comps.length)
-            var k = 0
-            while (k < ns) {
-              val cs = b(seg + 1 + 2 * k) & 0xFF
-              val ci = comps.indexWhere(_.id == cs)
-              if (ci < 0) return None
-              dcSel(ci) = (b(seg + 2 + 2 * k) & 0xF0) >> 4
-              acSel(ci) = b(seg + 2 + 2 * k) & 0x0F
-              k += 1
+            if (!progressive) {
+              // multi-scan sequential (one component per scan) is legal
+              // T.81 but rare; only the single interleaved scan every
+              // mainstream encoder writes is supported
+              if (ns != comps.length) return None
+              dcSel = new Array[Int](comps.length)
+              acSel = new Array[Int](comps.length)
+              var k = 0
+              while (k < ns) {
+                val cs = b(seg + 1 + 2 * k) & 0xFF
+                val ci = comps.indexWhere(_.id == cs)
+                if (ci < 0) return None
+                dcSel(ci) = (b(seg + 2 + 2 * k) & 0xF0) >> 4
+                acSel(ci) = b(seg + 2 + 2 * k) & 0x0F
+                k += 1
+              }
+              scanStart = segEnd
+            } else {
+              // progressive scan: any subset of components (AC scans
+              // exactly one), a spectral band, one approximation step
+              if (ns < 1 || ns > comps.length) return None
+              val scanCis = new Array[Int](ns)
+              val sDc = new Array[Huff](ns)
+              val sAc = new Array[Huff](ns)
+              var k = 0
+              while (k < ns) {
+                val cs = b(seg + 1 + 2 * k) & 0xFF
+                val ci = comps.indexWhere(_.id == cs)
+                if (ci < 0) return None
+                scanCis(k) = ci
+                sDc(k) = dcTab((b(seg + 2 + 2 * k) & 0xF0) >> 4)
+                sAc(k) = acTab(b(seg + 2 + 2 * k) & 0x0F)
+                k += 1
+              }
+              val ss = b(seg + 1 + 2 * ns) & 0xFF
+              val se = b(seg + 2 + 2 * ns) & 0xFF
+              val ahal = b(seg + 3 + 2 * ns) & 0xFF
+              i = progressiveScan(b, segEnd, comps, scanCis, sDc, sAc,
+                ss, se, ahal >> 4, ahal & 0x0F, coefStore,
+                mcusX, mcusY, hmax, vmax, w, h, restartInterval)
+              nProgScans += 1
             }
-            scanStart = segEnd
           case _ => // APPn / COM / DNL etc.: skip
         }
-        if (scanStart < 0) i = segEnd
+        // the progressive SOS case advances i past its entropy data
+        // itself; every other segment advances to its own end
+        if (scanStart < 0 && !(progressive && marker == 0xDA)) i = segEnd
       }
     }
 
-    val hmax = comps.map(_.hi).max
-    val vmax = comps.map(_.vi).max
-    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-    // per-component plane, MCU-aligned
-    val planeW = comps.map(c => mcusX * c.hi * 8)
-    val planeH = comps.map(c => mcusY * c.vi * 8)
+    // ---- render ----
     val planes = comps.indices.map(c =>
       new Array[Byte](planeW(c) * planeH(c))).toArray
     comps.foreach { c => if (qt(c.tq) == null) bail() }
+
+    if (progressive) {
+      // one dequantize + IDCT pass over the accumulated coefficients
+      val cof = new Array[Double](64)
+      val tmp = new Array[Double](64)
+      var ci = 0
+      while (ci < comps.length) {
+        val q = qt(comps(ci).tq)
+        val store = coefStore(ci)
+        val bw = planeW(ci) / 8
+        val bh = planeH(ci) / 8
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            val base = (by * bw + bx) * 64
+            var k = 0
+            while (k < 64) {
+              cof(Zigzag(k)) = store(base + k).toDouble * q(k)
+              k += 1
+            }
+            idctToPlane(cof, tmp, planes(ci), planeW(ci), bx * 8, by * 8)
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      return Some(channelMeans(planes, comps, planeW, hmax, vmax, w, h))
+    }
 
     val bits = new Bits(b, scanStart)
     val pred = new Array[Int](comps.length)
@@ -292,35 +381,7 @@ object JpegCodec {
           k += 1
         }
       }
-      // separable IDCT: rows (over u) then columns (over v)
-      var v = 0
-      while (v < 8) {
-        var x = 0
-        while (x < 8) {
-          var sum = 0.0
-          var u = 0
-          while (u < 8) { sum += CosTab(x)(u) * coef(v * 8 + u); u += 1 }
-          tmp(v * 8 + x) = sum
-          x += 1
-        }
-        v += 1
-      }
-      val plane = planes(ci)
-      val pw = planeW(ci)
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          var sum = 0.0
-          var vv = 0
-          while (vv < 8) { sum += CosTab(y)(vv) * tmp(vv * 8 + x); vv += 1 }
-          val s0 = math.round(sum / 4.0 + 128.0).toInt
-          plane((y0 + y) * pw + x0 + x) =
-            (if (s0 < 0) 0 else if (s0 > 255) 255 else s0).toByte
-          x += 1
-        }
-        y += 1
-      }
+      idctToPlane(coef, tmp, planes(ci), planeW(ci), x0, y0)
     }
 
     var mcu = 0
@@ -352,7 +413,51 @@ object JpegCodec {
       my += 1
     }
 
-    // channel sums over the w×h crop, nearest-neighbor chroma upsample
+    Some(channelMeans(planes, comps, planeW, hmax, vmax, w, h))
+  }
+
+  /** Dequantized natural-order coefficients → separable IDCT → samples
+    * written into the 8×8 block of `plane` at (x0, y0). Shared by the
+    * sequential streaming path and the progressive post-EOI render.
+    */
+  private def idctToPlane(
+      coef: Array[Double], tmp: Array[Double],
+      plane: Array[Byte], pw: Int, x0: Int, y0: Int): Unit = {
+    // separable IDCT: rows (over u) then columns (over v)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var u = 0
+        while (u < 8) { sum += CosTab(x)(u) * coef(v * 8 + u); u += 1 }
+        tmp(v * 8 + x) = sum
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var vv = 0
+        while (vv < 8) { sum += CosTab(y)(vv) * tmp(vv * 8 + x); vv += 1 }
+        val s0 = math.round(sum / 4.0 + 128.0).toInt
+        plane((y0 + y) * pw + x0 + x) =
+          (if (s0 < 0) 0 else if (s0 > 255) 255 else s0).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Channel sums over the w×h crop, nearest-neighbor chroma upsample,
+    * BT.601 YCbCr→RGB; grayscale replicates luma.
+    */
+  private def channelMeans(
+      planes: Array[Array[Byte]], comps: Array[Comp], planeW: Array[Int],
+      hmax: Int, vmax: Int, w: Int, h: Int): (Double, Double, Double) = {
     var sr = 0L; var sg = 0L; var sb = 0L
     if (comps.length == 1) {
       val p = planes(0); val pw = planeW(0)
@@ -390,7 +495,228 @@ object JpegCodec {
       }
     }
     val n = w.toLong * h * 255L
-    Some((sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+    (sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+  }
+
+  /** One progressive scan (T.81 Annex G): decodes the scan's entropy
+    * segment into the zigzag-order coefficient store and returns the
+    * position of the marker that follows it. Covers all four scan
+    * kinds — DC first / DC refinement (interleaved or single-component)
+    * and AC first / AC refinement (single-component, with EOB-run
+    * coding) — plus restart markers.
+    */
+  private def progressiveScan(
+      b: Array[Byte], start: Int,
+      comps: Array[Comp], scanCis: Array[Int],
+      sDc: Array[Huff], sAc: Array[Huff],
+      ss: Int, se: Int, ah: Int, al: Int,
+      coefStore: Array[Array[Int]],
+      mcusX: Int, mcusY: Int, hmax: Int, vmax: Int, w: Int, h: Int,
+      restartInterval: Int): Int = {
+    // scan-header validity (T.81 B.2.3): DC band is exactly [0,0] and
+    // may interleave; AC bands live in [1,63] and take ONE component
+    if (ss == 0) { if (se != 0) bail() }
+    else if (se < ss || se > 63 || scanCis.length != 1) bail()
+    if (ah > 13 || al > 13 || (ah != 0 && ah != al + 1)) bail()
+    val bits = new Bits(b, start)
+    val pred = new Array[Int](scanCis.length)
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -(1 << al)
+
+    def correction(store: Array[Int], idx: Int): Unit = {
+      val c = store(idx)
+      if (bits.nextBit() == 1 && (c & p1) == 0)
+        store(idx) = if (c >= 0) c + p1 else c + m1
+    }
+
+    def dcFirst(si: Int, store: Array[Int], off: Int): Unit = {
+      val huff = sDc(si)
+      if (huff == null) bail()
+      val t = bits.decode(huff)
+      if (t > 11) bail()
+      pred(si) += bits.extend(t)
+      store(off) = pred(si) << al
+    }
+
+    def dcRefine(store: Array[Int], off: Int): Unit =
+      if (bits.nextBit() == 1) store(off) |= p1
+
+    def acFirst(store: Array[Int], base: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      val huff = sAc(0)
+      if (huff == null) bail()
+      var k = ss
+      while (k <= se) {
+        val rs = bits.decode(huff)
+        val r = rs >> 4
+        val s = rs & 0x0F
+        if (s == 0) {
+          if (r < 15) { // EOBn: run of 2^r + ext blocks, this one first
+            eobrun = (1 << r) - 1 + (if (r > 0) bits.receive(r) else 0)
+            return
+          }
+          k += 16 // ZRL
+        } else {
+          k += r
+          if (k > se) bail()
+          store(base + k) = bits.extend(s) << al
+          k += 1
+        }
+      }
+    }
+
+    // T.81 G.1.2.3 (the classic two-phase refinement walk): newly
+    // significant coefficients arrive as ±1·2^al after a run of r
+    // ZERO-HISTORY positions; every nonzero-history coefficient passed
+    // on the way — and the band tail under an EOB run — takes one
+    // correction bit.
+    def acRefine(store: Array[Int], base: Int): Unit = {
+      val huff = sAc(0)
+      if (huff == null) bail()
+      var k = ss
+      if (eobrun == 0) {
+        var broke = false
+        while (!broke && k <= se) {
+          val rs = bits.decode(huff)
+          var r = rs >> 4
+          val s = rs & 0x0F
+          var newval = 0
+          if (s == 0) {
+            if (r < 15) {
+              eobrun = (1 << r) + (if (r > 0) bits.receive(r) else 0)
+              broke = true
+            }
+            // r == 15: ZRL — skip 16 zero-history positions below
+          } else {
+            if (s != 1) bail() // refinement introduces ±1 only
+            newval = if (bits.nextBit() == 1) p1 else m1
+          }
+          if (!broke) {
+            var placed = false
+            while (!placed && k <= se) {
+              if (store(base + k) != 0) correction(store, base + k)
+              else {
+                if (r == 0) {
+                  if (newval != 0) store(base + k) = newval
+                  placed = true
+                } else r -= 1
+              }
+              k += 1
+            }
+            if (newval != 0 && !placed) bail() // ran off the band
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          if (store(base + k) != 0) correction(store, base + k)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    def restartIfDue(unit: Int): Unit =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        bits.restart()
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+
+    if (ss == 0 && scanCis.length > 1) {
+      // interleaved DC scan: MCU order over the frame geometry
+      var mcu = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          restartIfDue(mcu)
+          var si = 0
+          while (si < scanCis.length) {
+            val ci = scanCis(si)
+            val c = comps(ci)
+            val rowStride = mcusX * c.hi
+            var by = 0
+            while (by < c.vi) {
+              var bx = 0
+              while (bx < c.hi) {
+                val off =
+                  ((my * c.vi + by) * rowStride + (mx * c.hi + bx)) * 64
+                if (ah == 0) dcFirst(si, coefStore(ci), off)
+                else dcRefine(coefStore(ci), off)
+                bx += 1
+              }
+              by += 1
+            }
+            si += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // single-component scan (DC or AC): raster order over the
+      // component's own (non-MCU-padded) block grid, T.81 A.2.2
+      val ci = scanCis(0)
+      val c = comps(ci)
+      val bw = ((w * c.hi + hmax - 1) / hmax + 7) / 8
+      val bh = ((h * c.vi + vmax - 1) / vmax + 7) / 8
+      val rowStride = mcusX * c.hi
+      val store = coefStore(ci)
+      var unit = 0
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          restartIfDue(unit)
+          val off = (by * rowStride + bx) * 64
+          if (ss == 0) {
+            if (ah == 0) dcFirst(0, store, off) else dcRefine(store, off)
+          } else {
+            if (ah == 0) acFirst(store, off) else acRefine(store, off)
+          }
+          unit += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+
+    // byte-align and locate the next marker (fill bytes and any
+    // trailing RST are consumed by the caller's marker walk)
+    var p = bits.pos
+    while (p + 1 < b.length &&
+      !((b(p) & 0xFF) == 0xFF && (b(p + 1) & 0xFF) != 0x00)) p += 1
+    if (p + 1 >= b.length) bail()
+    p
+  }
+
+  /** True iff the stream is a JPEG whose frame uses the progressive
+    * DCT process (SOF2) — a marker sniff for format accounting
+    * ([[MediaCodec.sniffFormat]]); decoding goes through [[pixelStats]].
+    */
+  def isProgressive(b: Array[Byte]): Boolean = {
+    if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8)
+      return false
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return false
+      val m = b(i + 1) & 0xFF
+      if (m == 0xFF) i += 1
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) i += 2
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return false
+        if (m == 0xC2) return true
+        val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 &&
+          m != 0xCC
+        if (isSof || m == 0xDA) return false
+        i += 2 + len
+      }
+    }
+    false
   }
 
   // -------------------------------------------------------------------
@@ -508,14 +834,16 @@ object JpegCodec {
     * (2×2 chroma subsampling — the dominant layout in the wild).
     */
   object Fixtures {
-    def gradientJpeg(w: Int, h: Int, blue: Int = 32, mode: String = "420"): Array[Byte] = {
-      require(Set("gray", "444", "420").contains(mode), s"unsupported mode $mode")
-      require(w > 0 && h > 0 && w <= 4096 && h <= 4096, s"bad dims ${w}x$h")
+
+    /** Gradient Y/Cb/Cr planes for the fixture profile (chroma already
+      * downsampled for "420"); (yP, cbD, crD) with null chroma for gray.
+      */
+    private def gradientPlanes(w: Int, h: Int, blue: Int, mode: String)
+        : (Array[Array[Int]], Array[Array[Int]], Array[Array[Int]]) = {
       val gray = mode == "gray"
       val sub = if (mode == "420") 2 else 1
       def red(x: Int) = if (w == 1) 0 else x * 255 / (w - 1)
       def green(y: Int) = if (h == 1) 0 else y * 255 / (h - 1)
-      // full-resolution Y/Cb/Cr planes
       def clamp255(v: Double): Int = {
         val r = math.round(v).toInt
         if (r < 0) 0 else if (r > 255) 255 else r
@@ -547,8 +875,64 @@ object JpegCodec {
           }
           (s + n / 2) / n
         }
-      val cbD = if (gray) null else down(cbP)
-      val crD = if (gray) null else down(crP)
+      (yP, if (gray) null else down(cbP), if (gray) null else down(crP))
+    }
+
+    /** FDCT + quantization of the 8×8 block at (x0, y0), edge-replicated
+      * past the plane border; quantized coefficients in ZIGZAG order.
+      */
+    private def fdctQuantZz(
+        plane: Array[Array[Int]], x0: Int, y0: Int,
+        q: Array[Int]): Array[Int] = {
+      val block = new Array[Double](64)
+      val tmp2 = new Array[Double](64)
+      val fdct = new Array[Double](64)
+      val ph = plane.length; val pw = plane(0).length
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val sy = math.min(y0 + y, ph - 1)
+          val sx = math.min(x0 + x, pw - 1)
+          block(y * 8 + x) = plane(sy)(sx) - 128.0
+          x += 1
+        }
+        y += 1
+      }
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var sum = 0.0
+          var x = 0
+          while (x < 8) { sum += CosTab(x)(u) * block(v * 8 + x); x += 1 }
+          tmp2(v * 8 + u) = sum
+          u += 1
+        }
+        v += 1
+      }
+      var u = 0
+      while (u < 8) {
+        var vv = 0
+        while (vv < 8) {
+          var sum = 0.0
+          var y2 = 0
+          while (y2 < 8) { sum += CosTab(y2)(vv) * tmp2(y2 * 8 + u); y2 += 1 }
+          fdct(vv * 8 + u) = sum / 4.0
+          vv += 1
+        }
+        u += 1
+      }
+      Array.tabulate(64)(k =>
+        math.round(fdct(Zigzag(k)) / q(Zigzag(k))).toInt)
+    }
+
+    def gradientJpeg(w: Int, h: Int, blue: Int = 32, mode: String = "420"): Array[Byte] = {
+      require(Set("gray", "444", "420").contains(mode), s"unsupported mode $mode")
+      require(w > 0 && h > 0 && w <= 4096 && h <= 4096, s"bad dims ${w}x$h")
+      val gray = mode == "gray"
+      val sub = if (mode == "420") 2 else 1
+      val (yP, cbD, crD) = gradientPlanes(w, h, blue, mode)
 
       val entropy = new java.io.ByteArrayOutputStream()
       val bw = new BitWriter(entropy)
@@ -556,59 +940,15 @@ object JpegCodec {
       val acLum = encTable(AcLumBits, AcLumVals)
       val dcChrom = encTable(DcChromBits, DcChromVals)
       val acChrom = encTable(AcChromBits, AcChromVals)
-      val block = new Array[Double](64)
-      val fdct = new Array[Double](64)
-      val tmp = new Array[Double](64)
 
       def encodeBlock(plane: Array[Array[Int]], x0: Int, y0: Int, q: Array[Int],
           dc: Map[Int, (Int, Int)], ac: Map[Int, (Int, Int)], pred: Int): Int = {
-        val ph = plane.length; val pw = plane(0).length
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            val sy = math.min(y0 + y, ph - 1)
-            val sx = math.min(x0 + x, pw - 1) // edge replication padding
-            block(y * 8 + x) = plane(sy)(sx) - 128.0
-            x += 1
-          }
-          y += 1
-        }
-        // separable FDCT: F(u,v) = 1/4 C(u)C(v) ΣΣ s(x,y) cos cos
-        var v = 0
-        while (v < 8) {
-          var u = 0
-          while (u < 8) {
-            var sum = 0.0
-            var x = 0
-            while (x < 8) { sum += CosTab(x)(u) * block(v * 8 + x); x += 1 }
-            tmp(v * 8 + u) = sum
-            u += 1
-          }
-          v += 1
-        }
-        var u = 0
-        while (u < 8) {
-          var vv = 0
-          while (vv < 8) {
-            var sum = 0.0
-            var y2 = 0
-            while (y2 < 8) { sum += CosTab(y2)(vv) * tmp(y2 * 8 + u); y2 += 1 }
-            fdct(vv * 8 + u) = sum / 4.0
-            vv += 1
-          }
-          u += 1
-        }
-        // quantize in zigzag order: the quantizer for zigzag index k is
+        // quantized in zigzag order: the quantizer for zigzag index k is
         // the NATURAL-order table entry at Zigzag(k), matching how DQT
         // serializes (zigzag) — the decoder and every external reader
         // multiply zigzag coefficient k by DQT entry k
-        val zz = new Array[Int](64)
+        val zz = fdctQuantZz(plane, x0, y0, q)
         var k = 0
-        while (k < 64) {
-          zz(k) = math.round(fdct(Zigzag(k)) / q(Zigzag(k))).toInt
-          k += 1
-        }
         // DC
         val diff = zz(0) - pred
         val s = cat(diff)
@@ -705,6 +1045,172 @@ object JpegCodec {
       out.write(0); out.write(63); out.write(0) // Ss/Se/Ah-Al
       entropy.writeTo(out)
       marker(0xD9) // EOI
+      out.toByteArray
+    }
+
+    /** Progressive (SOF2) twin of [[gradientJpeg]]: the same gradient,
+      * quantizers, and Huffman tables, laid out as a spectral-selection
+      * scan script — one interleaved DC scan, then per-component AC
+      * bands [1,5] and [6,63] (Ah=Al=0 throughout; EOB coded as an
+      * EOB-run of one). Deterministic and self-contained like every
+      * fixture here; successive-approximation scans are exercised via
+      * ImageIO-ENCODED progressive files in JpegSpec (the JDK writer
+      * emits the standard libjpeg refinement script).
+      */
+    def gradientJpegProgressive(
+        w: Int, h: Int, blue: Int = 32, mode: String = "420"): Array[Byte] = {
+      require(Set("gray", "444", "420").contains(mode), s"unsupported mode $mode")
+      require(w > 0 && h > 0 && w <= 4096 && h <= 4096, s"bad dims ${w}x$h")
+      val gray = mode == "gray"
+      val (yP, cbD, crD) = gradientPlanes(w, h, blue, mode)
+      val hY = if (gray) 1 else if (mode == "420") 2 else 1
+      val mcusX = (w + 8 * hY - 1) / (8 * hY)
+      val mcusY = (h + 8 * hY - 1) / (8 * hY)
+      val nc = if (gray) 1 else 3
+      // per component: (plane, quant, hi=vi, padded block grid,
+      // non-padded block grid — AC scans traverse the latter, T.81 A.2.2)
+      val planes = if (gray) Array(yP) else Array(yP, cbD, crD)
+      val qs = if (gray) Array(QLum) else Array(QLum, QChrom, QChrom)
+      val hv = if (gray) Array(1) else Array(hY, 1, 1)
+      val padW = Array.tabulate(nc)(c => mcusX * hv(c))
+      val padH = Array.tabulate(nc)(c => mcusY * hv(c))
+      val niW = Array.tabulate(nc)(c => ((w * hv(c) + hY - 1) / hY + 7) / 8)
+      val niH = Array.tabulate(nc)(c => ((h * hv(c) + hY - 1) / hY + 7) / 8)
+      // quantized zigzag coefficients for every block of the padded grid
+      val zz = Array.tabulate(nc)(c =>
+        Array.tabulate(padH(c), padW(c))((by, bx) =>
+          fdctQuantZz(planes(c), bx * 8, by * 8, qs(c))))
+
+      val dcEnc = Array.tabulate(nc)(c =>
+        if (c == 0) encTable(DcLumBits, DcLumVals)
+        else encTable(DcChromBits, DcChromVals))
+      val acEnc = Array.tabulate(nc)(c =>
+        if (c == 0) encTable(AcLumBits, AcLumVals)
+        else encTable(AcChromBits, AcChromVals))
+
+      // ---- scan 1: interleaved DC, all components ----
+      val dcBytes = new java.io.ByteArrayOutputStream()
+      locally {
+        val bw = new BitWriter(dcBytes)
+        val pred = new Array[Int](nc)
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            var c = 0
+            while (c < nc) {
+              var by = 0
+              while (by < hv(c)) {
+                var bx = 0
+                while (bx < hv(c)) {
+                  val v = zz(c)(my * hv(c) + by)(mx * hv(c) + bx)(0)
+                  val diff = v - pred(c)
+                  pred(c) = v
+                  val s = cat(diff)
+                  val (c0, l0) = dcEnc(c)(s)
+                  bw.put(c0, l0)
+                  if (s > 0)
+                    bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+                  bx += 1
+                }
+                by += 1
+              }
+              c += 1
+            }
+            mx += 1
+          }
+          my += 1
+        }
+        bw.flush()
+      }
+
+      // ---- AC band scan for one component over its non-padded grid ----
+      def acScan(c: Int, ss: Int, se: Int): Array[Byte] = {
+        val out2 = new java.io.ByteArrayOutputStream()
+        val bw = new BitWriter(out2)
+        var by = 0
+        while (by < niH(c)) {
+          var bx = 0
+          while (bx < niW(c)) {
+            val blk = zz(c)(by)(bx)
+            var last = se
+            while (last >= ss && blk(last) == 0) last -= 1
+            var run = 0
+            var k = ss
+            while (k <= last) {
+              if (blk(k) == 0) run += 1
+              else {
+                while (run > 15) {
+                  val (cz, lz) = acEnc(c)(0xF0); bw.put(cz, lz); run -= 16
+                }
+                val s = cat(blk(k))
+                val (ca, la) = acEnc(c)((run << 4) | s)
+                bw.put(ca, la)
+                bw.put(if (blk(k) < 0) blk(k) + (1 << s) - 1 else blk(k), s)
+                run = 0
+              }
+              k += 1
+            }
+            if (last < se) { // EOB: an EOB-run of exactly one block
+              val (ce, le) = acEnc(c)(0x00); bw.put(ce, le)
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        bw.flush()
+        out2.toByteArray
+      }
+
+      // ---- file assembly ----
+      val out = new java.io.ByteArrayOutputStream()
+      def m16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+      def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+      marker(0xD8)
+      marker(0xE0); m16(16)
+      out.write("JFIF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.write(0); out.write(1); out.write(1); out.write(0)
+      m16(1); m16(1); out.write(0); out.write(0)
+      def dqt(tq: Int, q: Array[Int]): Unit = {
+        marker(0xDB); m16(67); out.write(tq)
+        var k = 0
+        while (k < 64) { out.write(q(Zigzag(k))); k += 1 }
+      }
+      dqt(0, QLum)
+      if (!gray) dqt(1, QChrom)
+      marker(0xC2) // SOF2: progressive DCT, Huffman
+      m16(8 + 3 * nc); out.write(8); m16(h); m16(w); out.write(nc)
+      out.write(1); out.write((hY << 4) | hY); out.write(0)
+      if (!gray) {
+        out.write(2); out.write(0x11); out.write(1)
+        out.write(3); out.write(0x11); out.write(1)
+      }
+      def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+        marker(0xC4); m16(19 + vals.length); out.write((tc << 4) | th)
+        bits.foreach(out.write); vals.foreach(out.write)
+      }
+      dht(0, 0, DcLumBits, DcLumVals)
+      dht(1, 0, AcLumBits, AcLumVals)
+      if (!gray) {
+        dht(0, 1, DcChromBits, DcChromVals)
+        dht(1, 1, AcChromBits, AcChromVals)
+      }
+      def sos(comps: Seq[Int], ss: Int, se: Int, entropy: Array[Byte]): Unit = {
+        marker(0xDA)
+        m16(6 + 2 * comps.length)
+        out.write(comps.length)
+        comps.foreach { c =>
+          out.write(c + 1) // component id
+          val td = if (c == 0) 0 else 1
+          out.write((td << 4) | td)
+        }
+        out.write(ss); out.write(se); out.write(0) // Ah=Al=0
+        out.write(entropy, 0, entropy.length)
+      }
+      sos(0 until nc, 0, 0, dcBytes.toByteArray)
+      for (c <- 0 until nc; (ss, se) <- Seq((1, 5), (6, 63)))
+        sos(Seq(c), ss, se, acScan(c, ss, se))
+      marker(0xD9)
       out.toByteArray
     }
   }

@@ -892,21 +892,23 @@ object MediaCodec {
     *    the same channel-mean feature head ([[pngPixelStats]]: zlib
     *    inflate + the five scanline filters, zero-dependency — the
     *    dominant crawl image format decodes for real);
-    *  - baseline JPEG (grayscale or YCbCr, any standard subsampling)
-    *    → the same channel-mean feature head ([[JpegCodec
-    *    .pixelStats]]: Huffman entropy decode + dequant + IDCT +
-    *    YCbCr→RGB, zero-dependency — cross-verified against the JDK's
-    *    independent ImageIO codec in JpegSpec);
+    *  - baseline AND progressive JPEG (grayscale or YCbCr, any
+    *    standard subsampling) → the same channel-mean feature head
+    *    ([[JpegCodec.pixelStats]]: Huffman entropy decode — multi-scan
+    *    spectral-selection/successive-approximation accumulation for
+    *    SOF2 per ITU T.81 Annex G — + dequant + IDCT + YCbCr→RGB,
+    *    zero-dependency — cross-verified against the JDK's independent
+    *    ImageIO codec in JpegSpec);
     *  - GIF (87a/89a, first frame, interlace-agnostic — means are
     *    pixel-order-independent) → the same feature head
     *    ([[GifCodec.pixelStats]]: LZW + color-table lookup,
     *    zero-dependency, ImageIO-cross-checked in GifSpec).
-    * With JPEG, PNG (incl. palette), and GIF all real, every dominant
-    * crawl image format now decodes. The remaining codec-bound shapes
-    * (progressive/arithmetic JPEG, 16-bit or interlaced PNG, MP3/AAC
-    * frames, H.26x) keep the deterministic fake feature — decoding
-    * them needs real codec libraries, absent here; a production build
-    * swaps exactly this fallback.
+    * With JPEG (baseline and progressive), PNG (incl. palette), and
+    * GIF all real, every dominant crawl image format now decodes. The
+    * remaining codec-bound shapes (arithmetic JPEG, 16-bit or
+    * interlaced PNG, MP3/AAC frames, H.26x) keep the deterministic
+    * fake feature — decoding them needs real codec libraries, absent
+    * here; a production build swaps exactly this fallback.
     */
   def decodeBytes(row: Multimodal.MediaRow): Multimodal.MediaFeatures = {
     val h = fnv1a(row.payload)
@@ -963,7 +965,11 @@ object MediaCodec {
     else if (ascii(0, "BM")) "bmp"
     else if (at(0) == 'P'.toInt && (at(1) == '5'.toInt || at(1) == '6'.toInt)) "pnm"
     else if (at(0) == 0x89 && ascii(1, "PNG")) "png"
-    else if (at(0) == 0xFF && at(1) == 0xD8) "jpeg"
+    else if (at(0) == 0xFF && at(1) == 0xD8)
+      // one marker walk deeper than a pure magic peek: the SOF process
+      // decides which decoder path (and accounting bucket) a crawl
+      // pipeline routes the payload to
+      if (JpegCodec.isProgressive(b)) "jpeg_progressive" else "jpeg"
     else if (ascii(0, "GIF8")) "gif"
     else if (b.length >= 12 &&
       Set("ftyp", "styp", "moov", "mdat").contains(boxType(b, 0))) "mp4"

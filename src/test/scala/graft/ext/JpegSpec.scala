@@ -47,7 +47,8 @@ class JpegSpec extends AnyFunSuite with Matchers {
     (sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
   }
 
-  private def imageIoEncode(w: Int, h: Int, blue: Int, quality: Float): Array[Byte] = {
+  private def imageIoEncode(w: Int, h: Int, blue: Int, quality: Float,
+      progressive: Boolean = false): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h; x <- 0 until w) {
@@ -59,6 +60,9 @@ class JpegSpec extends AnyFunSuite with Matchers {
     val params = writer.getDefaultWriteParam
     params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     params.setCompressionQuality(quality)
+    if (progressive) // the JDK writer emits libjpeg's standard
+      // successive-approximation scan script — exercises DC/AC refine
+      params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     try {
@@ -118,9 +122,10 @@ class JpegSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("refusals: progressive, truncated, non-JPEG, and forged-SOF canvas all return None") {
+  test("refusals: forged SOF2, truncated, non-JPEG, and forged-SOF canvas all return None") {
     val good = JpegCodec.Fixtures.gradientJpeg(24, 16)
-    // progressive: rewrite SOF0 (FFC0) to SOF2 (FFC2)
+    // forged SOF2 over a SEQUENTIAL scan: the scan header (Ss=0,Se=63)
+    // is illegal in a progressive frame — malformed, must refuse
     val prog = good.clone()
     val sof = prog.indices.find(i =>
       (prog(i) & 0xFF) == 0xFF && i + 1 < prog.length &&
@@ -150,6 +155,53 @@ class JpegSpec extends AnyFunSuite with Matchers {
     val got = JpegCodec.pixelStats(base)
     got.isDefined shouldBe true
     close(got.get, gradientMeans(128, 96, 20), 0.02)
+  }
+
+  for (mode <- Seq("gray", "444", "420")) {
+    test(s"progressive: own SOF2 encoder -> own decoder recovers gradient means ($mode)") {
+      val bytes = JpegCodec.Fixtures.gradientJpegProgressive(37, 23, blue = 32, mode = mode)
+      JpegCodec.isProgressive(bytes) shouldBe true
+      val got = JpegCodec.pixelStats(bytes)
+      got.isDefined shouldBe true
+      val exp = gradientMeans(37, 23, 32)
+      if (mode == "gray") {
+        // single component: the red-ramp gray replicates to all channels
+        close(got.get, (exp._1, exp._1, exp._1), 0.02)
+      } else close(got.get, exp, 0.03)
+    }
+
+    test(s"progressive: ImageIO and own decoder agree on the SAME SOF2 bytes ($mode)") {
+      val bytes = JpegCodec.Fixtures.gradientJpegProgressive(37, 23, blue = 32, mode = mode)
+      close(JpegCodec.pixelStats(bytes).get, imageIoMeans(bytes), 0.01)
+    }
+  }
+
+  test("progressive: ImageIO-ENCODED successive-approximation file decodes (foreign encoder)") {
+    // MODE_DEFAULT = libjpeg's standard progression script: DC at Al=1
+    // + DC refinement, AC bands at Al=2 with two refinement passes —
+    // every Annex G decode path (dcFirst/dcRefine/acFirst/acRefine,
+    // EOB runs) runs for real here
+    for ((w, h) <- Seq((64, 48), (37, 23), (17, 9))) {
+      val bytes = imageIoEncode(w, h, blue = 20, quality = 0.85f, progressive = true)
+      JpegCodec.isProgressive(bytes) shouldBe true
+      val got = JpegCodec.pixelStats(bytes)
+      withClue(s"${w}x$h: ") {
+        got.isDefined shouldBe true
+        // vs the independent decoder on the same bytes: tight
+        close(got.get, imageIoMeans(bytes), 0.01)
+        // vs ground truth
+        close(got.get, gradientMeans(w, h, 20), 0.04)
+      }
+    }
+  }
+
+  test("progressive: sniffFormat/decodeOutcome route SOF2 as jpeg_progressive, decoded") {
+    val prog = JpegCodec.Fixtures.gradientJpegProgressive(24, 16, mode = "420")
+    MediaCodec.sniffFormat(prog) shouldBe "jpeg_progressive"
+    MediaCodec.decodeOutcome(prog) shouldBe ("jpeg_progressive", "decoded")
+    val base = JpegCodec.Fixtures.gradientJpeg(24, 16, mode = "420")
+    MediaCodec.sniffFormat(base) shouldBe "jpeg"
+    JpegCodec.isProgressive(base) shouldBe false
   }
 
   test("decodeBytes feature head carries real JPEG channel means (stub boundary moved)") {
