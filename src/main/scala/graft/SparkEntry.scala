@@ -3608,6 +3608,50 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // Incremental persisted IVF-PQ (q126 + q158 composed): the index is
+    // built from the even-id half, the odd-id half arrives later as an
+    // APPEND — encoded with the index's frozen codebooks, base codes
+    // untouched — and the composite index must answer the query
+    // IDENTICALLY to the in-memory path over the full corpus (same
+    // neighbors, bit-equal ADC distances). Fully oracled: the split
+    // sizes are closed-form and the identity/deviation values are
+    // deterministic constants of the frozen-model contract (the q126
+    // argument); the append-only-delta property itself is pinned in
+    // PqSpec on file counts.
+    "q181_ivfpq_index_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = pqModel(s, dir)
+      val coarse = SimilaritySearch.learnCentroids(emb, "embedding", k = 16)
+      val query = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val rest = emb.where(col("vec_id") =!= 0)
+      val base = rest.where(pmod(col("vec_id"), lit(2)) === 0)
+      val delta = rest.where(pmod(col("vec_id"), lit(2)) === 1)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_append").toString
+      try {
+        graft.ext.Pq.writeIvfPqIndex(base, "vec_id", "embedding",
+          coarse, model, path)
+        graft.ext.Pq.appendToIvfPqIndex(delta, "vec_id", "embedding", path)
+        val fromIndex = graft.ext.Pq
+          .ivfPqTopKFromIndex(s, path, "vec_id", query, k = 10, nProbe = 4)
+          .withColumnRenamed("adc_dist", "adc_disk")
+        val inMem = graft.ext.Pq.ivfPqTopK(rest, "vec_id", "embedding",
+          query, k = 10, coarseCentroids = coarse, model = model, nProbe = 4)
+        fromIndex.join(inMem, Seq("vec_id"))
+          .agg((count(lit(1)).cast("double") / 10.0).as("identity_at_10"),
+            max(abs(col("adc_disk") - col("adc_dist"))).as("max_adc_dev"))
+          .crossJoin(base.agg(count(lit(1)).as("n_base")))
+          .crossJoin(delta.agg(count(lit(1)).as("n_appended")))
+          .select(col("n_base"), col("n_appended"),
+            col("identity_at_10"), col("max_adc_dev"))
+          .localCheckpoint() // materialize before the temp index vanishes
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
+    }),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -6320,6 +6364,18 @@ object SparkEntry {
                 round(d.g / i.g, 6) AS ndcg
          FROM dcg d JOIN idcg i USING (query_id) ORDER BY query_id""",
 
+    // closed-form split sizes; identity/deviation are deterministic
+    // constants of the frozen-model append contract (measured, not
+    // assumed, on the Spark side)
+    "q181_ivfpq_index_append" ->
+      """SELECT
+         (SELECT count(*) FROM embeddings
+          WHERE vec_id <> 0 AND vec_id % 2 = 0)::BIGINT AS n_base,
+         (SELECT count(*) FROM embeddings
+          WHERE vec_id % 2 = 1)::BIGINT AS n_appended,
+         1.0::DOUBLE AS identity_at_10,
+         0.0::DOUBLE AS max_adc_dev""",
+
     // each half consumed by exactly one run
     "q179_table_stream" ->
       """SELECT doc_id, lang,
@@ -6841,5 +6897,6 @@ object SparkEntry {
     "q169_orc_roundtrip", "q170_sql_surface", "q171_pivot",
     "q172_nullsafe_join", "q173_moving_avg", "q174_incremental_cc",
     "q175_export_shards", "q176_drift_psi", "q177_length_batching",
-    "q178_crawl_quota", "q179_table_stream", "q180_ndcg")
+    "q178_crawl_quota", "q179_table_stream", "q180_ndcg",
+    "q181_ivfpq_index_append")
 }

@@ -249,6 +249,31 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Append new vectors to a persisted [[writeIvfPqIndex]] index:
+    * encodes ONLY the new rows, with the index's own FROZEN codebooks
+    * and coarse centroids (reloaded from `path/meta`), and appends
+    * their code rows into the existing cell-partitioned layout. The
+    * base codes are never read, moved, or re-encoded — at 10^9 indexed
+    * vectors the maintenance cost is O(delta), which is the whole
+    * point of an incremental crawl index. Freezing the model is what
+    * keeps old and new codes mutually comparable (one codebook → one
+    * ADC lookup table per query); re-fitting on drifted data would
+    * silently re-scale every stored distance, so that is a REBUILD
+    * (`writeIvfPqIndex`), never an append.
+    */
+  def appendToIvfPqIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String): Unit = {
+    val (cents, model) = readIvfPqIndexModel(df.sparkSession, path)
+    df.select(col(idCol),
+        encode(col(vecCol), model).as("codes"),
+        SimilaritySearch.nearestCentroid(col(vecCol), cents,
+          spherical = false).as("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+  }
+
   /** Reload `(coarseCentroids, model)` from a [[writeIvfPqIndex]] dir. */
   def readIvfPqIndexModel(
       spark: org.apache.spark.sql.SparkSession,

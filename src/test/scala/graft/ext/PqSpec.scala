@@ -148,6 +148,57 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("index append: base files untouched, frozen model, composite answers like a rebuild") {
+    val m = Pq.fit(clustered, "embedding", dim = 16, m = 4, k = 16, sampleN = 300)
+    val coarse = SimilaritySearch.learnCentroids(clustered, "embedding", k = 6, sampleN = 300)
+    val query = clustered.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val rest = clustered.where(col("vec_id") =!= 0)
+    // split ACROSS clusters (cluster = id%6, so id%12<6 alternates
+    // members within every cluster): both halves land in every cell
+    val base = rest.where(col("vec_id") % 12 < 6)
+    val delta = rest.where(col("vec_id") % 12 >= 6)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_append_spec").toString
+    def codeFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$path/codes"))
+        .filter(_.getName.startsWith("part-"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    try {
+      Pq.writeIvfPqIndex(base, "vec_id", "embedding", coarse, m, path)
+      val before = codeFiles()
+      Pq.appendToIvfPqIndex(delta, "vec_id", "embedding", path)
+      val after = codeFiles()
+      // append-only delta: every base part file survives bit-untouched
+      // (same path, same mtime), the delta arrives as NEW files only
+      before.foreach { case (p, t) =>
+        assert(after.get(p).contains(t), s"base file $p was touched")
+      }
+      assert(after.size > before.size, "append added no code files")
+      // frozen model: the meta table is byte-identical after the append
+      val (cents2, m2) = Pq.readIvfPqIndexModel(spark, path)
+      assert(cents2 == coarse.map(_.toSeq) && m2.codebooks == m.codebooks)
+      // composite index answers exactly like the in-memory full-corpus
+      // path under the same frozen model — neighbors AND distances
+      val disk = Pq.ivfPqTopKFromIndex(spark, path, "vec_id", query, k = 10, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val mem = Pq.ivfPqTopK(rest, "vec_id", "embedding", query, k = 10,
+          coarseCentroids = coarse, model = m, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(disk == mem, s"disk=$disk mem=$mem")
+      // both halves are actually served: the top-10 must mix parities
+      // (the clustered fixture's in-cell members span both)
+      assert(disk.map(_._1 % 12 < 6).distinct.size == 2,
+        s"top-10 did not mix base and appended halves: $disk")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    }
+  }
+
   /** Fixture for the residual comparison: 6 well-separated centers
     * (scale 10) whose members vary along a per-cluster LINE — the
     * within-cluster structure is 1-D and much smaller than the center
