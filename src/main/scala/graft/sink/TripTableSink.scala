@@ -102,9 +102,18 @@ object TripTableSink {
   // Delta-append strategy (scale path)
   // -------------------------------------------------------------------
 
-  /** Append one epoch's rows — O(batch) I/O, no read of existing data. */
+  /** Append one epoch's rows — O(batch) I/O, no read of existing data.
+    * The batch is repartitioned by `date` first: without it every
+    * upstream task (state partitions, typically 32+) opens a writer in
+    * every touched date dir, so one epoch lands tasks×dates small
+    * files and the merge-on-read listing pays for it forever — the
+    * same small-files cliff ManifestProbe measures at 13-18×. With it,
+    * an epoch writes one file per touched date; the added shuffle
+    * moves only the micro-batch's own rows.
+    */
   def appendDelta(batch: DataFrame, path: String, epoch: Long): Unit =
     batch.withColumn(seqCol, lit(epoch))
+      .repartition(col("date"))
       .write.mode(SaveMode.Append).partitionBy("date").parquet(path)
 
   /** Merge-on-read view: latest record per trip_id across all appended
