@@ -918,9 +918,12 @@ object SparkEntry {
 
     // q45's recall measurement for the auto path: recall@10 of
     // annTopKAuto's answer set against the exact brute-force top-10 —
-    // the driver-visible number for the recommended configuration.
-    // Rows-only for the same reason as q55; bounded by q45 (oracled, the
-    // same measurement mechanics with fixed planes) + the spec floors.
+    // the driver-visible claim for the recommended configuration,
+    // carried as a bound: the auto-tuner must clear a 0.7 recall floor
+    // (measured 1.0 on the fixture; deterministic — the tuner and the
+    // planes are seeded). n_exact is closed-form, so the row is fully
+    // oracled; raw recall magnitudes stay on q45 (oracled, the same
+    // measurement mechanics with fixed planes) + the spec floors.
     "q56_ann_recall_auto" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = queryVector(e, 0L)
@@ -929,7 +932,11 @@ object SparkEntry {
       val auto = SimilaritySearch.annTopKAuto(e, "vec_id", "embedding", q, 10,
         excludeId = Some(0L)).select("vec_id")
       auto.join(exact, Seq("vec_id"))
-        .agg((count(lit(1)).cast("double") / lit(10.0)).as("recall_auto_at_10"))
+        .agg(count(lit(1)).as("__hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(col("n_exact"),
+          (col("__hits").cast("double") >=
+            lit(0.7) * col("n_exact").cast("double")).as("recall_floor_met"))
     }),
 
     // Repetition / boilerplate quality signals (Gopher-style
@@ -2361,9 +2368,11 @@ object SparkEntry {
     // partitioned by coarse cell + codebooks/centroids in a meta
     // table, then the SAME query answered from disk and from memory.
     // The row is a round-trip IDENTITY check (the q83 pattern): same
-    // neighbors, same ADC distances to the last bit — deterministic,
-    // pinned at 1.0 / 0.0. Rows-only (kmeans isn't SQL); PqSpec twins
-    // this on the clustered fixture.
+    // neighbors, same ADC distances to the last bit — deterministic
+    // constants of the frozen-model contract, so the whole row is
+    // oracled closed-form (kmeans isn't SQL, but the identity claim
+    // doesn't depend on what kmeans learned); PqSpec twins this on the
+    // clustered fixture.
     "q126_ivfpq_index" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = pqModel(s, dir)
@@ -6363,6 +6372,19 @@ object SparkEntry {
          SELECT d.query_id, round(d.g, 6) AS dcg, round(i.g, 6) AS idcg,
                 round(d.g / i.g, 6) AS ndcg
          FROM dcg d JOIN idcg i USING (query_id) ORDER BY query_id""",
+
+    // closed-form exact-side count; the auto-tuner's recall floor is a
+    // measured boolean
+    "q56_ann_recall_auto" ->
+      """SELECT least(10, (SELECT count(*) FROM embeddings
+                           WHERE vec_id <> 0))::BIGINT AS n_exact,
+         TRUE AS recall_floor_met""",
+
+    // identity/deviation are deterministic constants of the persisted
+    // round trip (measured, not assumed, on the Spark side)
+    "q126_ivfpq_index" ->
+      """SELECT 8 AS m, 64 AS k, 16 AS coarse_cells, 4 AS n_probe,
+         1.0::DOUBLE AS identity_at_10, 0.0::DOUBLE AS max_adc_dev""",
 
     // closed-form split sizes; identity/deviation are deterministic
     // constants of the frozen-model append contract (measured, not
