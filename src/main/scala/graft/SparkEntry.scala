@@ -3661,6 +3661,16 @@ object SparkEntry {
       }
     }),
 
+    // Exact cross-document shared-substring spans (Lee et al. 2022's
+    // exact-substring dedup criterion over 40-char windows): per doc,
+    // how many of its sliding windows occur verbatim in another
+    // document — the boilerplate/licence-block signal word-shingle
+    // Jaccard dilutes away. Fully oracled: windows, doc frequencies,
+    // and fractions all re-derive in closed form.
+    "q182_char_span_dedup" -> ((s, dir) =>
+      Dedup.sharedCharSpans(t(s, dir, "documents"), "doc_id", "text", k = 40)
+        .orderBy(col("doc_id"))),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -6398,6 +6408,21 @@ object SparkEntry {
          1.0::DOUBLE AS identity_at_10,
          0.0::DOUBLE AS max_adc_dev""",
 
+    // identical 40-char windows, doc frequencies, and fractions
+    "q182_char_span_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+                    WHERE text IS NOT NULL AND length(text) >= 40),
+         g AS (SELECT doc_id, md5(substr(text, i, 40)) AS gh
+               FROM d, unnest(generate_series(1, length(text) - 39)) AS t(i)),
+         gd AS (SELECT DISTINCT doc_id, gh FROM g),
+         cnt AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM gd GROUP BY gh)
+         SELECT doc_id, count(*)::BIGINT AS n_windows,
+                sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+                round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*), 6) AS shared_frac
+         FROM gd JOIN cnt USING (gh)
+         GROUP BY doc_id ORDER BY doc_id""",
+
     // each half consumed by exactly one run
     "q179_table_stream" ->
       """SELECT doc_id, lang,
@@ -6920,5 +6945,5 @@ object SparkEntry {
     "q172_nullsafe_join", "q173_moving_avg", "q174_incremental_cc",
     "q175_export_shards", "q176_drift_psi", "q177_length_batching",
     "q178_crawl_quota", "q179_table_stream", "q180_ndcg",
-    "q181_ivfpq_index_append")
+    "q181_ivfpq_index_append", "q182_char_span_dedup")
 }

@@ -820,6 +820,71 @@ object Dedup {
     }
   }
 
+  /** Exact cross-document shared-substring signal (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * exact-substring criterion, spelled as sliding char windows instead
+    * of a suffix array): every length-`k` character window of every
+    * document, hashed; a window occurring in ≥ 2 DISTINCT documents
+    * marks a shared span. With `step = 1` detection is EXACT — two
+    * documents share a substring of length ≥ k iff they share a
+    * window — and per-doc `n_shared / n_windows` is the fraction of
+    * the document sitting inside cross-doc duplicated spans, the
+    * signal that catches boilerplate/licence blocks word-shingle
+    * Jaccard dilutes away. `sampleMod > 1` trades volume for recall
+    * via MOD-P WINDOW SELECTION (Broder's mod-p shingle sampling):
+    * only windows whose content hash ≡ 0 (mod sampleMod) are kept.
+    * Selection is CONTENT-keyed, never offset-keyed — both documents
+    * keep exactly the same windows of a shared span, so there is no
+    * alignment failure mode (an offset-stride sampler can phase-shift
+    * two copies apart forever); a shared span of length L survives
+    * with probability 1 − (1 − 1/m)^(L−k+1) and false positives stay
+    * impossible. Complements [[dedupSpans]]: that operator REWRITES
+    * the corpus on boundary-aligned token spans (the C4 recipe,
+    * misses straddling repeats); this one DETECTS at any character
+    * offset and leaves the rewrite policy to the caller.
+    *
+    * Shape at scale: the window table is the whole cost — |text| rows
+    * per doc at sampleMod 1 (the same blowup that pushes the
+    * reference method onto suffix arrays on dedicated hosts); mod-p
+    * keeps 1/m of it with the guarantee above. One explode → one
+    * hash-aggregate by window hash (map-side combined) → one
+    * equi-join back on the hash; nothing carries text past the first
+    * projection, windows travel as md5 hashes. Production screens at
+    * m ≈ 8 and rescans only flagged docs exactly.
+    */
+  def sharedCharSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      sampleMod: Int = 1): DataFrame = {
+    require(k >= 2, s"window length k must be >= 2, got $k")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val all = df
+      .where(col(textCol).isNotNull && length(col(textCol)) >= k)
+      .select(col(idCol), col(textCol).as("__t"),
+        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("__i"))
+      .select(col(idCol),
+        md5(col("__t").substr(col("__i"), lit(k))).as("__gh"))
+    val grams = (if (sampleMod == 1) all
+      else all.where(
+        // content-keyed selection: 15 md5 hex chars (< 2^60) mod m —
+        // the same arithmetic every md5-coordinate sampler here uses,
+        // reproducible in plain SQL
+        pmod(conv(substring(col("__gh"), 1, 15), 16, 10).cast("long"),
+          lit(sampleMod.toLong)) === 0))
+      .distinct()
+      .localCheckpoint() // feeds the doc-frequency agg AND the join back
+    val docFreq = grams.groupBy(col("__gh"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    grams.join(docFreq, Seq("__gh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_windows"), 6))
+  }
+
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame =
     connectedComponentsFrom(nodes, pairs, init = None, maxIter)._1
 

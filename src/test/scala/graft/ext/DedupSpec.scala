@@ -404,6 +404,46 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
       (2L, 2L, 3L, "m n o"))
   }
 
+  test("sharedCharSpans: exact unaligned detection, closed-form fractions, step bound") {
+    import spark.implicits._
+    // doc 2 embeds doc 1's 12-char block at an offset no token-span
+    // boundary would align to; doc 3 is all-unique
+    val a = "abcdefghijkl" // the shared 12-char block
+    val df = Seq(
+      (1L, s"${a}0123456789"),
+      (2L, s"zzzz${a}zzzzzz"),
+      (3L, "qrstuvwx9876543210")).toDF("doc_id", "text")
+    val out = sharedCharSpans(df, "doc_id", "text", k = 12)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1: 11 windows (22-12+1), exactly ONE (the block itself) shared
+    // doc 2: 11 windows, one shared; doc 3: 7 windows, none
+    out shouldBe Seq((1L, 11L, 1L), (2L, 11L, 1L), (3L, 7L, 0L))
+    // exactness: shrink the shared block below k and nothing matches
+    val none = sharedCharSpans(df, "doc_id", "text", k = 13)
+      .agg(sum("n_shared")).head.getLong(0)
+    none shouldBe 0L
+    // mod-p sampling is CONTENT-keyed: the same windows of a shared
+    // block survive in both docs even at phase-shifted offsets (an
+    // offset-stride sampler provably misses this fixture), so a long
+    // shared block is still detected in both documents
+    val b = "The quick brown fox jumps over the lazy dog again and again"
+    val df2 = Seq(
+      (1L, s"$b 0123456789"),
+      (2L, s"zzz $b zzzzzzz")).toDF("doc_id", "text")
+    val det = sharedCharSpans(df2, "doc_id", "text", k = 12, sampleMod = 2)
+      .where(col("n_shared") >= 1).count()
+    det shouldBe 2
+    // ...and never invents a false positive on unique docs
+    sharedCharSpans(df.where(col("doc_id") === 3), "doc_id", "text",
+        k = 12, sampleMod = 2)
+      .agg(coalesce(sum("n_shared"), lit(0L))).head.getLong(0) shouldBe 0L
+    // duplicate windows inside ONE doc don't count as shared
+    val selfDup = Seq((1L, "ababababababababab" + "XY")).toDF("doc_id", "text")
+    sharedCharSpans(selfDup, "doc_id", "text", k = 4)
+      .agg(sum("n_shared")).head.getLong(0) shouldBe 0L
+  }
+
   test("dedupSpans is layout-stable (keep-first is (id, idx) order, not partition order)") {
     import spark.implicits._
     val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "dup span text here" else s"uniq $i text $i"))
