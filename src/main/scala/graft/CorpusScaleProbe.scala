@@ -128,6 +128,20 @@ object CorpusScaleProbe {
       val secs10 = (System.nanoTime() - t10) / 1e9
       println(s"""{"metric":"ffd_pack_realistic","n_docs":$n,""" +
         s""""packed":$packed,"sec":$secs10,"cpus":$cpus}""")
+      // Exact shared-substring detection (round 15): the window table
+      // is |text| rows/doc at mod 1 — the probe runs the mod-8
+      // SCREENING configuration production would, plus mod 1 once at
+      // the smallest size to show the exact-pass cost multiple
+      for (m <- if (n == sizes.min) Seq(1, 8) else Seq(8)) {
+        val t11 = System.nanoTime()
+        val flaggedSpans = Dedup.sharedCharSpans(docs, "doc_id", "text",
+            k = 40, sampleMod = m)
+          .where(col("n_shared") >= 1)
+          .queryExecution.toRdd.count()
+        val secs11 = (System.nanoTime() - t11) / 1e9
+        println(s"""{"metric":"char_span_realistic","n_docs":$n,""" +
+          s""""sample_mod":$m,"flagged":$flaggedSpans,"sec":$secs11,"cpus":$cpus}""")
+      }
     }
     spark.stop()
   }

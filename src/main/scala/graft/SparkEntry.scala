@@ -608,18 +608,22 @@ object SparkEntry {
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
-          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
-          percentile(col("o_totalprice"), lit(0.9)).as("p90"),
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("__a50"),
-          percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("__a90"),
-          percentile(col("o_totalprice"), lit(0.498)).as("__lo50"),
-          percentile(col("o_totalprice"), lit(0.502)).as("__hi50"),
-          percentile(col("o_totalprice"), lit(0.898)).as("__lo90"),
-          percentile(col("o_totalprice"), lit(0.902)).as("__hi90"))
-        .select(col("o_orderpriority"), col("p50"), col("p90"),
-          (col("__a50") >= col("__lo50") && col("__a50") <= col("__hi50"))
+          // ONE exact buffer and ONE GK summary serve all six quantile
+          // reads (array forms) — six separate percentile aggregates
+          // would buffer the group six times over
+          percentile(col("o_totalprice"),
+            array(lit(0.498), lit(0.5), lit(0.502),
+              lit(0.898), lit(0.9), lit(0.902))).as("__ex"),
+          percentile_approx(col("o_totalprice"),
+            array(lit(0.5), lit(0.9)), lit(10000)).as("__ap"))
+        .select(col("o_orderpriority"),
+          element_at(col("__ex"), 2).as("p50"),
+          element_at(col("__ex"), 5).as("p90"),
+          (element_at(col("__ap"), 1) >= element_at(col("__ex"), 1) &&
+            element_at(col("__ap"), 1) <= element_at(col("__ex"), 3))
             .as("p50_within"),
-          (col("__a90") >= col("__lo90") && col("__a90") <= col("__hi90"))
+          (element_at(col("__ap"), 2) >= element_at(col("__ex"), 4) &&
+            element_at(col("__ap"), 2) <= element_at(col("__ex"), 6))
             .as("p90_within"))
         .orderBy(col("o_orderpriority"))),
 

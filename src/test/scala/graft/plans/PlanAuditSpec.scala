@@ -238,6 +238,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     filterIdx should be > aggIdx // rendered below = later in the string
   }
 
+  test("q182 shared char spans: partial agg on window hashes, text never shuffles") {
+    // the window table is the whole cost — its doc-frequency count
+    // must partial-aggregate map-side (hot boilerplate hashes combine
+    // before the shuffle), and no exchange may carry the text column
+    // (windows travel as md5 hashes only)
+    val df = graft.ext.Dedup.sharedCharSpans(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", k = 40)
+    val p = df.queryExecution.executedPlan.toString
+    p should include("partial_count") // map-side combine under the shuffle
+    // downstream of the gram projection (the localCheckpoint boundary)
+    // only (doc_id, window-hash) columns exist — text never reaches the
+    // doc-frequency shuffle or the join back
+    p should include("__gh")
+    p should not include "text#"
+  }
+
   test("q132 anchor extraction: one generator, no join; summary never sort-merges") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     // extraction stage (pre-checkpoint): a single explode of the
