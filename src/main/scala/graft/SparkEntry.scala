@@ -499,9 +499,16 @@ object SparkEntry {
     // LSH ANN top-k via the recommended default entry point (multi-probe
     // — single-probe at this corpus size measures recall 0.0 and is an
     // explicit opt-in, annTopKSingleProbe)
+    // Multi-probe LSH ANN top-10 — fully oracled: the 4 hyperplanes are
+    // literal doubles (annPlaneLits), so DuckDB reproduces the sign
+    // bucketing, the Hamming-1 probe set, and the cosine ordering
+    // exactly (the q45 machinery, emitting the answer set itself).
     "q31_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = queryVector(e, 0L)
+      require(q.size == 64,
+        s"q31's oracle embeds dim-64 hyperplane literals but the fixture " +
+          s"embedding width is ${q.size}; regenerate annPlaneLits to match")
       SimilaritySearch.annTopK(e, "vec_id", "embedding", q, 10,
           numPlanes = 4, excludeId = Some(0L))
         .select(col("vec_id"), col("cosine_sim"))
@@ -4455,6 +4462,29 @@ object SparkEntry {
     // Full LSH replication: same literal hyperplanes, same sign-bucket,
     // same Hamming-1 multi-probe set, same top-10-by-cosine — so the
     // recall numbers are independently recomputed end to end.
+    // the q45 bucket/probe/cosine machinery emitting the ANSWER SET:
+    // same plane literals, Hamming-1 probe IN-list, (cosine desc, id)
+    "q31_ann_topk" ->
+      s"""WITH b AS (
+           SELECT vec_id, embedding,
+               (CASE WHEN list_dot_product(embedding::DOUBLE[], ${annPlaneLits(0)}) >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN list_dot_product(embedding::DOUBLE[], ${annPlaneLits(1)}) >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN list_dot_product(embedding::DOUBLE[], ${annPlaneLits(2)}) >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN list_dot_product(embedding::DOUBLE[], ${annPlaneLits(3)}) >= 0 THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings),
+         qb AS (SELECT bucket AS qbucket, embedding AS qe FROM b WHERE vec_id = 0),
+         ze AS (SELECT e.vec_id, e.bucket, q.qbucket,
+                       unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+                FROM b e, qb q WHERE e.vec_id <> 0),
+         ce AS (SELECT vec_id, any_value(bucket) AS bucket,
+                       any_value(qbucket) AS qbucket,
+                       sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cosine_sim
+                FROM ze GROUP BY vec_id)
+         SELECT vec_id, cosine_sim FROM ce
+         WHERE bucket IN (qbucket, xor(qbucket, 1), xor(qbucket, 2),
+                          xor(qbucket, 4), xor(qbucket, 8))
+         ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
+
     "q45_ann_recall" ->
       s"""WITH b AS (
            SELECT vec_id, embedding,
