@@ -1952,9 +1952,9 @@ object SparkEntry {
     // both against the exact L2 top-10 (the q45/q46/q64 estimator-
     // quality pattern). The corpus's near-uniform geometry (top-10
     // gaps ≈ quantization distortion; q45's LSH scores 0.2 here too)
-    // caps pure ADC; the re-rank column is the honest production
-    // metric. Rows-only; floors pinned in PqSpec on a clustered
-    // fixture where the geometry separates.
+    // caps pure ADC; the re-rank claim is the honest production
+    // metric, carried as oracled booleans (rerank ⊇ adc hits is a
+    // theorem of shortlist containment — asserted, not assumed).
     "q114_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = pqModel(s, dir)
@@ -1981,13 +1981,20 @@ object SparkEntry {
         .limit(10)
         .select(col("vec_id"))
       val adcHits = pq10.join(exact10, Seq("vec_id"), "left_semi")
-        .agg((count(lit(1)).cast("double") / 10.0).as("recall_at_10"))
+        .agg((count(lit(1)).cast("double") / 10.0).as("__adc"))
       val rerankHits = rerank10.join(exact10, Seq("vec_id"), "left_semi")
-        .agg((count(lit(1)).cast("double") / 10.0).as("recall_rerank50"))
+        .agg((count(lit(1)).cast("double") / 10.0).as("__rr"))
+      // Bound-carrying output: config literals plus the two claims the
+      // row exists to make — the production two-stage number clears a
+      // 0.7 floor (measured 0.9; sampled-kmeans codebooks are
+      // deterministic on the fixture) and re-ranking never loses to
+      // pure ADC. Raw recall magnitudes stay on PqSpec's clustered
+      // fixture where the geometry separates.
       adcHits.crossJoin(rerankHits)
         .select(lit(model.m).as("m"), lit(model.k).as("k"),
           lit(model.dim).as("dim"),
-          col("recall_at_10"), col("recall_rerank50"))
+          (col("__rr") >= 0.7).as("rerank_floor_met"),
+          (col("__rr") >= col("__adc")).as("rerank_ge_adc"))
     }),
 
     // Gzipped WARC ingest (.warc.gz, one gzip member per record — the
@@ -6423,6 +6430,12 @@ object SparkEntry {
       """SELECT least(10, (SELECT count(*) FROM embeddings
                            WHERE vec_id <> 0))::BIGINT AS n_exact,
          TRUE AS recall_floor_met""",
+
+    // config literals + the measured two-stage floor and the
+    // rerank-never-loses-to-ADC containment theorem
+    "q114_pq_recall" ->
+      """SELECT 8 AS m, 64 AS k, 64 AS dim,
+         TRUE AS rerank_floor_met, TRUE AS rerank_ge_adc""",
 
     // identity/deviation are deterministic constants of the persisted
     // round trip (measured, not assumed, on the Spark side)
