@@ -3689,6 +3689,17 @@ object SparkEntry {
       Dedup.sharedCharSpans(t(s, dir, "documents"), "doc_id", "text", k = 40)
         .orderBy(col("doc_id"))),
 
+    // Exact-count stratified split (10% test / 10% val per language on
+    // the md5 coordinate): where q38's hex-bound split is proportional
+    // only in expectation, every stratum here lands EXACTLY
+    // ceil-fraction rows in each side — the audit-grade eval-split
+    // layout. Fully oracled: the assignment itself is reproduced.
+    "q183_stratified_split" -> ((s, dir) =>
+      Sampling.stratifiedSplit(t(s, dir, "documents"), "lang", "doc_id",
+          testFrac = 0.1, valFrac = 0.1)
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -6455,6 +6466,19 @@ object SparkEntry {
          1.0::DOUBLE AS identity_at_10,
          0.0::DOUBLE AS max_adc_dev""",
 
+    // identical per-stratum md5 ordering and ceil arithmetic
+    "q183_stratified_split" ->
+      """WITH r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT doc_id, lang,
+                CASE WHEN rk <= ceil(0.1 * n) THEN 'test'
+                     WHEN rk <= ceil(0.1 * n) + ceil(0.1 * n) THEN 'val'
+                     ELSE 'train' END AS split
+         FROM r ORDER BY doc_id""",
+
     // identical 40-char windows, doc frequencies, and fractions
     "q182_char_span_dedup" ->
       """WITH d AS (SELECT doc_id, text FROM documents
@@ -6992,5 +7016,6 @@ object SparkEntry {
     "q172_nullsafe_join", "q173_moving_avg", "q174_incremental_cc",
     "q175_export_shards", "q176_drift_psi", "q177_length_batching",
     "q178_crawl_quota", "q179_table_stream", "q180_ndcg",
-    "q181_ivfpq_index_append", "q182_char_span_dedup")
+    "q181_ivfpq_index_append", "q182_char_span_dedup",
+    "q183_stratified_split")
 }

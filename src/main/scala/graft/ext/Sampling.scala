@@ -108,6 +108,49 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic stratified train/val/test split with EXACT per-
+    * stratum counts: within each stratum, rows ordered by the md5
+    * content coordinate take the first ⌈testFrac·n⌉ slots as `test`,
+    * the next ⌈valFrac·n⌉ as `val`, the rest as `train`. Where the
+    * hex-bound split (`contentSplit`, q38) is proportional only in
+    * expectation — fine at 10^9 docs, audit-failing at stratum sizes
+    * of 50 — this one is exact at ANY stratum size, and still
+    * engine-independent and partition-invariant (the oracle reproduces
+    * the identical assignment). Eval contamination policy stays with
+    * the caller: split AFTER dedup/decontamination, or near-dups of a
+    * test doc land in train.
+    *
+    * Shape at scale: one window sort per stratum. Strata here are
+    * bounded-cardinality labels (language, source) with large
+    * partitions, so the sort is the range-partition class the q141/
+    * q177 rows carry; at 100 TB per-stratum, use `contentSplit`'s
+    * hex bounds for the bulk and reserve this exact form for the
+    * strata small enough that expectation isn't exactness.
+    */
+  def stratifiedSplit(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      testFrac: Double,
+      valFrac: Double): DataFrame = {
+    require(testFrac >= 0 && valFrac >= 0 && testFrac + valFrac < 1,
+      s"fractions must be >= 0 and sum below 1, got ($testFrac, $valFrac)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(contentKey(col(keyCol)), col(keyCol))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .withColumn("split",
+        when(col("__rk") <= ceil(lit(testFrac) * col("__n")), "test")
+          .when(col("__rk") <=
+            ceil(lit(testFrac) * col("__n")) + ceil(lit(valFrac) * col("__n")),
+            "val")
+          .otherwise("train"))
+      .drop("__rk", "__n")
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (the
     * Efraimidis–Spirakis exponential-keys construction): each row gets
     * `key = -ln(u) / w` with `u ∈ (0,1)` drawn from the md5 coordinate

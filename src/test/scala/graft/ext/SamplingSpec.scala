@@ -378,6 +378,34 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .agg(max("s"), min("s")).head.toSeq shouldBe Seq(0, 0)
   }
 
+  test("stratifiedSplit: exact per-stratum counts, disjoint+complete, layout-stable") {
+    import spark.implicits._
+    // strata of deliberately awkward sizes: 7, 50, 1
+    val df = ((1 to 7).map(i => (i.toLong, "a")) ++
+      (100 to 149).map(i => (i.toLong, "b")) :+ ((999L, "c"))).toDF("id", "g")
+    val out = Sampling.stratifiedSplit(df, "g", "id", testFrac = 0.1, valFrac = 0.1)
+    val counts = out.groupBy("g", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // ceil(0.1*7)=1, ceil(0.1*50)=5, ceil(0.1*1)=1 (test swallows the
+    // singleton; val is empty there, train empty too)
+    counts(("a", "test")) shouldBe 1
+    counts(("a", "val")) shouldBe 1
+    counts(("a", "train")) shouldBe 5
+    counts(("b", "test")) shouldBe 5
+    counts(("b", "val")) shouldBe 5
+    counts(("b", "train")) shouldBe 40
+    counts(("c", "test")) shouldBe 1
+    counts.keys.count(_._1 == "c") shouldBe 1
+    // complete + disjoint: one split per row, all rows present
+    out.count() shouldBe 58
+    out.select("id").distinct().count() shouldBe 58
+    // layout-stable: the assignment is a pure function of content
+    val shuffled = Sampling.stratifiedSplit(df.repartition(13), "g", "id",
+      testFrac = 0.1, valFrac = 0.1)
+    shuffled.select("id", "split").except(out.select("id", "split"))
+      .count() shouldBe 0
+  }
+
   test("temperatureWeights: closed-form shares; T=1 is the identity mix") {
     import spark.implicits._
     // masses 90 / 10: p = .9/.1; T=2 -> pt = sqrt(p); shares
