@@ -87,6 +87,56 @@ object IndexScaleProbe {
           .delete(p, true): Unit
       }
     }
+    // ---- IVF-PQ maintenance: append vs rebuild (round 15) ----
+    // The q181 claim priced: admitting a 10% delta into a persisted
+    // index must cost O(delta) — encode only the new rows with the
+    // frozen model — where a rebuild re-encodes everything. Vectors
+    // are deterministic hash-noise (content-keyed, any partitioning).
+    locally {
+      import org.apache.spark.sql.functions._
+      def vecs(n: Long, salt: Int) = spark.range(n)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            d => (pmod(xxhash64(col("id"), d, lit(salt)), lit(2001L)) - 1000L)
+              .cast("double") / 1000.0)
+            .cast("array<float>").as("embedding"))
+        .localCheckpoint()
+      val nBase = 200000L
+      val base = vecs(nBase, salt = 1)
+      val delta = vecs(nBase / 10, salt = 2)
+        .select((col("vec_id") + nBase).as("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val model = graft.ext.Pq.fit(base, "embedding", dim = 64, m = 8, k = 64)
+      val coarse = graft.ext.SimilaritySearch
+        .learnCentroids(base, "embedding", k = 16)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-probe-ivfpq").toString
+      try {
+        val tB = System.nanoTime()
+        graft.ext.Pq.writeIvfPqIndex(base, "vec_id", "embedding",
+          coarse, model, path)
+        val secB = (System.nanoTime() - tB) / 1e9
+        println(s"""{"metric":"ivfpq_index_build","n_vectors":$nBase,""" +
+          s""""sec":${fmt3(secB)},"cpus":$cpus}""")
+        val tA = System.nanoTime()
+        graft.ext.Pq.appendToIvfPqIndex(delta, "vec_id", "embedding", path)
+        val secA = (System.nanoTime() - tA) / 1e9
+        println(s"""{"metric":"ivfpq_index_append","n_delta":${nBase / 10},""" +
+          s""""sec":${fmt3(secA)},"cpus":$cpus}""")
+        val tR = System.nanoTime()
+        graft.ext.Pq.writeIvfPqIndex(base.unionByName(delta), "vec_id",
+          "embedding", coarse, model, s"$path-rebuild")
+        val secR = (System.nanoTime() - tR) / 1e9
+        println(s"""{"metric":"ivfpq_index_rebuild","n_vectors":${nBase + nBase / 10},""" +
+          s""""sec":${fmt3(secR)},"cpus":$cpus}""")
+      } finally {
+        for (d <- Seq(path, s"$path-rebuild")) {
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true): Unit
+        }
+      }
+    }
     spark.stop()
   }
 
