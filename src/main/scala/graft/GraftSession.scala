@@ -49,6 +49,14 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Spark's generated-class cache holds 100 entries by default —
+      // a long-lived session running many DISTINCT queries (the
+      // driver's 170-query bench, any multi-tenant warehouse session)
+      // thrashes it and pays janino recompilation on every plan.
+      // Measured on the full bench: total 195.0 s → 182.3 s, with the
+      // worst single query (q98) 4.6 s → 0.9 s once its generated
+      // code stopped being evicted between reps.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // harness events.parquet uses TIMESTAMP(NANOS), unreadable by
       // Spark 4 without this (read as raw nanos, converted by callers).
       // SESSION-GLOBAL: every parquet read on the session sees nanos
