@@ -875,8 +875,11 @@ object Dedup {
           lit(sampleMod.toLong)) === 0))
       .distinct()
       .localCheckpoint() // feeds the doc-frequency agg AND the join back
+    // grams is DISTINCT on (id, hash), so doc frequency is a plain
+    // count — countDistinct here would add a second exchange keyed on
+    // (hash, id) for rows already unique on exactly those keys
     val docFreq = grams.groupBy(col("__gh"))
-      .agg(countDistinct(col(idCol)).as("__nd"))
+      .agg(count(lit(1)).as("__nd"))
     grams.join(docFreq, Seq("__gh"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),
