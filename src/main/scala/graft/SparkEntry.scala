@@ -1807,6 +1807,10 @@ object SparkEntry {
     "q107_pca_quality" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = pcaModel(s, dir)
+      // the oracle pins dim 64 as a literal; a regenerated fixture with
+      // another width must fail HERE, not as a silent hash mismatch
+      require(model.dim == 64,
+        s"q107's oracle pins dim=64 but the fitted PCA saw ${model.dim}")
       val planes = SimilaritySearch.hyperplanes(numPlanes = 8, dim = model.dim, seed = 42L)
         .map(_.toArray).toArray
       val randVar = graft.ext.Pca.capturedVariance(emb, "embedding", planes)
