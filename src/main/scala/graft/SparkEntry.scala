@@ -424,7 +424,9 @@ object SparkEntry {
     // Composite quality score (pure column algebra)
     "q21_quality_score" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).cast("decimal(18,6)")
+            .as("quality"))
         .orderBy(col("doc_id"))),
 
     // Language ID (stopword-hit heuristic), rolled up
@@ -957,6 +959,13 @@ object SparkEntry {
     // splits, oracled end-to-end
     "q57_repetition_scores" -> ((s, dir) =>
       TextAnalysis.repetitionScores(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          col("dup_line_frac").cast("decimal(18,6)").as("dup_line_frac"),
+          col("dup_line_char_frac").cast("decimal(18,6)")
+            .as("dup_line_char_frac"),
+          col("dup_word_frac").cast("decimal(18,6)").as("dup_word_frac"),
+          col("top_bigram_char_frac").cast("decimal(18,6)")
+            .as("top_bigram_char_frac"))
         .orderBy(col("doc_id"))),
 
     // Eval-set contamination report: training docs sharing any word
@@ -976,12 +985,17 @@ object SparkEntry {
     // DuckDB already proven by q33's idf)
     "q59_unigram_xent" -> ((s, dir) =>
       TextAnalysis.unigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          col("xent_nats").cast("decimal(18,6)").as("xent_nats"))
         .orderBy(col("doc_id"))),
 
     // Per-source dataset card: docs / tokens / mean quality / English
     // share — the shard summary a training corpus publishes
     "q60_source_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(t(s, dir, "documents"), "source", "text")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("avg_quality").cast("decimal(18,6)").as("avg_quality"),
+          col("n_pred_en"))
         .orderBy(col("source"))),
 
     // Corpus mixing: per-source token budgets drawn deterministically
@@ -1013,6 +1027,8 @@ object SparkEntry {
     // repetition (within-doc repeats don't count; q57 covers those)
     "q66_cross_dup_ngrams" -> ((s, dir) =>
       TextAnalysis.crossDocDupFraction(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("n_grams"),
+          col("cross_dup_frac").cast("decimal(18,6)").as("cross_dup_frac"))
         .orderBy(col("doc_id"))),
 
     // Overlapping token-window chunking (30-token windows, 5 shared):
@@ -1059,6 +1075,8 @@ object SparkEntry {
         .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
           col("vec_id") === col("doc_id"))
       SimilaritySearch.centroidSimilarity(joined, "source", "vec_id", "embedding")
+        .select(col("vec_id"), col("source"),
+          col("centroid_sim").cast("decimal(18,6)").as("centroid_sim"))
         .orderBy(col("vec_id"))
     }),
 
@@ -1080,6 +1098,8 @@ object SparkEntry {
     "q72_dsir_weights" -> ((s, dir) =>
       TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
           col("lang") === "en")
+        .select(col("doc_id"), col("n_tokens"),
+          col("dsir_logratio").cast("decimal(18,6)").as("dsir_logratio"))
         .orderBy(col("doc_id"))),
 
     // Per-domain provenance rollup over planted URLs (the fixture text
@@ -1201,6 +1221,8 @@ object SparkEntry {
     // transition-predictability quality signal unigram scoring misses
     "q77_bigram_xent" -> ((s, dir) =>
       TextAnalysis.bigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          col("bixent_nats").cast("decimal(18,6)").as("bixent_nats"))
         .orderBy(col("doc_id"))),
 
     // Dup-cluster size histogram over the exact-Jaccard components —
@@ -1264,12 +1286,16 @@ object SparkEntry {
     "q81_oov_rate" -> ((s, dir) =>
       TextAnalysis.oovRate(t(s, dir, "documents"), "doc_id", "text",
           vocabSize = 100)
+        .select(col("doc_id"), col("n_tokens"),
+          col("oov_rate").cast("decimal(18,6)").as("oov_rate"))
         .orderBy(col("doc_id"))),
 
     // Zipf slope of the vocabulary (corpus-health dashboard): OLS of
     // ln(freq) on ln(rank), explicit sums so DuckDB reproduces exactly
     "q82_zipf_slope" -> ((s, dir) =>
-      TextAnalysis.zipfSlope(t(s, dir, "documents"), "text")),
+      TextAnalysis.zipfSlope(t(s, dir, "documents"), "text")
+        .select(col("n_vocab"),
+          col("zipf_slope").cast("decimal(18,6)").as("zipf_slope"))),
 
     // The PERSISTED IVF index end-to-end: build the cell-partitioned
     // index, probe it (partition pruning at file listing), measure
@@ -1320,7 +1346,9 @@ object SparkEntry {
     "q85_dsir_select" -> ((s, dir) =>
       TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
           col("lang") === "en")
-        .orderBy(col("dsir_logratio").desc, col("doc_id")).limit(100)),
+        .orderBy(col("dsir_logratio").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"), col("n_tokens"),
+          col("dsir_logratio").cast("decimal(18,6)").as("dsir_logratio"))),
 
     // Packing-policy dashboard: doc-isolated packing (no cross-doc
     // attention) vs concat-and-chunk (q65) at seqLen=512 — pack
@@ -1443,6 +1471,8 @@ object SparkEntry {
     "q90_quality_classifier" -> ((s, dir) =>
       TextAnalysis.hashedNgramClassifier(
           t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+        .select(col("doc_id"), col("n_grams"),
+          col("score").cast("decimal(18,6)").as("score"), col("predicted"))
         .orderBy(col("doc_id"))),
 
     // The production train/apply split: the gate is FIT on half the
@@ -1454,6 +1484,8 @@ object SparkEntry {
     "q91_classifier_holdout" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.scoreHashedNgrams(docs, "doc_id", "text", evenIdModel(s, dir))
+        .select(col("doc_id"), col("n_grams"),
+          col("score").cast("decimal(18,6)").as("score"), col("predicted"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1609,6 +1641,11 @@ object SparkEntry {
           coalesce(col("lang") === "en", lit(false)).as("__label")), Seq("doc_id"))
       TextAnalysis.binaryClassificationMetrics(
         holdout, col("__label"), "score", "predicted")
+        .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+          col("precision").cast("decimal(18,6)").as("precision"),
+          col("recall").cast("decimal(18,6)").as("recall"),
+          col("f1").cast("decimal(18,6)").as("f1"),
+          col("auc").cast("decimal(18,6)").as("auc"))
     }),
 
     // HTML link provenance: hosts of absolute hrefs (double- and
@@ -1656,6 +1693,10 @@ object SparkEntry {
         .join(docs.select(col("doc_id"),
           coalesce(col("lang") === "en", lit(false)).as("__label")), Seq("doc_id"))
       TextAnalysis.precisionRecallCurve(holdout, col("__label"), "score")
+        .select(col("threshold").cast("decimal(18,6)").as("threshold"),
+          col("n_predicted"), col("tp"),
+          col("precision").cast("decimal(18,6)").as("precision"),
+          col("recall").cast("decimal(18,6)").as("recall"))
         .orderBy(col("threshold"))
     }),
 
@@ -1870,8 +1911,10 @@ object SparkEntry {
       // (rounded to 6 like the ranks, so summation order can't bit-flip
       // the hash; DuckDB unrolls pr9 AND pr10 and differences them)
       run.ranks
-        .select(col("node"), round(col("rank"), 6).as("pagerank"),
-          round(lit(run.l1Residual), 6).as("l1_residual"))
+        .select(col("node"),
+          round(col("rank"), 6).cast("decimal(18,6)").as("pagerank"),
+          round(lit(run.l1Residual), 6).cast("decimal(18,6)")
+            .as("l1_residual"))
         .orderBy(col("node"))
     }),
 
@@ -2508,7 +2551,8 @@ object SparkEntry {
     "q129_bm25" -> ((s, dir) => {
       TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
           Seq("vector", "stream", "merge", "zebra"))
-        .select(col("doc_id"), col("n_matched"), round(col("score"), 6).as("score"))
+        .select(col("doc_id"), col("n_matched"),
+          round(col("score"), 6).cast("decimal(18,6)").as("score"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2577,9 +2621,11 @@ object SparkEntry {
         ((col("doc_id") * 7 + 3) % 25).as("dst"))
       val run = graft.ext.LinkGraph.hitsRun(edges, "src", "dst", iterations = 10)
       run.scores
-        .select(col("node"), round(col("auth"), 6).as("auth"),
-          round(col("hub"), 6).as("hub"),
-          round(lit(run.l1Residual), 6).as("l1_residual"))
+        .select(col("node"),
+          round(col("auth"), 6).cast("decimal(18,6)").as("auth"),
+          round(col("hub"), 6).cast("decimal(18,6)").as("hub"),
+          round(lit(run.l1Residual), 6).cast("decimal(18,6)")
+            .as("l1_residual"))
         .orderBy(col("node"))
     }),
 
@@ -2627,8 +2673,10 @@ object SparkEntry {
       val run = graft.ext.LinkGraph
         .pageRankRun(edges, "src", "dst", damping = 0.85, iterations = 10)
       run.ranks
-        .select(col("node"), round(col("rank"), 6).as("pagerank"),
-          round(lit(run.l1Residual), 6).as("l1_residual"))
+        .select(col("node"),
+          round(col("rank"), 6).cast("decimal(18,6)").as("pagerank"),
+          round(lit(run.l1Residual), 6).cast("decimal(18,6)")
+            .as("l1_residual"))
         .orderBy(col("node"))
     }),
 
@@ -2787,9 +2835,10 @@ object SparkEntry {
           regexp_extract(col("loc"), "/p([0-9]+)$", 1).cast("long").as("doc_id"),
           col("loc"), col("changefreq"),
           // +0.0 collapses IEEE -0.0 (a future lastmod over an infinite
-          // period) to +0.0 — the oracle does the same, else the driver's
-          // bit-exact float hash splits on the sign of zero
-          (round(col("staleness"), 6) + lit(0.0)).as("staleness"), col("due"))
+          // period) to +0.0, and the DECIMAL cast makes the hashed value
+          // engine-version-proof (round() on DOUBLE is last-ULP free)
+          (round(col("staleness"), 6) + lit(0.0)).cast("decimal(18,6)")
+            .as("staleness"), col("due"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2810,6 +2859,9 @@ object SparkEntry {
     // token stream.
     "q142_kn_bigram" -> ((s, dir) =>
       TextAnalysis.knBigramXent(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          col("kn_xent_nats").cast("decimal(18,6)").as("kn_xent_nats"),
+          col("kn_ppl").cast("decimal(18,6)").as("kn_ppl"))
         .orderBy(col("doc_id"))),
 
     // Skew-salted join: half the corpus lands on one foreign key (the
@@ -2854,14 +2906,20 @@ object SparkEntry {
     // Temperature-scaled language mix (T = 2): the exponent-smoothed
     // sampling weights a multilingual run would draw languages with,
     // over whitespace-token mass. Fully oracled: shares and the
-    // normalizers re-derive from the same token counts.
+    // normalizers re-derive from the same token counts. The rounded
+    // shares are hashed as DECIMAL(18,6), not DOUBLE: round(x, 6) on
+    // a double is not IEEE-specified and its last ULP legitimately
+    // differs across engines/libms, while the 6-digit decimal the
+    // round targets is identical — so the artifact compares the exact
+    // decimal both engines agree on.
     "q145_temperature_mix" -> ((s, dir) =>
       Sampling.temperatureWeights(t(s, dir, "documents"), "lang",
           TextAnalysis.tokenCount(col("text")), temperature = 2.0)
         .select(col("lang"), col("n_tokens"),
-          round(col("nat_share"), 6).as("nat_share"),
-          round(col("temp_share"), 6).as("temp_share"),
-          round(col("epoch_factor"), 6).as("epoch_factor"))
+          round(col("nat_share"), 6).cast("decimal(18,6)").as("nat_share"),
+          round(col("temp_share"), 6).cast("decimal(18,6)").as("temp_share"),
+          round(col("epoch_factor"), 6).cast("decimal(18,6)")
+            .as("epoch_factor"))
         .orderBy(col("lang")))
 ,
     // Neyman-allocation stratified sample (40% budget, strata = lang,
@@ -2871,7 +2929,8 @@ object SparkEntry {
     "q146_neyman_sample" -> ((s, dir) =>
       Sampling.neymanSample(t(s, dir, "documents"), "lang", "doc_id",
           col("n_chars"), budgetFrac = 0.4)
-        .select(col("doc_id"), col("lang"), col("__rate").as("rate"))
+        .select(col("doc_id"), col("lang"),
+          col("__rate").cast("decimal(18,6)").as("rate"))
         .orderBy(col("doc_id")))
 ,
     // Content-defined chunking (gear-hash CDC) + cross-document shared-
@@ -2949,6 +3008,10 @@ object SparkEntry {
       graft.ext.Bootstrap.poissonBootstrapCi(
           t(s, dir, "documents"), "doc_id", col("n_chars"), "lang",
           replicas = 64)
+        .select(col("lang"), col("n"),
+          col("mean").cast("decimal(18,6)").as("mean"),
+          col("ci_lo").cast("decimal(18,6)").as("ci_lo"),
+          col("ci_hi").cast("decimal(18,6)").as("ci_hi"))
         .orderBy(col("lang")))
 ,
     // Bucketed interval-overlap join over event time windows (even vs
@@ -3129,7 +3192,9 @@ object SparkEntry {
     // re-derive in DuckDB.
     "q160_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(t(s, dir, "documents"), "doc_id", "text",
-        minCount = 5, k = 50)),
+        minCount = 5, k = 50)
+        .select(col("prev"), col("cur"), col("n_pair"),
+          col("pmi").cast("decimal(18,6)").as("pmi"))),
 
     // Per-node triangle counts over a deterministic 50-node graph
     // derived from doc ids — the local clustering signal (link-farm
@@ -3244,7 +3309,7 @@ object SparkEntry {
       scored.withColumn("rank", row_number().over(w))
         .where(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("vec_id"),
-          round(col("cosine_sim"), 6).as("cosine_sim"))
+          round(col("cosine_sim"), 6).cast("decimal(18,6)").as("cosine_sim"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3432,7 +3497,8 @@ object SparkEntry {
         .orderBy(col("date")).rowsBetween(-6, 0)
       daily
         .select(col("date"), col("n_events"),
-          round(avg(col("n_events")).over(w), 6).as("ma7"))
+          round(avg(col("n_events")).over(w), 6).cast("decimal(18,6)")
+            .as("ma7"))
         .orderBy(col("date"))
     }),
 
@@ -3489,6 +3555,8 @@ object SparkEntry {
         .select(round(q + when(pmod(col("doc_id"), lit(4)) === 1, 0.08)
           .otherwise(0.0), 6).as("m"))
       graft.ext.DataProfile.psi(ref, cur, col("m"), bins = 10)
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          col("psi_term").cast("decimal(18,6)").as("psi_term"))
         .orderBy(col("bin"))
     }),
 
@@ -3521,7 +3589,8 @@ object SparkEntry {
           .select(lit(policy).as("policy"), col("n_batches"),
             col("padded_tokens"), col("real_tokens"),
             round(lit(1.0) - col("real_tokens").cast("double")
-              / col("padded_tokens"), 6).as("waste_frac"))
+              / col("padded_tokens"), 6).cast("decimal(18,6)")
+              .as("waste_frac"))
       }
       waste(Seq(col("__len"), col("doc_id")), "sorted")
         .unionByName(waste(
@@ -3546,7 +3615,8 @@ object SparkEntry {
         .localCheckpoint() // total + quota both read it
       val tot = broadcast(ranks.agg(sum(col("pagerank")).as("__z")))
       ranks.crossJoin(tot)
-        .select(col("node"), col("pagerank"),
+        .select(col("node"),
+          col("pagerank").cast("decimal(18,6)").as("pagerank"),
           round(lit(10000) * col("pagerank") / col("__z"), 0)
             .cast("long").as("fetch_quota"))
         .orderBy(col("node"))
@@ -3633,9 +3703,11 @@ object SparkEntry {
         .groupBy(col("query_id"))
         .agg(sum(gain(col("__r"))).as("__idcg"))
       dcg.join(idcg, Seq("query_id"))
-        .select(col("query_id"), round(col("__dcg"), 6).as("dcg"),
-          round(col("__idcg"), 6).as("idcg"),
-          round(col("__dcg") / col("__idcg"), 6).as("ndcg"))
+        .select(col("query_id"),
+          round(col("__dcg"), 6).cast("decimal(18,6)").as("dcg"),
+          round(col("__idcg"), 6).cast("decimal(18,6)").as("idcg"),
+          round(col("__dcg") / col("__idcg"), 6).cast("decimal(18,6)")
+            .as("ndcg"))
         .orderBy(col("query_id"))
     }),
 
@@ -3691,6 +3763,8 @@ object SparkEntry {
     // and fractions all re-derive in closed form.
     "q182_char_span_dedup" -> ((s, dir) =>
       Dedup.sharedCharSpans(t(s, dir, "documents"), "doc_id", "text", k = 40)
+        .select(col("doc_id"), col("n_windows"), col("n_shared"),
+          col("shared_frac").cast("decimal(18,6)").as("shared_frac"))
         .orderBy(col("doc_id"))),
 
     // Exact-count stratified split (10% test / 10% val per language on
@@ -3849,7 +3923,8 @@ object SparkEntry {
       .select(col("n_docs"), col("n_tokens"), col("isolated_packs"),
         ceil(col("n_tokens") / lit(seqLen.toDouble)).cast("long").as("concat_packs"),
         round((col("isolated_packs") * seqLen - col("n_tokens")).cast("double")
-          / (col("isolated_packs") * seqLen), 6).as("padding_fraction"))
+          / (col("isolated_packs") * seqLen), 6).cast("decimal(18,6)")
+          .as("padding_fraction"))
 
   /** 20 whitespace tokens (2 exact 10-token spans) prepended to every
     * document by q71 — the planted cross-doc boilerplate.
@@ -3913,8 +3988,8 @@ object SparkEntry {
       """,
            res AS (SELECT sum(abs(a.r - b.r)) AS rr
                    FROM pr10 a JOIN pr9 b ON a.v = b.v)
-           SELECT v AS node, round(r, 6) AS pagerank,
-                  round(res.rr, 6) AS l1_residual
+           SELECT v AS node, round(r, 6)::DECIMAL(18,6) AS pagerank,
+                  round(res.rr, 6)::DECIMAL(18,6) AS l1_residual
            FROM pr10, res ORDER BY node"""
 
   /** The WITH-chain through `pr10` alone, for oracles that consume
@@ -4130,7 +4205,8 @@ object SparkEntry {
              least(ntok / 64.0, 1.0) * 0.3
            + least(sw_ratio * 4.0, 1.0) * 0.3
            + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2
-           + greatest(1.0 - abs(avg_len - 5.0) / 10.0, 0.0) * 0.2, 6) AS quality
+           + greatest(1.0 - abs(avg_len - 5.0) / 10.0, 0.0) * 0.2,
+           6)::DECIMAL(18,6) AS quality
          FROM y ORDER BY doc_id""",
 
     "q22_lang_id" ->
@@ -4564,7 +4640,8 @@ object SparkEntry {
                   round(avg(ln(pt / pr)), 6) AS dsir_logratio
            FROM tk JOIN model USING (token)
            GROUP BY doc_id)
-         SELECT doc_id, n_tokens, dsir_logratio FROM w
+         SELECT doc_id, n_tokens,
+                dsir_logratio::DECIMAL(18,6) AS dsir_logratio FROM w
          ORDER BY dsir_logratio DESC, doc_id LIMIT 100""",
 
     "q86_packing_stats" ->
@@ -4578,7 +4655,8 @@ object SparkEntry {
          SELECT n_docs, n_tokens, isolated_packs,
                 ceil(n_tokens / 512.0)::BIGINT AS concat_packs,
                 round((isolated_packs * 512 - n_tokens)::DOUBLE
-                      / (isolated_packs * 512), 6) AS padding_fraction
+                      / (isolated_packs * 512), 6)::DECIMAL(18,6)
+                  AS padding_fraction
          FROM a""",
 
     // Fingerprint equality == normalized-text equality, so the twin
@@ -4735,11 +4813,13 @@ object SparkEntry {
            SELECT doc_id, max(length(g) * cnt) AS cov FROM (
              SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY doc_id, g)
            GROUP BY doc_id)
-         SELECT s.doc_id, s.dup_line_frac, f.dup_line_char_frac,
-                s.dup_word_frac,
+         SELECT s.doc_id,
+                s.dup_line_frac::DECIMAL(18,6) AS dup_line_frac,
+                f.dup_line_char_frac::DECIMAL(18,6) AS dup_line_char_frac,
+                s.dup_word_frac::DECIMAL(18,6) AS dup_word_frac,
                 round(CASE WHEN s.nchars > 0
-                  THEN t.cov::DOUBLE / s.nchars ELSE 0.0 END, 6)
-                  AS top_bigram_char_frac
+                  THEN t.cov::DOUBLE / s.nchars ELSE 0.0 END,
+                  6)::DECIMAL(18,6) AS top_bigram_char_frac
          FROM scalars s
          JOIN linefrac f USING (doc_id)
          JOIN topg t USING (doc_id)
@@ -4821,7 +4901,7 @@ object SparkEntry {
          SELECT doc_id,
                 count(*)::BIGINT AS n_tokens,
                 round((sum(ln(c::DOUBLE / nn::DOUBLE)) * -1.0)
-                      / count(*), 6) AS xent_nats
+                      / count(*), 6)::DECIMAL(18,6) AS xent_nats
          FROM terms JOIN model USING (t), n
          GROUP BY doc_id ORDER BY doc_id""",
 
@@ -4862,7 +4942,7 @@ object SparkEntry {
          SELECT source,
                 count(*)::BIGINT AS n_docs,
                 sum(ntok_i)::BIGINT AS n_tokens,
-                round(avg(quality), 6) AS avg_quality,
+                round(avg(quality), 6)::DECIMAL(18,6) AS avg_quality,
                 sum(CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) > 0
                           AND s_en = greatest(s_en, s_es, s_de, s_fr, s_zh)
                     THEN 1 ELSE 0 END)::BIGINT AS n_pred_en
@@ -4929,7 +5009,7 @@ object SparkEntry {
          nd AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY g)
          SELECT doc_id, count(*)::BIGINT AS n_grams,
                 round(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::DOUBLE
-                      / count(*), 6) AS cross_dup_frac
+                      / count(*), 6)::DECIMAL(18,6) AS cross_dup_frac
          FROM grams JOIN nd USING (g)
          GROUP BY doc_id ORDER BY doc_id""",
 
@@ -5016,7 +5096,7 @@ object SparkEntry {
            FROM e JOIN p ON e.source = p.source AND e.i = p.i
            GROUP BY e.vec_id, e.source)
          SELECT vec_id, source,
-                round(dp / (nx * nm), 6) AS centroid_sim
+                round(dp / (nx * nm), 6)::DECIMAL(18,6) AS centroid_sim
          FROM sc ORDER BY vec_id""",
 
     // Same 20-token boilerplate literal as the query body; keep-first
@@ -5058,7 +5138,7 @@ object SparkEntry {
                   (cr + 1)::DOUBLE / (nr + v) AS pr
            FROM counts, tot)
          SELECT doc_id, count(*)::BIGINT AS n_tokens,
-                round(avg(ln(pt / pr)), 6) AS dsir_logratio
+                round(avg(ln(pt / pr)), 6)::DECIMAL(18,6) AS dsir_logratio
          FROM tk JOIN model USING (token)
          GROUP BY doc_id ORDER BY doc_id""",
 
@@ -5143,7 +5223,8 @@ object SparkEntry {
          uc AS (SELECT prev, count(*) AS cu
                 FROM (SELECT unnest(w) AS prev FROM d) GROUP BY prev)
          SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-                round(-avg(ln(cb::DOUBLE / cu)), 6) AS bixent_nats
+                round(-avg(ln(cb::DOUBLE / cu)), 6)::DECIMAL(18,6)
+                  AS bixent_nats
          FROM b JOIN bc USING (prev, cur) JOIN uc USING (prev)
          GROUP BY doc_id ORDER BY doc_id""",
 
@@ -5271,7 +5352,8 @@ object SparkEntry {
          -- has no gram rows and scores at the prior alone
          SELECT base.doc_id,
                 coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
-                round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias, 6) AS score,
+                round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias,
+                      6)::DECIMAL(18,6) AS score,
                 CASE WHEN round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias, 6) > 0
                      THEN 1 ELSE 0 END AS predicted
          FROM base LEFT JOIN sc ON base.doc_id = sc.doc_id, prior
@@ -5317,7 +5399,8 @@ object SparkEntry {
          -- LEFT JOIN from base: gram-less docs score at the prior alone
          SELECT base.doc_id,
                 coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
-                round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias, 6) AS score,
+                round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias,
+                      6)::DECIMAL(18,6) AS score,
                 CASE WHEN round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias, 6) > 0
                      THEN 1 ELSE 0 END AS predicted
          FROM base LEFT JOIN sc ON base.doc_id = sc.doc_id, prior
@@ -5335,7 +5418,8 @@ object SparkEntry {
                  ORDER BY c DESC, token LIMIT 100))
          SELECT doc_id, count(*)::BIGINT AS n_tokens,
                 round(avg(CASE WHEN token IN (SELECT token FROM v)
-                               THEN 0.0 ELSE 1.0 END), 6) AS oov_rate
+                               THEN 0.0 ELSE 1.0 END), 6)::DECIMAL(18,6)
+                  AS oov_rate
          FROM tk GROUP BY doc_id ORDER BY doc_id""",
 
     "q82_zipf_slope" ->
@@ -5351,7 +5435,8 @@ object SparkEntry {
                FROM c)
          SELECT count(*)::BIGINT AS n_vocab,
                 round((count(*) * sum(x*y) - sum(x) * sum(y))
-                      / (count(*) * sum(x*x) - sum(x) * sum(x)), 6) AS zipf_slope
+                      / (count(*) * sum(x*x) - sum(x) * sum(x)),
+                      6)::DECIMAL(18,6) AS zipf_slope
          FROM r""",
 
     // The SAME salted page template and the SAME RE2-safe regexp chain
@@ -5471,15 +5556,17 @@ object SparkEntry {
                        sum(ps) AS p, sum(ns) AS nn
                 FROM rk)
          SELECT n, tp, fp, fn, tn,
-           round(CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END, 6)
-             AS "precision",
-           round(CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END, 6)
-             AS recall,
+           round(CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END,
+                 6)::DECIMAL(18,6) AS "precision",
+           round(CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END,
+                 6)::DECIMAL(18,6) AS recall,
            round(CASE WHEN tp * 2 + fp + fn > 0
-                 THEN (tp * 2)::DOUBLE / (tp * 2 + fp + fn) END, 6) AS f1,
+                 THEN (tp * 2)::DOUBLE / (tp * 2 + fp + fn) END,
+                 6)::DECIMAL(18,6) AS f1,
            round(CASE WHEN p > 0 AND nn > p
                  THEN (CAST(srp AS DOUBLE) - p::DOUBLE * (p + 1)::DOUBLE / 2.0)
-                      / (p::DOUBLE * (nn - p)::DOUBLE) END, 6) AS auc
+                      / (p::DOUBLE * (nn - p)::DOUBLE) END,
+                 6)::DECIMAL(18,6) AS auc
          FROM cm, au""",
 
     // Same salted page, same two RE2-safe extraction patterns: href
@@ -5563,9 +5650,11 @@ object SparkEntry {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
                       sum(ps) OVER () AS p
                FROM bs)
-         SELECT threshold, cn::BIGINT AS n_predicted, cp::BIGINT AS tp,
-                round(cp::DOUBLE / cn, 6) AS "precision",
-                round(CASE WHEN p > 0 THEN cp::DOUBLE / p END, 6) AS recall
+         SELECT threshold::DECIMAL(18,6) AS threshold,
+                cn::BIGINT AS n_predicted, cp::BIGINT AS tp,
+                round(cp::DOUBLE / cn, 6)::DECIMAL(18,6) AS "precision",
+                round(CASE WHEN p > 0 THEN cp::DOUBLE / p END,
+                      6)::DECIMAL(18,6) AS recall
          FROM c ORDER BY threshold""",
 
     // The expected WARC records computed directly from documents: the
@@ -5927,7 +6016,8 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_matched,
                 round(sum(
                   ln(1.0 + (nn - dfreq + 0.5) / (dfreq + 0.5)) *
-                  (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+                  (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+                  6)::DECIMAL(18,6) AS score
          FROM tf JOIN dfq USING (term), stats
          GROUP BY doc_id ORDER BY doc_id""",
 
@@ -6011,8 +6101,9 @@ object SparkEntry {
         """,
            res AS (SELECT sum(abs(x.a - y.a)) AS rr
                    FROM a10 x JOIN a9 y ON x.v = y.v)
-           SELECT a10.v AS node, round(a10.a, 6) AS auth,
-                  round(h10.h, 6) AS hub, round(res.rr, 6) AS l1_residual
+           SELECT a10.v AS node, round(a10.a, 6)::DECIMAL(18,6) AS auth,
+                  round(h10.h, 6)::DECIMAL(18,6) AS hub,
+                  round(res.rr, 6)::DECIMAL(18,6) AS l1_residual
            FROM a10 JOIN h10 ON a10.v = h10.v, res ORDER BY node"""
     },
 
@@ -6071,7 +6162,7 @@ object SparkEntry {
                         ELSE 30.0 END AS staleness
                FROM d)
          SELECT doc_id, loc, changefreq,
-                round(staleness, 6) + 0.0 AS staleness,
+                (round(staleness, 6) + 0.0)::DECIMAL(18,6) AS staleness,
                 staleness >= 1.0 AS due
          FROM s ORDER BY doc_id""",
 
@@ -6111,8 +6202,8 @@ object SparkEntry {
                FROM b JOIN bc USING (prev, cur) JOIN ctx USING (prev)
                     JOIN cont USING (cur) CROSS JOIN tt)
          SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-                round(-avg(ln(p)), 6) AS kn_xent_nats,
-                round(exp(-avg(ln(p))), 6) AS kn_ppl
+                round(-avg(ln(p)), 6)::DECIMAL(18,6) AS kn_xent_nats,
+                round(exp(-avg(ln(p))), 6)::DECIMAL(18,6) AS kn_ppl
          FROM s GROUP BY doc_id ORDER BY doc_id""",
 
     // the PLAIN join — salt-independence means the salted plan must
@@ -6146,7 +6237,9 @@ object SparkEntry {
          FROM s8 JOIN s9 USING (doc_id)
          GROUP BY shard8 ORDER BY shard8""",
 
-    // p^(1/2) reweighting over the same whitespace token counts
+    // p^(1/2) reweighting over the same whitespace token counts;
+    // shares hashed as DECIMAL(18,6) (round() on DOUBLE is last-ULP
+    // engine-sensitive; the decimal it targets is not)
     "q145_temperature_mix" ->
       """WITH g AS (
            SELECT lang,
@@ -6159,9 +6252,9 @@ object SparkEntry {
                FROM g CROSS JOIN t),
          z AS (SELECT sum(pt::DECIMAL(38,18))::DOUBLE AS zz FROM s)
          SELECT lang, n_tokens,
-                round(p, 6) AS nat_share,
-                round(pt / zz, 6) AS temp_share,
-                round(pt / zz / p, 6) AS epoch_factor
+                round(p, 6)::DECIMAL(18,6) AS nat_share,
+                round(pt / zz, 6)::DECIMAL(18,6) AS temp_share,
+                round(pt / zz / p, 6)::DECIMAL(18,6) AS epoch_factor
          FROM s CROSS JOIN z ORDER BY lang""",
 
     // same stddev/rate/md5-threshold chain; fixed-width lowercase hex
@@ -6177,7 +6270,7 @@ object SparkEntry {
                        THEN least(1.0, 0.4 * n * sh / m)
                        ELSE 0.4 END, 6) AS rate
                FROM st CROSS JOIN tot)
-         SELECT d.doc_id, d.lang, r.rate
+         SELECT d.doc_id, d.lang, r.rate::DECIMAL(18,6) AS rate
          FROM documents d JOIN r USING (lang)
          WHERE r.rate >= 1.0
             OR substr(md5(d.doc_id::VARCHAR), 1, 12) <
@@ -6203,8 +6296,9 @@ object SparkEntry {
          s AS (SELECT lang, count(*)::BIGINT AS n,
                       sum(n_chars)::DOUBLE / count(*) AS mean
                FROM documents GROUP BY lang)
-         SELECT s.lang, s.n, round(s.mean, 6) AS mean,
-                round(p.lo, 6) AS ci_lo, round(p.hi, 6) AS ci_hi
+         SELECT s.lang, s.n, round(s.mean, 6)::DECIMAL(18,6) AS mean,
+                round(p.lo, 6)::DECIMAL(18,6) AS ci_lo,
+                round(p.hi, 6)::DECIMAL(18,6) AS ci_hi
          FROM s JOIN p USING (lang) ORDER BY lang""",
 
     // the plain theta join the bucketed plan must reproduce exactly;
@@ -6360,7 +6454,8 @@ object SparkEntry {
                         (SELECT sum(cu) FROM uc)::DOUBLE AS uu)
          SELECT bc.prev, bc.cur, bc.n_pair::BIGINT AS n_pair,
                 round(ln((bc.n_pair / tot.bb) /
-                  ((up.cu / tot.uu) * (uc2.cu / tot.uu))), 6) AS pmi
+                  ((up.cu / tot.uu) * (uc2.cu / tot.uu))),
+                  6)::DECIMAL(18,6) AS pmi
          FROM bc
          JOIN uc up ON up.tok = bc.prev
          JOIN uc uc2 ON uc2.tok = bc.cur
@@ -6435,8 +6530,9 @@ object SparkEntry {
          idcg AS (SELECT query_id,
                     sum((pow(2.0, rel) - 1) / log2(r + 1.0)) AS g
                   FROM ii WHERE r <= 10 GROUP BY query_id)
-         SELECT d.query_id, round(d.g, 6) AS dcg, round(i.g, 6) AS idcg,
-                round(d.g / i.g, 6) AS ndcg
+         SELECT d.query_id, round(d.g, 6)::DECIMAL(18,6) AS dcg,
+                round(i.g, 6)::DECIMAL(18,6) AS idcg,
+                round(d.g / i.g, 6)::DECIMAL(18,6) AS ndcg
          FROM dcg d JOIN idcg i USING (query_id) ORDER BY query_id""",
 
     // closed-form exact-side count; the auto-tuner's recall floor is a
@@ -6494,7 +6590,7 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_windows,
                 sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
                 round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
-                      / count(*), 6) AS shared_frac
+                      / count(*), 6)::DECIMAL(18,6) AS shared_frac
          FROM gd JOIN cnt USING (gh)
          GROUP BY doc_id ORDER BY doc_id""",
 
@@ -6513,7 +6609,7 @@ object SparkEntry {
       """,
            ranks AS (SELECT v AS node, round(r, 6) AS pagerank FROM pr10),
            tot AS (SELECT sum(pagerank) AS z FROM ranks)
-           SELECT node, pagerank,
+           SELECT node, pagerank::DECIMAL(18,6) AS pagerank,
                   round(10000 * pagerank / z, 0)::BIGINT AS fetch_quota
            FROM ranks, tot ORDER BY node"""),
 
@@ -6535,12 +6631,13 @@ object SparkEntry {
          r1 AS (SELECT 'sorted' AS policy, count(*)::BIGINT AS n_batches,
                        sum(mx * n)::BIGINT AS padded_tokens,
                        sum(s)::BIGINT AS real_tokens,
-                       round(1.0 - sum(s)::DOUBLE / sum(mx * n), 6)
-                         AS waste_frac
+                       round(1.0 - sum(s)::DOUBLE / sum(mx * n),
+                         6)::DECIMAL(18,6) AS waste_frac
                 FROM s1),
          r2 AS (SELECT 'shuffled', count(*)::BIGINT, sum(mx * n)::BIGINT,
                        sum(s)::BIGINT,
-                       round(1.0 - sum(s)::DOUBLE / sum(mx * n), 6)
+                       round(1.0 - sum(s)::DOUBLE / sum(mx * n),
+                         6)::DECIMAL(18,6)
                 FROM s2)
          SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY policy""",
 
@@ -6607,7 +6704,8 @@ object SparkEntry {
                 n_cur::BIGINT AS n_cur,
                 round(((n_cur + 0.5) / (nc + 5.0) - (n_ref + 0.5) / (nr + 5.0))
                   * ln(((n_cur + 0.5) / (nc + 5.0))
-                       / ((n_ref + 0.5) / (nr + 5.0))), 6) AS psi_term
+                       / ((n_ref + 0.5) / (nr + 5.0))),
+                  6)::DECIMAL(18,6) AS psi_term
          FROM b, tt ORDER BY bin""",
 
     // q164's survivor chain + q65's prefix-sum packing + the shard
@@ -6721,7 +6819,8 @@ object SparkEntry {
            FROM events GROUP BY CAST(ts AS DATE))
          SELECT date, n_events,
                 round(avg(n_events) OVER (ORDER BY date
-                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                  6)::DECIMAL(18,6) AS ma7
          FROM daily ORDER BY date""",
 
     // DuckDB's own nfc_normalize (independent implementation — the
@@ -6819,7 +6918,7 @@ object SparkEntry {
                                     ORDER BY sim DESC, vec_id) AS rank
                FROM s)
          SELECT query_id, rank::INT AS rank, vec_id,
-                round(sim, 6) AS cosine_sim
+                round(sim, 6)::DECIMAL(18,6) AS cosine_sim
          FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
 
     // q17's dedup + q21's quality formula + q142's KN chain + the
