@@ -1870,8 +1870,12 @@ object SparkEntry {
     // the scan, framed at 50 ms, each frame reduced to rms/peak/zcr,
     // then per-clip voice-activity segmentation — the audio analog of
     // the video frame-sample plan, with the decode REAL (not stubbed).
-    // Rows-only; closed-form per-frame expectations (sine rms = a/√2,
-    // zcr = 2f/rate, silence exactly zero) pinned in AudioFramesSpec.
+    // Fully oracled since round 16: the fixture is closed-form in the
+    // media id, so DuckDB regenerates the SAME quantized samples
+    // (round(amp·32767·sin(2πfi/sr)), silence gating) and re-derives
+    // every frame aggregate — WAV byte layout + PCM16 decode + framing
+    // are all on the hash path. Closed-form algebra (sine rms = a/√2,
+    // zcr = 2f/rate) stays pinned in AudioFramesSpec.
     "q108_audio_frames" -> ((s, dir) => {
       import s.implicits._
       val media = s.range(40).as[Long].map(id => Multimodal.MediaRow(
@@ -1885,11 +1889,12 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_frames"),
           sum(when(col("rms") > 0.05, 1L).otherwise(0L)).as("n_voiced"),
-          round(avg(col("rms")), 4).as("avg_rms"),
-          round(max(col("peak")), 4).as("max_peak"),
-          round(avg(col("zcr")), 4).as("avg_zcr"))
+          round(avg(col("rms")), 4).cast("decimal(18,4)").as("avg_rms"),
+          round(max(col("peak")), 4).cast("decimal(18,4)").as("max_peak"),
+          round(avg(col("zcr")), 4).cast("decimal(18,4)").as("avg_zcr"))
         .withColumn("voiced_fraction",
-          round(col("n_voiced").cast("double") / col("n_frames"), 4))
+          round(col("n_voiced").cast("double") / col("n_frames"), 4)
+            .cast("decimal(18,4)"))
         .orderBy(col("media_id"))
     }),
 
@@ -2757,8 +2762,12 @@ object SparkEntry {
     // known frequency, so `peak_hz` must land within one bin of the
     // generator's frequency and `peak_mag_rel` near 1 — the artifact
     // itself exposes whether the FFT resolves the planted tones.
-    // Rows-only (FFT bin arithmetic has no DuckDB twin); closed forms
-    // pinned in AudioFramesSpec.
+    // Fully oracled since round 16: DuckDB regenerates the quantized
+    // samples and evaluates the NAIVE O(n²) DFT per (frame, bin); the
+    // radix-2 FFT and the direct DFT agree to ~1e-10 relative (both
+    // sum the same exact-integer inputs), far inside the 2dp/4dp
+    // rounding, so hash equality proves the FFT against an
+    // independent spelling of the transform.
     "q138_audio_spectra" -> ((s, dir) => {
       import s.implicits._
       val media = s.range(40).as[Long].map(id => Multimodal.MediaRow(
@@ -2768,12 +2777,17 @@ object SparkEntry {
       Multimodal.audioSpectralFeatures(media, frameMs = 64).toDF()
         .groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_frames"),
-          round(avg(col("peak_hz")), 2).as("avg_peak_hz"),
-          round(avg(col("centroid_hz")), 2).as("avg_centroid_hz"),
-          round(min(col("peak_mag_rel")), 4).as("min_peak_share"))
+          round(avg(col("peak_hz")), 2).as("__aph"),
+          round(avg(col("centroid_hz")), 2).as("__ach"),
+          round(min(col("peak_mag_rel")), 4).as("__mps"))
         .withColumn("tone_hz", lit(500) + lit(125) * (col("media_id") % 8))
-        .withColumn("peak_within_bin",
-          abs(col("avg_peak_hz") - col("tone_hz")) <= lit(16000.0 / 1024))
+        .select(col("media_id"), col("n_frames"),
+          col("__aph").cast("decimal(18,2)").as("avg_peak_hz"),
+          col("__ach").cast("decimal(18,2)").as("avg_centroid_hz"),
+          col("__mps").cast("decimal(18,4)").as("min_peak_share"),
+          col("tone_hz"),
+          (abs(col("__aph") - col("tone_hz")) <= lit(16000.0 / 1024))
+            .as("peak_within_bin"))
         .orderBy(col("media_id"))
     }),
 
@@ -5733,6 +5747,123 @@ object SparkEntry {
            FROM documents WHERE text IS NOT NULL
            ORDER BY key LIMIT 50)
          ORDER BY doc_id""",
+
+    // The burst-WAV fixture regenerated sample-exact from the media id
+    // (same argument association 2π·f·i/sr, same round-to-int PCM16
+    // quantization, silence gating on the 1600-sample burst grid), then
+    // the frame walk re-derived: rms = sqrt(mean v²)/32768, peak =
+    // max|v|/32768, zcr = sign changes over NONZERO samples / (m−1)
+    // (zeros neither cross nor reset the previous sign — the lag() over
+    // the v≠0 subsequence is exactly wavFrameFeatures' prevSign rule)
+    "q108_audio_frames" ->
+      """WITH clips AS (
+           SELECT m.id AS media_id,
+                  (200 + 10 * (m.id % 8))::DOUBLE AS freq,
+                  0.2 + 0.1 * (m.id % 5) AS amp
+           FROM unnest(generate_series(0, 39)) AS m(id)),
+         samp AS (
+           -- floor(x + 0.5), not round(x): Java's Math.round is
+           -- half-toward-+inf, DuckDB's round is half-away-from-zero —
+           -- they differ by one count at the sine's negative peaks
+           SELECT media_id, g.i AS i, (g.i // 800)::INT AS frame,
+                  CASE WHEN (g.i // 1600) % 2 = 0
+                       THEN floor(amp * 32767.0 *
+                              sin(2 * pi() * freq * g.i / 16000)
+                              + 0.5)::BIGINT
+                       ELSE 0 END AS v
+           FROM clips, unnest(generate_series(0, 6399)) AS g(i)),
+         fr AS (
+           SELECT media_id, frame,
+                  sqrt(sum(v * v)::DOUBLE / 800) / 32768.0 AS rms,
+                  max(abs(v))::DOUBLE / 32768.0 AS peak
+           FROM samp GROUP BY media_id, frame),
+         sg AS (SELECT media_id, frame, i,
+                       CASE WHEN v > 0 THEN 1 ELSE -1 END AS s
+                FROM samp WHERE v <> 0),
+         lg AS (SELECT media_id, frame, s,
+                       lag(s) OVER (PARTITION BY media_id, frame
+                                    ORDER BY i) AS ps
+                FROM sg),
+         zc AS (SELECT media_id, frame,
+                       sum(CASE WHEN ps IS NOT NULL AND s <> ps
+                                THEN 1 ELSE 0 END) AS c
+                FROM lg GROUP BY media_id, frame),
+         ff AS (SELECT f.media_id, f.frame, f.rms, f.peak,
+                       coalesce(zc.c, 0)::DOUBLE / 799 AS zcr
+                FROM fr f LEFT JOIN zc USING (media_id, frame))
+         SELECT media_id, count(*)::BIGINT AS n_frames,
+                sum(CASE WHEN rms > 0.05 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_voiced,
+                round(avg(rms), 4)::DECIMAL(18,4) AS avg_rms,
+                round(max(peak), 4)::DECIMAL(18,4) AS max_peak,
+                round(avg(zcr), 4)::DECIMAL(18,4) AS avg_zcr,
+                round(sum(CASE WHEN rms > 0.05 THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*), 4)::DECIMAL(18,4) AS voiced_fraction
+         FROM ff GROUP BY media_id ORDER BY media_id""",
+
+    // The sine-WAV fixture regenerated sample-exact, then the DIRECT
+    // DFT evaluated per (frame, bin) — an independent spelling of the
+    // transform the Spark side computes by radix-2 FFT. Frame windows
+    // mirror wavSpectralFeatures: largest power of two ≤ the 1024-
+    // sample frame (the 928-sample tail frame truncates to 512). Both
+    // sides sum the same exact integers, so FFT vs DFT differ only by
+    // ~1e-10 relative float noise — far inside the 2dp/4dp rounds.
+    "q138_audio_spectra" ->
+      """WITH clips AS (
+           SELECT m.id AS media_id,
+                  (500 + 125 * (m.id % 8))::DOUBLE AS freq
+           FROM unnest(generate_series(0, 39)) AS m(id)),
+         samp AS (
+           -- floor(x + 0.5) = Java Math.round (see q108's note)
+           SELECT media_id, g.i AS i,
+                  floor(0.5 * 32767.0 *
+                    sin(2 * pi() * freq * g.i / 16000) + 0.5)::BIGINT AS v
+           FROM clips, unnest(generate_series(0, 3999)) AS g(i)),
+         frames AS (
+           SELECT * FROM (VALUES (0, 0, 1024), (1, 1024, 1024),
+                                 (2, 2048, 1024), (3, 3072, 512))
+                  AS t(frame, s0, len)),
+         fs AS (
+           SELECT s.media_id, f.frame, f.len, s.i - f.s0 AS k, s.v
+           FROM samp s JOIN frames f
+             ON s.i >= f.s0 AND s.i < f.s0 + f.len),
+         dft AS (
+           SELECT media_id, frame, len, b.bin,
+                  sum(v * cos(2 * pi() * b.bin * k / len)) AS re,
+                  sum(v * sin(2 * pi() * b.bin * k / len)) AS im
+           FROM fs, unnest(generate_series(1, 512)) AS b(bin)
+           WHERE b.bin <= len / 2
+           GROUP BY media_id, frame, len, b.bin),
+         rk AS (SELECT media_id, frame, len, bin,
+                       sqrt(re * re + im * im) AS mag,
+                       row_number() OVER (PARTITION BY media_id, frame
+                         ORDER BY sqrt(re * re + im * im) DESC, bin) AS rn,
+                       sum(sqrt(re * re + im * im))
+                         OVER (PARTITION BY media_id, frame) AS magsum,
+                       sum(sqrt(re * re + im * im) * bin)
+                         OVER (PARTITION BY media_id, frame) AS centnum
+                FROM dft),
+         pf AS (SELECT media_id, frame,
+                       bin * (16000.0 / len) AS peak_hz,
+                       CASE WHEN magsum > 0
+                            THEN centnum / magsum * (16000.0 / len)
+                            ELSE 0 END AS centroid_hz,
+                       CASE WHEN magsum > 0 THEN mag / magsum ELSE 0 END
+                         AS peak_mag_rel
+                FROM rk WHERE rn = 1),
+         ag AS (SELECT media_id, count(*)::BIGINT AS n_frames,
+                       round(avg(peak_hz), 2) AS aph,
+                       round(avg(centroid_hz), 2) AS ach,
+                       round(min(peak_mag_rel), 4) AS mps,
+                       500 + 125 * (media_id % 8) AS tone_hz
+                FROM pf GROUP BY media_id)
+         SELECT media_id, n_frames,
+                aph::DECIMAL(18,2) AS avg_peak_hz,
+                ach::DECIMAL(18,2) AS avg_centroid_hz,
+                mps::DECIMAL(18,4) AS min_peak_share,
+                tone_hz::BIGINT AS tone_hz,
+                abs(aph - tone_hz) <= 15.625 AS peak_within_bin
+         FROM ag ORDER BY media_id""",
 
     // The identical 10 power iterations, unrolled from one template
     // (recursive CTEs restrict aggregation in the recursive term, and
