@@ -474,18 +474,30 @@ object SparkEntry {
 
     // MinHash LSH near-dup pairs (banded candidates + signature verify;
     // banding auto-derived from the threshold: 16 bands × 4 at j=0.7).
+    // Fully oracled since round 16 via SigMode.Md5: the signature lanes
+    // are md5-based Carter–Wegman hashes DuckDB computes natively, so
+    // the oracle re-derives signatures, band collisions, AND the
+    // estimator — the LSH machine end-to-end on the hash path. The
+    // xxhash64 throughput lanes stay the default for every APPLY path
+    // (q39/q48/q92); the two modes share every line but the lane hash.
     // No ORDER BY, deliberately: the output is a pair SET and the
-    // driver's no-oracle check is a row count — a global sort of every
+    // driver sorts rows before hashing — a global sort of every
     // near-dup pair was half this query's runtime (13 s of 27 at sf0.1)
     // and at 100 TB would be the single largest shuffle in the job.
     // The dedup-apply path never sorts pairs either.
     "q28_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-          minJaccard = 0.7, numHashes = 64, shingleSize = 1)),
+          minJaccard = 0.7, numHashes = 64, shingleSize = 1,
+          sigMode = Dedup.SigMode.Md5)),
 
-    // SimHash near-dup pairs (16-bit chunk pigeonhole blocking)
+    // SimHash near-dup pairs (16-bit chunk pigeonhole blocking). Fully
+    // oracled since round 16 via SigMode.Md5 (60 md5 bits per token):
+    // DuckDB re-derives the per-bit majority votes, the chunk buckets,
+    // and the exact Hamming verify — the whole pigeonhole machine on
+    // the hash path. Operational paths keep the 64-bit xxhash64 lanes.
     "q29_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3, sigMode = Dedup.SigMode.Md5)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Duplicate clustering: distributed connected components
@@ -1492,22 +1504,24 @@ object SparkEntry {
     // Persisted MinHash index (the near-dup counterpart of q83's IVF
     // index): even-id docs indexed once to parquet, odd-id docs
     // admitted against it through the filesystem round-trip — the
-    // incremental-crawl near-dedup flow. Same signature family as
-    // q27/q28 (unigram shingles), so the emitted cross-pairs are the
-    // even×odd slice of the corpus's near-dup structure. rows-only
-    // (xxhash64); bounded by oracled exact q27 and MinhashIndexSpec's
-    // round-trip equivalence + append-maintenance tests.
+    // incremental-crawl near-dedup flow. Fully oracled since round 16
+    // via SigMode.Md5 (the q28 pattern): DuckDB re-derives both sides'
+    // signatures and the 16×8 band collisions, so the filesystem
+    // round-trip + broadcast admission path is hash-verified
+    // end-to-end. est_jaccard = m/128.0 is dyadic — exact in both
+    // engines, no rounding. The operational apply paths keep xxhash64.
     "q92_minhash_index_admission" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val base = java.nio.file.Files.createTempDirectory("graft-q92").toString
       try {
         Dedup.writeMinhashIndex(docs.where(col("doc_id") % 2 === 0),
-          "doc_id", "text", base, numHashes = 128, shingleSize = 1)
+          "doc_id", "text", base, numHashes = 128, shingleSize = 1,
+          sigMode = Dedup.SigMode.Md5)
         Dedup.pairsAgainstMinhashIndex(
             docs.where(col("doc_id") % 2 === 1), "doc_id", "text", base,
-            minJaccard = 0.8, numHashes = 128, shingleSize = 1)
-          .select(col("id_a"), col("id_b"),
-            round(col("est_jaccard"), 6).as("est_jaccard"))
+            minJaccard = 0.8, numHashes = 128, shingleSize = 1,
+            sigMode = Dedup.SigMode.Md5)
+          .select(col("id_a"), col("id_b"), col("est_jaccard"))
           .orderBy(col("id_a"), col("id_b"))
           .localCheckpoint() // materialize before deleting the index
       } finally {
@@ -4430,6 +4444,119 @@ object SparkEntry {
                FROM w a, w b WHERE a.doc_id < b.doc_id)
          SELECT id_a, id_b, c / (na + nb - c) AS jaccard FROM p
          WHERE c / (na + nb - c) >= 0.8 ORDER BY id_a, id_b""",
+
+    // The ENTIRE LSH machine re-derived: md5→mod-p shingle hashing,
+    // the 64 Carter–Wegman lanes (same a/b scheme as Dedup.md5LaneA/B),
+    // per-lane minima, 16×4 band collisions (exact slice equality — the
+    // band hash is equality's proxy), and the match-count estimator.
+    // est_jaccard = m/64.0 is a dyadic rational: exact in both engines,
+    // no rounding needed.
+    "q28_minhash_pairs" ->
+      """WITH w AS (
+           SELECT DISTINCT doc_id, s FROM (
+             SELECT doc_id,
+               unnest(regexp_split_to_array(
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                 ' ')) AS s
+             FROM documents WHERE text IS NOT NULL)),
+         g AS (SELECT doc_id,
+                 ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS gm
+               FROM w),
+         fam AS (SELECT f.i AS i,
+                        ((2 * f.i + 1) * 2654435761) % 2147483647 AS a,
+                        (f.i * 40503 + 1) % 2147483647 AS b
+                 FROM unnest(generate_series(0, 63)) AS f(i)),
+         sig AS (SELECT doc_id, i, min((gm * a + b) % 2147483647) AS h
+                 FROM g, fam GROUP BY doc_id, i),
+         arr AS (SELECT doc_id, list(h ORDER BY i) AS sg
+                 FROM sig GROUP BY doc_id),
+         bands AS (SELECT doc_id, bd.b AS band,
+                          sg[bd.b * 4 + 1 : bd.b * 4 + 4] AS sl
+                   FROM arr, unnest(generate_series(0, 15)) AS bd(b)),
+         cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.sl = y.sl
+                   AND x.doc_id < y.doc_id),
+         mt AS (SELECT c.id_a, c.id_b,
+                       sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS m
+                FROM cand c
+                JOIN sig sa ON sa.doc_id = c.id_a
+                JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+                GROUP BY c.id_a, c.id_b)
+         SELECT id_a, id_b, m / 64.0 AS est_jaccard
+         FROM mt WHERE m / 64.0 >= 0.7""",
+
+    // The SimHash pigeonhole machine re-derived: 60 md5 bits per token
+    // (multiset — occurrences count), per-bit strict-majority votes,
+    // 16-bit chunk buckets, exact Hamming verify at <= 3
+    "q29_simhash_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               ' ')) AS t
+           FROM documents WHERE text IS NOT NULL),
+         h AS (SELECT doc_id,
+                      ('0x' || substr(md5(t), 1, 15))::BIGINT AS hh
+               FROM toks),
+         bits AS (SELECT doc_id, b.b AS b,
+                         sum(CASE WHEN (hh >> b.b) & 1 = 1
+                                  THEN 1 ELSE 0 END) AS ones,
+                         count(*) AS n
+                  FROM h, unnest(generate_series(0, 59)) AS b(b)
+                  GROUP BY doc_id, b.b),
+         sk AS (SELECT doc_id,
+                       sum(CASE WHEN ones * 2 > n
+                                THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                         AS sh
+                FROM bits GROUP BY doc_id),
+         ch AS (SELECT doc_id, sh, c.c AS chunk,
+                       (sh >> (c.c * 16)) & 65535 AS key
+                FROM sk, unnest(generate_series(0, 3)) AS c(c)),
+         p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      bit_count(xor(a.sh, b.sh))::INT AS hamming
+               FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.key = b.key
+               WHERE a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM p
+         WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
+    // q28's LSH machine at 128 lanes / 16×8 banding, restricted to
+    // even-indexed × odd-new cross pairs — the admission slice the
+    // persisted index emits (id_a = indexed even id, id_b = new odd id)
+    "q92_minhash_index_admission" ->
+      """WITH w AS (
+           SELECT DISTINCT doc_id, s FROM (
+             SELECT doc_id,
+               unnest(regexp_split_to_array(
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                 ' ')) AS s
+             FROM documents WHERE text IS NOT NULL)),
+         g AS (SELECT doc_id,
+                 ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS gm
+               FROM w),
+         fam AS (SELECT f.i AS i,
+                        ((2 * f.i + 1) * 2654435761) % 2147483647 AS a,
+                        (f.i * 40503 + 1) % 2147483647 AS b
+                 FROM unnest(generate_series(0, 127)) AS f(i)),
+         sig AS (SELECT doc_id, i, min((gm * a + b) % 2147483647) AS h
+                 FROM g, fam GROUP BY doc_id, i),
+         arr AS (SELECT doc_id, list(h ORDER BY i) AS sg
+                 FROM sig GROUP BY doc_id),
+         bands AS (SELECT doc_id, bd.b AS band,
+                          sg[bd.b * 8 + 1 : bd.b * 8 + 8] AS sl
+                   FROM arr, unnest(generate_series(0, 15)) AS bd(b)),
+         cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.sl = y.sl
+                  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1),
+         mt AS (SELECT c.id_a, c.id_b,
+                       sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS m
+                FROM cand c
+                JOIN sig sa ON sa.doc_id = c.id_a
+                JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+                GROUP BY c.id_a, c.id_b)
+         SELECT id_a, id_b, m / 128.0 AS est_jaccard
+         FROM mt WHERE m / 128.0 >= 0.8 ORDER BY id_a, id_b""",
 
     // The full pipeline in one statement: quality (q21 body) → lang
     // (q22 body) → exact dedup (q19 fingerprint) → unigram-Jaccard

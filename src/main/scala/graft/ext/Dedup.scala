@@ -159,6 +159,37 @@ object Dedup {
       array_min(transform(hs, h => xxhash64(i, h))))
   }
 
+  /** Carter–Wegman lane modulus for [[SigMode.Md5]]: the Mersenne
+    * prime 2³¹−1. Lane values and products stay under 2⁶², so every
+    * step is exact BIGINT arithmetic any engine reproduces bit-for-bit.
+    */
+  val Md5LaneP: Long = 2147483647L
+
+  /** Lane coefficients for [[SigMode.Md5]] family `i` — fixed odd
+    * multiplier (Knuth's 2654435761) keyed by the family index; any
+    * deterministic scheme works, this one is short to spell in SQL.
+    */
+  def md5LaneA(i: Int): Long = ((2L * i + 1L) * 2654435761L) % Md5LaneP
+  def md5LaneB(i: Int): Long = (i.toLong * 40503L + 1L) % Md5LaneP
+
+  /** Signature hash family. `Xxhash64` is the throughput mode (the
+    * scale/bench path). `Md5` is the VERIFY mode: the shingle is
+    * hashed once by md5 (60 bits of the digest, mod 2³¹−1) and the
+    * `numHashes` lanes are Carter–Wegman `(a·g + b) mod (2³¹−1)` —
+    * chosen because an oracle engine with no xxhash64 (DuckDB) can
+    * recompute the EXACT same signatures natively, making the whole
+    * LSH pair set hash-comparable. Same asymptotic cost as xxhash64
+    * mode (one string hash per shingle, integer ops per lane); the
+    * 31-bit lane space only biases the estimator when two of a doc's
+    * shingles collide mod p (~n²/2³² per doc — and identically so in
+    * both engines, so verification is unaffected).
+    */
+  sealed trait SigMode
+  object SigMode {
+    case object Xxhash64 extends SigMode
+    case object Md5 extends SigMode
+  }
+
   /** Materialized (id, signature) frame, computed the scale-friendly
     * way: explode shingles, then `numHashes` codegen'd `min` aggregates
     * (one per hash family), map-side combined — the shuffle carries
@@ -173,14 +204,25 @@ object Dedup {
       idCol: String,
       textCol: String,
       numHashes: Int = 128,
-      shingleSize: Int = 3): DataFrame = {
-    val exploded = df.select(col(idCol).as("__id"),
-        explode(wordShingles(col(textCol), shingleSize)).as("__s"))
+      shingleSize: Int = 3,
+      sigMode: SigMode = SigMode.Xxhash64): DataFrame = {
+    val g = sigMode match {
       // the shingle string hashed once; families re-hash the long only
       // (see [[minhashSignature]] — the two paths must stay identical)
-      .select(col("__id"), xxhash64(col("__s")).as("__g"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("__g"))).as(s"__h$i"))
+      case SigMode.Xxhash64 => xxhash64(col("__s"))
+      case SigMode.Md5 =>
+        conv(substring(md5(col("__s")), 1, 15), 16, 10).cast("long") %
+          lit(Md5LaneP)
+    }
+    val lane: Int => Column = sigMode match {
+      case SigMode.Xxhash64 => i => xxhash64(lit(i), col("__g"))
+      case SigMode.Md5 => i =>
+        (col("__g") * lit(md5LaneA(i)) + lit(md5LaneB(i))) % lit(Md5LaneP)
+    }
+    val exploded = df.select(col(idCol).as("__id"),
+        explode(wordShingles(col(textCol), shingleSize)).as("__s"))
+      .select(col("__id"), g.as("__g"))
+    val mins = (0 until numHashes).map(i => min(lane(i)).as(s"__h$i"))
     exploded.groupBy(col("__id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("__id"),
@@ -298,8 +340,10 @@ object Dedup {
       minJaccard: Double,
       numHashes: Int = 128,
       bands: Int = 0,
-      shingleSize: Int = 3): DataFrame = {
-    pairsFromSigs(minhashSignatures(df, idCol, textCol, numHashes, shingleSize),
+      shingleSize: Int = 3,
+      sigMode: SigMode = SigMode.Xxhash64): DataFrame = {
+    pairsFromSigs(
+      minhashSignatures(df, idCol, textCol, numHashes, shingleSize, sigMode),
       minJaccard, numHashes, bands)
   }
 
@@ -402,7 +446,8 @@ object Dedup {
       path: String,
       numHashes: Int = 128,
       shingleSize: Int = 3,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite",
+      sigMode: SigMode = SigMode.Xxhash64): Unit = {
     // "append" with a different hash family than the stored one would
     // silently poison the index: mixed-width rows under-estimate every
     // Jaccard and the admission gate waves near-duplicates through.
@@ -410,16 +455,24 @@ object Dedup {
     // REQUIRED to match on every append (and on every query).
     if (mode == "append")
       readMinhashIndexMeta(df.sparkSession, path).foreach {
-        case (storedHashes, storedShingle) =>
-          require(storedHashes == numHashes && storedShingle == shingleSize,
+        case (storedHashes, storedShingle, storedMode) =>
+          require(storedHashes == numHashes && storedShingle == shingleSize
+              && storedMode == sigModeName(sigMode),
             s"minhash index at $path was built with numHashes=$storedHashes, " +
-              s"shingleSize=$storedShingle; append attempted with " +
-              s"numHashes=$numHashes, shingleSize=$shingleSize")
+              s"shingleSize=$storedShingle, sigMode=$storedMode; append " +
+              s"attempted with numHashes=$numHashes, " +
+              s"shingleSize=$shingleSize, sigMode=${sigModeName(sigMode)}")
       }
-    minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    minhashSignatures(df, idCol, textCol, numHashes, shingleSize, sigMode)
       .write.mode(mode).parquet(s"$path/sigs")
     if (mode != "append")
-      writeMinhashIndexMeta(df.sparkSession, path, numHashes, shingleSize)
+      writeMinhashIndexMeta(df.sparkSession, path, numHashes, shingleSize,
+        sigMode)
+  }
+
+  private def sigModeName(m: SigMode): String = m match {
+    case SigMode.Xxhash64 => "xxhash64"
+    case SigMode.Md5 => "md5"
   }
 
   /** Index metadata sidecar (`meta.json`): one tiny driver-written file
@@ -428,12 +481,14 @@ object Dedup {
     */
   private def writeMinhashIndexMeta(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, numHashes: Int, shingleSize: Int): Unit = {
+      path: String, numHashes: Int, shingleSize: Int,
+      sigMode: SigMode): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(
-      s"""{"numHashes":$numHashes,"shingleSize":$shingleSize}"""
+      (s"""{"numHashes":$numHashes,"shingleSize":$shingleSize,""" +
+        s""""sigMode":"${sigModeName(sigMode)}"}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -444,7 +499,7 @@ object Dedup {
     */
   private def readMinhashIndexMeta(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[(Int, Int)] = {
+      path: String): Option[(Int, Int, String)] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -457,7 +512,10 @@ object Dedup {
         .findFirstMatchIn(text)
         .getOrElse(throw new IllegalArgumentException(
           s"unreadable minhash index metadata at $p: $text"))
-      Some((m.group(1).toInt, m.group(2).toInt))
+      // sigMode absent in pre-round-16 sidecars -> the then-only family
+      val mode = """"sigMode"\s*:\s*"(\w+)"""".r
+        .findFirstMatchIn(text).map(_.group(1)).getOrElse("xxhash64")
+      Some((m.group(1).toInt, m.group(2).toInt, mode))
     }
   }
 
@@ -478,7 +536,8 @@ object Dedup {
       minJaccard: Double,
       numHashes: Int = 128,
       bands: Int = 0,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      sigMode: SigMode = SigMode.Xxhash64): DataFrame = {
     val indexSigs = newDocs.sparkSession.read.parquet(s"$path/sigs")
     // The signature family is part of the index's identity: a mismatch
     // would slice band hashes over truncated signatures (or compare
@@ -489,18 +548,22 @@ object Dedup {
     // row can miss). Fallback for a sidecar-less index: probe one row's
     // stored width.
     readMinhashIndexMeta(newDocs.sparkSession, path) match {
-      case Some((storedHashes, storedShingle)) =>
-        require(storedHashes == numHashes && storedShingle == shingleSize,
+      case Some((storedHashes, storedShingle, storedMode)) =>
+        require(storedHashes == numHashes && storedShingle == shingleSize
+            && storedMode == sigModeName(sigMode),
           s"minhash index at $path was built with numHashes=$storedHashes, " +
-            s"shingleSize=$storedShingle; queried with " +
-            s"numHashes=$numHashes, shingleSize=$shingleSize")
+            s"shingleSize=$storedShingle, sigMode=$storedMode; queried with " +
+            s"numHashes=$numHashes, shingleSize=$shingleSize, " +
+            s"sigMode=${sigModeName(sigMode)}")
       case None =>
         val storedWidth = indexSigs.select(size(col("__sig"))).limit(1).collect()
         require(storedWidth.isEmpty || storedWidth(0).getInt(0) == numHashes,
           s"minhash index at $path stores ${storedWidth(0).getInt(0)}-hash " +
             s"signatures; queried with numHashes=$numHashes")
     }
-    val newSigs = minhashSignatures(newDocs, idCol, textCol, numHashes, shingleSize)
+    val newSigs =
+      minhashSignatures(newDocs, idCol, textCol, numHashes, shingleSize,
+        sigMode)
     crossPairsFromSigs(indexSigs, newSigs, minJaccard, numHashes, bands)
   }
 
@@ -601,10 +664,19 @@ object Dedup {
     * path, and the localCheckpoint stops downstream self-joins from
     * re-inlining the computation (8× re-evaluation otherwise).
     */
-  def simhashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashFrame(df: DataFrame, idCol: String, textCol: String,
+      sigMode: SigMode = SigMode.Xxhash64): DataFrame = {
+    val tokHash = sigMode match {
+      case SigMode.Xxhash64 => xxhash64(col("__t"))
+      // 60 md5 bits (15 hex digits keep the BIGINT parse positive in
+      // any engine); bits 60..63 are constant-zero, which the majority
+      // vote maps to 0 on both sides — a 60-bit sketch, identically
+      case SigMode.Md5 =>
+        conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long")
+    }
     val toks = df.select(col(idCol).as("__id"),
       explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
+      .withColumn("__h", tokHash)
     val bitAggs = (0 until 64).map(b =>
       sum(when(col("__h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(0)).as(s"__b$b"))
     toks.groupBy(col("__id"))
@@ -624,8 +696,9 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val hashes = simhashFrame(df, idCol, textCol)
+      maxHamming: Int = 3,
+      sigMode: SigMode = SigMode.Xxhash64): DataFrame = {
+    val hashes = simhashFrame(df, idCol, textCol, sigMode)
     val chunked = hashes.select(
       col("__id"), col("__sh"),
       explode(sequence(lit(0), lit(3))).as("__chunk"))

@@ -99,4 +99,34 @@ class MinhashIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
     Dedup.pairsAgainstMinhashIndex(batch, "doc_id", "text", path,
       minJaccard = 0.5, numHashes = 128, shingleSize = 3).count() shouldBe 0L
   }
+
+  test("md5 sigMode: same pair semantics, and mode mismatch is rejected") {
+    import spark.implicits._
+    val indexed = (1 to 6).map(k => (k.toLong, docText(k))).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, docText(1)),          // exact copy of indexed 1
+      (102L, nearDup(docText(2))), // near-dup of indexed 2
+      (103L, docText(9))           // novel
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-mhidx4").toString
+    Dedup.writeMinhashIndex(indexed, "doc_id", "text", path,
+      sigMode = Dedup.SigMode.Md5)
+    val pairs = Dedup.pairsAgainstMinhashIndex(
+        fresh, "doc_id", "text", path, minJaccard = 0.5,
+        sigMode = Dedup.SigMode.Md5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the verify-mode lanes must reach the same verdicts as xxhash64:
+    // exact copy at 1.0, near-dup in [0.5, 1), novel absent
+    pairs.map { case (a, b, _) => (a, b) }.toSet shouldBe
+      Set((1L, 101L), (2L, 102L))
+    pairs.find(_._2 == 101L).get._3 shouldBe 1.0
+    pairs.find(_._2 == 102L).get._3 should (be >= 0.5 and be < 1.0)
+    // querying an md5 index with xxhash64 lanes must be rejected — the
+    // signatures are mutually meaningless
+    val e = intercept[IllegalArgumentException] {
+      Dedup.pairsAgainstMinhashIndex(fresh, "doc_id", "text", path,
+        minJaccard = 0.5)
+    }
+    e.getMessage should include("sigMode=md5")
+  }
 }
