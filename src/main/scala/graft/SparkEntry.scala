@@ -1835,18 +1835,42 @@ object SparkEntry {
     // Aggregator, 16 KB buffer, map-side merges), a driver-side 64×64
     // Jacobi eigensolve, then 8 codegen dot products per row with
     // centering folded into constants — the variance-optimal
-    // counterpart to q80's random projection. Rows-only (eigensolve
-    // has no SQL twin); recovery/orthonormality/partition-invariance
-    // pinned in PcaSpec, optimality vs the random basis in q107.
+    // counterpart to q80's random projection. Fully oracled since
+    // round 16 as a bound-carrying row (the eigensolve itself has no
+    // SQL twin): the hashed column is each row's centered norm —
+    // DuckDB re-derives the mean and distance, pinning the centering
+    // the projection folds in — and the projection rides as three
+    // measured booleans: per-row contraction (an orthonormal projector
+    // never lengthens: ‖proj‖ ≤ ‖x−μ‖, row by row), Parseval
+    // consistency (Σ‖proj‖²/(n−1) must equal the model's top-8
+    // eigenvalue mass — eigenvalues right but projection wrong fails
+    // HERE), and q107's ≥0.15 captured-mass floor measured from the
+    // actual projected rows. Exact recovery/orthonormality stays in
+    // PcaSpec; basis optimality in q107.
     "q106_pca_project" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = pcaModel(s, dir)
-      graft.ext.Pca.projectPca(emb, "embedding", model)
+      val x = col("embedding").cast("array<double>")
+      val meanLit = typedLit(model.mean.toSeq)
+      val diff = zip_with(x, meanLit, (a, b) => a - b)
+      val projected = graft.ext.Pca.projectPca(emb, "embedding", model)
+        .withColumn("__c2", org.apache.spark.sql.graft.VectorOps.dot(diff, diff))
+        .withColumn("__p2", org.apache.spark.sql.graft.VectorOps
+          .dot(col("proj"), col("proj")))
+        .localCheckpoint() // stats + per-row output both read it
+      val pcaVar = model.eigenvalues.take(8).sum
+      val stats = broadcast(projected.agg(
+        sum(col("__p2")).as("__sp"), count(lit(1)).as("__n")))
+      projected.crossJoin(stats)
         .select(col("vec_id"),
-          round(element_at(col("proj"), 1), 6).as("p1"),
-          round(element_at(col("proj"), 2), 6).as("p2"),
-          round(sqrt(org.apache.spark.sql.graft.VectorOps
-            .dot(col("proj"), col("proj"))), 6).as("proj_norm"))
+          round(sqrt(col("__c2")), 6).cast("decimal(18,6)")
+            .as("centered_norm"),
+          (sqrt(col("__p2")) <= sqrt(col("__c2")) + lit(1e-9))
+            .as("proj_contracts"),
+          (abs(col("__sp") / (col("__n") - 1) - lit(pcaVar)) <=
+            lit(1e-6 * math.max(pcaVar, 1e-12))).as("parseval_consistent"),
+          (col("__sp") / (col("__n") - 1) >=
+            lit(0.15) * lit(model.totalVariance)).as("mass_floor_met"))
         .orderBy(col("vec_id"))
     }),
 
@@ -4369,6 +4393,28 @@ object SparkEntry {
       """SELECT 64 AS dim, 8 AS r,
          (SELECT count(*) FROM embeddings)::BIGINT AS n_vectors,
          TRUE AS pca_beats_random, TRUE AS pca_fraction_floor_met""",
+
+    // the centering re-derived exactly (per-dimension means + centered
+    // distance); the projection arrives as the three measured booleans
+    // (row-wise contraction, Parseval vs the top-8 eigenvalue mass,
+    // captured-mass floor)
+    "q106_pca_project" ->
+      """WITH m AS (
+           SELECT g.i AS i, avg(e.embedding[g.i]::DOUBLE) AS mu
+           FROM embeddings e,
+                unnest(generate_series(1, len(e.embedding))) AS g(i)
+           GROUP BY g.i),
+         c AS (
+           SELECT e.vec_id,
+                  sum((e.embedding[m.i]::DOUBLE - m.mu)
+                      * (e.embedding[m.i]::DOUBLE - m.mu)) AS c2
+           FROM embeddings e JOIN m ON m.i <= len(e.embedding)
+           GROUP BY e.vec_id)
+         SELECT vec_id,
+                round(sqrt(c2), 6)::DECIMAL(18,6) AS centered_norm,
+                TRUE AS proj_contracts, TRUE AS parseval_consistent,
+                TRUE AS mass_floor_met
+         FROM c ORDER BY vec_id""",
 
     // closed-form held-out count (odd doc_ids with text); the
     // calibration contract arrives as measured booleans
