@@ -3830,6 +3830,28 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("split"))
         .orderBy(col("doc_id"))),
 
+    // The hybrid splitter on a DELIBERATELY skewed layout: 70% of the
+    // corpus lands in one 'major' stratum (above the 100-row exact
+    // threshold → per-row hex bounds, NO sort) while ~97 'minor'
+    // strata stay small (→ audit-grade exact window counts). Fully
+    // oracled: DuckDB replays the count, the regime switch, and BOTH
+    // assignment rules; `regime` rides the row so the switch itself is
+    // on the hash path. This closes the q183 scaladoc's documented
+    // 100 TB gap (a dominant language's stratum would sort on one
+    // task) with an operator instead of advice.
+    "q184_auto_split" -> ((s, dir) => {
+      val strata = when(pmod(col("doc_id"), lit(10)) < 7, lit("major"))
+        .otherwise(concat(lit("minor"),
+          pmod(col("doc_id"), lit(97)).cast("string")))
+      Sampling.autoSplit(
+          t(s, dir, "documents")
+            .select(col("doc_id"), strata.as("stratum")),
+          "stratum", "doc_id", testFrac = 0.1, valFrac = 0.1,
+          exactThreshold = 100L)
+        .select(col("doc_id"), col("stratum"), col("split"), col("regime"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Version-to-version CDC on the manifest table: v1 = docs with a
     // stale flag, v2 = overwrite where every third doc's flag flipped
     // — the diff must emit exactly the flipped docs, each as one
@@ -6883,6 +6905,37 @@ object SparkEntry {
                      ELSE 'train' END AS split
          FROM r ORDER BY doc_id""",
 
+    // the regime switch replayed: per-stratum counts, q183's exact
+    // ceil arithmetic below the threshold, q146's floor(frac*2^48)
+    // 12-hex bound above it
+    "q184_auto_split" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 < 7 THEN 'major'
+                       ELSE 'minor' || (doc_id % 97) END AS stratum
+           FROM documents),
+         c AS (SELECT stratum, count(*) AS n FROM d GROUP BY stratum),
+         r AS (SELECT d.doc_id, d.stratum, c.n,
+                 row_number() OVER (PARTITION BY d.stratum
+                   ORDER BY md5(d.doc_id::VARCHAR), d.doc_id) AS rk
+               FROM d JOIN c USING (stratum))
+         SELECT doc_id, stratum,
+                CASE WHEN n <= 100 THEN
+                  CASE WHEN rk <= ceil(0.1 * n) THEN 'test'
+                       WHEN rk <= ceil(0.1 * n) + ceil(0.1 * n) THEN 'val'
+                       ELSE 'train' END
+                ELSE
+                  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 12) <
+                         printf('%012x',
+                           floor(0.1 * 281474976710656)::BIGINT) THEN 'test'
+                       WHEN substr(md5(doc_id::VARCHAR), 1, 12) <
+                         printf('%012x',
+                           floor(0.2 * 281474976710656)::BIGINT) THEN 'val'
+                       ELSE 'train' END
+                END AS split,
+                CASE WHEN n <= 100 THEN 'exact' ELSE 'bulk' END AS regime
+         FROM r ORDER BY doc_id""",
+
     // identical 40-char windows, doc frequencies, and fractions
     "q182_char_span_dedup" ->
       """WITH d AS (SELECT doc_id, text FROM documents
@@ -7424,5 +7477,5 @@ object SparkEntry {
     "q175_export_shards", "q176_drift_psi", "q177_length_batching",
     "q178_crawl_quota", "q179_table_stream", "q180_ndcg",
     "q181_ivfpq_index_append", "q182_char_span_dedup",
-    "q183_stratified_split")
+    "q183_stratified_split", "q184_auto_split")
 }

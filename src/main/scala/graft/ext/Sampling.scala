@@ -151,6 +151,55 @@ object Sampling {
       .drop("__rk", "__n")
   }
 
+  /** The hybrid [[stratifiedSplit]]'s scaladoc prescribes, as one
+    * operator with one output contract: strata at or below
+    * `exactThreshold` rows take the EXACT window form (audit-grade
+    * ceil-fraction counts — the regime where expectation isn't
+    * exactness), strata above it take the per-row 48-bit hex-bound
+    * form (`floor(frac·2⁴⁸)` on the md5 coordinate — [[contentSplit]]
+    * at 12-hex granularity, proportional to ~4e-15 in expectation and
+    * exact enough at any bulk size). Adds `split` plus `regime`
+    * ("exact" | "bulk") so the caller — and the oracle — can see which
+    * path labeled each row.
+    *
+    * Shape at scale: one count aggregate over the stratum column
+    * (broadcast back — strata are bounded-cardinality labels), a
+    * codegen projection for the bulk (NO sort, no matter how dominant
+    * the largest language is — the single-task-per-stratum failure of
+    * the exact form at 100 TB cannot occur), and a window sort only
+    * over the small-strata subset, whose volume is bounded by
+    * `exactThreshold × |small strata|`.
+    */
+  def autoSplit(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      testFrac: Double,
+      valFrac: Double,
+      exactThreshold: Long = 100000L): DataFrame = {
+    require(testFrac >= 0 && valFrac >= 0 && testFrac + valFrac < 1,
+      s"fractions must be >= 0 and sum below 1, got ($testFrac, $valFrac)")
+    require(exactThreshold >= 0, s"exactThreshold must be >= 0")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__sn"))
+    val tagged = df.join(broadcast(counts), Seq(strataCol))
+    val exact = stratifiedSplit(
+        tagged.where(col("__sn") <= exactThreshold).drop("__sn"),
+        strataCol, keyCol, testFrac, valFrac)
+      .withColumn("regime", lit("exact"))
+    // floor(frac·2^48) rendered as a 12-hex bound — the q146 convention;
+    // the oracle computes the identical double product and floor
+    val tB = f"${math.floor(testFrac * 281474976710656L.toDouble).toLong}%012x"
+    val vB = f"${math.floor((testFrac + valFrac) * 281474976710656L.toDouble).toLong}%012x"
+    val k12 = substring(contentKey(col(keyCol)), 1, 12)
+    val bulk = tagged.where(col("__sn") > exactThreshold).drop("__sn")
+      .withColumn("split",
+        when(k12 < lit(tB), "test")
+          .when(k12 < lit(vB), "val")
+          .otherwise("train"))
+      .withColumn("regime", lit("bulk"))
+    exact.unionByName(bulk)
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (the
     * Efraimidis–Spirakis exponential-keys construction): each row gets
     * `key = -ln(u) / w` with `u ∈ (0,1)` drawn from the md5 coordinate

@@ -406,6 +406,43 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .count() shouldBe 0
   }
 
+  test("autoSplit: regime switch pins exact-below / hex-bulk-above") {
+    import spark.implicits._
+    // one dominant stratum (60 rows) + one small (7) around threshold 20
+    val df = ((1 to 60).map(i => (i.toLong, "big")) ++
+      (200 to 206).map(i => (i.toLong, "small"))).toDF("id", "g")
+    val out = Sampling.autoSplit(df, "g", "id",
+        testFrac = 0.1, valFrac = 0.1, exactThreshold = 20L)
+      .select("id", "g", "split", "regime")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3)))
+    // complete + disjoint across both regimes
+    out.length shouldBe 67
+    out.map(_._1).distinct.length shouldBe 67
+    out.filter(_._2 == "big").map(_._4).toSet shouldBe Set("bulk")
+    out.filter(_._2 == "small").map(_._4).toSet shouldBe Set("exact")
+    // the small stratum carries stratifiedSplit's EXACT counts
+    val small = out.filter(_._2 == "small")
+    small.count(_._3 == "test") shouldBe 1 // ceil(0.1*7)
+    small.count(_._3 == "val") shouldBe 1
+    small.count(_._3 == "train") shouldBe 5
+    // the big stratum matches the 12-hex bound law row by row
+    val tB = f"${math.floor(0.1 * 281474976710656L.toDouble).toLong}%012x"
+    val vB = f"${math.floor(0.2 * 281474976710656L.toDouble).toLong}%012x"
+    out.filter(_._2 == "big").foreach { case (id, _, split, _) =>
+      val k = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val expect = if (k < tB) "test" else if (k < vB) "val" else "train"
+      split shouldBe expect
+    }
+    // the exact form on the SAME small stratum agrees with autoSplit
+    val exact = Sampling.stratifiedSplit(
+        df.where(col("g") === "small"), "g", "id", 0.1, 0.1)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    out.filter(_._2 == "small").map(t => (t._1, t._3)).toSet shouldBe exact
+  }
+
   test("temperatureWeights: closed-form shares; T=1 is the identity mix") {
     import spark.implicits._
     // masses 90 / 10: p = .9/.1; T=2 -> pt = sqrt(p); shares
