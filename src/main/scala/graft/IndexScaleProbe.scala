@@ -119,7 +119,8 @@ object IndexScaleProbe {
         println(s"""{"metric":"ivfpq_index_build","n_vectors":$nBase,""" +
           s""""sec":${fmt3(secB)},"cpus":$cpus}""")
         val tA = System.nanoTime()
-        graft.ext.Pq.appendToIvfPqIndex(delta, "vec_id", "embedding", path)
+        graft.ext.Pq.appendToIvfPqIndex(delta, "vec_id", "embedding", path,
+          appendId = "probe-delta")
         val secA = (System.nanoTime() - tA) / 1e9
         println(s"""{"metric":"ivfpq_index_append","n_delta":${nBase / 10},""" +
           s""""sec":${fmt3(secA)},"cpus":$cpus}""")

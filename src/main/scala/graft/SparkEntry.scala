@@ -2740,10 +2740,14 @@ object SparkEntry {
       val toks = docs.select(
           explode(split(TextAnalysis.normalize(col("text")), " ")).as("token"))
         .where(col("token") =!= "")
-      val nTokens = toks.count()
-      val sketchBytes = toks
-        .agg(count_min_sketch(col("token"), lit(0.0001), lit(0.99), lit(42)))
-        .head().getAs[Array[Byte]](0)
+      // sketch + total in ONE aggregation pass — a separate count()
+      // re-ran the scan+tokenize solely for the 4·eps·N bound
+      val aggRow = toks
+        .agg(count_min_sketch(col("token"), lit(0.0001), lit(0.99), lit(42)),
+          count(lit(1)))
+        .head()
+      val sketchBytes = aggRow.getAs[Array[Byte]](0)
+      val nTokens = aggRow.getLong(1)
       val cms = org.apache.spark.util.sketch.CountMinSketch
         .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
       import s.implicits._
@@ -3787,7 +3791,8 @@ object SparkEntry {
       try {
         graft.ext.Pq.writeIvfPqIndex(base, "vec_id", "embedding",
           coarse, model, path)
-        graft.ext.Pq.appendToIvfPqIndex(delta, "vec_id", "embedding", path)
+        graft.ext.Pq.appendToIvfPqIndex(delta, "vec_id", "embedding", path,
+          appendId = "odd-half")
         val fromIndex = graft.ext.Pq
           .ivfPqTopKFromIndex(s, path, "vec_id", query, k = 10, nProbe = 4)
           .withColumnRenamed("adc_dist", "adc_disk")

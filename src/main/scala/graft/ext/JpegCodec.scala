@@ -253,6 +253,20 @@ object JpegCodec {
             mcusY = (h + 8 * vmax - 1) / (8 * vmax)
             planeW = comps.map(c => mcusX * c.hi * 8)
             planeH = comps.map(c => mcusY * c.vi * 8)
+            // cap the PADDED allocation, not only the nominal pixel
+            // count: MCU padding scales a degenerate dimension by up
+            // to 8·4 per axis (w=1 pads to 32 at 4×4 sampling), and
+            // allocation size is Σ planeW·planeH over components —
+            // up to 3× full resolution at 4:4:4 — so a forged header
+            // could otherwise multiply far past the nominal cap into
+            // an OutOfMemoryError no catch list below contains.
+            // Budget = 4× the nominal cap per mode: admits every
+            // previously-legal image (3 full-res components + padding
+            // margin) while bounding what any header can demand.
+            val padded = comps.indices
+              .map(c => planeW(c).toLong * planeH(c)).sum
+            if (padded > (1L << 28)) return None
+            if (progressive && padded > (1L << 26)) return None
             if (progressive)
               coefStore = comps.indices.map(c =>
                 new Array[Int](planeW(c) * planeH(c))).toArray

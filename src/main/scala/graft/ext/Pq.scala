@@ -251,27 +251,64 @@ object Pq {
 
   /** Append new vectors to a persisted [[writeIvfPqIndex]] index:
     * encodes ONLY the new rows, with the index's own FROZEN codebooks
-    * and coarse centroids (reloaded from `path/meta`), and appends
-    * their code rows into the existing cell-partitioned layout. The
-    * base codes are never read, moved, or re-encoded — at 10^9 indexed
-    * vectors the maintenance cost is O(delta), which is the whole
-    * point of an incremental crawl index. Freezing the model is what
-    * keeps old and new codes mutually comparable (one codebook → one
-    * ADC lookup table per query); re-fitting on drifted data would
+    * and coarse centroids (reloaded from `path/meta`), and publishes
+    * them as a self-contained delta under `path/appends/<appendId>`.
+    * The base codes are never read, moved, or re-encoded — at 10^9
+    * indexed vectors the maintenance cost is O(delta), which is the
+    * whole point of an incremental crawl index. Freezing the model is
+    * what keeps old and new codes mutually comparable (one codebook →
+    * one ADC lookup table per query); re-fitting on drifted data would
     * silently re-scale every stored distance, so that is a REBUILD
     * (`writeIvfPqIndex`), never an append.
+    *
+    * Publication is EXACTLY-ONCE under retries: the delta is staged in
+    * its own dir (overwrite mode — a crashed attempt's partial files
+    * are replaced, never merged) and becomes visible only when the
+    * single-file `_committed` marker lands (an atomic create). A
+    * retry of an already-committed `appendId` is a no-op, so an
+    * at-least-once micro-batch writer gets no duplicate code rows —
+    * the same contract [[graft.sink.ManifestTable.appendIdempotent]]
+    * gives row tables. Callers without a replay concern can omit
+    * `appendId` (a fresh UUID: atomic publish, no dedup).
     */
   def appendToIvfPqIndex(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      path: String): Unit = {
+      path: String,
+      appendId: String = java.util.UUID.randomUUID().toString): Unit = {
+    require(appendId.nonEmpty && !appendId.contains("/"),
+      s"appendId must be a non-empty path segment, got '$appendId'")
+    val hp = new org.apache.hadoop.fs.Path(s"$path/appends/$appendId")
+    val fs = hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(hp, "_committed")
+    if (fs.exists(marker)) return // committed retry: exactly-once
     val (cents, model) = readIvfPqIndexModel(df.sparkSession, path)
     df.select(col(idCol),
         encode(col(vecCol), model).as("codes"),
         SimilaritySearch.nearestCentroid(col(vecCol), cents,
           spherical = false).as("cell"))
-      .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(hp, "codes").toString)
+    fs.create(marker, false).close() // the atomic publish
+  }
+
+  /** Every visible code row of the index: the base build plus each
+    * COMMITTED append delta (uncommitted staging dirs are invisible —
+    * see [[appendToIvfPqIndex]]). Cell partition pruning survives the
+    * union: each member is its own Hive-partitioned scan.
+    */
+  def indexCodes(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/appends")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.filter(s =>
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_committed")))
+        .map(s => new org.apache.hadoop.fs.Path(s.getPath, "codes").toString)
+    committed.foldLeft(spark.read.parquet(s"$path/codes"))(
+      (acc, p) => acc.unionByName(spark.read.parquet(p)))
   }
 
   /** Reload `(coarseCentroids, model)` from a [[writeIvfPqIndex]] dir. */
@@ -306,7 +343,7 @@ object Pq {
     val (cents, model) = readIvfPqIndexModel(spark, path)
     val probes = SimilaritySearch.probeCellsFor(query, cents, nProbe)
     adcTopK(
-      spark.read.parquet(s"$path/codes").where(col("cell").isin(probes: _*)),
+      indexCodes(spark, path).where(col("cell").isin(probes: _*)),
       idCol, "codes", query, model, k, excludeId)
   }
 }

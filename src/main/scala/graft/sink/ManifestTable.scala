@@ -142,35 +142,71 @@ object ManifestTable {
 
   private val LedgerName = "b-.*\\.ledger".r
 
-  /** Batch ids preserved by [[vacuum]] from deleted manifests — without
-    * this, retention would forget ledger entries and a late
-    * `appendIdempotent` replay of an old micro-batch could double-commit.
+  /** How many batch ids behind the newest committed id the explicit
+    * ledger retains (the Delta `setTransaction`-retention idea): a
+    * micro-batch can only be REPLAYED while its id is at or above the
+    * sink checkpoint's frontier, and the frontier is within one or two
+    * batches of the max — so ids more than this far behind are folded
+    * into a single `#batchFloor:` watermark ("everything at or below N
+    * is committed") instead of being enumerated forever. Without a
+    * horizon, the compacted manifest, the ledger bytes, and every
+    * `appendIdempotent` membership check grow O(total batches ever).
     */
-  private def ledgerBatchIds(spark: SparkSession, path: String): Set[Long] = {
+  val BatchIdRetentionDefault: Long = 10000L
+
+  private def ledgerFiles(spark: SparkSession, path: String): Seq[Path] = {
     val d = manifestDir(path)
     val f = fs(spark, path)
-    if (!f.exists(d)) Set.empty
+    if (!f.exists(d)) Seq.empty
     else f.listStatus(d).toSeq
       .filter(s => LedgerName.pattern.matcher(s.getPath.getName).matches())
-      .flatMap { s =>
-        val in = f.open(s.getPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .collect { case l if l.startsWith("#batch:") =>
-            l.stripPrefix("#batch:").toLong }.toList
-        finally in.close()
-      }.toSet
+      .map(_.getPath)
   }
 
-  /** Batch ids already committed (the `#batch:` markers across all
-    * manifests, plus ids [[vacuum]] carried into ledger sidecars when
-    * it deleted old manifests) — the idempotence ledger for streaming
-    * writers. The ledger survives retention by construction.
+  /** Batch-id lines preserved by [[vacuum]] from deleted manifests —
+    * without this, retention would forget ledger entries and a late
+    * `appendIdempotent` replay of an old micro-batch could double-commit.
+    */
+  private def ledgerLines(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    ledgerFiles(spark, path).flatMap { p =>
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+  }
+
+  private def allLedgerMarkerLines(spark: SparkSession, path: String): Seq[String] =
+    versions(spark, path).flatMap(v => manifestLines(spark, path, v)) ++
+      ledgerLines(spark, path)
+
+  /** Batch ids EXPLICITLY recorded as committed (`#batch:` markers
+    * across all manifests plus vacuum's ledger sidecars). Pair with
+    * [[committedBatchFloor]]: ids at or below the floor are committed
+    * too, but no longer enumerated — [[isBatchCommitted]] is the
+    * membership test writers should use.
     */
   def committedBatchIds(spark: SparkSession, path: String): Set[Long] =
-    versions(spark, path).flatMap(v =>
-      manifestLines(spark, path, v).collect {
-        case s if s.startsWith("#batch:") => s.stripPrefix("#batch:").toLong
-      }).toSet ++ ledgerBatchIds(spark, path)
+    allLedgerMarkerLines(spark, path).collect {
+      case s if s.startsWith("#batch:") => s.stripPrefix("#batch:").toLong
+    }.toSet
+
+  /** The batch-id watermark: every id at or below this is committed
+    * (folded by [[compact]]/[[vacuum]] under the retention horizon).
+    * Long.MinValue when no fold has happened yet.
+    */
+  def committedBatchFloor(spark: SparkSession, path: String): Long =
+    (Long.MinValue +: allLedgerMarkerLines(spark, path).collect {
+      case s if s.startsWith("#batchFloor:") =>
+        s.stripPrefix("#batchFloor:").toLong
+    }).max
+
+  /** The idempotence membership test: committed iff at/below the
+    * folded floor or explicitly enumerated.
+    */
+  def isBatchCommitted(spark: SparkSession, path: String, batchId: Long): Boolean =
+    batchId <= committedBatchFloor(spark, path) ||
+      committedBatchIds(spark, path).contains(batchId)
 
   /** Exactly-once streaming append: commit `df` tagged with its
     * micro-batch id, SKIPPING the commit (returns None) if that batch
@@ -181,7 +217,7 @@ object ManifestTable {
     */
   def appendIdempotent(
       df: DataFrame, path: String, batchId: Long): Option[Int] = {
-    if (committedBatchIds(df.sparkSession, path).contains(batchId)) None
+    if (isBatchCommitted(df.sparkSession, path, batchId)) None
     else Some(commit(df, path, carryParent = true,
       markers = Seq(s"#batch:$batchId")))
   }
@@ -189,15 +225,50 @@ object ManifestTable {
   /** Rewrite the head version's file set into ONE data dir and commit
     * it as a new version (older versions stay readable until
     * [[vacuum]]). The small-files remedy: a long append history reads
-    * as one dir afterwards. The full batch-id ledger rides along as
-    * markers on the compacted manifest, so retention that keeps only
-    * the compacted head still remembers every committed micro-batch.
-    * Returns the committed version.
+    * as one dir afterwards. The batch-id ledger rides along as markers
+    * on the compacted manifest, FOLDED under the retention horizon:
+    * ids more than `batchIdRetention` behind the max collapse into one
+    * `#batchFloor:` watermark, so the manifest stays O(retention), not
+    * O(total batches ever). Returns the committed version.
     */
-  def compact(spark: SparkSession, path: String): Int =
+  def compact(
+      spark: SparkSession, path: String,
+      batchIdRetention: Long = BatchIdRetentionDefault): Int = {
+    val (floor, recent) = foldBatchIds(
+      committedBatchIds(spark, path), committedBatchFloor(spark, path),
+      batchIdRetention)
+    val floorMarker =
+      if (floor == Long.MinValue) Seq.empty else Seq(s"#batchFloor:$floor")
     commit(readLatest(spark, path), path, carryParent = false,
-      markers = "#compact" +:
-        committedBatchIds(spark, path).toSeq.sorted.map(id => s"#batch:$id"))
+      markers = "#compact" +: (floorMarker ++
+        recent.toSeq.sorted.map(id => s"#batch:$id")))
+  }
+
+  /** Fold `(explicit ids, current floor)` under the retention horizon:
+    * the new floor absorbs every id more than `retention` behind the
+    * max known id; ids above it stay enumerated. Contiguity is NOT
+    * assumed — the floor only ever moves to `max - retention`, and a
+    * replay of an id that old is impossible once the sink checkpoint
+    * has advanced `retention` batches past it.
+    */
+  private def foldBatchIds(
+      ids: Set[Long], floor: Long, retention: Long): (Long, Set[Long]) = {
+    require(retention >= 0, s"retention must be >= 0, got $retention")
+    val maxKnown = (ids + floor).max
+    if (maxKnown == Long.MinValue) (floor, ids)
+    else {
+      val cand =
+        if (maxKnown < Long.MinValue + retention) Long.MinValue
+        else maxKnown - retention
+      // only materialize a floor once it absorbs something (or one
+      // already exists) — a young table stays marker-free
+      val newFloor =
+        if (floor > Long.MinValue || ids.exists(_ <= cand))
+          math.max(floor, cand)
+        else Long.MinValue
+      (newFloor, ids.filter(_ > newFloor))
+    }
+  }
 
   /** Default vacuum grace window: an unreferenced data dir younger than
     * this is left alone. A concurrent committer writes its data dir
@@ -235,24 +306,43 @@ object ManifestTable {
         .filter(s => now - s.getModificationTime >= graceMs)
         .map(s => s"data/${s.getPath.getName}")
         .filterNot(referenced.contains)
-    // ledger BEFORE manifest deletion (crash between the two leaves a
-    // harmless duplicate, never a forgotten batch id)
+    // merged ledger BEFORE any deletion (crash between the steps
+    // leaves a harmless duplicate, never a forgotten batch id): the
+    // new sidecar absorbs the dropped manifests' ids AND every prior
+    // sidecar, folded under the retention horizon — so the ledger is
+    // always at most ONE file of O(retention) lines, instead of one
+    // ever-growing file per vacuum that committedBatchIds re-reads on
+    // every micro-batch.
     val keptIds = keep.flatMap(v => manifestLines(spark, path, v).collect {
       case s if s.startsWith("#batch:") => s.stripPrefix("#batch:").toLong
-    }).toSet ++ ledgerBatchIds(spark, path)
-    val orphanIds = drop.flatMap(v => manifestLines(spark, path, v).collect {
+    }).toSet
+    val priorLedgers = ledgerFiles(spark, path)
+    val droppedIds = drop.flatMap(v => manifestLines(spark, path, v).collect {
       case s if s.startsWith("#batch:") => s.stripPrefix("#batch:").toLong
-    }).distinct.filterNot(keptIds)
-    if (orphanIds.nonEmpty) {
+    }).toSet ++ ledgerLines(spark, path).collect {
+      case s if s.startsWith("#batch:") => s.stripPrefix("#batch:").toLong
+    }
+    val (floor, recent) = foldBatchIds(
+      droppedIds ++ keptIds, committedBatchFloor(spark, path),
+      BatchIdRetentionDefault)
+    val orphanIds = recent.diff(keptIds)
+    if (orphanIds.nonEmpty || floor != Long.MinValue) {
       val p = new Path(manifestDir(path),
         s"b-${java.util.UUID.randomUUID()}.ledger")
       val out = f.create(p, false)
-      try out.write(orphanIds.sorted.map(id => s"#batch:$id").mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val floorLine =
+        if (floor == Long.MinValue) Seq.empty else Seq(s"#batchFloor:$floor")
+      try out.write(
+        (floorLine ++ orphanIds.toSeq.sorted.map(id => s"#batch:$id"))
+          .mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
-    // manifests next: a reader that still resolves a dropped version
-    // mid-vacuum fails at the version check, not at a missing file
+    // superseded sidecars next (their content now lives in the merged
+    // one), then manifests: a reader that still resolves a dropped
+    // version mid-vacuum fails at the version check, not at a missing
+    // file
+    priorLedgers.foreach(p => f.delete(p, false): Unit)
     drop.foreach(v =>
       f.delete(new Path(manifestDir(path), f"v$v%05d.manifest"), false): Unit)
     unreferenced.foreach(d => f.delete(new Path(path, d), true): Unit)

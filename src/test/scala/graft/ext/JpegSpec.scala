@@ -145,6 +145,42 @@ class JpegSpec extends AnyFunSuite with Matchers {
     JpegCodec.pixelStats(forged) shouldBe None
   }
 
+  test("refusal: padded-allocation cap bounds what any SOF header can demand") {
+    // Forged progressive SOF2, 3 components all 4x4-sampled at
+    // 4096x4096: nominal pixels = 2^24 (exactly the old progressive
+    // cap — previously admitted), but the padded coefficient store is
+    // 3 x 2^24 Ints = 201 MB per payload; with degenerate dims the
+    // multiplier reaches 96x (w=1 pads to 32, x3 components). The
+    // padded cap must refuse from the ~30-byte header alone, BEFORE
+    // any allocation (OutOfMemoryError is in no catch list).
+    def forge(wid: Int, hei: Int, progressive: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): Unit = out.write(v & 0xFF)
+      def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+      u16(0xFFD8) // SOI
+      u16(if (progressive) 0xFFC2 else 0xFFC0)
+      u16(2 + 6 + 9) // segment length: 3 components
+      u8(8) // precision
+      u16(hei); u16(wid)
+      u8(3) // nc
+      (1 to 3).foreach { id => u8(id); u8(0x44); u8(0) } // 4x4 each
+      u16(0xFFD9) // EOI
+      out.toByteArray
+    }
+    // 3 x 4096 x 4096 = 3 x 2^24 = 50.3 M samples > 2^26 — refused
+    JpegCodec.pixelStats(forge(4096, 4096, progressive = true)) shouldBe None
+    // the same shape under the sequential budget (2^28 bytes-worth)
+    // passes: 50.3 M byte-plane samples < 2^28
+    // (entropy data is absent/garbage, so the DECODE may still refuse —
+    // the point is it must not throw out of pixelStats)
+    noException should be thrownBy
+      JpegCodec.pixelStats(forge(4096, 4096, progressive = false))
+    // degenerate-dimension multiplier: w=1 at 4x4 pads each plane row
+    // to 32 — must simply refuse or decode-fail cleanly, never throw
+    noException should be thrownBy
+      JpegCodec.pixelStats(forge(1, 65535, progressive = true))
+  }
+
   test("restart markers: DRI interval decodes identically") {
     // hand-splice a DRI segment is overkill; instead assert ImageIO
     // files (which may carry DRI at larger sizes) already pass above,

@@ -159,18 +159,19 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     val base = rest.where(col("vec_id") % 12 < 6)
     val delta = rest.where(col("vec_id") % 12 >= 6)
     val path = java.nio.file.Files.createTempDirectory("graft_pq_append_spec").toString
-    def codeFiles(): Map[String, Long] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
-        else Seq(f)
-      walk(new java.io.File(s"$path/codes"))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    def codeFiles(): Map[String, Long] =
+      (walk(new java.io.File(s"$path/codes")) ++
+        walk(new java.io.File(s"$path/appends")))
         .filter(_.getName.startsWith("part-"))
         .map(f => f.getPath -> f.lastModified()).toMap
-    }
     try {
       Pq.writeIvfPqIndex(base, "vec_id", "embedding", coarse, m, path)
       val before = codeFiles()
-      Pq.appendToIvfPqIndex(delta, "vec_id", "embedding", path)
+      Pq.appendToIvfPqIndex(delta, "vec_id", "embedding", path,
+        appendId = "delta-1")
       val after = codeFiles()
       // append-only delta: every base part file survives bit-untouched
       // (same path, same mtime), the delta arrives as NEW files only
@@ -193,6 +194,17 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       // (the clustered fixture's in-cell members span both)
       assert(disk.map(_._1 % 12 < 6).distinct.size == 2,
         s"top-10 did not mix base and appended halves: $disk")
+      // exactly-once retry: replaying the SAME appendId is a no-op —
+      // no duplicate code rows, identical answers
+      val nRows = Pq.indexCodes(spark, path).count()
+      Pq.appendToIvfPqIndex(delta, "vec_id", "embedding", path,
+        appendId = "delta-1")
+      assert(Pq.indexCodes(spark, path).count() == nRows,
+        "committed-append retry duplicated code rows")
+      val retried = Pq.ivfPqTopKFromIndex(spark, path, "vec_id", query,
+          k = 10, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(retried == disk, "retry changed query answers")
     } finally {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit

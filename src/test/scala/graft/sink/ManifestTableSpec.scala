@@ -95,6 +95,39 @@ class ManifestTableSpec extends AnyFunSuite with Matchers with SparkTestBase {
     ids(ManifestTable.readLatest(spark, path)) shouldBe Seq(1L, 2L, 3L)
   }
 
+  test("batch-id retention: old ids fold into a floor; ledger stays one file") {
+    import spark.implicits._
+    val path = tmp()
+    (0L to 5L).foreach(b =>
+      ManifestTable.appendIdempotent(Seq(b).toDF("id"), path, batchId = b))
+    // compact with a 2-batch horizon: ids 0..3 fold into the floor,
+    // 4 and 5 stay enumerated — and idempotence is UNCHANGED: every
+    // old id still reads as committed (via the floor), every folded
+    // replay still skips
+    ManifestTable.compact(spark, path, batchIdRetention = 2L)
+    ManifestTable.vacuum(spark, path, keepVersions = 1, graceMs = 0L)
+    ManifestTable.committedBatchFloor(spark, path) shouldBe 3L
+    ManifestTable.committedBatchIds(spark, path) shouldBe Set(4L, 5L)
+    (0L to 5L).foreach { b =>
+      ManifestTable.isBatchCommitted(spark, path, b) shouldBe true
+      ManifestTable.appendIdempotent(Seq(99L).toDF("id"), path, batchId = b)
+        .shouldBe(None)
+    }
+    ManifestTable.isBatchCommitted(spark, path, 6L) shouldBe false
+    // repeated vacuums MERGE ledger sidecars instead of accumulating
+    // one per vacuum: at most one ledger file ever
+    ManifestTable.appendIdempotent(Seq(6L).toDF("id"), path, batchId = 6)
+    ManifestTable.vacuum(spark, path, keepVersions = 1, graceMs = 0L)
+    ManifestTable.appendIdempotent(Seq(7L).toDF("id"), path, batchId = 7)
+    ManifestTable.vacuum(spark, path, keepVersions = 1, graceMs = 0L)
+    val manifests = new java.io.File(s"$path/_manifests").listFiles()
+      .map(_.getName).filter(_.endsWith(".ledger"))
+    manifests.length should be <= 1
+    // and nothing was forgotten across the merges
+    (0L to 7L).foreach(b =>
+      ManifestTable.isBatchCommitted(spark, path, b) shouldBe true)
+  }
+
   test("compact collapses the head to one dir; vacuum drops history and orphans") {
     import spark.implicits._
     val path = tmp()
