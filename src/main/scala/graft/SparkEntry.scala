@@ -1379,9 +1379,11 @@ object SparkEntry {
     // ≈ 0.25 for long docs; short docs perturb to themselves). The
     // interpreted transform lambda runs only over the 1-in-50
     // benchmark side; the corpus side is the stock signature path.
-    // rows-only: xxhash64 minhash has no DuckDB twin — bounded by
-    // oracled exact q58 and FuzzyDecontaminationSpec's planted
-    // paraphrase fixture.
+    // Fully oracled since round 16 via SigMode.Md5 (the q28/q92
+    // pattern, at 3-gram shingles and 64×2 banding): DuckDB rebuilds
+    // the paraphrased benchmark, both signature sets, the band
+    // collisions, and the per-corpus-doc match rollup. The planted-
+    // paraphrase floor stays in FuzzyDecontaminationSpec.
     "q87_fuzzy_decontamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val toks = split(TextAnalysis.normalize(col("text")), " ")
@@ -1391,7 +1393,11 @@ object SparkEntry {
             when(i % 5 === 4, lit("qzparaphrase")).otherwise(tk)), " ")
             .as("bench_text"))
       TextPipeline.contaminatedIdsFuzzy(docs, "doc_id", "text",
-          bench, "bench_id", "bench_text", minJaccard = 0.2)
+          bench, "bench_id", "bench_text", minJaccard = 0.2,
+          sigMode = Dedup.SigMode.Md5)
+        .select(col("doc_id"), col("n_bench_matches"),
+          col("max_est_jaccard").cast("decimal(18,6)")
+            .as("max_est_jaccard"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2276,21 +2282,35 @@ object SparkEntry {
     // Compression-ratio quality signal (Gopher-style): DEFLATE bytes /
     // UTF-8 bytes per document, with a repetition salt on id%7==0 rows
     // so the artifact shows the signal separating (salted rows compress
-    // visibly better than their unsalted selves). Rows-only — DuckDB
-    // has no deflate; pinned by DeflateSpec's closed-form orderings and
-    // the fixed compression level (zlib 6, deterministic across JVMs).
+    // visibly better than their unsalted selves). Oracled since round
+    // 16 as a bound-carrying row (DuckDB has no deflate): the hashed
+    // columns are the SQL-derivable byte counts plus three booleans
+    // the run measures for real — the zlib stored-block ceiling
+    // (deflate can never exceed raw + 5 B/64 KiB block + header), the
+    // positive-size floor, and the separation claim itself (a salted
+    // row's ratio must beat the SAME text unsalted). Raw deflate sizes
+    // and orderings stay pinned in DeflateSpec (zlib level 6 is
+    // deterministic across JVMs).
     "q122_compression_signal" -> ((s, dir) => {
-      val salted = when(pmod(col("doc_id"), lit(7)) === 0,
+      val saltedFlag = pmod(col("doc_id"), lit(7)) === 0
+      val salted = when(saltedFlag,
           concat(col("text"), lit(" the same phrase again and"),
             // 20 exact repeats: unambiguous compressibility
             concat_ws("", (1 to 20).map(_ => lit(" the same phrase again and")): _*)))
         .otherwise(col("text"))
+      val deflate = org.apache.spark.sql.graft.DeflateSize(salted)
+      val octets = octet_length(salted).cast("long")
       t(s, dir, "documents").where(col("text").isNotNull)
         .select(col("doc_id"),
-          octet_length(salted).cast("long").as("octets"),
-          org.apache.spark.sql.graft.DeflateSize(salted).as("deflate_octets"),
-          round(TextAnalysis.compressionRatio(salted), 6).as("ratio"),
-          (pmod(col("doc_id"), lit(7)) === 0).as("salted"))
+          octets.as("octets"),
+          saltedFlag.as("salted"),
+          (deflate <= octets + ceil(octets / lit(65535.0)) * 5 + lit(11L))
+            .as("within_stored_bound"),
+          (deflate > 0).as("deflate_positive"),
+          when(saltedFlag,
+            TextAnalysis.compressionRatio(salted) <
+              TextAnalysis.compressionRatio(col("text")))
+            .as("salt_improves_ratio"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2766,10 +2786,13 @@ object SparkEntry {
     // cold-start iterations — the crawl-refresh shape (at 10^10 pages
     // you never re-run 50 iterations from uniform). Both 2-iteration
     // runs execute on the SAME post-delta graph; the warm one must land
-    // closer to the fixed point (smaller L1 residual). Rows-only
-    // (residuals are convergence diagnostics); the ranks themselves
-    // are oracled via q109/q135 and the warm-start dominance is pinned
-    // in LinkGraphSpec.
+    // closer to the fixed point (smaller L1 residual). Fully oracled
+    // since round 16: DuckDB unrolls all THREE phases — the 12-
+    // iteration pre-delta fixed point, the mass-renormalized warm init
+    // (new nodes at 1/n), and both 2-iteration runs — so the warm-
+    // start machinery itself (init fill, renormalization, residuals)
+    // is on the hash path, not just the plain iteration (q109/q135).
+    // Warm-start dominance across deltas stays in LinkGraphSpec.
     "q137_pagerank_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents").where(col("text").isNotNull)
       // quadratic dst: in-degree is SKEWED (quadratic residues), so the
@@ -2793,8 +2816,11 @@ object SparkEntry {
       Seq((warm.l1Residual, cold.l1Residual,
           warm.l1Residual < cold.l1Residual))
         .toDF("warm_l1_residual", "cold_l1_residual", "warm_beats_cold")
-        .select(round(col("warm_l1_residual"), 6).as("warm_l1_residual"),
-          round(col("cold_l1_residual"), 6).as("cold_l1_residual"),
+        .select(
+          round(col("warm_l1_residual"), 6).cast("decimal(18,6)")
+            .as("warm_l1_residual"),
+          round(col("cold_l1_residual"), 6).cast("decimal(18,6)")
+            .as("cold_l1_residual"),
           col("warm_beats_cold"))
     }),
 
@@ -4071,6 +4097,45 @@ object SparkEntry {
                   round(res.rr, 6)::DECIMAL(18,6) AS l1_residual
            FROM pr10, res ORDER BY node"""
 
+  /** One damped power iteration as CTE text, parametrized for q137's
+    * three-phase unroll (12 base + 2 warm + 2 cold): `prefix` names
+    * the iterate family (`bp`, `wp`, `cp` — iterate i reads
+    * `prefix{i-1}`), `g` the graph family whose `{g}shares` /
+    * `{g}dang` / `{g}nodes` / `{g}nn` CTEs it runs over.
+    */
+  private def prIterSql(prefix: String, i: Int, g: String): String = {
+    val p = s"$prefix${i - 1}"
+    s""",
+           ${prefix}dm$i AS MATERIALIZED (
+             SELECT coalesce(sum(r), 0) AS m FROM $p
+             WHERE v IN (SELECT v FROM ${g}dang)),
+           ${prefix}ct$i AS MATERIALIZED (
+             SELECT s.dst AS v, sum(p.r * s.share) AS c
+             FROM $p p JOIN ${g}shares s ON p.v = s.src GROUP BY s.dst),
+           $prefix$i AS MATERIALIZED (
+             SELECT n.v,
+                    (1 - 0.85) / ${g}nn.n
+                      + 0.85 * (coalesce(${prefix}ct$i.c, 0)
+                                + ${prefix}dm$i.m / ${g}nn.n) AS r
+             FROM ${g}nodes n
+             LEFT JOIN ${prefix}ct$i ON n.v = ${prefix}ct$i.v,
+                  ${g}nn, ${prefix}dm$i)"""
+  }
+
+  /** The `{g}ew/{g}nodes/{g}nn/{g}shares/{g}dang` graph family for
+    * [[prIterSql]], from a `(src, dst, w)` body.
+    */
+  private def prGraphSql(g: String, ewBodySql: String): String =
+    s"""${g}ew AS ($ewBodySql),
+           ${g}nodes AS (SELECT DISTINCT v FROM
+             (SELECT src AS v FROM ${g}ew UNION SELECT dst FROM ${g}ew)),
+           ${g}nn AS (SELECT count(*)::DOUBLE AS n FROM ${g}nodes),
+           ${g}shares AS (SELECT src, dst,
+                                 w / sum(w) OVER (PARTITION BY src) AS share
+                          FROM ${g}ew),
+           ${g}dang AS (SELECT v FROM ${g}nodes
+                        WHERE v NOT IN (SELECT DISTINCT src FROM ${g}ew))"""
+
   /** The WITH-chain through `pr10` alone, for oracles that consume
     * the converged ranks differently (q178's quota allocation).
     */
@@ -4558,6 +4623,63 @@ object SparkEntry {
                 GROUP BY c.id_a, c.id_b)
          SELECT id_a, id_b, m / 64.0 AS est_jaccard
          FROM mt WHERE m / 64.0 >= 0.7""",
+
+    // q28's LSH machine, cross-dataset: the paraphrased benchmark
+    // rebuilt in SQL (every 5th token replaced), BOTH sides' 128-lane
+    // signatures over 3-gram shingles (short docs shingle to their
+    // whole text, the q66 rule), 64×2 band collisions corpus×bench,
+    // and the per-doc contamination rollup
+    "q87_fuzzy_decontamination" ->
+      """WITH base AS (
+           SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+         bench AS (
+           SELECT b.doc_id AS id,
+             list(CASE WHEN (g.i - 1) % 5 = 4 THEN 'qzparaphrase'
+                       ELSE b.w[g.i] END ORDER BY g.i) AS w
+           FROM base b, unnest(generate_series(1, len(b.w))) AS g(i)
+           WHERE b.doc_id % 50 = 0 GROUP BY b.doc_id),
+         u AS (SELECT 'c' AS side, doc_id AS id, w FROM base
+               UNION ALL SELECT 'b', id, w FROM bench),
+         sh AS (
+           SELECT DISTINCT side, id,
+             CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                  ELSE w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2]
+             END AS s
+           FROM u, unnest(generate_series(1, greatest(len(w) - 2, 1)))
+                AS g(i)),
+         g2 AS (SELECT side, id,
+                  ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS gm
+                FROM sh),
+         fam AS (SELECT f.i AS i,
+                        ((2 * f.i + 1) * 2654435761) % 2147483647 AS a,
+                        (f.i * 40503 + 1) % 2147483647 AS b
+                 FROM unnest(generate_series(0, 127)) AS f(i)),
+         sig AS (SELECT side, id, i, min((gm * a + b) % 2147483647) AS h
+                 FROM g2, fam GROUP BY side, id, i),
+         arr AS (SELECT side, id, list(h ORDER BY i) AS sg
+                 FROM sig GROUP BY side, id),
+         bnd AS (SELECT side, id, bd.b AS band,
+                        sg[bd.b * 2 + 1 : bd.b * 2 + 2] AS sl
+                 FROM arr, unnest(generate_series(0, 63)) AS bd(b)),
+         cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                  FROM bnd x JOIN bnd y
+                    ON x.band = y.band AND x.sl = y.sl
+                  WHERE x.side = 'c' AND y.side = 'b'),
+         mt AS (SELECT c.id_a, c.id_b,
+                       sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS m
+                FROM cand c
+                JOIN sig sa ON sa.side = 'c' AND sa.id = c.id_a
+                JOIN sig sb ON sb.side = 'b' AND sb.id = c.id_b
+                           AND sb.i = sa.i
+                GROUP BY c.id_a, c.id_b)
+         SELECT id_a AS doc_id, count(*)::BIGINT AS n_bench_matches,
+                round(max(m / 128.0), 6)::DECIMAL(18,6) AS max_est_jaccard
+         FROM mt WHERE m / 128.0 >= 0.2
+         GROUP BY id_a ORDER BY doc_id""",
 
     // The SimHash pigeonhole machine re-derived: 60 md5 bits per token
     // (multiset — occurrences count), per-bit strict-majority votes,
@@ -6072,6 +6194,63 @@ object SparkEntry {
       """SELECT doc_id % 20 AS src, (doc_id * 7 + 3) % 25 AS dst,
                 count(*)::DOUBLE AS w
          FROM documents WHERE text IS NOT NULL GROUP BY 1, 2"""),
+
+    // closed-form byte counts (the 546-byte ASCII salt on id%7==0) and
+    // expected-TRUE bounds; the deflate sizes themselves are measured
+    // Spark-side and arrive folded into the booleans
+    "q122_compression_signal" ->
+      """SELECT doc_id,
+           (strlen(text)
+            + CASE WHEN doc_id % 7 = 0 THEN 546 ELSE 0 END)::BIGINT
+             AS octets,
+           doc_id % 7 = 0 AS salted,
+           TRUE AS within_stored_bound,
+           TRUE AS deflate_positive,
+           CASE WHEN doc_id % 7 = 0 THEN
+             CASE WHEN strlen(text) > 0 THEN TRUE END
+           END AS salt_improves_ratio
+         FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
+
+    // all three phases unrolled: 12 iterations to the pre-delta fixed
+    // point, the renormalized warm init, and both 2-iteration runs on
+    // the post-delta graph
+    "q137_pagerank_incremental" -> {
+      val baseEdges =
+        """SELECT doc_id % 20 AS src, (doc_id * doc_id + 3) % 25 AS dst,
+                  count(*)::DOUBLE AS w
+           FROM documents WHERE text IS NOT NULL GROUP BY 1, 2"""
+      val afterEdges =
+        """SELECT src, dst, count(*)::DOUBLE AS w FROM (
+             SELECT doc_id % 20 AS src, (doc_id * doc_id + 3) % 25 AS dst
+             FROM documents WHERE text IS NOT NULL
+             UNION ALL
+             SELECT doc_id % 25, (doc_id * 13 + 5) % 30
+             FROM documents WHERE text IS NOT NULL AND doc_id % 67 = 0)
+           GROUP BY 1, 2"""
+      "WITH " + prGraphSql("b", baseEdges) + ",\n           " +
+        prGraphSql("a", afterEdges) +
+        """,
+           bp0 AS (SELECT v, 1.0 / bnn.n AS r FROM bnodes, bnn)""" +
+        (1 to 12).map(i => prIterSql("bp", i, "b")).mkString +
+        """,
+           wraw AS (SELECT an.v, coalesce(bp12.r, 1.0 / ann.n) AS r
+                    FROM anodes an LEFT JOIN bp12 ON an.v = bp12.v, ann),
+           wmass AS (SELECT sum(r) AS m FROM wraw),
+           wp0 AS (SELECT v, r / wmass.m AS r FROM wraw, wmass)""" +
+        (1 to 2).map(i => prIterSql("wp", i, "a")).mkString +
+        """,
+           cp0 AS (SELECT v, 1.0 / ann.n AS r FROM anodes, ann)""" +
+        (1 to 2).map(i => prIterSql("cp", i, "a")).mkString +
+        """,
+           wres AS (SELECT sum(abs(x.r - y.r)) AS rr
+                    FROM wp2 x JOIN wp1 y ON x.v = y.v),
+           cres AS (SELECT sum(abs(x.r - y.r)) AS rr
+                    FROM cp2 x JOIN cp1 y ON x.v = y.v)
+           SELECT round(wres.rr, 6)::DECIMAL(18,6) AS warm_l1_residual,
+                  round(cres.rr, 6)::DECIMAL(18,6) AS cold_l1_residual,
+                  wres.rr < cres.rr AS warm_beats_cold
+           FROM wres, cres"""
+    },
 
     // Expected page text in closed form (round-trip identity + the
     // documented Tj/TJ salt); page numbering = ascending doc_id within

@@ -390,11 +390,12 @@ object TextPipeline {
       minJaccard: Double = 0.25,
       numHashes: Int = 128,
       bands: Int = 0,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      sigMode: Dedup.SigMode = Dedup.SigMode.Xxhash64): DataFrame = {
     val corpusSigs = Dedup.minhashSignatures(
-      corpus, idCol, textCol, numHashes, shingleSize)
+      corpus, idCol, textCol, numHashes, shingleSize, sigMode)
     val benchSigs = Dedup.minhashSignatures(
-      benchmark, benchIdCol, benchTextCol, numHashes, shingleSize)
+      benchmark, benchIdCol, benchTextCol, numHashes, shingleSize, sigMode)
     Dedup.crossPairsFromSigs(corpusSigs, benchSigs, minJaccard, numHashes, bands)
       .groupBy(col("id_a").as(idCol))
       .agg(
