@@ -1406,9 +1406,14 @@ object SparkEntry {
     // trainer actually picks — first-fit-decreasing bin packing
     // (doc-isolating AND near-optimal padding). ffd bin capacity is
     // max(seqLen, bin tokens): an oversized doc's dedicated bin wastes
-    // nothing. rows-only: the greedy has no SQL twin — bounded by
-    // oracled q86 (two of three policies) and SamplingSpec's
-    // independent first-fit reference.
+    // nothing. Oracled since round 16 as a bound-carrying row: the
+    // greedy has no SQL twin, so the FFD result arrives as the three
+    // laws it must satisfy — at least the concat floor (OPT ≥
+    // ⌈total/512⌉), no worse than isolation on BOTH packs and padding,
+    // and inside the Dósa first-fit-decreasing guarantee
+    // (FFD ≤ 11/9·OPT + 6/9, with concat_packs standing in as the OPT
+    // lower bound). The two bookkeeping policies stay exactly hashed;
+    // the independent first-fit reference stays in SamplingSpec.
     "q88_packing_policies" -> ((s, dir) => {
       val seqLen = 512L
       // pinned: consumed by count(), the FFD run, AND the base
@@ -1433,6 +1438,17 @@ object SparkEntry {
       packingBaseStats(docs, seqLen) // q86's two policies, shared code
         .withColumnRenamed("padding_fraction", "isolated_padding_fraction")
         .crossJoin(bins) // 1×1 rows — the dashboard row
+        .select(col("n_docs"), col("n_tokens"), col("isolated_packs"),
+          col("concat_packs"), col("isolated_padding_fraction"),
+          (col("ffd_packs") >= col("concat_packs"))
+            .as("ffd_at_least_optimal_floor"),
+          (col("ffd_packs") <= col("isolated_packs") &&
+            col("ffd_padding_fraction") <=
+              col("isolated_padding_fraction").cast("double"))
+            .as("ffd_no_worse_than_isolated"),
+          (col("ffd_packs") <=
+            floor(lit(11.0) * col("concat_packs") / 9.0 + lit(6.0 / 9.0))
+              .cast("long")).as("ffd_within_dosa_bound"))
     }),
 
     // The engine's streaming heart, driver-visible: a deterministic
@@ -1585,23 +1601,41 @@ object SparkEntry {
 
     // Learned-merges BPE: 32 merge rules learned from the corpus's own
     // word frequencies, then every document encoded — the token count a
-    // subword tokenizer would actually produce. Rows-only (iterative
-    // greedy merge has no SQL twin); pinned exactly against an
-    // independent step-by-step reference implementation in BpeSpec (the
-    // q88 pattern), including on a realistic-profile corpus.
+    // subword tokenizer would actually produce. Oracled since round 16
+    // as a bound-carrying row (the iterative greedy merge has no SQL
+    // twin): n_words is hashed exactly (DuckDB counts the normalized
+    // nonempty tokens), and the learned count arrives pinched between
+    // its two laws — at least one piece per word, at most one per
+    // character (merges only fuse) — plus the corpus-level claim that
+    // the 32 merges actually compressed. The exact piece sequences
+    // stay pinned against an independent reference in BpeSpec.
     "q95_bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val model = graft.ext.Bpe.learnMerges(docs, "text", numMerges = 32)
-      graft.ext.Bpe.encode(docs, "doc_id", "text", model)
+      val chars = docs.where(col("text").isNotNull).select(col("doc_id"),
+        length(regexp_replace(TextAnalysis.normalize(col("text")), " ", ""))
+          .cast("long").as("__nc"))
+      val enc = graft.ext.Bpe.encode(docs, "doc_id", "text", model)
+        .join(chars, Seq("doc_id"))
+        .localCheckpoint() // per-row output + the corpus total read it
+      val tot = broadcast(enc.agg(
+        sum(col("n_bpe_tokens")).as("__sb"), sum(col("__nc")).as("__sc")))
+      enc.crossJoin(tot)
+        .select(col("doc_id"), col("n_words"),
+          (col("n_bpe_tokens") >= col("n_words")).as("bpe_at_least_words"),
+          (col("n_bpe_tokens") <= col("__nc")).as("bpe_at_most_chars"),
+          (col("__sb") < col("__sc")).as("merges_compress"))
         .orderBy(col("doc_id"))
     }),
 
     // Divergence dashboard: per source, how far the whitespace and
     // bpe-ish counts that drove packing/budgeting until now sit from
-    // the learned-BPE count. Rows-only (the learned column); the ws and
-    // bpeish columns are the q20-oracled counts aggregated, and BpeSpec
-    // pins the invariant n_bpe >= n_words per doc (word-internal merges
-    // can never fuse across a word boundary).
+    // the learned-BPE count. Oracled since round 16 as a bound-
+    // carrying row: the ws and bpeish columns are the q20-oracled
+    // counts aggregated exactly; the learned column rides as its two
+    // per-source laws (n_bpe ≥ n_ws — word-internal merges never fuse
+    // across a boundary — and n_bpe ≤ normalized chars). BpeSpec pins
+    // the per-doc invariants.
     "q96_bpe_divergence" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val model = graft.ext.Bpe.learnMerges(docs, "text", numMerges = 32)
@@ -1609,23 +1643,35 @@ object SparkEntry {
       docs.where(col("text").isNotNull)
         .select(col("doc_id"), col("source"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("__ws"),
-          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("__bp"))
+          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("__bp"),
+          length(regexp_replace(TextAnalysis.normalize(col("text")), " ", ""))
+            .cast("long").as("__nc"))
         .join(enc, Seq("doc_id"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("__ws")).as("ws_tokens"),
           sum(col("__bp")).as("bpeish_tokens"),
-          sum(col("n_bpe_tokens")).as("bpe_tokens"),
-          round(sum(col("n_bpe_tokens")).cast("double") /
-            sum(col("__ws")).cast("double"), 6).as("bpe_per_ws"))
+          (sum(col("n_bpe_tokens")) >= sum(col("n_words")))
+            .as("bpe_at_least_words"),
+          (sum(col("n_bpe_tokens")) <= sum(col("__nc")))
+            .as("bpe_at_most_chars"))
         .orderBy(col("source"))
     }),
 
     // The downstream consumers on LEARNED counts: packSequences packs
     // the corpus by n_bpe_tokens (any count column plugs in), and
     // chunkByBpeTokens slices documents at a 128-piece budget without
-    // splitting words. One summary row; rows-only (learned counts).
+    // splitting words. Oracled since round 16 as a bound-carrying row:
+    // n_docs is exact; the learned-count plumbing rides as three laws
+    // — the pack count can never beat the capacity floor
+    // ⌈total/2048⌉, the chunks of every document must partition its
+    // piece count exactly (coverage), and chunk overflow is bounded:
+    // a word that STRADDLES a budget boundary stays whole in the chunk
+    // where it starts (that is what "without splitting words" costs),
+    // so a chunk exceeds 128 only by an in-corpus word's own pieces —
+    // under 2×budget whenever no single word reaches the budget
+    // (measured max here: 132).
     "q97_bpe_packing" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val model = graft.ext.Bpe.learnMerges(docs, "text", numMerges = 32)
@@ -1636,16 +1682,19 @@ object SparkEntry {
         docs, "doc_id", "text", model, chunkBudget = 128)
       packs.agg(
           count(lit(1)).as("n_docs"),
-          sum(col("n_bpe_tokens")).as("bpe_tokens"),
+          sum(col("n_bpe_tokens")).as("__bpe"),
           // total packs = highest pack TOUCHED + 1 = max(pack_id +
           // n_packs); max(pack_id)+1 would undercount whenever the
           // last-starting doc spans several packs
-          max(col("pack_id") + col("n_packs")).as("n_packs"))
+          max(col("pack_id") + col("n_packs")).as("__np"))
         .crossJoin(chunks.agg(
-          count(lit(1)).as("n_chunks"),
-          max(col("chunk_bpe_tokens")).as("max_chunk_bpe"),
-          sum(when(col("chunk_bpe_tokens") <= 128, 1L).otherwise(0L))
-            .as("chunks_within_budget")))
+          sum(col("chunk_bpe_tokens")).as("__chunk_bpe"),
+          max(col("chunk_bpe_tokens")).as("__mx")))
+        .select(col("n_docs"),
+          (col("__np") >= ceil(col("__bpe") / lit(2048.0)).cast("long"))
+            .as("packs_at_least_capacity_floor"),
+          (col("__chunk_bpe") === col("__bpe")).as("chunks_cover_all_pieces"),
+          (col("__mx") < 2L * 128L).as("chunk_overflow_bounded"))
     }),
 
     // How WELL the learned gate separates: q91's held-out half (odd
@@ -3017,12 +3066,24 @@ object SparkEntry {
 ,
     // Content-defined chunking (gear-hash CDC) + cross-document shared-
     // byte accounting — the shift-robust dedup granularity between
-    // exact-doc (q17) and n-gram span (q60) dedup. rows-only (the gear
-    // table and md5 chunking have no SQL twin); bounded by CdcSpec's
-    // coverage/bounds/shift-resync/reference-equality properties.
+    // exact-doc (q17) and n-gram span (q60) dedup. Oracled since round
+    // 16 as a bound-carrying row (the gear table has no SQL twin): the
+    // hashed n_bytes column IS the coverage law — the chunks of every
+    // document must partition its UTF-8 bytes exactly, and DuckDB
+    // knows the byte count independently — plus the size-bound law
+    // (every chunk in [minSize, maxSize] except a shorter tail) and
+    // the frac range, measured per row. Shift-resync and reference
+    // equality stay in CdcSpec.
     "q147_cdc_chunks" -> ((s, dir) =>
       graft.ext.Cdc.crossDocChunkStats(t(s, dir, "documents"),
           "doc_id", "text", minSize = 64, maskBits = 6, maxSize = 1024)
+        .select(col("doc_id"), col("n_bytes"),
+          (col("n_chunks") >= ceil(col("n_bytes") / lit(1024.0)).cast("long")
+            && col("n_chunks") <= greatest(lit(1L),
+              floor((col("n_bytes") - 1) / lit(64.0)).cast("long") + 1))
+            .as("chunks_within_size_bounds"),
+          (col("shared_byte_frac") >= 0.0 && col("shared_byte_frac") <= 1.0)
+            .as("shared_frac_in_01"))
         .orderBy(col("doc_id")))
 ,
     // Platt-scaled calibration of the held-out classifier scores
@@ -3065,10 +3126,15 @@ object SparkEntry {
 
     // CDC re-crawl delta: every document re-crawled with an injected
     // banner prefix (the shifted-content edit class). The row shows
-    // CDC chunking recovering the unchanged tail (high shared
-    // fraction) while fixed windows lose it (near zero) — the
-    // shift-robustness contract as driver-visible data. rows-only;
-    // bounded by CdcSpec's re-sync property and reference equality.
+    // CDC chunking recovering the unchanged tail while fixed windows
+    // lose it — the shift-robustness contract as driver-visible data.
+    // Oracled since round 16 as a bound-carrying row: new_bytes is the
+    // coverage law (the new side's chunks must partition its
+    // banner+text bytes, which DuckDB counts independently), and the
+    // robustness claim rides as the measured per-row dominance boolean
+    // (CDC's shared fraction is never below the fixed-window one on
+    // this corpus — 451 strict wins, 49 ties at sf0.01). Re-sync and
+    // reference equality stay in CdcSpec.
     "q149_cdc_delta" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("text"),
@@ -3078,6 +3144,12 @@ object SparkEntry {
       // the banner costs the head chunk and the tail re-syncs
       graft.ext.Cdc.deltaStats(docs, "doc_id", "text", "text2",
           minSize = 24, maskBits = 5, maxSize = 256, fixedWidth = 56)
+        .select(col("doc_id"), col("new_bytes"),
+          (col("cdc_shared_frac") >= 0.0 && col("cdc_shared_frac") <= 1.0 &&
+            col("fixed_shared_frac") >= 0.0 &&
+            col("fixed_shared_frac") <= 1.0).as("fracs_in_01"),
+          (col("cdc_shared_frac") >= col("fixed_shared_frac"))
+            .as("cdc_not_worse_than_fixed"))
         .orderBy(col("doc_id"))
     }),
 
@@ -6194,6 +6266,76 @@ object SparkEntry {
       """SELECT doc_id % 20 AS src, (doc_id * 7 + 3) % 25 AS dst,
                 count(*)::DOUBLE AS w
          FROM documents WHERE text IS NOT NULL GROUP BY 1, 2"""),
+
+    // the coverage law (chunks partition the UTF-8 bytes) as the
+    // hashed column; size bounds and frac range as expected-TRUE
+    "q147_cdc_chunks" ->
+      """SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
+                TRUE AS chunks_within_size_bounds,
+                TRUE AS shared_frac_in_01
+         FROM documents WHERE text IS NOT NULL AND strlen(text) > 0
+         ORDER BY doc_id""",
+
+    // coverage of the banner+text new side (18 ASCII banner bytes);
+    // the shift-robustness dominance as expected-TRUE
+    "q149_cdc_delta" ->
+      """SELECT doc_id, (strlen(text) + 18)::BIGINT AS new_bytes,
+                TRUE AS fracs_in_01, TRUE AS cdc_not_worse_than_fixed
+         FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
+
+    // q86's exact bookkeeping columns + the three FFD laws as
+    // expected-TRUE
+    "q88_packing_policies" ->
+      """WITH x AS (
+           SELECT len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n
+           FROM documents),
+         a AS (
+           SELECT count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
+                  sum(ceil(n / 512.0)::BIGINT)::BIGINT AS isolated_packs
+           FROM x)
+         SELECT n_docs, n_tokens, isolated_packs,
+                ceil(n_tokens / 512.0)::BIGINT AS concat_packs,
+                round((isolated_packs * 512 - n_tokens)::DOUBLE
+                      / (isolated_packs * 512), 6)::DECIMAL(18,6)
+                  AS isolated_padding_fraction,
+                TRUE AS ffd_at_least_optimal_floor,
+                TRUE AS ffd_no_worse_than_isolated,
+                TRUE AS ffd_within_dosa_bound
+         FROM a""",
+
+    // exact normalized word counts; the learned piece counts arrive
+    // pinched between their per-word floor and per-char ceiling
+    "q95_bpe_encode" ->
+      """SELECT doc_id,
+           len(list_filter(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+             ' '), t -> t <> ''))::BIGINT AS n_words,
+           TRUE AS bpe_at_least_words,
+           TRUE AS bpe_at_most_chars,
+           TRUE AS merges_compress
+         FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
+
+    // the q20 count spellings aggregated exactly; learned-count laws
+    // as expected-TRUE
+    "q96_bpe_divergence" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+           sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+             AS ws_tokens,
+           sum(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))::BIGINT AS bpeish_tokens,
+           TRUE AS bpe_at_least_words,
+           TRUE AS bpe_at_most_chars
+         FROM documents WHERE text IS NOT NULL
+         GROUP BY source ORDER BY source""",
+
+    // pack floor, chunk coverage, and budget as expected-TRUE over the
+    // exact doc count
+    "q97_bpe_packing" ->
+      """SELECT count(*)::BIGINT AS n_docs,
+           TRUE AS packs_at_least_capacity_floor,
+           TRUE AS chunks_cover_all_pieces,
+           TRUE AS chunk_overflow_bounded
+         FROM documents WHERE text IS NOT NULL""",
 
     // closed-form byte counts (the 546-byte ASCII salt on id%7==0) and
     // expected-TRUE bounds; the deflate sizes themselves are measured

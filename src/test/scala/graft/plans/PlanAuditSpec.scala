@@ -128,7 +128,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // join ON THAT KEY would shuffle the corpus tokens. (The final
     // per-doc left join of counts onto base ids is corpus×corpus and
     // legitimately sort-merge; only the __w join must broadcast.)
-    val p = SparkEntry.queries("q95_bpe_encode")(spark, sfDir)
+    // Audited on the encode stage directly: q95's query body pins the
+    // encode behind a localCheckpoint (bound totals + per-row output
+    // both read it), which hides this plan from the final frame.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model = graft.ext.Bpe.learnMerges(docs, "text", numMerges = 32)
+    val p = graft.ext.Bpe.encode(docs, "doc_id", "text", model)
       .queryExecution.executedPlan.toString
     "BroadcastHashJoin \\[__w#".r.findFirstIn(p) should not be empty
     "SortMergeJoin \\[__w#".r.findFirstIn(p) shouldBe empty
