@@ -1154,8 +1154,11 @@ object SparkEntry {
     // overlap is tautologically 1.0; the informative direction is DROP
     // RECALL — what fraction of the exact rule's drops the celled run
     // reproduces (a bad clustering splits dup pairs across cells and
-    // misses drops). Rows-only (sampled kmeans has no DuckDB twin);
-    // bounded by oracled q74 and the spec'd fixture floor
+    // misses drops). Oracled since round 16 as a bound-carrying row
+    // (sampled kmeans has no DuckDB twin): n_exact is hashed exactly —
+    // DuckDB re-runs the brute-force domination rule — and the learned
+    // run rides as the superset law plus the drop-recall range/floor
+    // (measured 0.585 vs the 0.4 pin).
     "q75_semantic_dedup_learned" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val dim = queryVector(e, 0L).size
@@ -1164,15 +1167,19 @@ object SparkEntry {
         tau = 0.4, spherical = true).select("vec_id")
       val exact = SimilaritySearch.semanticDedup(e, "vec_id", "embedding",
         Seq(Seq.fill(dim)(0.0)), tau = 0.4).select("vec_id")
+      // no exact drops -> nothing to miss -> recall 1.0 (the bare
+      // division is x/0 -> null there and the metric would vanish)
+      val dropRecall = when(col("__n") === col("n_exact"), lit(1.0))
+        .otherwise((col("__n") - col("n_learned")).cast("double")
+          / (col("__n") - col("n_exact")))
       e.agg(count(lit(1)).as("__n"))
         .crossJoin(learned.agg(count(lit(1)).as("n_learned")))
         .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-        .select(col("n_learned"), col("n_exact"),
-          // no exact drops -> nothing to miss -> recall 1.0 (the bare
-          // division is x/0 -> null there and the metric would vanish)
-          when(col("__n") === col("n_exact"), lit(1.0))
-            .otherwise(round((col("__n") - col("n_learned")).cast("double")
-              / (col("__n") - col("n_exact")), 6)).as("drop_recall"))
+        .select(col("n_exact"),
+          (col("n_learned") >= col("n_exact"))
+            .as("learned_superset_of_exact"),
+          (dropRecall >= 0.0 && dropRecall <= 1.0).as("drop_recall_in_01"),
+          (dropRecall >= 0.4).as("drop_recall_floor_met"))
     }),
 
     // q75 at SemDeDup's production operating point. q75's 0.585 drop
@@ -1184,8 +1191,11 @@ object SparkEntry {
     // 0.4-0.5), so the query PLANTS the contamination mode tight-tau
     // dedup exists for: a near-identical twin (one coordinate nudged
     // 1%) for every 10th vector. Expected drop_recall ~ 1.0 at k=16
-    // cells. Rows-only (sampled kmeans); bounded by oracled q74 and the
-    // EstimatorQualitySpec tight-tau floor.
+    // cells. Oracled since round 16 (the q75 pattern): DuckDB rebuilds
+    // the twins (the same double-multiply-then-float-round nudge) and
+    // re-runs the exact domination rule; the learned run rides as the
+    // superset law and the near-perfect drop-recall floor (measured
+    // 1.0 vs the 0.99 pin).
     "q75b_semantic_dedup_tight" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       // negative twin ids (the planted-row convention, cf. q32's
@@ -1203,13 +1213,17 @@ object SparkEntry {
         tau = 0.9, spherical = true).select("vec_id")
       val exact = SimilaritySearch.semanticDedup(corpus, "vec_id", "embedding",
         Seq(Seq.fill(dim)(0.0)), tau = 0.9).select("vec_id")
+      val dropRecall = when(col("__n") === col("n_exact"), lit(1.0))
+        .otherwise((col("__n") - col("n_learned")).cast("double")
+          / (col("__n") - col("n_exact")))
       corpus.agg(count(lit(1)).as("__n"))
         .crossJoin(learned.agg(count(lit(1)).as("n_learned")))
         .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-        .select(col("n_learned"), col("n_exact"),
-          when(col("__n") === col("n_exact"), lit(1.0))
-            .otherwise(round((col("__n") - col("n_learned")).cast("double")
-              / (col("__n") - col("n_exact")), 6)).as("drop_recall"))
+        .select(col("n_exact"),
+          (col("n_learned") >= col("n_exact"))
+            .as("learned_superset_of_exact"),
+          (dropRecall >= 0.0 && dropRecall <= 1.0).as("drop_recall_in_01"),
+          (dropRecall >= 0.99).as("drop_recall_floor_met"))
     }),
 
     // Provenance gate over the q73 salted URLs: docs citing a
@@ -2192,8 +2206,10 @@ object SparkEntry {
     // what's scanned — the standard billion-vector ANN layout. One row:
     // recall@10 of the composed path vs exact L2, next to the pure-ADC
     // (q114) number the probe-pruning cost can be read against.
-    // Rows-only (sampled kmeans at both levels); in-cluster floor
-    // pinned in PqSpec.
+    // Oracled since round 16 via the q114 pattern (sampled kmeans has
+    // no SQL twin): config literals hashed, the recall measured into
+    // range/floor booleans (measured 0.4 vs the 0.2 floor pin);
+    // in-cluster floor stays in PqSpec.
     "q117_ivfpq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = pqModel(s, dir)
@@ -2212,10 +2228,11 @@ object SparkEntry {
         .limit(10)
         .select(col("vec_id"))
       ivfpq10.join(exact10, Seq("vec_id"), "left_semi")
-        .agg((count(lit(1)).cast("double") / 10.0).as("recall_at_10"))
+        .agg((count(lit(1)).cast("double") / 10.0).as("__r"))
         .select(lit(model.m).as("m"), lit(model.k).as("k"),
           lit(16).as("coarse_cells"), lit(4).as("n_probe"),
-          col("recall_at_10"))
+          (col("__r") >= 0.0 && col("__r") <= 1.0).as("recall_in_01"),
+          (col("__r") >= 0.2).as("recall_floor_met"))
     }),
 
     // robots.txt crawl-politeness gate: five per-host robots files
@@ -2585,7 +2602,9 @@ object SparkEntry {
     // codes spend their resolution on `x − c_cell` instead of x, with
     // a per-probed-cell query LUT. On this near-uniform corpus the two
     // paths land close; the clustered PqSpec fixture pins residual ≥
-    // direct where the geometry separates. Rows-only.
+    // direct where the geometry separates. Oracled since round 16 via
+    // the q114 pattern: config literals hashed, both recalls measured
+    // into range/floor booleans (0.4 / 0.3 vs 0.2 / 0.1 pins).
     "q127_pq_residual_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = pqModel(s, dir)
@@ -2616,7 +2635,12 @@ object SparkEntry {
       d.crossJoin(r)
         .select(lit(model.m).as("m"), lit(model.k).as("k"),
           lit(16).as("coarse_cells"), lit(4).as("n_probe"),
-          col("direct_recall_at_10"), col("residual_recall_at_10"))
+          (col("direct_recall_at_10") >= 0.0 &&
+            col("direct_recall_at_10") <= 1.0 &&
+            col("residual_recall_at_10") >= 0.0 &&
+            col("residual_recall_at_10") <= 1.0).as("recalls_in_01"),
+          (col("direct_recall_at_10") >= 0.2).as("direct_floor_met"),
+          (col("residual_recall_at_10") >= 0.1).as("residual_floor_met"))
     }),
 
     // Decode-refusal accounting: a format zoo (one payload class per
@@ -7199,6 +7223,62 @@ object SparkEntry {
     "q114_pq_recall" ->
       """SELECT 8 AS m, 64 AS k, 64 AS dim,
          TRUE AS rerank_floor_met, TRUE AS rerank_ge_adc""",
+
+    // config literals + the measured range/floor of the composed path
+    "q117_ivfpq_recall" ->
+      """SELECT 8 AS m, 64 AS k, 16 AS coarse_cells, 4 AS n_probe,
+         TRUE AS recall_in_01, TRUE AS recall_floor_met""",
+
+    // config literals + measured ranges/floors of both PQ variants
+    "q127_pq_residual_recall" ->
+      """SELECT 8 AS m, 64 AS k, 16 AS coarse_cells, 4 AS n_probe,
+         TRUE AS recalls_in_01, TRUE AS direct_floor_met,
+         TRUE AS residual_floor_met""",
+
+    // the exact all-pairs domination rule re-run brute-force (one
+    // cell, tau 0.4); learned-cell laws as expected-TRUE
+    "q75_semantic_dedup_learned" ->
+      """WITH z AS (SELECT a.vec_id AS id_hi, l.vec_id AS id_lo,
+                      unnest(a.embedding)::DOUBLE AS x,
+                      unnest(l.embedding)::DOUBLE AS y
+               FROM embeddings a JOIN embeddings l ON l.vec_id < a.vec_id),
+         cs AS (SELECT id_hi, id_lo,
+                       sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+                FROM z GROUP BY id_hi, id_lo),
+         dom AS (SELECT DISTINCT id_hi FROM cs WHERE cos >= 0.4)
+         SELECT ((SELECT count(*) FROM embeddings)
+                 - (SELECT count(*) FROM dom))::BIGINT AS n_exact,
+                TRUE AS learned_superset_of_exact,
+                TRUE AS drop_recall_in_01,
+                TRUE AS drop_recall_floor_met""",
+
+    // the twins rebuilt (double-multiply-then-float-round on
+    // coordinate 1, negative ids) + the exact rule at tau 0.9
+    "q75b_semantic_dedup_tight" ->
+      """WITH exp AS (
+           SELECT e.vec_id AS id, g.i AS i, e.embedding[g.i]::DOUBLE AS x
+           FROM embeddings e,
+                unnest(generate_series(1, len(e.embedding))) AS g(i)
+           UNION ALL
+           SELECT -(e.vec_id + 1), g.i,
+                  CASE WHEN g.i = 1
+                       THEN ((e.embedding[1]::DOUBLE * 1.01::DOUBLE)
+                             ::FLOAT)::DOUBLE
+                       ELSE e.embedding[g.i]::DOUBLE END
+           FROM embeddings e,
+                unnest(generate_series(1, len(e.embedding))) AS g(i)
+           WHERE e.vec_id % 10 = 0),
+         z AS (SELECT a.id AS id_hi, b.id AS id_lo, a.x, b.x AS y
+               FROM exp a JOIN exp b ON a.i = b.i AND b.id < a.id),
+         cs AS (SELECT id_hi, id_lo,
+                       sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+                FROM z GROUP BY id_hi, id_lo),
+         dom AS (SELECT DISTINCT id_hi FROM cs WHERE cos >= 0.9)
+         SELECT ((SELECT count(DISTINCT id) FROM exp)
+                 - (SELECT count(*) FROM dom))::BIGINT AS n_exact,
+                TRUE AS learned_superset_of_exact,
+                TRUE AS drop_recall_in_01,
+                TRUE AS drop_recall_floor_met""",
 
     // identity/deviation are deterministic constants of the persisted
     // round trip (measured, not assumed, on the Spark side)
