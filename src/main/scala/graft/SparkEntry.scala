@@ -3957,6 +3957,66 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("split"))
         .orderBy(col("doc_id"))),
 
+    // Streaming SESSION WINDOWS through Spark's NATIVE session_window
+    // aggregation (merging event-time windows + watermark state
+    // eviction — the streaming twin of q35's batch lag+cumsum
+    // sessionization, which cannot run on a stream). The events table
+    // replays as one micro-batch, then a far-future sentinel batch
+    // advances the watermark past every real session's end so append
+    // mode emits them all (the watermark-flush idiom an AvailableNow
+    // replay needs; the sentinel's own session stays open and is
+    // filtered). Fully oracled: DuckDB re-derives the merged sessions
+    // under session_window's exact rule — windows [t, t+gap) merge
+    // only when they OVERLAP, so a gap of exactly 30 min splits —
+    // with bounds as flooring epochs and the q35 decimal value sum.
+    "q185_streaming_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = events(s, dir).select(col("user_id"), col("ts"), col("value"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q185").toString
+      try {
+        ev.coalesce(1).write.parquet(s"$base/in/b0")
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        s.range(1).select(lit(-1L).as("user_id"),
+            lit(new java.sql.Timestamp(maxTs.getTime + 90L * 86400 * 1000))
+              .as("ts"),
+            lit(0.0).as("value"))
+          .coalesce(1).write.parquet(s"$base/in/b1")
+        val sessions = s.readStream
+          .schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$base/in/*")
+          .withWatermark("ts", "40 days")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(38,12)")).cast("double")
+              .as("session_value"))
+        val q = sessions.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(600000L)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q185 streaming replay did not terminate within 600s")
+        }
+        s.read.parquet(s"$base/out")
+          .where(col("user_id") >= 0)
+          .select(col("user_id"),
+            unix_timestamp(col("session_window.start")).as("session_start"),
+            unix_timestamp(col("session_window.end")).as("session_end"),
+            col("n_events"), col("session_value"))
+          .orderBy(col("user_id"), col("session_start"))
+          .localCheckpoint() // materialize before the temp dirs vanish
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
+    }),
+
     // The hybrid splitter on a DELIBERATELY skewed layout: 70% of the
     // corpus lands in one 'major' stratum (above the 100-row exact
     // threshold → per-row hex bounds, NO sort) while ~97 'minor'
@@ -7311,6 +7371,32 @@ object SparkEntry {
                      ELSE 'train' END AS split
          FROM r ORDER BY doc_id""",
 
+    // session_window's merge rule re-derived: [t, t+gap) windows merge
+    // only when they overlap (a gap of EXACTLY 30 min splits — strict
+    // >= on the break test), start = first event, end = last event +
+    // gap, epochs floored like unix_timestamp, value summed through
+    // the q35 decimal path
+    "q185_streaming_sessions" ->
+      """WITH x AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, ts, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+               FROM x)
+         SELECT user_id,
+                floor(epoch(min(ts)))::BIGINT AS session_start,
+                floor(epoch(max(ts)))::BIGINT + 1800 AS session_end,
+                count(*)::BIGINT AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                  AS session_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+
     // the regime switch replayed: per-stratum counts, q183's exact
     // ceil arithmetic below the threshold, q146's floor(frac*2^48)
     // 12-hex bound above it
@@ -7883,5 +7969,6 @@ object SparkEntry {
     "q175_export_shards", "q176_drift_psi", "q177_length_batching",
     "q178_crawl_quota", "q179_table_stream", "q180_ndcg",
     "q181_ivfpq_index_append", "q182_char_span_dedup",
-    "q183_stratified_split", "q184_auto_split")
+    "q183_stratified_split", "q184_auto_split",
+    "q185_streaming_sessions")
 }
