@@ -3957,6 +3957,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("split"))
         .orderBy(col("doc_id"))),
 
+    // UniMax token allocation (Chung et al. 2023) — the epoch-capped
+    // water-filling mix that replaces temperature sampling's
+    // low-resource oversampling (q145's T=2 row draws zh at 1.45
+    // epochs; UniMax's cap makes over-epoching impossible). Budget =
+    // 40% of corpus tokens, cap = 0.6 epochs: the four smaller
+    // languages hit the cap and the surplus water-fills into en —
+    // both regimes on the row. Fully oracled: counts, capacities,
+    // the prefix-greedy cap test, and θ re-derive in DuckDB through
+    // the same deterministic window order.
+    "q186_unimax_mix" -> ((s, dir) =>
+      Sampling.uniMaxAllocation(t(s, dir, "documents"), "lang",
+          TextAnalysis.tokenCount(col("text")),
+          budgetFrac = 0.4, maxEpochs = 0.6)
+        .select(col("lang"), col("n_tokens"),
+          round(col("allocation"), 6).cast("decimal(18,6)")
+            .as("allocation"),
+          round(col("epochs"), 6).cast("decimal(18,6)").as("epochs"),
+          col("capped"))
+        .orderBy(col("lang"))),
+
     // Streaming SESSION WINDOWS through Spark's NATIVE session_window
     // aggregation (merging event-time windows + watermark state
     // eviction — the streaming twin of q35's batch lag+cumsum
@@ -7371,6 +7391,42 @@ object SparkEntry {
                      ELSE 'train' END AS split
          FROM r ORDER BY doc_id""",
 
+    // the same water-filling arithmetic in the same window order:
+    // capacities ascending, prefix-greedy cap test, θ from the last
+    // capped prefix
+    "q186_unimax_mix" ->
+      """WITH g AS (
+           SELECT lang,
+             sum(len(regexp_split_to_array(trim(text), '\s+'))::BIGINT)
+               AS n_tokens
+           FROM documents GROUP BY lang),
+         t AS (SELECT sum(n_tokens)::DOUBLE AS tt, count(*)::BIGINT AS n
+               FROM g),
+         r AS (SELECT lang, n_tokens, n,
+                 tt * 0.4::DOUBLE AS b,
+                 n_tokens::DOUBLE * 0.6::DOUBLE AS cap,
+                 row_number() OVER (
+                   ORDER BY n_tokens::DOUBLE * 0.6::DOUBLE, lang) AS rk,
+                 sum(n_tokens::DOUBLE * 0.6::DOUBLE) OVER (
+                   ORDER BY n_tokens::DOUBLE * 0.6::DOUBLE, lang
+                   ROWS UNBOUNDED PRECEDING) AS pfx
+               FROM g, t),
+         c AS (SELECT *,
+                 cap * (n - rk + 1) <= b - (pfx - cap) AS capped FROM r),
+         kk AS (SELECT coalesce(max(CASE WHEN capped THEN rk END), 0) AS k,
+                       coalesce(max(CASE WHEN capped THEN pfx END), 0.0)
+                         AS kpfx
+                FROM c)
+         SELECT lang, n_tokens,
+                round(CASE WHEN capped THEN cap
+                      ELSE (b - kpfx) / (n - k) END, 6)::DECIMAL(18,6)
+                  AS allocation,
+                round((CASE WHEN capped THEN cap
+                       ELSE (b - kpfx) / (n - k) END) / n_tokens,
+                      6)::DECIMAL(18,6) AS epochs,
+                capped
+         FROM c, kk ORDER BY lang""",
+
     // session_window's merge rule re-derived: [t, t+gap) windows merge
     // only when they overlap (a gap of EXACTLY 30 min splits — strict
     // >= on the break test), start = first event, end = last event +
@@ -7970,5 +8026,5 @@ object SparkEntry {
     "q178_crawl_quota", "q179_table_stream", "q180_ndcg",
     "q181_ivfpq_index_append", "q182_char_span_dedup",
     "q183_stratified_split", "q184_auto_split",
-    "q185_streaming_sessions")
+    "q185_streaming_sessions", "q186_unimax_mix")
 }

@@ -398,6 +398,73 @@ object Sampling {
         (col("__pt") / col("__Z") / col("__p")).as("epoch_factor"))
   }
 
+  /** UniMax token allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): split a token budget `budgetFrac · total` as
+    * UNIFORMLY as possible across groups, but never draw more than
+    * `maxEpochs` passes over any group's own data — the epoch cap
+    * that stops temperature sampling's low-resource overfitting.
+    * The closed form is water-filling: allocation = min(capacity, θ)
+    * with capacity = maxEpochs · n_tokens and θ the level at which
+    * Σ min(capacity, θ) = budget. Greedy over groups sorted by
+    * capacity ascending: group i is CAPPED iff its capacity is at most
+    * the even split of what remains after the smaller groups took
+    * their caps — a prefix property, so one pass of window arithmetic
+    * computes it exactly (and an oracle engine reproduces it
+    * bit-for-bit: the cumulative sums run in one deterministic order).
+    * If the budget exceeds Σ capacity, every group caps and the
+    * surplus is honestly unspent (epochs are a hard ceiling).
+    *
+    * Output per group: `n_tokens`, `allocation` (tokens drawn),
+    * `epochs` = allocation / n_tokens, `capped`.
+    *
+    * Shape at scale: one hash aggregation collapses the corpus to
+    * |groups| rows; the windows run over that bounded-cardinality
+    * table (the q173 small-window class), never over corpus rows.
+    */
+  def uniMaxAllocation(
+      df: DataFrame,
+      groupCol: String,
+      tokens: Column,
+      budgetFrac: Double,
+      maxEpochs: Double): DataFrame = {
+    require(budgetFrac > 0, s"budgetFrac must be > 0, got $budgetFrac")
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    val groups = df.groupBy(col(groupCol))
+      .agg(sum(tokens.cast("long")).as("n_tokens"))
+      .localCheckpoint() // tiny; feeds totals, ranking, and the output
+    val tot = broadcast(groups.agg(
+      sum(col("n_tokens")).as("__T"), count(lit(1)).as("__n")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__cap"), col(groupCol))
+    val ranked = groups.crossJoin(tot)
+      .withColumn("__B", col("__T").cast("double") * lit(budgetFrac))
+      .withColumn("__cap", col("n_tokens").cast("double") * lit(maxEpochs))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__pfx", sum(col("__cap")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      // capped iff capacity ≤ (B − prefix of smaller caps) / remaining
+      .withColumn("__capped",
+        col("__cap") * (col("__n") - col("__rk") + 1) <=
+          col("__B") - (col("__pfx") - col("__cap")))
+      .localCheckpoint() // feeds the k-row aggregate + the output
+    val kRow = broadcast(ranked.where(col("__capped"))
+      .agg(max(col("__rk")).as("__k"), max(col("__pfx")).as("__kpfx")))
+    val k = coalesce(col("__k"), lit(0L))
+    val theta = when(col("__n") === k, lit(0.0)) // all capped: θ unused
+      .otherwise((col("__B") - coalesce(col("__kpfx"), lit(0.0))) /
+        (col("__n") - k))
+    ranked.crossJoin(kRow)
+      .select(col(groupCol), col("n_tokens"),
+        when(col("__capped"), col("__cap")).otherwise(theta)
+          .as("allocation"),
+        (when(col("__capped"), col("__cap")).otherwise(theta) /
+          col("n_tokens")).as("epochs"),
+        col("__capped").as("capped"))
+  }
+
   /** Sequence packing — concat-and-chunk bookkeeping for LLM training:
     * documents are laid end-to-end in md5-coordinate order and the
     * resulting token stream is sliced into fixed `seqLen` windows; each

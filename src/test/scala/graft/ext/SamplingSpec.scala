@@ -443,6 +443,32 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.filter(_._2 == "small").map(t => (t._1, t._3)).toSet shouldBe exact
   }
 
+  test("uniMaxAllocation: water-filling with epoch caps") {
+    import spark.implicits._
+    // token masses 100 / 200 / 700; budget 40% of 1000 = 400; cap 0.6
+    // epochs -> capacities 60 / 120 / 420. Greedy: 60 <= 400/3 caps;
+    // 120 <= (400-60)/2 = 170 caps; theta = 400 - 180 = 220 < 420.
+    val df = (Seq.fill(1)(("a", 100L)) ++ Seq.fill(2)(("b", 100L)) ++
+      Seq.fill(7)(("c", 100L))).toDF("g", "w")
+    val out = Sampling.uniMaxAllocation(df, "g", col("w"), 0.4, 0.6)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    out(0) shouldBe ("a", 100L, 60.0, 0.6, true)
+    out(1) shouldBe ("b", 200L, 120.0, 0.6, true)
+    out(2)._1 shouldBe "c"
+    out(2)._3 shouldBe 220.0 +- 1e-9
+    out(2)._4 shouldBe 220.0 / 700 +- 1e-12
+    out(2)._5 shouldBe false
+    // budget fully spent when it fits under the caps
+    out.map(_._3).sum shouldBe 400.0 +- 1e-9
+    // over-budget: everything caps and the surplus is honestly unspent
+    val over = Sampling.uniMaxAllocation(df, "g", col("w"), 0.9, 0.5)
+      .collect().map(r => (r.getDouble(2), r.getBoolean(4)))
+    over.foreach(_._2 shouldBe true)
+    over.map(_._1).sum shouldBe 500.0 +- 1e-9 // = 0.5 epochs of 1000
+  }
+
   test("temperatureWeights: closed-form shares; T=1 is the identity mix") {
     import spark.implicits._
     // masses 90 / 10: p = .9/.1; T=2 -> pt = sqrt(p); shares
