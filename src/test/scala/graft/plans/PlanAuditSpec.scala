@@ -314,6 +314,25 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     p should not include "SortMergeJoin"
   }
 
+  test("autoSplit bulk path labels without any sort or window") {
+    // the hybrid splitter's 100 TB contract: strata ABOVE the exact
+    // threshold take a pure codegen hex-bound projection — no Window,
+    // no Sort anywhere in the bulk branch, no matter how dominant the
+    // largest stratum is. (A window here would mean the exact form
+    // leaked into the bulk regime — the single-task-per-stratum
+    // failure autoSplit exists to prevent.)
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val bulk = graft.ext.Sampling.autoSplit(docs, "lang", "doc_id",
+        testFrac = 0.1, valFrac = 0.1, exactThreshold = 0L) // all bulk
+      .where(col("regime") === "bulk")
+    val p = bulk.queryExecution.executedPlan.toString
+    p should not include "Window"
+    // the only sort allowed would come from an ORDER BY — none here
+    p should not include "Sort "
+  }
+
   test("q150 bootstrap replicas partial-aggregate before the shuffle") {
     // the corpus×replicas stream must collapse map-side to
     // |groups|·replicas partial rows — losing the partial agg would
