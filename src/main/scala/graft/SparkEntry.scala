@@ -3957,6 +3957,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("split"))
         .orderBy(col("doc_id"))),
 
+    // The published Gopher heuristic gate (Rae et al. 2021, Appendix
+    // A1.1) — the rule list MassiveText ran before model scoring, one
+    // boolean per rule so the dashboard shows WHICH rule drops each
+    // document (the fixture's 30-150-word docs mostly fail the 50-word
+    // floor, which is the point: the gate is strict by design). Fully
+    // oracled: every pattern is RE2-safe and DuckDB runs the identical
+    // spellings per rule.
+    "q187_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherQualityFlags(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // UniMax token allocation (Chung et al. 2023) — the epoch-capped
     // water-filling mix that replaces temperature sampling's
     // low-resource oversampling (q145's T=2 row draws zh at 1.45
@@ -7391,6 +7403,50 @@ object SparkEntry {
                      ELSE 'train' END AS split
          FROM r ORDER BY doc_id""",
 
+    // the identical RE2-safe rule spellings, rule by rule
+    "q187_gopher_rules" ->
+      """WITH x AS (
+           SELECT doc_id, text,
+             len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS words,
+             length(regexp_replace(text, '\s', '', 'g'))::DOUBLE AS chars,
+             len(regexp_extract_all(text, '#|\.\.\.|…'))::DOUBLE AS syms,
+             len(regexp_extract_all(text,
+               '[^\s]*[a-zA-Z][^\s]*'))::DOUBLE AS alphaw,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               ' ') AS ntoks,
+             len(string_split(text, chr(10)))::DOUBLE AS lines,
+             len(regexp_extract_all(text,
+               '(\.\.\.|…)[ \t]*(\n|$)'))::DOUBLE AS ell,
+             len(regexp_extract_all(text,
+               '(^|\n)[ \t]*[•‣▪\-\*]'))::DOUBLE AS bul
+           FROM documents WHERE text IS NOT NULL),
+         y AS (
+           SELECT doc_id, words::BIGINT AS n_words,
+             words >= 50 AND words <= 100000 AS word_count_ok,
+             chars / words >= 3.0 AND chars / words <= 10.0
+               AS mean_word_len_ok,
+             syms / words <= 0.1 AS symbol_ratio_ok,
+             alphaw / words >= 0.8 AS alpha_word_ok,
+             (list_contains(ntoks, 'the')::INT
+              + list_contains(ntoks, 'be')::INT
+              + list_contains(ntoks, 'to')::INT
+              + list_contains(ntoks, 'of')::INT
+              + list_contains(ntoks, 'and')::INT
+              + list_contains(ntoks, 'that')::INT
+              + list_contains(ntoks, 'have')::INT
+              + list_contains(ntoks, 'with')::INT) >= 2 AS stopwords_ok,
+             ell / lines <= 0.3 AS ellipsis_ok,
+             bul / lines <= 0.9 AS bullet_ok
+           FROM x)
+         SELECT doc_id, n_words, word_count_ok, mean_word_len_ok,
+                symbol_ratio_ok, alpha_word_ok, stopwords_ok,
+                ellipsis_ok, bullet_ok,
+                word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+                  AND alpha_word_ok AND stopwords_ok AND ellipsis_ok
+                  AND bullet_ok AS kept
+         FROM y ORDER BY doc_id""",
+
     // the same water-filling arithmetic in the same window order:
     // capacities ascending, prefix-greedy cap test, θ from the last
     // capped prefix
@@ -8026,5 +8082,5 @@ object SparkEntry {
     "q178_crawl_quota", "q179_table_stream", "q180_ndcg",
     "q181_ivfpq_index_append", "q182_char_span_dedup",
     "q183_stratified_split", "q184_auto_split",
-    "q185_streaming_sessions", "q186_unimax_mix")
+    "q185_streaming_sessions", "q186_unimax_mix", "q187_gopher_rules")
 }

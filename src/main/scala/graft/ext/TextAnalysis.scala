@@ -1027,6 +1027,61 @@ object TextAnalysis {
     val hashes = transform(idx, i => xxhash64(norm.substr(i, lit(n))))
     slice(array_sort(array_distinct(hashes)), 1, k)
   }
+  /** Gopher-rule document quality flags (Rae et al. 2021, MassiveText
+    * pipeline, Appendix A1.1) — the published heuristic gate run before
+    * any model-based filtering, each rule as its OWN boolean so the
+    * dashboard shows which rule drops a document:
+    *
+    *  - word count within `[minWords, maxWords]` (paper: 50..100,000)
+    *  - mean word length within [3, 10] characters
+    *  - symbol-to-word ratio ≤ 0.1 (hash or ellipsis)
+    *  - ≥ 80% of words contain at least one alphabetic character
+    *  - at least TWO of the paper's required English words present
+    *    (the/be/to/of/and/that/have/with — distinct presence, counted
+    *    on the normalized token set so punctuation can't hide a hit)
+    *  - ≤ 30% of lines end with an ellipsis
+    *  - ≤ 90% of lines start with a bullet glyph
+    *
+    * `kept` = all seven. Every pattern is RE2-safe (the q50/q94
+    * convention), so an oracle engine runs the identical spellings.
+    * Shape at scale: one codegen projection per row — regexp passes
+    * only, no HOF, no shuffle.
+    */
+  def gopherQualityFlags(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val txt = col(textCol)
+    val words = tokenCount(txt).cast("double")
+    val mwl = avgTokenLen(txt)
+    val symbols = regexp_count(txt, lit("#|\\.\\.\\.|…")).cast("double")
+    val alphaWords = size(regexp_extract_all(txt,
+      lit("[^\\s]*[a-zA-Z][^\\s]*"), lit(0))).cast("double")
+    val normToks = split(normalize(txt), " ")
+    val reqHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => array_contains(normToks, w).cast("int")).reduce(_ + _)
+    val lines = size(split(txt, "\n")).cast("double")
+    val ellipsisLines =
+      regexp_count(txt, lit("(\\.\\.\\.|…)[ \\t]*(\\n|$)")).cast("double")
+    val bulletLines =
+      regexp_count(txt, lit("(^|\\n)[ \\t]*[•‣▪\\-\\*]")).cast("double")
+    val flags = Seq(
+      (words >= minWords && words <= maxWords).as("word_count_ok"),
+      (mwl >= 3.0 && mwl <= 10.0).as("mean_word_len_ok"),
+      (symbols / words <= 0.1).as("symbol_ratio_ok"),
+      (alphaWords / words >= 0.8).as("alpha_word_ok"),
+      (reqHits >= 2).as("stopwords_ok"),
+      (ellipsisLines / lines <= 0.3).as("ellipsis_ok"),
+      (bulletLines / lines <= 0.9).as("bullet_ok"))
+    df.where(txt.isNotNull)
+      .select(col(idCol) +: words.cast("long").as("n_words") +: flags: _*)
+      .withColumn("kept",
+        col("word_count_ok") && col("mean_word_len_ok") &&
+          col("symbol_ratio_ok") && col("alpha_word_ok") &&
+          col("stopwords_ok") && col("ellipsis_ok") && col("bullet_ok"))
+  }
 }
 
 /** Heuristic language identification via stopword-hit scoring.

@@ -401,4 +401,35 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(6) shouldBe Seq("bad.example.net")
     out(7) shouldBe Seq("xn--bcher-kva.example.net", "my_cdn.example.net")
   }
+
+  test("gopherQualityFlags: each rule trips on its planted violator") {
+    import spark.implicits._
+    val good = (("the quick brown fox jumps over the lazy dog and " * 6)
+      + "that have with be of to").trim // ~60 words, clean prose
+    val docs = Seq(
+      (0L, good), // passes everything
+      (1L, "too short of a doc"), // < 50 words
+      (2L, ("ab " * 60).trim), // mean word length 2 < 3
+      (3L, good + (" #tag" * 20)), // symbol ratio > 0.1
+      (4L, good + (" 123" * 30)), // alpha-word ratio < 0.8
+      (5L, ("zz yy xx ww vv " * 12).trim), // no required stopwords
+      (6L, good + ("\nmore...\n" * 40)), // > 30% ellipsis lines
+      (7L, good + ("\n- item" * 200)) // > 90% bullet lines
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityFlags(docs, "doc_id", "text",
+        minWords = 50)
+      .orderBy("doc_id").collect()
+    def flag(r: org.apache.spark.sql.Row, name: String): Boolean =
+      r.getBoolean(r.fieldIndex(name))
+    flag(out(0), "kept") shouldBe true
+    flag(out(1), "word_count_ok") shouldBe false
+    flag(out(2), "mean_word_len_ok") shouldBe false
+    flag(out(3), "symbol_ratio_ok") shouldBe false
+    flag(out(4), "alpha_word_ok") shouldBe false
+    flag(out(5), "stopwords_ok") shouldBe false
+    flag(out(6), "ellipsis_ok") shouldBe false
+    flag(out(7), "bullet_ok") shouldBe false
+    // every violator is dropped
+    (1 to 7).foreach(i => flag(out(i), "kept") shouldBe false)
+  }
 }
