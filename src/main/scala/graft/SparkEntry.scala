@@ -3957,6 +3957,34 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("split"))
         .orderBy(col("doc_id"))),
 
+    // WebDataset TAR shard ingest: the corpus round-tripped through
+    // real POSIX ustar bytes — 20 shards, each document as a
+    // `<id>.txt` member plus a `<id>.json` sidecar (the webdataset
+    // convention for multimodal training shards), parsed back by the
+    // header walk (octal sizes, verified checksums, zero-block
+    // termination). Fully oracled: member counts, byte sizes, and
+    // both member md5s are closed-form in the documents table, so
+    // header build + walk + byte-exact body recovery are all on the
+    // hash path (the q101 WARC pattern, applied to the tar container).
+    "q188_tar_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val shards = graft.ext.Tar.shardFixture(docs, "doc_id", "text",
+        numFiles = 20)
+      graft.ext.Tar.parseMembers(shards, "file_id", "payload").toDF()
+        .select(
+          regexp_extract(col("name"), "^([0-9]+)\\.", 1).cast("long")
+            .as("doc_id"),
+          regexp_extract(col("name"), "\\.([a-z]+)$", 1).as("ext"),
+          col("body"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("ext") === "txt", octet_length(col("body"))))
+            .cast("long").as("txt_octets"),
+          max(when(col("ext") === "txt", md5(col("body")))).as("txt_md5"),
+          max(when(col("ext") === "json", md5(col("body")))).as("json_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The published Gopher heuristic gate (Rae et al. 2021, Appendix
     // A1.1) — the rule list MassiveText ran before model scoring, one
     // boolean per rule so the dashboard shows WHICH rule drops each
@@ -7403,6 +7431,15 @@ object SparkEntry {
                      ELSE 'train' END AS split
          FROM r ORDER BY doc_id""",
 
+    // expected members computed directly from documents — the walk
+    // must recover every body byte-exactly for the md5s to land
+    "q188_tar_ingest" ->
+      """SELECT doc_id, 2::BIGINT AS n_members,
+           strlen(text)::BIGINT AS txt_octets,
+           md5(text) AS txt_md5,
+           md5('{"doc_id":' || doc_id::VARCHAR || '}') AS json_md5
+         FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
+
     // the identical RE2-safe rule spellings, rule by rule
     "q187_gopher_rules" ->
       """WITH x AS (
@@ -8082,5 +8119,6 @@ object SparkEntry {
     "q178_crawl_quota", "q179_table_stream", "q180_ndcg",
     "q181_ivfpq_index_append", "q182_char_span_dedup",
     "q183_stratified_split", "q184_auto_split",
-    "q185_streaming_sessions", "q186_unimax_mix", "q187_gopher_rules")
+    "q185_streaming_sessions", "q186_unimax_mix", "q187_gopher_rules",
+    "q188_tar_ingest")
 }

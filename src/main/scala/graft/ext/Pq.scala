@@ -290,7 +290,15 @@ object Pq {
           spherical = false).as("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(hp, "codes").toString)
-    fs.create(marker, false).close() // the atomic publish
+    // the atomic publish; a lost race to the marker means another
+    // attempt of the SAME appendId just committed the same delta —
+    // that attempt's staging overwrite finished before its create, so
+    // the committed bytes are a complete write either way. (Retries
+    // are expected to be sequential — the foreachBatch recovery
+    // contract; two writers racing DIFFERENT data under one appendId
+    // is a caller bug no marker can repair.)
+    try fs.create(marker, false).close()
+    catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
   }
 
   /** Every visible code row of the index: the base build plus each
