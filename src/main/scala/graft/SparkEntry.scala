@@ -3985,6 +3985,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q188 in the shipping form: the same shards gzipped whole
+    // (webdataset's .tar.gz), gunzipped through the shared multi-
+    // member walk, then the identical header walk — so compression
+    // round-trip + parse share q188's closed-form oracle verbatim.
+    "q189_tar_gzip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val shards = graft.ext.Tar.shardFixtureGzip(docs, "doc_id", "text",
+        numFiles = 20)
+      graft.ext.Tar.parseMembersGzip(shards, "file_id", "payload").toDF()
+        .select(
+          regexp_extract(col("name"), "^([0-9]+)\\.", 1).cast("long")
+            .as("doc_id"),
+          regexp_extract(col("name"), "\\.([a-z]+)$", 1).as("ext"),
+          col("body"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("ext") === "txt", octet_length(col("body"))))
+            .cast("long").as("txt_octets"),
+          max(when(col("ext") === "txt", md5(col("body")))).as("txt_md5"),
+          max(when(col("ext") === "json", md5(col("body")))).as("json_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The published Gopher heuristic gate (Rae et al. 2021, Appendix
     // A1.1) — the rule list MassiveText ran before model scoring, one
     // boolean per rule so the dashboard shows WHICH rule drops each
@@ -7440,6 +7463,15 @@ object SparkEntry {
            md5('{"doc_id":' || doc_id::VARCHAR || '}') AS json_md5
          FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
 
+    // the gunzipped stream is byte-identical to q188's payload, so the
+    // shipping form shares its oracle verbatim
+    "q189_tar_gzip" ->
+      """SELECT doc_id, 2::BIGINT AS n_members,
+           strlen(text)::BIGINT AS txt_octets,
+           md5(text) AS txt_md5,
+           md5('{"doc_id":' || doc_id::VARCHAR || '}') AS json_md5
+         FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
+
     // the identical RE2-safe rule spellings, rule by rule
     "q187_gopher_rules" ->
       """WITH x AS (
@@ -8120,5 +8152,5 @@ object SparkEntry {
     "q181_ivfpq_index_append", "q182_char_span_dedup",
     "q183_stratified_split", "q184_auto_split",
     "q185_streaming_sessions", "q186_unimax_mix", "q187_gopher_rules",
-    "q188_tar_ingest")
+    "q188_tar_ingest", "q189_tar_gzip")
 }
