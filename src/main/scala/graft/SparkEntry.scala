@@ -3957,6 +3957,47 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("split"))
         .orderBy(col("doc_id"))),
 
+    // Parquet bloom-filter layout, driver-visible: the events table
+    // written with a bloom on event_id (the point-lookup skipping
+    // structure for non-sorted, non-partition key columns — min/max
+    // stats skip nothing when every row group spans the id range),
+    // then audited at the FOOTER level: every row group must carry its
+    // bloom, a present key must be might-contained somewhere, and the
+    // two certainly-absent sentinels (min−1, max+1) must be
+    // definitely-absent in every group. Bound-carrying oracle: the
+    // exact row count hashes; the audit booleans are measured.
+    "q190_bloom_layout" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q190").toString
+      try {
+        val ev = events(s, dir).select(col("event_id"), col("value"))
+          .repartition(4)
+        graft.plans.Layout.writeWithBloom(ev, s"$base/t", Seq("event_id"),
+          expectedNdv = 1000000L)
+        // O(1) driver probes (the width-probe collect class)
+        val bounds = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val (groups, withBloom, might) = graft.plans.Layout.bloomAudit(
+          s, s"$base/t", "event_id", Seq(lo, lo - 1, hi + 1))
+        val absentEmpty = s.read.parquet(s"$base/t")
+          .where(col("event_id") === lo - 1).count() == 0L
+        import s.implicits._
+        Seq((groups.toLong, withBloom == groups && groups >= 1,
+            might(lo) >= 1, might(lo - 1) == 0 && might(hi + 1) == 0,
+            absentEmpty))
+          .toDF("__g", "all_groups_have_bloom", "present_key_found",
+            "absent_keys_excluded", "absent_lookup_empty")
+          .crossJoin(ev.agg(count(lit(1)).as("n_events")))
+          .select(col("n_events"), col("all_groups_have_bloom"),
+            col("present_key_found"), col("absent_keys_excluded"),
+            col("absent_lookup_empty"))
+          .localCheckpoint() // materialize before the temp dir vanishes
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
+    }),
+
     // WebDataset TAR shard ingest: the corpus round-tripped through
     // real POSIX ustar bytes — 20 shards, each document as a
     // `<id>.txt` member plus a `<id>.json` sidecar (the webdataset
@@ -7454,6 +7495,13 @@ object SparkEntry {
                      ELSE 'train' END AS split
          FROM r ORDER BY doc_id""",
 
+    // exact event count; the footer-audit contract as expected-TRUE
+    "q190_bloom_layout" ->
+      """SELECT count(*)::BIGINT AS n_events,
+           TRUE AS all_groups_have_bloom, TRUE AS present_key_found,
+           TRUE AS absent_keys_excluded, TRUE AS absent_lookup_empty
+         FROM events""",
+
     // expected members computed directly from documents — the walk
     // must recover every body byte-exactly for the md5s to land
     "q188_tar_ingest" ->
@@ -8152,5 +8200,5 @@ object SparkEntry {
     "q181_ivfpq_index_append", "q182_char_span_dedup",
     "q183_stratified_split", "q184_auto_split",
     "q185_streaming_sessions", "q186_unimax_mix", "q187_gopher_rules",
-    "q188_tar_ingest", "q189_tar_gzip")
+    "q188_tar_ingest", "q189_tar_gzip", "q190_bloom_layout")
 }

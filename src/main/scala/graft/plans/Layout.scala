@@ -124,4 +124,71 @@ object Layout {
   def isShuffleFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.linesIterator.exists(l =>
       l.contains("Exchange") && !l.contains("BroadcastExchange"))
+
+  /** Write with parquet BLOOM FILTERS on `bloomCols` — the row-group
+    * skipping structure for point lookups on NON-sorted, NON-partition
+    * columns (min/max stats skip nothing when every row group spans the
+    * full value range; a bloom answers "definitely absent" per group).
+    * At 100 TB this is the difference between a needle-in-haystack id
+    * probe scanning every row group and touching only the groups whose
+    * bloom might contain it — Spark's parquet reader consults the
+    * blooms automatically for equality/IN pushdown.
+    */
+  def writeWithBloom(
+      df: DataFrame,
+      path: String,
+      bloomCols: Seq[String],
+      expectedNdv: Long = 100000L): Unit = {
+    require(bloomCols.nonEmpty, "bloomCols must be non-empty")
+    val opts = bloomCols.flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> expectedNdv.toString)).toMap
+    df.write.options(opts).mode("overwrite").parquet(path)
+  }
+
+  /** Footer-level audit of the blooms [[writeWithBloom]] wrote: per
+    * row group, whether a bloom exists for `column`, and for each
+    * probe value whether the bloom might contain it. A metadata walk
+    * (footers + bloom pages only — no data pages), driver-side like
+    * every manifest read here. Returns
+    * `(rowGroups, groupsWithBloom, mightContainByValue)`.
+    */
+  def bloomAudit(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      column: String,
+      probes: Seq[Long]): (Int, Int, Map[Long, Int]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).toSeq
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+    var groups = 0
+    var withBloom = 0
+    val hits = scala.collection.mutable.Map.empty[Long, Int]
+      .withDefaultValue(0)
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+      try {
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          groups += 1
+          val col = block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no column $column in ${f.getPath}"))
+          val bloom = reader.getBloomFilterDataReader(block).readBloomFilter(col)
+          if (bloom != null) {
+            withBloom += 1
+            probes.foreach { v =>
+              if (bloom.findHash(bloom.hash(v))) hits(v) += 1
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    (groups, withBloom, hits.toMap.withDefaultValue(0))
+  }
 }

@@ -117,4 +117,31 @@ class LayoutSpec extends AnyFunSuite with Matchers with SparkTestBase {
         .count()
     hitFiles(s"$tmp/z") should be < hitFiles(s"$tmp/lin")
   }
+
+  test("writeWithBloom: every row group carries a bloom; absent keys excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    // ids 0..9999 across 4 row groups (4 output partitions)
+    val df = spark.range(10000).select(col("id").as("k"),
+      (col("id") * 3).as("v")).repartition(4)
+    Layout.writeWithBloom(df, s"$tmp/t", Seq("k"), expectedNdv = 10000L)
+    val present = Seq(0L, 4321L, 9999L)
+    val absent = Seq(-1L, 123456789L, -987654321L)
+    val (groups, withBloom, might) =
+      Layout.bloomAudit(spark, s"$tmp/t", "k", present ++ absent)
+    groups should be >= 4
+    withBloom shouldBe groups // every group wrote its bloom
+    // a present key is found by SOME group's bloom (no false negatives)
+    present.foreach(v => might(v) should be >= 1)
+    // an absent key is definitely-absent in (at least nearly) every
+    // group — blooms may false-positive, but at ndv=10000 the fpp is
+    // ~1%, so three probes over a handful of groups all excluding is
+    // the overwhelmingly likely deterministic outcome for this fixture
+    absent.foreach(v => might(v) shouldBe 0)
+    // and Spark's reader actually consults them: an absent-key point
+    // lookup returns nothing (correctness) — the skipping itself is
+    // the reader's job, the layout's job is carrying the structure
+    spark.read.parquet(s"$tmp/t").where(col("k") === -1L).count() shouldBe 0L
+  }
 }
