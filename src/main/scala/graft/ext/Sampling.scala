@@ -168,7 +168,12 @@ object Sampling {
     * the largest language is — the single-task-per-stratum failure of
     * the exact form at 100 TB cannot occur), and a window sort only
     * over the small-strata subset, whose volume is bounded by
-    * `exactThreshold × |small strata|`.
+    * `exactThreshold × |small strata|`. The two regime branches each
+    * re-scan the source (the count join is not pushable into the
+    * scan) — DELIBERATELY unpinned: a localCheckpoint here would
+    * materialize the whole corpus to buy back one scan, the wrong
+    * trade at any scale where this operator matters; callers who
+    * already hold a materialized input simply pass it.
     */
   def autoSplit(
       df: DataFrame,
