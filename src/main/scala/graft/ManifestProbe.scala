@@ -53,6 +53,45 @@ object ManifestProbe {
       val deleted = graft.sink.ManifestTable
         .vacuum(spark, base, keepVersions = 1, graceMs = 0L)
       println(s"vacuum: ${deleted.length} data dirs reclaimed")
+
+      // Retention economics for the streaming ledger (the round-16
+      // ADVICE fix): many idempotent micro-batches with periodic
+      // vacuum must keep the ledger at ONE file of O(retention) lines
+      // and the floor moving — not one sidecar per vacuum enumerating
+      // every batch id ever.
+      val base2 = java.nio.file.Files
+        .createTempDirectory("graft-mprobe2").toString
+      try {
+        val batches = 300
+        val (tIdem, _) = timed {
+          (0 until batches).foreach { b =>
+            graft.sink.ManifestTable.appendIdempotent(
+              spark.range(100).toDF("id"), base2, batchId = b.toLong)
+            if (b % 50 == 49)
+              graft.sink.ManifestTable.vacuum(spark, base2,
+                keepVersions = 1, graceMs = 0L, batchIdRetention = 20L)
+          }
+        }
+        val ledgers = new java.io.File(s"$base2/_manifests").listFiles()
+          .filter(_.getName.endsWith(".ledger"))
+        val ledgerLines = ledgers.map(f =>
+          scala.io.Source.fromFile(f).getLines().size).sum
+        val floor = graft.sink.ManifestTable.committedBatchFloor(spark, base2)
+        val enumerated = graft.sink.ManifestTable
+          .committedBatchIds(spark, base2).size
+        println(f"idempotent ledger: $batches batches + vacuum/50 in " +
+          f"${tIdem}%.1f s -> ${ledgers.length} ledger file(s), " +
+          f"$ledgerLines lines, floor=$floor, $enumerated enumerated ids")
+        require(ledgers.length <= 1, "ledger sidecars accumulated")
+        require(graft.sink.ManifestTable.isBatchCommitted(spark, base2, 3L),
+          "a folded batch id lost its committed status")
+      } finally {
+        def rm2(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm2))
+          f.delete(): Unit
+        }
+        rm2(new java.io.File(base2))
+      }
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))

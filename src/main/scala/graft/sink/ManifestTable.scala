@@ -292,7 +292,8 @@ object ManifestTable {
     */
   def vacuum(
       spark: SparkSession, path: String, keepVersions: Int,
-      graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
+      graceMs: Long = DefaultVacuumGraceMs,
+      batchIdRetention: Long = BatchIdRetentionDefault): Seq[String] = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val f = fs(spark, path)
     val all = versions(spark, path)
@@ -324,7 +325,7 @@ object ManifestTable {
     }
     val (floor, recent) = foldBatchIds(
       droppedIds ++ keptIds, committedBatchFloor(spark, path),
-      BatchIdRetentionDefault)
+      batchIdRetention)
     val orphanIds = recent.diff(keptIds)
     if (orphanIds.nonEmpty || floor != Long.MinValue) {
       val p = new Path(manifestDir(path),

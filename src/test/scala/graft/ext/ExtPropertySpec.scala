@@ -126,4 +126,36 @@ class ExtPropertySpec extends AnyFunSuite with Matchers with SparkTestBase {
       }
     }
   }
+
+  test("Tar.parseShard never throws and never mis-sizes on arbitrary bytes") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 300) {
+      val n = rnd.nextInt(4096)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      // adversarial flavor: sometimes plant a plausible magic so the
+      // walk gets PAST the magic check into size/checksum parsing
+      if (n >= 262 && rnd.nextBoolean()) {
+        System.arraycopy("ustar".getBytes("US-ASCII"), 0, b, 257, 5)
+      }
+      val members = Tar.parseShard("fuzz", b) // must not throw
+      // any member the walk DOES admit must be internally consistent:
+      // body length equals the parsed size and fits inside the payload
+      members.foreach { m =>
+        m.body.length.toLong shouldBe m.size
+        (m.offset + 512 + m.size) should be <= n.toLong
+      }
+    }
+    // and a valid archive with fuzzed TRAILING bytes still parses its
+    // members (the zero-block terminator shields the tail)
+    import spark.implicits._
+    val payload = Tar.shardFixture(
+        Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text"),
+        "id", "text", numFiles = 1)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val junk = new Array[Byte](777)
+    rnd.nextBytes(junk)
+    Tar.parseShard("s", payload ++ junk).map(_.name) shouldBe
+      Seq("1.txt", "1.json", "2.txt", "2.json")
+  }
 }
