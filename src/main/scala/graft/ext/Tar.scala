@@ -114,6 +114,32 @@ object Tar {
       .flatMap { case (id, payload) => parseShard(id, payload) }
   }
 
+  /** WebDataset SAMPLE reassembly: members grouped by key (the name
+    * minus its extension — webdataset's grouping rule), one row per
+    * sample carrying `exts` and the matching `bodies` in extension
+    * order. One hash aggregation on the narrow (key, ext, body)
+    * stream — the shape a multimodal loader consumes (`key`,
+    * `.txt`/`.json`/`.jpg` columns) without ever shuffling shard
+    * payloads.
+    */
+  def sampleGroups(members: Dataset[TarMember]): DataFrame = {
+    val s = members.sparkSession
+    import s.implicits._
+    members.toDF()
+      .select(
+        regexp_extract(col("name"), "^(.*)\\.[^.]+$", 1).as("key"),
+        regexp_extract(col("name"), "\\.([^.]+)$", 1).as("__ext"),
+        col("body"))
+      .where(col("key") =!= "")
+      .groupBy(col("key"))
+      .agg(
+        sort_array(collect_list(struct(col("__ext"), col("body"))))
+          .as("__m"))
+      .select(col("key"),
+        col("__m").getField("__ext").as("exts"),
+        col("__m").getField("body").as("bodies"))
+  }
+
   /** One ustar header + padded body. */
   private def memberBytes(name: String, body: Array[Byte]): Array[Byte] = {
     require(name.getBytes(Utf8).length <= 100, s"name too long: $name")

@@ -79,4 +79,17 @@ class TarSpec extends AnyFunSuite with Matchers with SparkTestBase {
     Tar.parseShard("s", Array.emptyByteArray) shouldBe Seq.empty
     Tar.parseShard("s", new Array[Byte](123)) shouldBe Seq.empty
   }
+
+  test("sampleGroups reassembles webdataset samples by key") {
+    import spark.implicits._
+    val members = Tar.parseMembers(
+      fixture(Seq((1L, "alpha"), (2L, "beta"))), "file_id", "payload")
+    val groups = Tar.sampleGroups(members).orderBy("key").collect()
+    groups.map(_.getString(0)) shouldBe Array("1", "2")
+    val r = groups(0)
+    r.getSeq[String](1) shouldBe Seq("json", "txt") // extension order
+    new String(r.getSeq[Array[Byte]](2)(1), "UTF-8") shouldBe "alpha"
+    new String(r.getSeq[Array[Byte]](2)(0), "UTF-8") shouldBe
+      """{"doc_id":1}"""
+  }
 }
