@@ -681,11 +681,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
 
-    // IVF ANN: coarse-quantized probe (sampled centroids, 2-cell probe)
+    // IVF ANN with a FITTED coarse quantizer, fully oracled since
+    // round 16: the centroids come from learnCentroidsDeterministic —
+    // md5-keyed sample, first-k init, 9dp-pinned assignments,
+    // 6dp-pinned means — so DuckDB UNROLLS the five Lloyd iterations
+    // (the q109 pagerank treatment applied to model FITTING) and then
+    // replays the probe: fitted-cell assignment, 4-probe selection,
+    // in-cell cosine top-10. Training AND retrieval are both on the
+    // hash path; the RNG-seeded learnCentroids stays the default for
+    // every other consumer (its recall rows q46/q56/etc. bound it).
     "q34_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = queryVector(e, 0L)
-      val centroids = SimilaritySearch.learnCentroids(e, "embedding", k = 16)
+      val centroids = SimilaritySearch.learnCentroidsDeterministic(
+        e, "vec_id", "embedding", k = 16)
       SimilaritySearch.ivfTopK(e, "vec_id", "embedding", q, 10, centroids,
           nProbe = 4, excludeId = Some(0L))
         .select(col("vec_id"), col("cosine_sim"))
@@ -4333,6 +4342,86 @@ object SparkEntry {
   /** Shared by q46 (in-memory IVF probe) and q83 (persisted-index
     * probe): identical semantics, one twin.
     */
+  /** One pinned Lloyd iteration as CTE text (the km-chain for q34's
+    * fitted-quantizer oracle): distances rounded to 9 decimals before
+    * the argmin (ties to the lower cell), new means rounded to 6,
+    * empty cells carry the previous centroid — the exact spelling
+    * `learnCentroidsDeterministic` runs on the driver.
+    */
+  private def kmIterSql(i: Int): String = {
+    val p = s"km${i - 1}"
+    s""",
+       kmd$i AS MATERIALIZED (
+         SELECT s.sid, c.cell,
+                round(sum((s.x - c.v) * (s.x - c.v)), 9) AS d2
+         FROM ksamp s JOIN $p c ON s.i = c.i
+         GROUP BY s.sid, c.cell),
+       kma$i AS MATERIALIZED (
+         SELECT sid, cell FROM (
+           SELECT sid, cell,
+                  row_number() OVER (PARTITION BY sid
+                                     ORDER BY d2, cell) AS rn
+           FROM kmd$i) WHERE rn = 1),
+       km$i AS MATERIALIZED (
+         SELECT prev.cell, prev.i, coalesce(nm.m, prev.v) AS v
+         FROM $p prev
+         LEFT JOIN (
+           SELECT a.cell, s.i, round(avg(s.x), 6) AS m
+           FROM kma$i a JOIN ksamp s ON s.sid = a.sid
+           GROUP BY a.cell, s.i) nm
+           ON nm.cell = prev.cell AND nm.i = prev.i)"""
+  }
+
+  /** q34's oracle: the five pinned Lloyd iterations unrolled (km0 →
+    * km5), then the IVF probe over the FITTED centroids — cell
+    * assignment, 4-probe selection by query distance, in-cell cosine
+    * top-10 — mirroring `ivfTopK`'s mechanics the way q46's oracle
+    * does for fixed centroids.
+    */
+  private lazy val IvfFittedTopKOracleSql: String =
+    """WITH samp AS (
+         SELECT vec_id, embedding FROM embeddings
+         WHERE embedding IS NOT NULL
+         ORDER BY md5(vec_id::VARCHAR), vec_id::VARCHAR LIMIT 2000),
+       ksamp AS MATERIALIZED (
+         SELECT s.vec_id AS sid, g.i AS i, s.embedding[g.i]::DOUBLE AS x
+         FROM samp s,
+              unnest(generate_series(1, len(s.embedding))) AS g(i)),
+       kinit AS (
+         SELECT vec_id, rn - 1 AS cell FROM (
+           SELECT vec_id, row_number() OVER (
+             ORDER BY md5(vec_id::VARCHAR), vec_id::VARCHAR) AS rn
+           FROM samp) WHERE rn <= 16),
+       km0 AS MATERIALIZED (
+         SELECT k.cell, s.i, s.x AS v
+         FROM kinit k JOIN ksamp s ON s.sid = k.vec_id)""" +
+      (1 to 5).map(kmIterSql).mkString +
+      """,
+       zc AS (SELECT e.vec_id, c.cell,
+                     e.embedding[c.i]::DOUBLE AS x, c.v AS y
+              FROM embeddings e JOIN km5 c ON c.i <= len(e.embedding)),
+       d AS (SELECT vec_id, cell, sum((x - y) * (x - y)) AS d2
+             FROM zc GROUP BY vec_id, cell),
+       assign AS (SELECT vec_id, cell FROM (
+           SELECT vec_id, cell,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cell) AS rn
+           FROM d) WHERE rn = 1),
+       probes AS (SELECT cell FROM d WHERE vec_id = 0
+                  ORDER BY d2, cell LIMIT 4),
+       q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       ze AS (SELECT e.vec_id,
+                     unnest(e.embedding)::DOUBLE AS x,
+                     unnest(q.qe)::DOUBLE AS y
+              FROM embeddings e, assign a, q
+              WHERE e.vec_id = a.vec_id AND e.vec_id <> 0
+                AND a.cell IN (SELECT cell FROM probes)),
+       ce AS (SELECT vec_id,
+                     sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cosine_sim
+              FROM ze GROUP BY vec_id)
+       SELECT vec_id, cosine_sim FROM ce
+       ORDER BY cosine_sim DESC, vec_id LIMIT 10"""
+
   private lazy val IvfRecallOracleSql: String =
     """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
        zc AS (SELECT e.vec_id, c.cid,
@@ -5231,6 +5320,10 @@ object SparkEntry {
     // elementwise squared-distance argmin (ties to the lower cell),
     // 4 nearest cells probed, in-cell top-10 by cosine.
     "q46_ivf_recall" -> IvfRecallOracleSql,
+
+    // the FITTED quantizer unrolled (five pinned Lloyd iterations)
+    // plus the same probe mechanics as q46
+    "q34_ivf_topk" -> IvfFittedTopKOracleSql,
 
     // q72's model CTEs + (weight desc, id) top-100 — the rounded
     // weights are hash-identical (q72), so the ordering is too

@@ -595,6 +595,76 @@ object SimilaritySearch {
       struct(d.as("d"), lit(i).as("i"))
     }: _*)).getField("i")
 
+  /** Round half away from zero at `scale` decimals — the one rounding
+    * rule every engine spells the same way for the values k-means
+    * produces (DuckDB's round(), Spark's round() on positives; exact
+    * decimal ties are measure-zero on float-derived doubles).
+    */
+  private def rHalfAway(x: Double, pow10: Double): Double =
+    if (x == 0.0) 0.0
+    else math.signum(x) * (math.floor(math.abs(x) * pow10 + 0.5) / pow10)
+
+  /** [[learnCentroids]] with EVERY degree of freedom pinned to an
+    * engine-reproducible spelling, so the FITTED model itself can be
+    * re-derived by an oracle engine (the thing the RNG-seeded variant
+    * can never offer):
+    *
+    *  - the sample is the `sampleN` rows with the SMALLEST
+    *    `md5(id)` coordinate (content-keyed, the q37 convention —
+    *    identical on any engine/partitioning; a TakeOrderedAndProject,
+    *    not a reservoir),
+    *  - the initial centroids are the first `k` sample rows in that
+    *    same order,
+    *  - each Lloyd assignment compares squared distances ROUNDED to 9
+    *    decimals (ties to the lower cell index), and
+    *  - each new centroid coordinate is the member mean ROUNDED to 6
+    *    decimals (empty cells keep their centroid) —
+    *
+    * the two rounds being where cross-engine summation-order float
+    * noise would otherwise leak into the fitted values (the q145
+    * decimal-pinning lesson applied to model fitting). Same cost
+    * shape as [[learnCentroids]]: one bounded top-n collect, Lloyd on
+    * the driver, centroids broadcast as literals.
+    */
+  def learnCentroidsDeterministic(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      sampleN: Int = 2000,
+      iters: Int = 5): Seq[Seq[Double]] = {
+    val sample = df.where(col(vecCol).isNotNull)
+      .select(md5(col(idCol).cast("string")).as("__k"),
+        col(idCol).cast("string").as("__id"), col(vecCol))
+      .orderBy(col("__k"), col("__id"))
+      .limit(sampleN)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toIndexedSeq)
+      .toVector
+    require(sample.nonEmpty, "cannot learn centroids from an empty frame")
+    var centroids = sample.take(math.min(k, sample.length))
+    for (_ <- 1 to iters) {
+      val assigned = sample.groupBy { v =>
+        centroids.indices.minBy { i => // minBy keeps the FIRST minimum:
+          val c = centroids(i) //         exact ties go to the lower cell
+          var s = 0.0; var d = 0
+          while (d < v.length) { val x = v(d) - c(d); s += x * x; d += 1 }
+          rHalfAway(s, 1e9)
+        }
+      }
+      centroids = centroids.indices.map { i =>
+        assigned.get(i) match {
+          case Some(vs) =>
+            IndexedSeq.tabulate(vs.head.length)(d =>
+              rHalfAway(vs.map(_(d)).sum / vs.length, 1e6))
+          case None => centroids(i) // empty cell keeps its centroid
+        }
+      }.toVector
+    }
+    centroids.map(_.toSeq)
+  }
+
   /** Learn `k` coarse centroids with a few Lloyd iterations over a
     * driver-side sample. Index-build time, not query time: the sample is
     * tiny relative to the corpus (`sampleN` rows collected once), and
