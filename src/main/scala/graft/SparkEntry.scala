@@ -148,6 +148,17 @@ object SparkEntry {
       graft.ext.Pq.fit(t(s, dir, "embeddings"), "embedding",
         dim = 64, m = 8, k = 64)
     }
+
+  /** q113's fully-pinned codebooks (engine-reproducible fit — the
+    * oracle unrolls it); cached like the RNG-seeded shared model.
+    */
+  private val pqModelPinnedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.ext.Pq.PqModel]()
+  private def pqModelPinned(s: SparkSession, dir: String): graft.ext.Pq.PqModel =
+    sessionCached(pqModelPinnedCache, s, dir) {
+      graft.ext.Pq.fitPinned(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, m = 8, k = 64)
+    }
   private def q89Feed(s: SparkSession, dir: String): String =
     q89FeedCache.computeIfAbsent(dir, _ => {
       val ev = events(s, dir).localCheckpoint() // fans out to starts AND ends
@@ -2093,13 +2104,18 @@ object SparkEntry {
     }),
 
     // Product-quantization encode: 64-dim float32 → 8 one-byte codes
-    // (32× compression), codebooks from a bounded driver sample,
-    // encoding 8×16 codegen sqdist probes in the scan projection.
-    // Rows-only (sampled kmeans has no SQL twin); geometry floors
-    // pinned in PqSpec, retrieval quality measured in q114.
+    // (32× compression), encoding 8×64 codegen sqdist probes in the
+    // scan projection. Fully oracled since round 16 via Pq.fitPinned
+    // (the q34 treatment applied to PQ): one md5-keyed sample, eight
+    // per-subspace pinned Lloyd fits, so DuckDB unrolls the codebook
+    // FIT (all five iterations across all eight subspaces in one
+    // composite-key chain) and re-derives every code byte and
+    // reconstruction norm. The RNG-seeded shared pqModel stays in
+    // place for q114/q117/q126/q127/q181, whose value-independent
+    // floors/identities bound it; PqSpec keeps the geometry floors.
     "q113_pq_encode" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val model = pqModel(s, dir)
+      val model = pqModelPinned(s, dir)
       // codes are emitted as a comma-joined string, not array<int>: the
       // driver compare sorts column values in pandas, and numpy arrays
       // are unhashable/unorderable there (r13 lost this row to exactly
@@ -2111,7 +2127,8 @@ object SparkEntry {
           // ADC to the zero vector = ‖reconstruction‖ — a readable
           // per-row sanity magnitude riding the same lookup path
           round(sqrt(graft.ext.Pq.adcDistance(col("codes"),
-            Seq.fill(model.dim)(0.0), model)), 6).as("recon_norm"))
+            Seq.fill(model.dim)(0.0), model)), 6).cast("decimal(18,6)")
+            .as("recon_norm"))
         .orderBy(col("vec_id"))
     }),
 
@@ -4422,6 +4439,82 @@ object SparkEntry {
        SELECT vec_id, cosine_sim FROM ce
        ORDER BY cosine_sim DESC, vec_id LIMIT 10"""
 
+  /** One pinned Lloyd iteration for q113's PER-SUBSPACE PQ fit: the
+    * km-chain generalized with the subspace index `j` riding every
+    * key, so all eight 64-cell sub-fits unroll in ONE chain.
+    */
+  private def pqIterSql(n: Int): String = {
+    val p = s"pm${n - 1}"
+    s""",
+       pmd$n AS MATERIALIZED (
+         SELECT s.sid, s.j, c.cell,
+                round(sum((s.x - c.v) * (s.x - c.v)), 9) AS d2
+         FROM pksamp s JOIN $p c ON c.j = s.j AND c.i = s.i
+         GROUP BY s.sid, s.j, c.cell),
+       pma$n AS MATERIALIZED (
+         SELECT sid, j, cell FROM (
+           SELECT sid, j, cell,
+                  row_number() OVER (PARTITION BY sid, j
+                                     ORDER BY d2, cell) AS rn
+           FROM pmd$n) WHERE rn = 1),
+       pm$n AS MATERIALIZED (
+         SELECT prev.cell, prev.j, prev.i, coalesce(nm.m, prev.v) AS v
+         FROM $p prev
+         LEFT JOIN (
+           SELECT a.cell, a.j, s.i, round(avg(s.x), 6) AS m
+           FROM pma$n a JOIN pksamp s ON s.sid = a.sid AND s.j = a.j
+           GROUP BY a.cell, a.j, s.i) nm
+           ON nm.cell = prev.cell AND nm.j = prev.j AND nm.i = prev.i)"""
+  }
+
+  /** q113's oracle: the eight per-subspace 64-cell codebook fits
+    * unrolled (five pinned Lloyd iterations over one composite-key
+    * chain), then every corpus vector encoded by raw per-subspace
+    * argmin (ties to the lowest code — `Pq.encode`'s rule) and its
+    * reconstruction norm re-derived from the chosen centroids.
+    */
+  private lazy val PqEncodeOracleSql: String =
+    """WITH psamp AS (
+         SELECT vec_id, embedding FROM embeddings
+         WHERE embedding IS NOT NULL
+         ORDER BY md5(vec_id::VARCHAR), vec_id::VARCHAR LIMIT 2000),
+       pksamp AS MATERIALIZED (
+         SELECT s.vec_id AS sid, ((g.i - 1) // 8)::INT AS j,
+                (((g.i - 1) % 8) + 1)::INT AS i,
+                s.embedding[g.i]::DOUBLE AS x
+         FROM psamp s,
+              unnest(generate_series(1, len(s.embedding))) AS g(i)),
+       pkinit AS (
+         SELECT vec_id, rn - 1 AS cell FROM (
+           SELECT vec_id, row_number() OVER (
+             ORDER BY md5(vec_id::VARCHAR), vec_id::VARCHAR) AS rn
+           FROM psamp) WHERE rn <= 64),
+       pm0 AS MATERIALIZED (
+         SELECT k.cell, s.j, s.i, s.x AS v
+         FROM pkinit k JOIN pksamp s ON s.sid = k.vec_id)""" +
+      (1 to 5).map(pqIterSql).mkString +
+      """,
+       ez AS (SELECT e.vec_id, c.j, c.cell,
+                     e.embedding[c.j * 8 + c.i]::DOUBLE AS x, c.v AS y
+              FROM embeddings e
+              JOIN pm5 c ON c.j * 8 + c.i <= len(e.embedding)),
+       ed AS (SELECT vec_id, j, cell, sum((x - y) * (x - y)) AS d2
+              FROM ez GROUP BY vec_id, j, cell),
+       ea AS (SELECT vec_id, j, cell FROM (
+           SELECT vec_id, j, cell,
+                  row_number() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d2, cell) AS rn
+           FROM ed) WHERE rn = 1),
+       cds AS (SELECT vec_id,
+                      string_agg(cell::VARCHAR, ',' ORDER BY j) AS codes
+               FROM ea GROUP BY vec_id),
+       rcn AS (SELECT a.vec_id, sum(c.v * c.v) AS r2
+               FROM ea a JOIN pm5 c ON c.j = a.j AND c.cell = a.cell
+               GROUP BY a.vec_id)
+       SELECT c.vec_id, c.codes,
+              round(sqrt(r.r2), 6)::DECIMAL(18,6) AS recon_norm
+       FROM cds c JOIN rcn r USING (vec_id) ORDER BY c.vec_id"""
+
   private lazy val IvfRecallOracleSql: String =
     """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
        zc AS (SELECT e.vec_id, c.cid,
@@ -5324,6 +5417,10 @@ object SparkEntry {
     // the FITTED quantizer unrolled (five pinned Lloyd iterations)
     // plus the same probe mechanics as q46
     "q34_ivf_topk" -> IvfFittedTopKOracleSql,
+
+    // the eight per-subspace codebook fits unrolled, then raw-argmin
+    // encode + reconstruction norms
+    "q113_pq_encode" -> PqEncodeOracleSql,
 
     // q72's model CTEs + (weight desc, id) top-100 — the rounded
     // weights are hash-identical (q72), so the ordering is too

@@ -66,6 +66,48 @@ object Pq {
     PqModel(books, dim)
   }
 
+  /** [[fit]] with every degree of freedom pinned to an
+    * engine-reproducible spelling (the
+    * [[SimilaritySearch.learnCentroidsDeterministic]] treatment
+    * applied to PQ): ONE md5-smallest-`sampleN` sample is collected
+    * (content-keyed top-n, identical on any engine/partitioning) and
+    * each subspace runs the pinned Lloyd core over its subvectors —
+    * first-k init in the shared sample order, 9-decimal-pinned
+    * assignment distances, 6-decimal-pinned means. An oracle engine
+    * can therefore unroll the whole codebook FIT (q113 does), where
+    * the RNG-seeded [[fit]] can only be bounded by recall floors.
+    */
+  def fitPinned(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int = 16,
+      sampleN: Int = 2000,
+      iters: Int = 5): PqModel = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k >= 1 && k <= 256, s"k=$k must fit one byte")
+    val subDim = dim / m
+    val sample = df.where(col(vecCol).isNotNull)
+      .select(md5(col(idCol).cast("string")).as("__k"),
+        col(idCol).cast("string").as("__id"), col(vecCol))
+      .orderBy(col("__k"), col("__id"))
+      .limit(sampleN)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toIndexedSeq)
+      .toVector
+    require(sample.nonEmpty, "cannot fit PQ codebooks from an empty frame")
+    val books = (0 until m).toVector.map { j =>
+      val subs = sample.map(v =>
+        v.slice(j * subDim, (j + 1) * subDim): IndexedSeq[Double])
+      SimilaritySearch.pinnedLloyd(subs, k, iters)
+        .map(c => c: Seq[Double])
+    }
+    PqModel(books, dim)
+  }
+
   /** The `m`-code encoding of `vec` as an `array<int>` column: per
     * subspace, argmin over the `k` centroid distances (ties → lowest
     * code, deterministic). `m × k` codegen sqdist probes, all in the

@@ -643,6 +643,18 @@ object SimilaritySearch {
       .map(_.getSeq[Number](0).map(_.doubleValue()).toIndexedSeq)
       .toVector
     require(sample.nonEmpty, "cannot learn centroids from an empty frame")
+    pinnedLloyd(sample, k, iters).map(_.toSeq)
+  }
+
+  /** The pinned Lloyd core of [[learnCentroidsDeterministic]], over an
+    * already-ordered in-memory sample — shared with
+    * [[Pq.fitPinned]]'s per-subspace fits (ONE collect, m pinned
+    * fits). Init = the first `k` sample rows in their given order.
+    */
+  private[ext] def pinnedLloyd(
+      sample: Vector[IndexedSeq[Double]],
+      k: Int,
+      iters: Int): Vector[IndexedSeq[Double]] = {
     var centroids = sample.take(math.min(k, sample.length))
     for (_ <- 1 to iters) {
       val assigned = sample.groupBy { v =>
@@ -662,7 +674,7 @@ object SimilaritySearch {
         }
       }.toVector
     }
-    centroids.map(_.toSeq)
+    centroids
   }
 
   /** Learn `k` coarse centroids with a few Lloyd iterations over a
