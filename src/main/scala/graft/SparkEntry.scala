@@ -237,6 +237,18 @@ object SparkEntry {
     SimilaritySearch.hyperplanes(numPlanes = 4, dim = 64, seed = 42L)
       .map(_.mkString("[", ", ", "]::DOUBLE[]"))
 
+  /** The first 20 planes of the SAME deterministic family, as a VALUES
+    * table for q55's corpus-size-derived plane count: the family is
+    * prefix-closed (entry (p, d) depends only on (p, d, seed)), so a
+    * 20-plane literal table covers every count `planesForCorpus` can
+    * derive, and the oracle picks its prefix at query time.
+    */
+  private lazy val annPlane20Values: String =
+    SimilaritySearch.hyperplanes(numPlanes = 20, dim = 64, seed = 42L)
+      .zipWithIndex
+      .map { case (pl, i) => s"($i, ${pl.mkString("[", ", ", "]::DOUBLE[]")})" }
+      .mkString(", ")
+
   /** The q80 random-projection planes as DuckDB literals (same
     * deterministic doubles, 8 planes × dim 64).
     */
@@ -950,12 +962,20 @@ object SparkEntry {
     // count from the corpus size (planesForCorpus — one metadata count)
     // and multi-probes; measured recall@10 1.0/1.0/0.8 at
     // sf0.001/0.01/0.1 vs the fixed-4-plane default q31's 0.7/0.6/0.6.
-    // Rows-only (the derived plane count varies with the corpus, so no
-    // fixed hyperplane literals for a DuckDB twin); recall floors
-    // asserted at sf0.001 AND sf0.1 in EstimatorQualitySpec.
+    // Fully oracled since round 16: the plane family is prefix-closed
+    // and deterministic, so the oracle embeds its first 20 planes as
+    // literals, re-derives the corpus-sized plane COUNT in SQL (the
+    // planesForCorpus loop as a min-over-candidates), and replays sign
+    // buckets + hamming-1 multi-probe + in-bucket cosine top-10 — the
+    // zero-knob derivation itself is on the hash path. Recall floors
+    // stay in EstimatorQualitySpec (sf0.001 AND sf0.1).
     "q55_ann_topk_auto" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = queryVector(e, 0L)
+      // the oracle embeds dim-64 plane literals — fail loudly on a
+      // regenerated fixture of another width (the q80 convention)
+      require(q.size == 64,
+        "q55's oracle embeds dim-64 plane literals; fixture width differs")
       SimilaritySearch.annTopKAuto(e, "vec_id", "embedding", q, 10,
           excludeId = Some(0L))
         .select(col("vec_id"), col("cosine_sim"))
@@ -5421,6 +5441,46 @@ object SparkEntry {
     // the eight per-subspace codebook fits unrolled, then raw-argmin
     // encode + reconstruction norms
     "q113_pq_encode" -> PqEncodeOracleSql,
+
+    // prefix-closed plane family as a 20-plane literal table, the
+    // planesForCorpus loop re-derived as a min-over-candidates (the
+    // probed fraction (p+2)/2^(p+1) is decreasing, so the loop's exit
+    // is the first failing p), sign buckets over the first np planes,
+    // hamming<=1 multi-probe, in-bucket cosine top-10
+    "q55_ann_topk_auto" ->
+      (s"""WITH pl AS (SELECT * FROM (VALUES $annPlane20Values)
+                       AS t(pid, plane)),""" +
+        """
+         nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+         np AS (SELECT coalesce(
+                  (SELECT min(g.p)
+                   FROM unnest(generate_series(1, 19)) AS g(p), nn
+                   WHERE (g.p + 2.0) / power(2.0, g.p + 1) * nn.n < 640.0),
+                  20) AS np),
+         zb AS (SELECT e.vec_id, p.pid,
+                       list_dot_product(e.embedding::DOUBLE[], p.plane) AS dp
+                FROM embeddings e, pl p, np WHERE p.pid < np.np),
+         b AS (SELECT vec_id,
+                      sum(CASE WHEN dp >= 0
+                               THEN power(2.0, pid)::BIGINT
+                               ELSE 0 END)::BIGINT AS bucket
+               FROM zb GROUP BY vec_id),
+         qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),
+         cand AS (SELECT b.vec_id FROM b, qb
+                  WHERE b.vec_id <> 0
+                    AND (b.bucket = qb.qbucket
+                         OR bit_count(xor(b.bucket, qb.qbucket)) = 1)),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         ze AS (SELECT e.vec_id,
+                       unnest(e.embedding)::DOUBLE AS x,
+                       unnest(q.qe)::DOUBLE AS y
+                FROM embeddings e, cand c, q WHERE e.vec_id = c.vec_id),
+         ce AS (SELECT vec_id,
+                       sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))
+                         AS cosine_sim
+                FROM ze GROUP BY vec_id)
+         SELECT vec_id, cosine_sim FROM ce
+         ORDER BY cosine_sim DESC, vec_id LIMIT 10"""),
 
     // q72's model CTEs + (weight desc, id) top-100 — the rounded
     // weights are hash-identical (q72), so the ordering is too
