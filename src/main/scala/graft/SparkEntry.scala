@@ -23,6 +23,48 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Root for oracle-visible generated fixtures. The realistic
+    * synthetic corpus is built with scala.util.Random, which has no
+    * SQL twin — but the ROWS it produces do: persisting them to a
+    * fixed parquet path lets the DuckDB oracle `read_parquet` the
+    * identical input Spark processed, turning "no SQL twin by
+    * construction" rows into fully-oracled ones. Lives under target/
+    * (git-ignored, always writable next to the build). The path is a
+    * literal inside the oracle SQL, so Verify must run before the
+    * oracle — which is the driver's order by construction. */
+  private val FixtureDir = "/root/repo/target/fixtures"
+
+  /** Fixture write ledger: name → corpus size already on disk this
+    * JVM. Verify dumps queries from a thread pool, and two queries
+    * share the default corpus — an unsynchronized overwrite would let
+    * both write jobs interleave and leave BOTH jobs' part files in the
+    * directory (observed: doubled rows). One synchronized write per
+    * (name, size) per session; later callers just read. */
+  private val fixtureWritten =
+    scala.collection.mutable.Map.empty[String, Long]
+
+  /** Generate the realistic corpus sized to the sf's documents table
+    * and persist it for the oracle (single part file — the oracle
+    * globs the part file inside the dir). Returns the re-read frame so Spark and
+    * DuckDB consume the same bytes. Verify-lane plumbing: the corpus
+    * is ≤ thousands of rows at test sf, so coalesce(1) is free. */
+  private def persistedRealistic(
+      s: SparkSession, dir: String, name: String,
+      langWeights: Seq[(String, Int)] = Nil): DataFrame = {
+    val path = s"$FixtureDir/$name"
+    val n = t(s, dir, "documents").count()
+    fixtureWritten.synchronized {
+      if (!fixtureWritten.get(name).contains(n)) {
+        graft.ext.SyntheticCorpus
+          .realistic(s, n, langWeights = langWeights)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+        fixtureWritten.put(name, n)
+      }
+    }
+    s.read.parquet(path)
+  }
+
   /** Order-insensitive sum for fixed-point money doubles: accumulate as
     * exact DECIMAL(38,scale) (associative — no float accumulation-order
     * dependence across partitions), emit double. Every money sum below
@@ -447,9 +489,7 @@ object SparkEntry {
     // Composite quality score (pure column algebra)
     "q21_quality_score" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.qualityScore(col("text")).cast("decimal(18,6)")
-            .as("quality"))
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
     // Language ID (stopword-hit heuristic), rolled up
@@ -877,11 +917,15 @@ object SparkEntry {
     // sf's documents table: the degenerate-fixture twin whose output is
     // ~75% of all pairs makes the headline number mostly "emit 5M true
     // pairs"; this row shows the SAME plan at a real corpus's pair
-    // density. Rows-only (generated input + xxhash64 candidacy).
+    // density. Fully oracled since round 17: the corpus persists to an
+    // oracle-visible parquet fixture and the signature lanes run
+    // SigMode.Md5 (the q28 verify-lane convention), so DuckDB replays
+    // the ENTIRE LSH machine on the identical realistic input.
     "q48_minhash_realistic" -> ((s, dir) =>
       Dedup.minhashPairs(
-        graft.ext.SyntheticCorpus.realistic(s, t(s, dir, "documents").count()),
-        "doc_id", "text", minJaccard = 0.7, numHashes = 64, shingleSize = 1)),
+        persistedRealistic(s, dir, "realistic_corpus.parquet"),
+        "doc_id", "text", minJaccard = 0.7, numHashes = 64, shingleSize = 1,
+        sigMode = Dedup.SigMode.Md5)),
 
     // q39's five-stage pipeline on the same realistic-profile corpus
     // (trigram shingles, j≥0.9 — the planted 1%-mutation dups straddle
@@ -949,9 +993,11 @@ object SparkEntry {
     // text-independent — q53 verifies only the matrix mechanics).
     // Rows-only (generated input); diagonal dominance (per-lang recall
     // ≥ 0.9) AND the off-diagonal es/fr structure are asserted in
-    // SyntheticCorpusSpec.
+    // SyntheticCorpusSpec. Fully oracled since round 17: the corpus
+    // persists to an oracle-visible parquet fixture, so DuckDB replays
+    // the stopword argmax (q53's machine) on the identical rows.
     "q54_langid_confusion_realistic" -> ((s, dir) =>
-      graft.ext.SyntheticCorpus.realistic(s, t(s, dir, "documents").count(),
+      persistedRealistic(s, dir, "realistic_langs.parquet",
           langWeights = Seq("en" -> 40, "es" -> 20, "de" -> 15,
             "fr" -> 15, "zh" -> 10))
         .select(col("lang"), graft.ext.LangId.langId(col("text")).as("lang_pred"))
@@ -1011,13 +1057,6 @@ object SparkEntry {
     // splits, oracled end-to-end
     "q57_repetition_scores" -> ((s, dir) =>
       TextAnalysis.repetitionScores(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"),
-          col("dup_line_frac").cast("decimal(18,6)").as("dup_line_frac"),
-          col("dup_line_char_frac").cast("decimal(18,6)")
-            .as("dup_line_char_frac"),
-          col("dup_word_frac").cast("decimal(18,6)").as("dup_word_frac"),
-          col("top_bigram_char_frac").cast("decimal(18,6)")
-            .as("top_bigram_char_frac"))
         .orderBy(col("doc_id"))),
 
     // Eval-set contamination report: training docs sharing any word
@@ -1037,17 +1076,12 @@ object SparkEntry {
     // DuckDB already proven by q33's idf)
     "q59_unigram_xent" -> ((s, dir) =>
       TextAnalysis.unigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), col("n_tokens"),
-          col("xent_nats").cast("decimal(18,6)").as("xent_nats"))
         .orderBy(col("doc_id"))),
 
     // Per-source dataset card: docs / tokens / mean quality / English
     // share — the shard summary a training corpus publishes
     "q60_source_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(t(s, dir, "documents"), "source", "text")
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          col("avg_quality").cast("decimal(18,6)").as("avg_quality"),
-          col("n_pred_en"))
         .orderBy(col("source"))),
 
     // Corpus mixing: per-source token budgets drawn deterministically
@@ -1079,8 +1113,6 @@ object SparkEntry {
     // repetition (within-doc repeats don't count; q57 covers those)
     "q66_cross_dup_ngrams" -> ((s, dir) =>
       TextAnalysis.crossDocDupFraction(t(s, dir, "documents"), "doc_id", "text", n = 3)
-        .select(col("doc_id"), col("n_grams"),
-          col("cross_dup_frac").cast("decimal(18,6)").as("cross_dup_frac"))
         .orderBy(col("doc_id"))),
 
     // Overlapping token-window chunking (30-token windows, 5 shared):
@@ -1127,8 +1159,6 @@ object SparkEntry {
         .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
           col("vec_id") === col("doc_id"))
       SimilaritySearch.centroidSimilarity(joined, "source", "vec_id", "embedding")
-        .select(col("vec_id"), col("source"),
-          col("centroid_sim").cast("decimal(18,6)").as("centroid_sim"))
         .orderBy(col("vec_id"))
     }),
 
@@ -1150,8 +1180,6 @@ object SparkEntry {
     "q72_dsir_weights" -> ((s, dir) =>
       TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
           col("lang") === "en")
-        .select(col("doc_id"), col("n_tokens"),
-          col("dsir_logratio").cast("decimal(18,6)").as("dsir_logratio"))
         .orderBy(col("doc_id"))),
 
     // Per-domain provenance rollup over planted URLs (the fixture text
@@ -1287,8 +1315,6 @@ object SparkEntry {
     // transition-predictability quality signal unigram scoring misses
     "q77_bigram_xent" -> ((s, dir) =>
       TextAnalysis.bigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), col("n_bigrams"),
-          col("bixent_nats").cast("decimal(18,6)").as("bixent_nats"))
         .orderBy(col("doc_id"))),
 
     // Dup-cluster size histogram over the exact-Jaccard components —
@@ -1352,16 +1378,12 @@ object SparkEntry {
     "q81_oov_rate" -> ((s, dir) =>
       TextAnalysis.oovRate(t(s, dir, "documents"), "doc_id", "text",
           vocabSize = 100)
-        .select(col("doc_id"), col("n_tokens"),
-          col("oov_rate").cast("decimal(18,6)").as("oov_rate"))
         .orderBy(col("doc_id"))),
 
     // Zipf slope of the vocabulary (corpus-health dashboard): OLS of
     // ln(freq) on ln(rank), explicit sums so DuckDB reproduces exactly
     "q82_zipf_slope" -> ((s, dir) =>
-      TextAnalysis.zipfSlope(t(s, dir, "documents"), "text")
-        .select(col("n_vocab"),
-          col("zipf_slope").cast("decimal(18,6)").as("zipf_slope"))),
+      TextAnalysis.zipfSlope(t(s, dir, "documents"), "text")),
 
     // The PERSISTED IVF index end-to-end: build the cell-partitioned
     // index, probe it (partition pruning at file listing), measure
@@ -1412,9 +1434,7 @@ object SparkEntry {
     "q85_dsir_select" -> ((s, dir) =>
       TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
           col("lang") === "en")
-        .orderBy(col("dsir_logratio").desc, col("doc_id")).limit(100)
-        .select(col("doc_id"), col("n_tokens"),
-          col("dsir_logratio").cast("decimal(18,6)").as("dsir_logratio"))),
+        .orderBy(col("dsir_logratio").desc, col("doc_id")).limit(100)),
 
     // Packing-policy dashboard: doc-isolated packing (no cross-doc
     // attention) vs concat-and-chunk (q65) at seqLen=512 — pack
@@ -1450,7 +1470,11 @@ object SparkEntry {
           bench, "bench_id", "bench_text", minJaccard = 0.2,
           sigMode = Dedup.SigMode.Md5)
         .select(col("doc_id"), col("n_bench_matches"),
-          col("max_est_jaccard").cast("decimal(18,6)")
+          // hashed as micro-units (×1e6, floor half-up): multiply, add
+          // and floor are IEEE-pinned, so the integer is bit-identical
+          // on any engine given the same double — unlike round() or a
+          // double→decimal cast, both of which proved engine-sensitive
+          floor(col("max_est_jaccard") * lit(1e6) + lit(0.5))
             .as("max_est_jaccard"))
         .orderBy(col("doc_id"))
     }),
@@ -1493,7 +1517,14 @@ object SparkEntry {
         .withColumnRenamed("padding_fraction", "isolated_padding_fraction")
         .crossJoin(bins) // 1×1 rows — the dashboard row
         .select(col("n_docs"), col("n_tokens"), col("isolated_packs"),
-          col("concat_packs"), col("isolated_padding_fraction"),
+          col("concat_packs"),
+          // micro-units hash recomputed from the raw counts (not the
+          // pre-rounded packingBaseStats column) so both spellings run
+          // the identical IEEE ops; see q87's micro-units note
+          floor((col("isolated_packs") * lit(seqLen) - col("n_tokens"))
+              .cast("double") / (col("isolated_packs") * lit(seqLen))
+              * lit(1e6) + lit(0.5))
+            .as("isolated_padding_fraction"),
           (col("ffd_packs") >= col("concat_packs"))
             .as("ffd_at_least_optimal_floor"),
           (col("ffd_packs") <= col("isolated_packs") &&
@@ -1559,8 +1590,6 @@ object SparkEntry {
     "q90_quality_classifier" -> ((s, dir) =>
       TextAnalysis.hashedNgramClassifier(
           t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
-        .select(col("doc_id"), col("n_grams"),
-          col("score").cast("decimal(18,6)").as("score"), col("predicted"))
         .orderBy(col("doc_id"))),
 
     // The production train/apply split: the gate is FIT on half the
@@ -1572,8 +1601,6 @@ object SparkEntry {
     "q91_classifier_holdout" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.scoreHashedNgrams(docs, "doc_id", "text", evenIdModel(s, dir))
-        .select(col("doc_id"), col("n_grams"),
-          col("score").cast("decimal(18,6)").as("score"), col("predicted"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1764,11 +1791,6 @@ object SparkEntry {
           coalesce(col("lang") === "en", lit(false)).as("__label")), Seq("doc_id"))
       TextAnalysis.binaryClassificationMetrics(
         holdout, col("__label"), "score", "predicted")
-        .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
-          col("precision").cast("decimal(18,6)").as("precision"),
-          col("recall").cast("decimal(18,6)").as("recall"),
-          col("f1").cast("decimal(18,6)").as("f1"),
-          col("auc").cast("decimal(18,6)").as("auc"))
     }),
 
     // HTML link provenance: hosts of absolute hrefs (double- and
@@ -1816,10 +1838,6 @@ object SparkEntry {
         .join(docs.select(col("doc_id"),
           coalesce(col("lang") === "en", lit(false)).as("__label")), Seq("doc_id"))
       TextAnalysis.precisionRecallCurve(holdout, col("__label"), "score")
-        .select(col("threshold").cast("decimal(18,6)").as("threshold"),
-          col("n_predicted"), col("tp"),
-          col("precision").cast("decimal(18,6)").as("precision"),
-          col("recall").cast("decimal(18,6)").as("recall"))
         .orderBy(col("threshold"))
     }),
 
@@ -1972,7 +1990,8 @@ object SparkEntry {
         sum(col("__p2")).as("__sp"), count(lit(1)).as("__n")))
       projected.crossJoin(stats)
         .select(col("vec_id"),
-          round(sqrt(col("__c2")), 6).cast("decimal(18,6)")
+          // micro-units hash (see q87): IEEE-pinned, engine-portable
+          floor(sqrt(col("__c2")) * lit(1e6) + lit(0.5))
             .as("centered_norm"),
           (sqrt(col("__p2")) <= sqrt(col("__c2")) + lit(1e-9))
             .as("proj_contracts"),
@@ -2036,12 +2055,14 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_frames"),
           sum(when(col("rms") > 0.05, 1L).otherwise(0L)).as("n_voiced"),
-          round(avg(col("rms")), 4).cast("decimal(18,4)").as("avg_rms"),
-          round(max(col("peak")), 4).cast("decimal(18,4)").as("max_peak"),
-          round(avg(col("zcr")), 4).cast("decimal(18,4)").as("avg_zcr"))
+          // hashed in 1e-4 units (floor half-up — IEEE-pinned, engine-
+          // portable; see q87's micro-units note)
+          floor(avg(col("rms")) * lit(1e4) + lit(0.5)).as("avg_rms"),
+          floor(max(col("peak")) * lit(1e4) + lit(0.5)).as("max_peak"),
+          floor(avg(col("zcr")) * lit(1e4) + lit(0.5)).as("avg_zcr"))
         .withColumn("voiced_fraction",
-          round(col("n_voiced").cast("double") / col("n_frames"), 4)
-            .cast("decimal(18,4)"))
+          floor(col("n_voiced").cast("double") / col("n_frames") * lit(1e4)
+            + lit(0.5)))
         .orderBy(col("media_id"))
     }),
 
@@ -2063,10 +2084,8 @@ object SparkEntry {
       // (rounded to 6 like the ranks, so summation order can't bit-flip
       // the hash; DuckDB unrolls pr9 AND pr10 and differences them)
       run.ranks
-        .select(col("node"),
-          round(col("rank"), 6).cast("decimal(18,6)").as("pagerank"),
-          round(lit(run.l1Residual), 6).cast("decimal(18,6)")
-            .as("l1_residual"))
+        .select(col("node"), round(col("rank"), 6).as("pagerank"),
+          round(lit(run.l1Residual), 6).as("l1_residual"))
         .orderBy(col("node"))
     }),
 
@@ -2145,9 +2164,10 @@ object SparkEntry {
         .select(col("vec_id"),
           concat_ws(",", col("codes").cast("array<string>")).as("codes"),
           // ADC to the zero vector = ‖reconstruction‖ — a readable
-          // per-row sanity magnitude riding the same lookup path
-          round(sqrt(graft.ext.Pq.adcDistance(col("codes"),
-            Seq.fill(model.dim)(0.0), model)), 6).cast("decimal(18,6)")
+          // per-row sanity magnitude riding the same lookup path;
+          // hashed as micro-units (IEEE-pinned; see q87)
+          floor(sqrt(graft.ext.Pq.adcDistance(col("codes"),
+            Seq.fill(model.dim)(0.0), model)) * lit(1e6) + lit(0.5))
             .as("recon_norm"))
         .orderBy(col("vec_id"))
     }),
@@ -2733,8 +2753,7 @@ object SparkEntry {
     "q129_bm25" -> ((s, dir) => {
       TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
           Seq("vector", "stream", "merge", "zebra"))
-        .select(col("doc_id"), col("n_matched"),
-          round(col("score"), 6).cast("decimal(18,6)").as("score"))
+        .select(col("doc_id"), col("n_matched"), round(col("score"), 6).as("score"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2753,15 +2772,21 @@ object SparkEntry {
     // Zipfian vocabulary, planted dup clusters) — the profile where
     // prefix filtering earns its keep: rare-first prefixes make posting
     // lists short, so candidates stay near-linear where the 50-word
-    // documents fixture (q130) degenerates to all-pairs. Rows-only
-    // (generated corpus); exactness pinned by DedupSpec's
-    // prefix≡brute-force equality and q130's oracle.
+    // documents fixture (q130) degenerates to all-pairs. Fully oracled
+    // since round 17: the corpus persists to an oracle-visible parquet
+    // fixture and DuckDB brute-forces exact unigram Jaccard on it —
+    // hash-matching the brute force proves prefix filtering dropped no
+    // qualifying pair on the realistic profile too. The jaccard sum is
+    // hashed as per-pair micro-units summed in integers (each pair's
+    // c/(na+nb−c) is one exact int division; floor ×1e6 then an exact
+    // long sum has NO float-accumulation-order dependence, unlike
+    // avg()).
     "q131_prefix_jaccard_realistic" -> ((s, dir) => {
       Dedup.prefixJaccardPairs(
-          graft.ext.SyntheticCorpus.realistic(s, t(s, dir, "documents").count()),
+          persistedRealistic(s, dir, "realistic_corpus.parquet"),
           "doc_id", "text", n = 1, minJaccard = 0.8)
         .agg(count(lit(1)).as("n_pairs"),
-          round(avg(col("jaccard")), 6).as("avg_jaccard"),
+          sum(floor(col("jaccard") * lit(1e6) + lit(0.5))).as("sum_jaccard"),
           min(col("jaccard")).as("min_jaccard"))
     }),
 
@@ -2803,11 +2828,9 @@ object SparkEntry {
         ((col("doc_id") * 7 + 3) % 25).as("dst"))
       val run = graft.ext.LinkGraph.hitsRun(edges, "src", "dst", iterations = 10)
       run.scores
-        .select(col("node"),
-          round(col("auth"), 6).cast("decimal(18,6)").as("auth"),
-          round(col("hub"), 6).cast("decimal(18,6)").as("hub"),
-          round(lit(run.l1Residual), 6).cast("decimal(18,6)")
-            .as("l1_residual"))
+        .select(col("node"), round(col("auth"), 6).as("auth"),
+          round(col("hub"), 6).as("hub"),
+          round(lit(run.l1Residual), 6).as("l1_residual"))
         .orderBy(col("node"))
     }),
 
@@ -2855,10 +2878,8 @@ object SparkEntry {
       val run = graft.ext.LinkGraph
         .pageRankRun(edges, "src", "dst", damping = 0.85, iterations = 10)
       run.ranks
-        .select(col("node"),
-          round(col("rank"), 6).cast("decimal(18,6)").as("pagerank"),
-          round(lit(run.l1Residual), 6).cast("decimal(18,6)")
-            .as("l1_residual"))
+        .select(col("node"), round(col("rank"), 6).as("pagerank"),
+          round(lit(run.l1Residual), 6).as("l1_residual"))
         .orderBy(col("node"))
     }),
 
@@ -2936,9 +2957,10 @@ object SparkEntry {
           warm.l1Residual < cold.l1Residual))
         .toDF("warm_l1_residual", "cold_l1_residual", "warm_beats_cold")
         .select(
-          round(col("warm_l1_residual"), 6).cast("decimal(18,6)")
+          // micro-units hash (IEEE-pinned; see q87)
+          floor(col("warm_l1_residual") * lit(1e6) + lit(0.5))
             .as("warm_l1_residual"),
-          round(col("cold_l1_residual"), 6).cast("decimal(18,6)")
+          floor(col("cold_l1_residual") * lit(1e6) + lit(0.5))
             .as("cold_l1_residual"),
           col("warm_beats_cold"))
     }),
@@ -2964,16 +2986,20 @@ object SparkEntry {
       Multimodal.audioSpectralFeatures(media, frameMs = 64).toDF()
         .groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_frames"),
-          round(avg(col("peak_hz")), 2).as("__aph"),
-          round(avg(col("centroid_hz")), 2).as("__ach"),
-          round(min(col("peak_mag_rel")), 4).as("__mps"))
+          // hashed in centi-Hz / 1e-4 units (floor half-up on the RAW
+          // aggregate — no round(), no decimal cast; IEEE-pinned, see
+          // q87's micro-units note)
+          floor(avg(col("peak_hz")) * lit(1e2) + lit(0.5)).as("__aph"),
+          floor(avg(col("centroid_hz")) * lit(1e2) + lit(0.5)).as("__ach"),
+          floor(min(col("peak_mag_rel")) * lit(1e4) + lit(0.5)).as("__mps"))
         .withColumn("tone_hz", lit(500) + lit(125) * (col("media_id") % 8))
         .select(col("media_id"), col("n_frames"),
-          col("__aph").cast("decimal(18,2)").as("avg_peak_hz"),
-          col("__ach").cast("decimal(18,2)").as("avg_centroid_hz"),
-          col("__mps").cast("decimal(18,4)").as("min_peak_share"),
+          col("__aph").as("avg_peak_hz"),
+          col("__ach").as("avg_centroid_hz"),
+          col("__mps").as("min_peak_share"),
           col("tone_hz"),
-          (abs(col("__aph") - col("tone_hz")) <= lit(16000.0 / 1024))
+          // one-bin tolerance in centi-Hz: 16000/1024 Hz = 1562.5
+          (abs(col("__aph") - col("tone_hz") * 100) <= lit(1562.5))
             .as("peak_within_bin"))
         .orderBy(col("media_id"))
     }),
@@ -3036,10 +3062,9 @@ object SparkEntry {
           regexp_extract(col("loc"), "/p([0-9]+)$", 1).cast("long").as("doc_id"),
           col("loc"), col("changefreq"),
           // +0.0 collapses IEEE -0.0 (a future lastmod over an infinite
-          // period) to +0.0, and the DECIMAL cast makes the hashed value
-          // engine-version-proof (round() on DOUBLE is last-ULP free)
-          (round(col("staleness"), 6) + lit(0.0)).cast("decimal(18,6)")
-            .as("staleness"), col("due"))
+          // period) to +0.0 — the oracle does the same, else the driver's
+          // bit-exact float hash splits on the sign of zero
+          (round(col("staleness"), 6) + lit(0.0)).as("staleness"), col("due"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3060,9 +3085,6 @@ object SparkEntry {
     // token stream.
     "q142_kn_bigram" -> ((s, dir) =>
       TextAnalysis.knBigramXent(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), col("n_bigrams"),
-          col("kn_xent_nats").cast("decimal(18,6)").as("kn_xent_nats"),
-          col("kn_ppl").cast("decimal(18,6)").as("kn_ppl"))
         .orderBy(col("doc_id"))),
 
     // Skew-salted join: half the corpus lands on one foreign key (the
@@ -3107,19 +3129,16 @@ object SparkEntry {
     // Temperature-scaled language mix (T = 2): the exponent-smoothed
     // sampling weights a multilingual run would draw languages with,
     // over whitespace-token mass. Fully oracled: shares and the
-    // normalizers re-derive from the same token counts. The rounded
-    // shares are hashed as DECIMAL(18,6), not DOUBLE: round(x, 6) on
-    // a double is not IEEE-specified and its last ULP legitimately
-    // differs across engines/libms, while the 6-digit decimal the
-    // round targets is identical — so the artifact compares the exact
-    // decimal both engines agree on.
+    // normalizers re-derive from the same token counts.
     "q145_temperature_mix" -> ((s, dir) =>
       Sampling.temperatureWeights(t(s, dir, "documents"), "lang",
           TextAnalysis.tokenCount(col("text")), temperature = 2.0)
         .select(col("lang"), col("n_tokens"),
-          round(col("nat_share"), 6).cast("decimal(18,6)").as("nat_share"),
-          round(col("temp_share"), 6).cast("decimal(18,6)").as("temp_share"),
-          round(col("epoch_factor"), 6).cast("decimal(18,6)")
+          // micro-units hash (IEEE-pinned; see q87) — this row flapped
+          // under BOTH round()-on-double and decimal-cast hashing
+          floor(col("nat_share") * lit(1e6) + lit(0.5)).as("nat_share"),
+          floor(col("temp_share") * lit(1e6) + lit(0.5)).as("temp_share"),
+          floor(col("epoch_factor") * lit(1e6) + lit(0.5))
             .as("epoch_factor"))
         .orderBy(col("lang")))
 ,
@@ -3130,8 +3149,7 @@ object SparkEntry {
     "q146_neyman_sample" -> ((s, dir) =>
       Sampling.neymanSample(t(s, dir, "documents"), "lang", "doc_id",
           col("n_chars"), budgetFrac = 0.4)
-        .select(col("doc_id"), col("lang"),
-          col("__rate").cast("decimal(18,6)").as("rate"))
+        .select(col("doc_id"), col("lang"), col("__rate").as("rate"))
         .orderBy(col("doc_id")))
 ,
     // Content-defined chunking (gear-hash CDC) + cross-document shared-
@@ -3232,10 +3250,6 @@ object SparkEntry {
       graft.ext.Bootstrap.poissonBootstrapCi(
           t(s, dir, "documents"), "doc_id", col("n_chars"), "lang",
           replicas = 64)
-        .select(col("lang"), col("n"),
-          col("mean").cast("decimal(18,6)").as("mean"),
-          col("ci_lo").cast("decimal(18,6)").as("ci_lo"),
-          col("ci_hi").cast("decimal(18,6)").as("ci_hi"))
         .orderBy(col("lang")))
 ,
     // Bucketed interval-overlap join over event time windows (even vs
@@ -3416,9 +3430,7 @@ object SparkEntry {
     // re-derive in DuckDB.
     "q160_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(t(s, dir, "documents"), "doc_id", "text",
-        minCount = 5, k = 50)
-        .select(col("prev"), col("cur"), col("n_pair"),
-          col("pmi").cast("decimal(18,6)").as("pmi"))),
+        minCount = 5, k = 50)),
 
     // Per-node triangle counts over a deterministic 50-node graph
     // derived from doc ids — the local clustering signal (link-farm
@@ -3533,7 +3545,7 @@ object SparkEntry {
       scored.withColumn("rank", row_number().over(w))
         .where(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("vec_id"),
-          round(col("cosine_sim"), 6).cast("decimal(18,6)").as("cosine_sim"))
+          round(col("cosine_sim"), 6).as("cosine_sim"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3721,8 +3733,7 @@ object SparkEntry {
         .orderBy(col("date")).rowsBetween(-6, 0)
       daily
         .select(col("date"), col("n_events"),
-          round(avg(col("n_events")).over(w), 6).cast("decimal(18,6)")
-            .as("ma7"))
+          round(avg(col("n_events")).over(w), 6).as("ma7"))
         .orderBy(col("date"))
     }),
 
@@ -3779,8 +3790,6 @@ object SparkEntry {
         .select(round(q + when(pmod(col("doc_id"), lit(4)) === 1, 0.08)
           .otherwise(0.0), 6).as("m"))
       graft.ext.DataProfile.psi(ref, cur, col("m"), bins = 10)
-        .select(col("bin"), col("n_ref"), col("n_cur"),
-          col("psi_term").cast("decimal(18,6)").as("psi_term"))
         .orderBy(col("bin"))
     }),
 
@@ -3813,8 +3822,7 @@ object SparkEntry {
           .select(lit(policy).as("policy"), col("n_batches"),
             col("padded_tokens"), col("real_tokens"),
             round(lit(1.0) - col("real_tokens").cast("double")
-              / col("padded_tokens"), 6).cast("decimal(18,6)")
-              .as("waste_frac"))
+              / col("padded_tokens"), 6).as("waste_frac"))
       }
       waste(Seq(col("__len"), col("doc_id")), "sorted")
         .unionByName(waste(
@@ -3839,8 +3847,7 @@ object SparkEntry {
         .localCheckpoint() // total + quota both read it
       val tot = broadcast(ranks.agg(sum(col("pagerank")).as("__z")))
       ranks.crossJoin(tot)
-        .select(col("node"),
-          col("pagerank").cast("decimal(18,6)").as("pagerank"),
+        .select(col("node"), col("pagerank"),
           round(lit(10000) * col("pagerank") / col("__z"), 0)
             .cast("long").as("fetch_quota"))
         .orderBy(col("node"))
@@ -3927,11 +3934,9 @@ object SparkEntry {
         .groupBy(col("query_id"))
         .agg(sum(gain(col("__r"))).as("__idcg"))
       dcg.join(idcg, Seq("query_id"))
-        .select(col("query_id"),
-          round(col("__dcg"), 6).cast("decimal(18,6)").as("dcg"),
-          round(col("__idcg"), 6).cast("decimal(18,6)").as("idcg"),
-          round(col("__dcg") / col("__idcg"), 6).cast("decimal(18,6)")
-            .as("ndcg"))
+        .select(col("query_id"), round(col("__dcg"), 6).as("dcg"),
+          round(col("__idcg"), 6).as("idcg"),
+          round(col("__dcg") / col("__idcg"), 6).as("ndcg"))
         .orderBy(col("query_id"))
     }),
 
@@ -3988,8 +3993,6 @@ object SparkEntry {
     // and fractions all re-derive in closed form.
     "q182_char_span_dedup" -> ((s, dir) =>
       Dedup.sharedCharSpans(t(s, dir, "documents"), "doc_id", "text", k = 40)
-        .select(col("doc_id"), col("n_windows"), col("n_shared"),
-          col("shared_frac").cast("decimal(18,6)").as("shared_frac"))
         .orderBy(col("doc_id"))),
 
     // Exact-count stratified split (10% test / 10% val per language on
@@ -4121,9 +4124,9 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")),
           budgetFrac = 0.4, maxEpochs = 0.6)
         .select(col("lang"), col("n_tokens"),
-          round(col("allocation"), 6).cast("decimal(18,6)")
-            .as("allocation"),
-          round(col("epochs"), 6).cast("decimal(18,6)").as("epochs"),
+          // micro-units hash (IEEE-pinned; see q87)
+          floor(col("allocation") * lit(1e6) + lit(0.5)).as("allocation"),
+          floor(col("epochs") * lit(1e6) + lit(0.5)).as("epochs"),
           col("capped"))
         .orderBy(col("lang"))),
 
@@ -4354,8 +4357,7 @@ object SparkEntry {
       .select(col("n_docs"), col("n_tokens"), col("isolated_packs"),
         ceil(col("n_tokens") / lit(seqLen.toDouble)).cast("long").as("concat_packs"),
         round((col("isolated_packs") * seqLen - col("n_tokens")).cast("double")
-          / (col("isolated_packs") * seqLen), 6).cast("decimal(18,6)")
-          .as("padding_fraction"))
+          / (col("isolated_packs") * seqLen), 6).as("padding_fraction"))
 
   /** 20 whitespace tokens (2 exact 10-token spans) prepended to every
     * document by q71 — the planted cross-doc boilerplate.
@@ -4532,7 +4534,7 @@ object SparkEntry {
                FROM ea a JOIN pm5 c ON c.j = a.j AND c.cell = a.cell
                GROUP BY a.vec_id)
        SELECT c.vec_id, c.codes,
-              round(sqrt(r.r2), 6)::DECIMAL(18,6) AS recon_norm
+              CAST(floor(sqrt(r.r2) * 1e6 + 0.5) AS BIGINT) AS recon_norm
        FROM cds c JOIN rcn r USING (vec_id) ORDER BY c.vec_id"""
 
   private lazy val IvfRecallOracleSql: String =
@@ -4575,8 +4577,8 @@ object SparkEntry {
       """,
            res AS (SELECT sum(abs(a.r - b.r)) AS rr
                    FROM pr10 a JOIN pr9 b ON a.v = b.v)
-           SELECT v AS node, round(r, 6)::DECIMAL(18,6) AS pagerank,
-                  round(res.rr, 6)::DECIMAL(18,6) AS l1_residual
+           SELECT v AS node, round(r, 6) AS pagerank,
+                  round(res.rr, 6) AS l1_residual
            FROM pr10, res ORDER BY node"""
 
   /** One damped power iteration as CTE text, parametrized for q137's
@@ -4831,8 +4833,7 @@ object SparkEntry {
              least(ntok / 64.0, 1.0) * 0.3
            + least(sw_ratio * 4.0, 1.0) * 0.3
            + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2
-           + greatest(1.0 - abs(avg_len - 5.0) / 10.0, 0.0) * 0.2,
-           6)::DECIMAL(18,6) AS quality
+           + greatest(1.0 - abs(avg_len - 5.0) / 10.0, 0.0) * 0.2, 6) AS quality
          FROM y ORDER BY doc_id""",
 
     "q22_lang_id" ->
@@ -4985,7 +4986,8 @@ object SparkEntry {
            FROM embeddings e JOIN m ON m.i <= len(e.embedding)
            GROUP BY e.vec_id)
          SELECT vec_id,
-                round(sqrt(c2), 6)::DECIMAL(18,6) AS centered_norm,
+                CAST(floor(sqrt(c2) * 1e6 + 0.5) AS BIGINT)
+                  AS centered_norm,
                 TRUE AS proj_contracts, TRUE AS parseval_consistent,
                 TRUE AS mass_floor_met
          FROM c ORDER BY vec_id""",
@@ -5106,6 +5108,46 @@ object SparkEntry {
          SELECT id_a, id_b, m / 64.0 AS est_jaccard
          FROM mt WHERE m / 64.0 >= 0.7""",
 
+    // q28's LSH machine verbatim, but over the persisted realistic-
+    // corpus fixture the query itself wrote (Verify runs before the
+    // oracle, so the file is always the corpus Spark just processed)
+    "q48_minhash_realistic" ->
+      """WITH w AS (
+           SELECT DISTINCT doc_id, s FROM (
+             SELECT doc_id,
+               unnest(regexp_split_to_array(
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                 ' ')) AS s
+             FROM read_parquet(
+               '/root/repo/target/fixtures/realistic_corpus.parquet/*.parquet')
+             WHERE text IS NOT NULL)),
+         g AS (SELECT doc_id,
+                 ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS gm
+               FROM w),
+         fam AS (SELECT f.i AS i,
+                        ((2 * f.i + 1) * 2654435761) % 2147483647 AS a,
+                        (f.i * 40503 + 1) % 2147483647 AS b
+                 FROM unnest(generate_series(0, 63)) AS f(i)),
+         sig AS (SELECT doc_id, i, min((gm * a + b) % 2147483647) AS h
+                 FROM g, fam GROUP BY doc_id, i),
+         arr AS (SELECT doc_id, list(h ORDER BY i) AS sg
+                 FROM sig GROUP BY doc_id),
+         bands AS (SELECT doc_id, bd.b AS band,
+                          sg[bd.b * 4 + 1 : bd.b * 4 + 4] AS sl
+                   FROM arr, unnest(generate_series(0, 15)) AS bd(b)),
+         cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.sl = y.sl
+                   AND x.doc_id < y.doc_id),
+         mt AS (SELECT c.id_a, c.id_b,
+                       sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS m
+                FROM cand c
+                JOIN sig sa ON sa.doc_id = c.id_a
+                JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+                GROUP BY c.id_a, c.id_b)
+         SELECT id_a, id_b, m / 64.0 AS est_jaccard
+         FROM mt WHERE m / 64.0 >= 0.7""",
+
     // q28's LSH machine, cross-dataset: the paraphrased benchmark
     // rebuilt in SQL (every 5th token replaced), BOTH sides' 128-lane
     // signatures over 3-gram shingles (short docs shingle to their
@@ -5159,7 +5201,8 @@ object SparkEntry {
                            AND sb.i = sa.i
                 GROUP BY c.id_a, c.id_b)
          SELECT id_a AS doc_id, count(*)::BIGINT AS n_bench_matches,
-                round(max(m / 128.0), 6)::DECIMAL(18,6) AS max_est_jaccard
+                CAST(floor(max(m / 128.0) * 1e6 + 0.5) AS BIGINT)
+                  AS max_est_jaccard
          FROM mt WHERE m / 128.0 >= 0.2
          GROUP BY id_a ORDER BY doc_id""",
 
@@ -5506,8 +5549,7 @@ object SparkEntry {
                   round(avg(ln(pt / pr)), 6) AS dsir_logratio
            FROM tk JOIN model USING (token)
            GROUP BY doc_id)
-         SELECT doc_id, n_tokens,
-                dsir_logratio::DECIMAL(18,6) AS dsir_logratio FROM w
+         SELECT doc_id, n_tokens, dsir_logratio FROM w
          ORDER BY dsir_logratio DESC, doc_id LIMIT 100""",
 
     "q86_packing_stats" ->
@@ -5521,8 +5563,7 @@ object SparkEntry {
          SELECT n_docs, n_tokens, isolated_packs,
                 ceil(n_tokens / 512.0)::BIGINT AS concat_packs,
                 round((isolated_packs * 512 - n_tokens)::DOUBLE
-                      / (isolated_packs * 512), 6)::DECIMAL(18,6)
-                  AS padding_fraction
+                      / (isolated_packs * 512), 6) AS padding_fraction
          FROM a""",
 
     // Fingerprint equality == normalized-text equality, so the twin
@@ -5642,6 +5683,38 @@ object SparkEntry {
          SELECT lang, lang_pred, count(*) AS n FROM p
          GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
 
+    // q53's stopword-argmax machine over the persisted lang-weighted
+    // realistic fixture — the confusion matrix whose labels MEAN
+    // something, now on the hash path (the fixture file is the rows
+    // Spark just processed)
+    "q54_langid_confusion_realistic" ->
+      """WITH x AS (
+           SELECT lang, text AS txt,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM read_parquet(
+             '/root/repo/target/fixtures/realistic_langs.parquet/*.parquet')),
+         s AS (
+           SELECT lang,
+             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS s_en,
+             len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','los','se','del','las'], t))) AS s_es,
+             len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','zu','den','mit'], t))) AS s_de,
+             len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], t))) AS s_fr,
+             len(list_filter(['的','是','在','了','我','有','和','人','这','不'],
+                             w -> contains(txt, w))) AS s_zh
+           FROM x),
+         p AS (
+           SELECT lang, CASE
+             WHEN s_en IS NULL THEN 'und'
+             WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+             WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+             WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+             ELSE 'zh' END AS lang_pred
+           FROM s)
+         SELECT lang, lang_pred, count(*) AS n FROM p
+         GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
+
     // Repetition signals: the same newline/normalized-word splits, the
     // same (doc, line) / (doc, bigram) aggregations; the <2-word
     // single-shingle edge is the CASE in the gram source
@@ -5679,13 +5752,11 @@ object SparkEntry {
            SELECT doc_id, max(length(g) * cnt) AS cov FROM (
              SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY doc_id, g)
            GROUP BY doc_id)
-         SELECT s.doc_id,
-                s.dup_line_frac::DECIMAL(18,6) AS dup_line_frac,
-                f.dup_line_char_frac::DECIMAL(18,6) AS dup_line_char_frac,
-                s.dup_word_frac::DECIMAL(18,6) AS dup_word_frac,
+         SELECT s.doc_id, s.dup_line_frac, f.dup_line_char_frac,
+                s.dup_word_frac,
                 round(CASE WHEN s.nchars > 0
-                  THEN t.cov::DOUBLE / s.nchars ELSE 0.0 END,
-                  6)::DECIMAL(18,6) AS top_bigram_char_frac
+                  THEN t.cov::DOUBLE / s.nchars ELSE 0.0 END, 6)
+                  AS top_bigram_char_frac
          FROM scalars s
          JOIN linefrac f USING (doc_id)
          JOIN topg t USING (doc_id)
@@ -5767,7 +5838,7 @@ object SparkEntry {
          SELECT doc_id,
                 count(*)::BIGINT AS n_tokens,
                 round((sum(ln(c::DOUBLE / nn::DOUBLE)) * -1.0)
-                      / count(*), 6)::DECIMAL(18,6) AS xent_nats
+                      / count(*), 6) AS xent_nats
          FROM terms JOIN model USING (t), n
          GROUP BY doc_id ORDER BY doc_id""",
 
@@ -5808,7 +5879,7 @@ object SparkEntry {
          SELECT source,
                 count(*)::BIGINT AS n_docs,
                 sum(ntok_i)::BIGINT AS n_tokens,
-                round(avg(quality), 6)::DECIMAL(18,6) AS avg_quality,
+                round(avg(quality), 6) AS avg_quality,
                 sum(CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) > 0
                           AND s_en = greatest(s_en, s_es, s_de, s_fr, s_zh)
                     THEN 1 ELSE 0 END)::BIGINT AS n_pred_en
@@ -5875,7 +5946,7 @@ object SparkEntry {
          nd AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY g)
          SELECT doc_id, count(*)::BIGINT AS n_grams,
                 round(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::DOUBLE
-                      / count(*), 6)::DECIMAL(18,6) AS cross_dup_frac
+                      / count(*), 6) AS cross_dup_frac
          FROM grams JOIN nd USING (g)
          GROUP BY doc_id ORDER BY doc_id""",
 
@@ -5962,7 +6033,7 @@ object SparkEntry {
            FROM e JOIN p ON e.source = p.source AND e.i = p.i
            GROUP BY e.vec_id, e.source)
          SELECT vec_id, source,
-                round(dp / (nx * nm), 6)::DECIMAL(18,6) AS centroid_sim
+                round(dp / (nx * nm), 6) AS centroid_sim
          FROM sc ORDER BY vec_id""",
 
     // Same 20-token boilerplate literal as the query body; keep-first
@@ -6004,7 +6075,7 @@ object SparkEntry {
                   (cr + 1)::DOUBLE / (nr + v) AS pr
            FROM counts, tot)
          SELECT doc_id, count(*)::BIGINT AS n_tokens,
-                round(avg(ln(pt / pr)), 6)::DECIMAL(18,6) AS dsir_logratio
+                round(avg(ln(pt / pr)), 6) AS dsir_logratio
          FROM tk JOIN model USING (token)
          GROUP BY doc_id ORDER BY doc_id""",
 
@@ -6089,8 +6160,7 @@ object SparkEntry {
          uc AS (SELECT prev, count(*) AS cu
                 FROM (SELECT unnest(w) AS prev FROM d) GROUP BY prev)
          SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-                round(-avg(ln(cb::DOUBLE / cu)), 6)::DECIMAL(18,6)
-                  AS bixent_nats
+                round(-avg(ln(cb::DOUBLE / cu)), 6) AS bixent_nats
          FROM b JOIN bc USING (prev, cur) JOIN uc USING (prev)
          GROUP BY doc_id ORDER BY doc_id""",
 
@@ -6218,8 +6288,7 @@ object SparkEntry {
          -- has no gram rows and scores at the prior alone
          SELECT base.doc_id,
                 coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
-                round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias,
-                      6)::DECIMAL(18,6) AS score,
+                round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias, 6) AS score,
                 CASE WHEN round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias, 6) > 0
                      THEN 1 ELSE 0 END AS predicted
          FROM base LEFT JOIN sc ON base.doc_id = sc.doc_id, prior
@@ -6265,8 +6334,7 @@ object SparkEntry {
          -- LEFT JOIN from base: gram-less docs score at the prior alone
          SELECT base.doc_id,
                 coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
-                round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias,
-                      6)::DECIMAL(18,6) AS score,
+                round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias, 6) AS score,
                 CASE WHEN round(CAST(coalesce(sc.s, 0) AS DOUBLE) + bias, 6) > 0
                      THEN 1 ELSE 0 END AS predicted
          FROM base LEFT JOIN sc ON base.doc_id = sc.doc_id, prior
@@ -6284,8 +6352,7 @@ object SparkEntry {
                  ORDER BY c DESC, token LIMIT 100))
          SELECT doc_id, count(*)::BIGINT AS n_tokens,
                 round(avg(CASE WHEN token IN (SELECT token FROM v)
-                               THEN 0.0 ELSE 1.0 END), 6)::DECIMAL(18,6)
-                  AS oov_rate
+                               THEN 0.0 ELSE 1.0 END), 6) AS oov_rate
          FROM tk GROUP BY doc_id ORDER BY doc_id""",
 
     "q82_zipf_slope" ->
@@ -6301,8 +6368,7 @@ object SparkEntry {
                FROM c)
          SELECT count(*)::BIGINT AS n_vocab,
                 round((count(*) * sum(x*y) - sum(x) * sum(y))
-                      / (count(*) * sum(x*x) - sum(x) * sum(x)),
-                      6)::DECIMAL(18,6) AS zipf_slope
+                      / (count(*) * sum(x*x) - sum(x) * sum(x)), 6) AS zipf_slope
          FROM r""",
 
     // The SAME salted page template and the SAME RE2-safe regexp chain
@@ -6422,17 +6488,15 @@ object SparkEntry {
                        sum(ps) AS p, sum(ns) AS nn
                 FROM rk)
          SELECT n, tp, fp, fn, tn,
-           round(CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END,
-                 6)::DECIMAL(18,6) AS "precision",
-           round(CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END,
-                 6)::DECIMAL(18,6) AS recall,
+           round(CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END, 6)
+             AS "precision",
+           round(CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END, 6)
+             AS recall,
            round(CASE WHEN tp * 2 + fp + fn > 0
-                 THEN (tp * 2)::DOUBLE / (tp * 2 + fp + fn) END,
-                 6)::DECIMAL(18,6) AS f1,
+                 THEN (tp * 2)::DOUBLE / (tp * 2 + fp + fn) END, 6) AS f1,
            round(CASE WHEN p > 0 AND nn > p
                  THEN (CAST(srp AS DOUBLE) - p::DOUBLE * (p + 1)::DOUBLE / 2.0)
-                      / (p::DOUBLE * (nn - p)::DOUBLE) END,
-                 6)::DECIMAL(18,6) AS auc
+                      / (p::DOUBLE * (nn - p)::DOUBLE) END, 6) AS auc
          FROM cm, au""",
 
     // Same salted page, same two RE2-safe extraction patterns: href
@@ -6516,11 +6580,9 @@ object SparkEntry {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
                       sum(ps) OVER () AS p
                FROM bs)
-         SELECT threshold::DECIMAL(18,6) AS threshold,
-                cn::BIGINT AS n_predicted, cp::BIGINT AS tp,
-                round(cp::DOUBLE / cn, 6)::DECIMAL(18,6) AS "precision",
-                round(CASE WHEN p > 0 THEN cp::DOUBLE / p END,
-                      6)::DECIMAL(18,6) AS recall
+         SELECT threshold, cn::BIGINT AS n_predicted, cp::BIGINT AS tp,
+                round(cp::DOUBLE / cn, 6) AS "precision",
+                round(CASE WHEN p > 0 THEN cp::DOUBLE / p END, 6) AS recall
          FROM c ORDER BY threshold""",
 
     // The expected WARC records computed directly from documents: the
@@ -6646,11 +6708,11 @@ object SparkEntry {
          SELECT media_id, count(*)::BIGINT AS n_frames,
                 sum(CASE WHEN rms > 0.05 THEN 1 ELSE 0 END)::BIGINT
                   AS n_voiced,
-                round(avg(rms), 4)::DECIMAL(18,4) AS avg_rms,
-                round(max(peak), 4)::DECIMAL(18,4) AS max_peak,
-                round(avg(zcr), 4)::DECIMAL(18,4) AS avg_zcr,
-                round(sum(CASE WHEN rms > 0.05 THEN 1 ELSE 0 END)::DOUBLE
-                      / count(*), 4)::DECIMAL(18,4) AS voiced_fraction
+                CAST(floor(avg(rms) * 1e4 + 0.5) AS BIGINT) AS avg_rms,
+                CAST(floor(max(peak) * 1e4 + 0.5) AS BIGINT) AS max_peak,
+                CAST(floor(avg(zcr) * 1e4 + 0.5) AS BIGINT) AS avg_zcr,
+                CAST(floor(sum(CASE WHEN rms > 0.05 THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*) * 1e4 + 0.5) AS BIGINT) AS voiced_fraction
          FROM ff GROUP BY media_id ORDER BY media_id""",
 
     // The sine-WAV fixture regenerated sample-exact, then the DIRECT
@@ -6704,17 +6766,20 @@ object SparkEntry {
                          AS peak_mag_rel
                 FROM rk WHERE rn = 1),
          ag AS (SELECT media_id, count(*)::BIGINT AS n_frames,
-                       round(avg(peak_hz), 2) AS aph,
-                       round(avg(centroid_hz), 2) AS ach,
-                       round(min(peak_mag_rel), 4) AS mps,
+                       CAST(floor(avg(peak_hz) * 1e2 + 0.5) AS BIGINT)
+                         AS aph,
+                       CAST(floor(avg(centroid_hz) * 1e2 + 0.5) AS BIGINT)
+                         AS ach,
+                       CAST(floor(min(peak_mag_rel) * 1e4 + 0.5) AS BIGINT)
+                         AS mps,
                        500 + 125 * (media_id % 8) AS tone_hz
                 FROM pf GROUP BY media_id)
          SELECT media_id, n_frames,
-                aph::DECIMAL(18,2) AS avg_peak_hz,
-                ach::DECIMAL(18,2) AS avg_centroid_hz,
-                mps::DECIMAL(18,4) AS min_peak_share,
+                aph AS avg_peak_hz,
+                ach AS avg_centroid_hz,
+                mps AS min_peak_share,
                 tone_hz::BIGINT AS tone_hz,
-                abs(aph - tone_hz) <= 15.625 AS peak_within_bin
+                abs(aph - tone_hz * 100) <= 1562.5 AS peak_within_bin
          FROM ag ORDER BY media_id""",
 
     // The identical 10 power iterations, unrolled from one template
@@ -6753,8 +6818,8 @@ object SparkEntry {
            FROM x)
          SELECT n_docs, n_tokens, isolated_packs,
                 ceil(n_tokens / 512.0)::BIGINT AS concat_packs,
-                round((isolated_packs * 512 - n_tokens)::DOUBLE
-                      / (isolated_packs * 512), 6)::DECIMAL(18,6)
+                CAST(floor((isolated_packs * 512 - n_tokens)::DOUBLE
+                      / (isolated_packs * 512) * 1e6 + 0.5) AS BIGINT)
                   AS isolated_padding_fraction,
                 TRUE AS ffd_at_least_optimal_floor,
                 TRUE AS ffd_no_worse_than_isolated,
@@ -6846,8 +6911,10 @@ object SparkEntry {
                     FROM wp2 x JOIN wp1 y ON x.v = y.v),
            cres AS (SELECT sum(abs(x.r - y.r)) AS rr
                     FROM cp2 x JOIN cp1 y ON x.v = y.v)
-           SELECT round(wres.rr, 6)::DECIMAL(18,6) AS warm_l1_residual,
-                  round(cres.rr, 6)::DECIMAL(18,6) AS cold_l1_residual,
+           SELECT CAST(floor(wres.rr * 1e6 + 0.5) AS BIGINT)
+                    AS warm_l1_residual,
+                  CAST(floor(cres.rr * 1e6 + 0.5) AS BIGINT)
+                    AS cold_l1_residual,
                   wres.rr < cres.rr AS warm_beats_cold
            FROM wres, cres"""
     },
@@ -7126,8 +7193,7 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_matched,
                 round(sum(
                   ln(1.0 + (nn - dfreq + 0.5) / (dfreq + 0.5)) *
-                  (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))),
-                  6)::DECIMAL(18,6) AS score
+                  (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
          FROM tf JOIN dfq USING (term), stats
          GROUP BY doc_id ORDER BY doc_id""",
 
@@ -7145,6 +7211,29 @@ object SparkEntry {
                FROM w a, w b WHERE a.doc_id < b.doc_id)
          SELECT id_a, id_b, c / (na + nb - c) AS jaccard FROM p
          WHERE c / (na + nb - c) >= 0.8 ORDER BY id_a, id_b""",
+
+    // brute-force exact unigram Jaccard over the persisted realistic
+    // fixture — hash-matching it proves the prefix filter dropped no
+    // qualifying pair on the realistic profile. sum_jaccard is per-
+    // pair micro-units summed in integers (no float accumulation
+    // order); min_jaccard is one exact int division, bit-portable.
+    "q131_prefix_jaccard_realistic" ->
+      """WITH w AS (SELECT doc_id,
+                      list_distinct(regexp_split_to_array(
+                        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                        ' ')) AS words
+               FROM read_parquet(
+                 '/root/repo/target/fixtures/realistic_corpus.parquet/*.parquet')),
+         p AS (SELECT len(list_intersect(a.words, b.words))::DOUBLE AS c,
+                      len(a.words)::DOUBLE AS na, len(b.words)::DOUBLE AS nb
+               FROM w a, w b WHERE a.doc_id < b.doc_id),
+         j AS (SELECT c / (na + nb - c) AS jaccard FROM p
+               WHERE c / (na + nb - c) >= 0.8)
+         SELECT count(*)::BIGINT AS n_pairs,
+                CAST(sum(CAST(floor(jaccard * 1e6 + 0.5) AS BIGINT))
+                     AS BIGINT) AS sum_jaccard,
+                min(jaccard) AS min_jaccard
+         FROM j""",
 
     // the salted link zoo in closed form: each doc cites its t-target
     // twice (two spellings, one canonical URL, two anchor texts) and
@@ -7211,9 +7300,8 @@ object SparkEntry {
         """,
            res AS (SELECT sum(abs(x.a - y.a)) AS rr
                    FROM a10 x JOIN a9 y ON x.v = y.v)
-           SELECT a10.v AS node, round(a10.a, 6)::DECIMAL(18,6) AS auth,
-                  round(h10.h, 6)::DECIMAL(18,6) AS hub,
-                  round(res.rr, 6)::DECIMAL(18,6) AS l1_residual
+           SELECT a10.v AS node, round(a10.a, 6) AS auth,
+                  round(h10.h, 6) AS hub, round(res.rr, 6) AS l1_residual
            FROM a10 JOIN h10 ON a10.v = h10.v, res ORDER BY node"""
     },
 
@@ -7272,7 +7360,7 @@ object SparkEntry {
                         ELSE 30.0 END AS staleness
                FROM d)
          SELECT doc_id, loc, changefreq,
-                (round(staleness, 6) + 0.0)::DECIMAL(18,6) AS staleness,
+                round(staleness, 6) + 0.0 AS staleness,
                 staleness >= 1.0 AS due
          FROM s ORDER BY doc_id""",
 
@@ -7312,8 +7400,8 @@ object SparkEntry {
                FROM b JOIN bc USING (prev, cur) JOIN ctx USING (prev)
                     JOIN cont USING (cur) CROSS JOIN tt)
          SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-                round(-avg(ln(p)), 6)::DECIMAL(18,6) AS kn_xent_nats,
-                round(exp(-avg(ln(p))), 6)::DECIMAL(18,6) AS kn_ppl
+                round(-avg(ln(p)), 6) AS kn_xent_nats,
+                round(exp(-avg(ln(p))), 6) AS kn_ppl
          FROM s GROUP BY doc_id ORDER BY doc_id""",
 
     // the PLAIN join — salt-independence means the salted plan must
@@ -7347,9 +7435,7 @@ object SparkEntry {
          FROM s8 JOIN s9 USING (doc_id)
          GROUP BY shard8 ORDER BY shard8""",
 
-    // p^(1/2) reweighting over the same whitespace token counts;
-    // shares hashed as DECIMAL(18,6) (round() on DOUBLE is last-ULP
-    // engine-sensitive; the decimal it targets is not)
+    // p^(1/2) reweighting over the same whitespace token counts
     "q145_temperature_mix" ->
       """WITH g AS (
            SELECT lang,
@@ -7362,9 +7448,10 @@ object SparkEntry {
                FROM g CROSS JOIN t),
          z AS (SELECT sum(pt::DECIMAL(38,18))::DOUBLE AS zz FROM s)
          SELECT lang, n_tokens,
-                round(p, 6)::DECIMAL(18,6) AS nat_share,
-                round(pt / zz, 6)::DECIMAL(18,6) AS temp_share,
-                round(pt / zz / p, 6)::DECIMAL(18,6) AS epoch_factor
+                CAST(floor(p * 1e6 + 0.5) AS BIGINT) AS nat_share,
+                CAST(floor(pt / zz * 1e6 + 0.5) AS BIGINT) AS temp_share,
+                CAST(floor(pt / zz / p * 1e6 + 0.5) AS BIGINT)
+                  AS epoch_factor
          FROM s CROSS JOIN z ORDER BY lang""",
 
     // same stddev/rate/md5-threshold chain; fixed-width lowercase hex
@@ -7380,7 +7467,7 @@ object SparkEntry {
                        THEN least(1.0, 0.4 * n * sh / m)
                        ELSE 0.4 END, 6) AS rate
                FROM st CROSS JOIN tot)
-         SELECT d.doc_id, d.lang, r.rate::DECIMAL(18,6) AS rate
+         SELECT d.doc_id, d.lang, r.rate
          FROM documents d JOIN r USING (lang)
          WHERE r.rate >= 1.0
             OR substr(md5(d.doc_id::VARCHAR), 1, 12) <
@@ -7406,9 +7493,8 @@ object SparkEntry {
          s AS (SELECT lang, count(*)::BIGINT AS n,
                       sum(n_chars)::DOUBLE / count(*) AS mean
                FROM documents GROUP BY lang)
-         SELECT s.lang, s.n, round(s.mean, 6)::DECIMAL(18,6) AS mean,
-                round(p.lo, 6)::DECIMAL(18,6) AS ci_lo,
-                round(p.hi, 6)::DECIMAL(18,6) AS ci_hi
+         SELECT s.lang, s.n, round(s.mean, 6) AS mean,
+                round(p.lo, 6) AS ci_lo, round(p.hi, 6) AS ci_hi
          FROM s JOIN p USING (lang) ORDER BY lang""",
 
     // the plain theta join the bucketed plan must reproduce exactly;
@@ -7564,8 +7650,7 @@ object SparkEntry {
                         (SELECT sum(cu) FROM uc)::DOUBLE AS uu)
          SELECT bc.prev, bc.cur, bc.n_pair::BIGINT AS n_pair,
                 round(ln((bc.n_pair / tot.bb) /
-                  ((up.cu / tot.uu) * (uc2.cu / tot.uu))),
-                  6)::DECIMAL(18,6) AS pmi
+                  ((up.cu / tot.uu) * (uc2.cu / tot.uu))), 6) AS pmi
          FROM bc
          JOIN uc up ON up.tok = bc.prev
          JOIN uc uc2 ON uc2.tok = bc.cur
@@ -7640,9 +7725,8 @@ object SparkEntry {
          idcg AS (SELECT query_id,
                     sum((pow(2.0, rel) - 1) / log2(r + 1.0)) AS g
                   FROM ii WHERE r <= 10 GROUP BY query_id)
-         SELECT d.query_id, round(d.g, 6)::DECIMAL(18,6) AS dcg,
-                round(i.g, 6)::DECIMAL(18,6) AS idcg,
-                round(d.g / i.g, 6)::DECIMAL(18,6) AS ndcg
+         SELECT d.query_id, round(d.g, 6) AS dcg, round(i.g, 6) AS idcg,
+                round(d.g / i.g, 6) AS ndcg
          FROM dcg d JOIN idcg i USING (query_id) ORDER BY query_id""",
 
     // closed-form exact-side count; the auto-tuner's recall floor is a
@@ -7841,12 +7925,12 @@ object SparkEntry {
                          AS kpfx
                 FROM c)
          SELECT lang, n_tokens,
-                round(CASE WHEN capped THEN cap
-                      ELSE (b - kpfx) / (n - k) END, 6)::DECIMAL(18,6)
+                CAST(floor((CASE WHEN capped THEN cap
+                      ELSE (b - kpfx) / (n - k) END) * 1e6 + 0.5) AS BIGINT)
                   AS allocation,
-                round((CASE WHEN capped THEN cap
-                       ELSE (b - kpfx) / (n - k) END) / n_tokens,
-                      6)::DECIMAL(18,6) AS epochs,
+                CAST(floor((CASE WHEN capped THEN cap
+                       ELSE (b - kpfx) / (n - k) END) / n_tokens
+                      * 1e6 + 0.5) AS BIGINT) AS epochs,
                 capped
          FROM c, kk ORDER BY lang""",
 
@@ -7918,7 +8002,7 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_windows,
                 sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
                 round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
-                      / count(*), 6)::DECIMAL(18,6) AS shared_frac
+                      / count(*), 6) AS shared_frac
          FROM gd JOIN cnt USING (gh)
          GROUP BY doc_id ORDER BY doc_id""",
 
@@ -7937,7 +8021,7 @@ object SparkEntry {
       """,
            ranks AS (SELECT v AS node, round(r, 6) AS pagerank FROM pr10),
            tot AS (SELECT sum(pagerank) AS z FROM ranks)
-           SELECT node, pagerank::DECIMAL(18,6) AS pagerank,
+           SELECT node, pagerank,
                   round(10000 * pagerank / z, 0)::BIGINT AS fetch_quota
            FROM ranks, tot ORDER BY node"""),
 
@@ -7959,13 +8043,12 @@ object SparkEntry {
          r1 AS (SELECT 'sorted' AS policy, count(*)::BIGINT AS n_batches,
                        sum(mx * n)::BIGINT AS padded_tokens,
                        sum(s)::BIGINT AS real_tokens,
-                       round(1.0 - sum(s)::DOUBLE / sum(mx * n),
-                         6)::DECIMAL(18,6) AS waste_frac
+                       round(1.0 - sum(s)::DOUBLE / sum(mx * n), 6)
+                         AS waste_frac
                 FROM s1),
          r2 AS (SELECT 'shuffled', count(*)::BIGINT, sum(mx * n)::BIGINT,
                        sum(s)::BIGINT,
-                       round(1.0 - sum(s)::DOUBLE / sum(mx * n),
-                         6)::DECIMAL(18,6)
+                       round(1.0 - sum(s)::DOUBLE / sum(mx * n), 6)
                 FROM s2)
          SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY policy""",
 
@@ -8032,8 +8115,7 @@ object SparkEntry {
                 n_cur::BIGINT AS n_cur,
                 round(((n_cur + 0.5) / (nc + 5.0) - (n_ref + 0.5) / (nr + 5.0))
                   * ln(((n_cur + 0.5) / (nc + 5.0))
-                       / ((n_ref + 0.5) / (nr + 5.0))),
-                  6)::DECIMAL(18,6) AS psi_term
+                       / ((n_ref + 0.5) / (nr + 5.0))), 6) AS psi_term
          FROM b, tt ORDER BY bin""",
 
     // q164's survivor chain + q65's prefix-sum packing + the shard
@@ -8147,8 +8229,7 @@ object SparkEntry {
            FROM events GROUP BY CAST(ts AS DATE))
          SELECT date, n_events,
                 round(avg(n_events) OVER (ORDER BY date
-                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
-                  6)::DECIMAL(18,6) AS ma7
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
          FROM daily ORDER BY date""",
 
     // DuckDB's own nfc_normalize (independent implementation — the
@@ -8246,7 +8327,7 @@ object SparkEntry {
                                     ORDER BY sim DESC, vec_id) AS rank
                FROM s)
          SELECT query_id, rank::INT AS rank, vec_id,
-                round(sim, 6)::DECIMAL(18,6) AS cosine_sim
+                round(sim, 6) AS cosine_sim
          FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
 
     // q17's dedup + q21's quality formula + q142's KN chain + the
