@@ -26,43 +26,63 @@ object SparkEntry {
   /** Root for oracle-visible generated fixtures. The realistic
     * synthetic corpus is built with scala.util.Random, which has no
     * SQL twin — but the ROWS it produces do: persisting them to a
-    * fixed parquet path lets the DuckDB oracle `read_parquet` the
-    * identical input Spark processed, turning "no SQL twin by
-    * construction" rows into fully-oracled ones. Lives under target/
-    * (git-ignored, always writable next to the build). The path is a
-    * literal inside the oracle SQL, so Verify must run before the
-    * oracle — which is the driver's order by construction. */
-  private val FixtureDir = "/root/repo/target/fixtures"
+    * parquet path lets the DuckDB oracle `read_parquet` the identical
+    * input Spark processed, turning "no SQL twin by construction"
+    * rows into fully-oracled ones. Lives under target/ (git-ignored,
+    * always writable next to the build). Derived from the working
+    * directory (overridable via -Dgraft.fixture.dir), not a hardcoded
+    * checkout path; [[oracleSql]] interpolates the SAME value into its
+    * read_parquet globs, and the dump in Verify runs in the same JVM,
+    * so the oracle always reads where this process wrote. Verify
+    * clears the root at startup so the size-wildcard globs only ever
+    * match the corpus THIS run persisted. */
+  private val FixtureDir = sys.props.get("graft.fixture.dir").getOrElse(
+    new java.io.File(sys.props("user.dir"), "target/fixtures")
+      .getAbsolutePath)
 
-  /** Fixture write ledger: name → corpus size already on disk this
+  /** Fixture write ledger: (name, corpus size) already on disk this
     * JVM. Verify dumps queries from a thread pool, and two queries
     * share the default corpus — an unsynchronized overwrite would let
     * both write jobs interleave and leave BOTH jobs' part files in the
-    * directory (observed: doubled rows). One synchronized write per
-    * (name, size) per session; later callers just read. */
+    * directory (observed: doubled rows). The on-disk path is scoped by
+    * corpus size, so distinct sizes never share a directory and a
+    * written directory is IMMUTABLE for the JVM's lifetime — the read
+    * below can sit outside the lock without racing any overwrite. */
   private val fixtureWritten =
-    scala.collection.mutable.Map.empty[String, Long]
+    scala.collection.mutable.Set.empty[(String, Long)]
+
+  /** True when running under [[Bench]] (it sets the property): the
+    * bench lane never runs the DuckDB oracle, so persisting the corpus
+    * there would only serialize generation through a coalesce(1) write
+    * and make later reps time a parquet read instead of the operator
+    * under measurement. Bench uses the in-memory frame directly. */
+  private def benchLane: Boolean =
+    sys.props.get("graft.lane").contains("bench")
 
   /** Generate the realistic corpus sized to the sf's documents table
     * and persist it for the oracle (single part file — the oracle
-    * globs the part file inside the dir). Returns the re-read frame so Spark and
-    * DuckDB consume the same bytes. Verify-lane plumbing: the corpus
-    * is ≤ thousands of rows at test sf, so coalesce(1) is free. */
+    * globs the part file inside the size-scoped dir). Returns the
+    * re-read frame so Spark and DuckDB consume the same bytes.
+    * Verify-lane plumbing: the corpus is ≤ thousands of rows at test
+    * sf, so coalesce(1) is free. On the bench lane the write is
+    * skipped entirely (see [[benchLane]]). */
   private def persistedRealistic(
       s: SparkSession, dir: String, name: String,
       langWeights: Seq[(String, Int)] = Nil): DataFrame = {
-    val path = s"$FixtureDir/$name"
     val n = t(s, dir, "documents").count()
-    fixtureWritten.synchronized {
-      if (!fixtureWritten.get(name).contains(n)) {
-        graft.ext.SyntheticCorpus
-          .realistic(s, n, langWeights = langWeights)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(path)
-        fixtureWritten.put(name, n)
+    def corpus = graft.ext.SyntheticCorpus
+      .realistic(s, n, langWeights = langWeights)
+    if (benchLane) corpus
+    else {
+      val path = s"$FixtureDir/$name-$n"
+      fixtureWritten.synchronized {
+        if (!fixtureWritten.contains((name, n))) {
+          corpus.coalesce(1).write.mode("overwrite").parquet(path)
+          fixtureWritten.add((name, n)): Unit
+        }
       }
+      s.read.parquet(path)
     }
-    s.read.parquet(path)
   }
 
   /** Order-insensitive sum for fixed-point money doubles: accumulate as
@@ -764,13 +784,20 @@ object SparkEntry {
     }),
 
     // The composed corpus-cleaning pipeline (quality gate → lang filter
-    // → exact dedup → MinHash near-dedup → deterministic split)
+    // → exact dedup → MinHash near-dedup → deterministic split). Fully
+    // oracled since round 18: the MinHash stage runs SigMode.Md5 (the
+    // q28/q48 verify-lane convention), so DuckDB replays ALL five
+    // stages — q44's gate/exact-dedup/split SQL composed with the
+    // trigram LSH machine (8 bands × 8 rows at j≥0.9) and the reach
+    // connected components. q44 stays the exact-Jaccard twin;
+    // production runs keep xxhash64 lanes.
     "q39_clean_corpus" -> ((s, dir) =>
       graft.ext.TextPipeline.cleanCorpus(
           t(s, dir, "documents"), "doc_id", "text",
           graft.ext.TextPipeline.Config(minQuality = 0.2,
             langs = Seq("en"), nearDupJaccard = 0.9,
-            numHashes = 64, shingleSize = 3))
+            numHashes = 64, shingleSize = 3,
+            sigMode = Dedup.SigMode.Md5))
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))),
 
@@ -929,14 +956,19 @@ object SparkEntry {
 
     // q39's five-stage pipeline on the same realistic-profile corpus
     // (trigram shingles, j≥0.9 — the planted 1%-mutation dups straddle
-    // the exact-dedup and near-dedup stages by design). Rows-only.
+    // the exact-dedup and near-dedup stages by design). Fully oracled
+    // since round 18 via the q48 fixture convention (the corpus
+    // persists to an oracle-visible parquet path) + SigMode.Md5, so
+    // DuckDB replays the whole pipeline on the identical realistic
+    // input — q39's oracle SQL over the fixture glob.
     "q49_clean_corpus_realistic" -> ((s, dir) =>
       graft.ext.TextPipeline.cleanCorpus(
-          graft.ext.SyntheticCorpus.realistic(s, t(s, dir, "documents").count()),
+          persistedRealistic(s, dir, "realistic_corpus.parquet"),
           "doc_id", "text",
           graft.ext.TextPipeline.Config(minQuality = 0.2,
             langs = Seq("en"), nearDupJaccard = 0.9,
-            numHashes = 64, shingleSize = 3))
+            numHashes = 64, shingleSize = 3,
+            sigMode = Dedup.SigMode.Md5))
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))),
 
@@ -3134,8 +3166,10 @@ object SparkEntry {
       Sampling.temperatureWeights(t(s, dir, "documents"), "lang",
           TextAnalysis.tokenCount(col("text")), temperature = 2.0)
         .select(col("lang"), col("n_tokens"),
-          // micro-units hash (IEEE-pinned; see q87) — this row flapped
-          // under BOTH round()-on-double and decimal-cast hashing
+          // micro-units hash. Pinned UPSTREAM too (round 18): the
+          // smoothed weight is an exact pico-units long inside
+          // temperatureWeights — floor half-up alone couldn't fix this
+          // row while round(pt, 12) still diverged engines upstream.
           floor(col("nat_share") * lit(1e6) + lit(0.5)).as("nat_share"),
           floor(col("temp_share") * lit(1e6) + lit(0.5)).as("temp_share"),
           floor(col("epoch_factor") * lit(1e6) + lit(0.5))
@@ -4124,7 +4158,9 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")),
           budgetFrac = 0.4, maxEpochs = 0.6)
         .select(col("lang"), col("n_tokens"),
-          // micro-units hash (IEEE-pinned; see q87)
+          // micro-units hash. Pinned UPSTREAM too (round 18): caps and
+          // budget are exact micro-unit longs inside uniMaxAllocation,
+          // so the θ chain has no float prefix sum left to diverge.
           floor(col("allocation") * lit(1e6) + lit(0.5)).as("allocation"),
           floor(col("epochs") * lit(1e6) + lit(0.5)).as("epochs"),
           col("capped"))
@@ -4650,6 +4686,130 @@ object SparkEntry {
     base + iters
   }
 
+  /** The five-stage cleanCorpus pipeline (quality gate → lang filter →
+    * exact dedup → Md5-lane MinHash/LSH near-dedup → content split) as
+    * one DuckDB statement over `source` (a table name or read_parquet
+    * call). Shared by q39 (documents) and q49 (the persisted realistic
+    * fixture). The gate/exact-dedup/split stages are q44's oracle
+    * verbatim; the near-dup stage is the q48 LSH machine at trigram
+    * shingles with the j≥0.9 banding (bandsFor(64, 0.9) = 8 bands × 8
+    * rows), and components run the q44 reach CTE over the estimated
+    * pairs.
+    */
+  private def cleanCorpusMd5OracleSql(source: String): String =
+    raw"""WITH RECURSIVE
+         qx AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+             length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE
+               / length(text)::DOUBLE AS punct_ratio
+           FROM $source),
+         qy AS (
+           SELECT doc_id,
+             len(toks)::DOUBLE AS ntok,
+             len(list_filter(ltoks, t -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], t)))::DOUBLE
+               / len(toks)::DOUBLE AS sw_ratio,
+             list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+               / len(toks)::DOUBLE AS avg_len,
+             punct_ratio
+           FROM qx),
+         qual AS (
+           SELECT doc_id, round(
+               least(ntok / 64.0, 1.0) * 0.3
+             + least(sw_ratio * 4.0, 1.0) * 0.3
+             + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2
+             + greatest(1.0 - abs(avg_len - 5.0) / 10.0, 0.0) * 0.2, 6) AS quality
+           FROM qy),
+         lx AS (
+           SELECT doc_id, text AS txt,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM $source),
+         ls AS (
+           SELECT doc_id,
+             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS s_en,
+             len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','los','se','del','las'], t))) AS s_es,
+             len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','zu','den','mit'], t))) AS s_de,
+             len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], t))) AS s_fr,
+             len(list_filter(['的','是','在','了','我','有','和','人','这','不'],
+                             w -> contains(txt, w))) AS s_zh
+           FROM lx),
+         lp AS (
+           SELECT doc_id, CASE
+             WHEN s_en IS NULL THEN 'und'
+             WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+             WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+             WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+             ELSE 'zh' END AS lang_pred
+           FROM ls),
+         gated AS (
+           SELECT d.doc_id, d.text
+           FROM $source d
+           JOIN qual ON d.doc_id = qual.doc_id
+           JOIN lp ON d.doc_id = lp.doc_id
+           WHERE qual.quality >= 0.2 AND lp.lang_pred = 'en'),
+         ex AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text, row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+             FROM gated)
+           WHERE rn = 1),
+         tok AS (SELECT doc_id,
+                   regexp_split_to_array(
+                     trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                     ' ') AS tk
+                 FROM ex),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+                  SELECT doc_id,
+                    CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+                         ELSE tk[sg.i] || ' ' || tk[sg.i + 1] || ' '
+                              || tk[sg.i + 2] END AS s
+                  FROM tok, unnest(generate_series(
+                    1, greatest(len(tk) - 2, 1))) AS sg(i))),
+         g AS (SELECT doc_id,
+                 ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS gm
+               FROM sh),
+         fam AS (SELECT f.i AS i,
+                        ((2 * f.i + 1) * 2654435761) % 2147483647 AS a,
+                        (f.i * 40503 + 1) % 2147483647 AS b
+                 FROM unnest(generate_series(0, 63)) AS f(i)),
+         sig AS (SELECT doc_id, i, min((gm * a + b) % 2147483647) AS h
+                 FROM g, fam GROUP BY doc_id, i),
+         arr AS (SELECT doc_id, list(h ORDER BY i) AS sg
+                 FROM sig GROUP BY doc_id),
+         bands AS (SELECT doc_id, bd.b AS band,
+                          sg[bd.b * 8 + 1 : bd.b * 8 + 8] AS sl
+                   FROM arr, unnest(generate_series(0, 7)) AS bd(b)),
+         cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.sl = y.sl
+                   AND x.doc_id < y.doc_id),
+         mt AS (SELECT c.id_a, c.id_b,
+                       sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS m
+                FROM cand c
+                JOIN sig sa ON sa.doc_id = c.id_a
+                JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+                GROUP BY c.id_a, c.id_b),
+         p AS (SELECT id_a, id_b FROM mt WHERE m / 64.0 >= 0.9),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM ex
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         SELECT ex.doc_id,
+                CASE WHEN md5(ex.text) < '0d' THEN 'test'
+                     WHEN md5(ex.text) < '1a' THEN 'val'
+                     ELSE 'train' END AS split
+         FROM ex JOIN comp ON ex.doc_id = comp.id
+         WHERE comp.component = ex.doc_id
+         ORDER BY ex.doc_id"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
@@ -5112,14 +5272,14 @@ object SparkEntry {
     // corpus fixture the query itself wrote (Verify runs before the
     // oracle, so the file is always the corpus Spark just processed)
     "q48_minhash_realistic" ->
-      """WITH w AS (
+      raw"""WITH w AS (
            SELECT DISTINCT doc_id, s FROM (
              SELECT doc_id,
                unnest(regexp_split_to_array(
                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
                  ' ')) AS s
              FROM read_parquet(
-               '/root/repo/target/fixtures/realistic_corpus.parquet/*.parquet')
+               '$FixtureDir/realistic_corpus.parquet-*/*.parquet')
              WHERE text IS NOT NULL)),
          g AS (SELECT doc_id,
                  ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS gm
@@ -5277,6 +5437,17 @@ object SparkEntry {
                 GROUP BY c.id_a, c.id_b)
          SELECT id_a, id_b, m / 128.0 AS est_jaccard
          FROM mt WHERE m / 128.0 >= 0.8 ORDER BY id_a, id_b""",
+
+    // The full pipeline with the REAL MinHash stage: q44's gate/exact-
+    // dedup/split composed with the q48 Md5 LSH machine at trigram
+    // shingles (8 bands × 8 rows for j≥0.9) — DuckDB replays all five
+    // stages including the near-dup estimator itself.
+    "q39_clean_corpus" -> cleanCorpusMd5OracleSql("documents"),
+
+    // same statement over the persisted realistic fixture the query
+    // itself wrote (Verify runs before the oracle, q48 convention)
+    "q49_clean_corpus_realistic" -> cleanCorpusMd5OracleSql(
+      raw"read_parquet('$FixtureDir/realistic_corpus.parquet-*/*.parquet')"),
 
     // The full pipeline in one statement: quality (q21 body) → lang
     // (q22 body) → exact dedup (q19 fingerprint) → unigram-Jaccard
@@ -5688,11 +5859,11 @@ object SparkEntry {
     // something, now on the hash path (the fixture file is the rows
     // Spark just processed)
     "q54_langid_confusion_realistic" ->
-      """WITH x AS (
+      raw"""WITH x AS (
            SELECT lang, text AS txt,
                   regexp_split_to_array(trim(lower(text)), '\s+') AS toks
            FROM read_parquet(
-             '/root/repo/target/fixtures/realistic_langs.parquet/*.parquet')),
+             '$FixtureDir/realistic_langs.parquet-*/*.parquet')),
          s AS (
            SELECT lang,
              len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS s_en,
@@ -7218,12 +7389,12 @@ object SparkEntry {
     // pair micro-units summed in integers (no float accumulation
     // order); min_jaccard is one exact int division, bit-portable.
     "q131_prefix_jaccard_realistic" ->
-      """WITH w AS (SELECT doc_id,
+      raw"""WITH w AS (SELECT doc_id,
                       list_distinct(regexp_split_to_array(
                         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
                         ' ')) AS words
                FROM read_parquet(
-                 '/root/repo/target/fixtures/realistic_corpus.parquet/*.parquet')),
+                 '$FixtureDir/realistic_corpus.parquet-*/*.parquet')),
          p AS (SELECT len(list_intersect(a.words, b.words))::DOUBLE AS c,
                       len(a.words)::DOUBLE AS na, len(b.words)::DOUBLE AS nb
                FROM w a, w b WHERE a.doc_id < b.doc_id),
@@ -7435,7 +7606,12 @@ object SparkEntry {
          FROM s8 JOIN s9 USING (doc_id)
          GROUP BY shard8 ORDER BY shard8""",
 
-    // p^(1/2) reweighting over the same whitespace token counts
+    // p^(1/2) reweighting over the same whitespace token counts. The
+    // smoothed weight is pinned to an exact pico-units BIGINT —
+    // floor(sqrt(p)·1e12 + 0.5), every op IEEE-correctly-rounded or
+    // exact — and Z is the exact integer sum of those longs, so no
+    // round(x, d) (engine-divergent decimal re-rounding) and no float
+    // accumulation order is left anywhere in the hashed chain.
     "q145_temperature_mix" ->
       """WITH g AS (
            SELECT lang,
@@ -7444,14 +7620,16 @@ object SparkEntry {
            FROM documents GROUP BY lang),
          t AS (SELECT sum(n_tokens)::DOUBLE AS nn FROM g),
          s AS (SELECT lang, n_tokens, n_tokens / nn AS p,
-                      round(sqrt(n_tokens / nn), 12) AS pt
+                      CAST(floor(sqrt(n_tokens / nn) * 1e12 + 0.5)
+                        AS BIGINT) AS ptq
                FROM g CROSS JOIN t),
-         z AS (SELECT sum(pt::DECIMAL(38,18))::DOUBLE AS zz FROM s)
+         z AS (SELECT sum(ptq)::BIGINT AS zq FROM s)
          SELECT lang, n_tokens,
                 CAST(floor(p * 1e6 + 0.5) AS BIGINT) AS nat_share,
-                CAST(floor(pt / zz * 1e6 + 0.5) AS BIGINT) AS temp_share,
-                CAST(floor(pt / zz / p * 1e6 + 0.5) AS BIGINT)
-                  AS epoch_factor
+                CAST(floor(ptq::DOUBLE / zq::DOUBLE * 1e6 + 0.5) AS BIGINT)
+                  AS temp_share,
+                CAST(floor(ptq::DOUBLE / zq::DOUBLE / p * 1e6 + 0.5)
+                  AS BIGINT) AS epoch_factor
          FROM s CROSS JOIN z ORDER BY lang""",
 
     // same stddev/rate/md5-threshold chain; fixed-width lowercase hex
@@ -7900,7 +8078,13 @@ object SparkEntry {
 
     // the same water-filling arithmetic in the same window order:
     // capacities ascending, prefix-greedy cap test, θ from the last
-    // capped prefix
+    // capped prefix. Capacities/budget are pinned to exact micro-unit
+    // BIGINTs — floor(x·1e6 + 0.5), IEEE-exact per row — so the window
+    // prefix sum is an INTEGER sum (a segment-tree windowed sum and a
+    // linear fold agree bit-for-bit; float prefix sums do not) and the
+    // cap test is exact integer arithmetic (HUGEINT here, decimal(38,0)
+    // in Spark); θ and the hashed outputs derive from those integers
+    // through correctly-rounded divides only.
     "q186_unimax_mix" ->
       """WITH g AS (
            SELECT lang,
@@ -7910,27 +8094,33 @@ object SparkEntry {
          t AS (SELECT sum(n_tokens)::DOUBLE AS tt, count(*)::BIGINT AS n
                FROM g),
          r AS (SELECT lang, n_tokens, n,
-                 tt * 0.4::DOUBLE AS b,
-                 n_tokens::DOUBLE * 0.6::DOUBLE AS cap,
+                 CAST(floor(tt * 0.4 * 1e6 + 0.5) AS BIGINT) AS bu,
+                 CAST(floor(n_tokens::DOUBLE * 0.6 * 1e6 + 0.5) AS BIGINT)
+                   AS capu,
                  row_number() OVER (
-                   ORDER BY n_tokens::DOUBLE * 0.6::DOUBLE, lang) AS rk,
-                 sum(n_tokens::DOUBLE * 0.6::DOUBLE) OVER (
-                   ORDER BY n_tokens::DOUBLE * 0.6::DOUBLE, lang
-                   ROWS UNBOUNDED PRECEDING) AS pfx
+                   ORDER BY CAST(floor(n_tokens::DOUBLE * 0.6 * 1e6 + 0.5)
+                     AS BIGINT), lang) AS rk,
+                 sum(CAST(floor(n_tokens::DOUBLE * 0.6 * 1e6 + 0.5)
+                     AS BIGINT)) OVER (
+                   ORDER BY CAST(floor(n_tokens::DOUBLE * 0.6 * 1e6 + 0.5)
+                     AS BIGINT), lang
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS pfxu
                FROM g, t),
          c AS (SELECT *,
-                 cap * (n - rk + 1) <= b - (pfx - cap) AS capped FROM r),
+                 capu::HUGEINT * (n - rk + 1) <=
+                   bu::HUGEINT - (pfxu - capu) AS capped FROM r),
          kk AS (SELECT coalesce(max(CASE WHEN capped THEN rk END), 0) AS k,
-                       coalesce(max(CASE WHEN capped THEN pfx END), 0.0)
-                         AS kpfx
+                       coalesce(max(CASE WHEN capped THEN pfxu END), 0)
+                         ::BIGINT AS kpfxu
                 FROM c)
          SELECT lang, n_tokens,
-                CAST(floor((CASE WHEN capped THEN cap
-                      ELSE (b - kpfx) / (n - k) END) * 1e6 + 0.5) AS BIGINT)
+                CAST(floor((CASE WHEN capped THEN capu::DOUBLE
+                      ELSE (bu - kpfxu)::DOUBLE / (n - k) END)
+                      / 1e6 * 1e6 + 0.5) AS BIGINT)
                   AS allocation,
-                CAST(floor((CASE WHEN capped THEN cap
-                       ELSE (b - kpfx) / (n - k) END) / n_tokens
-                      * 1e6 + 0.5) AS BIGINT) AS epochs,
+                CAST(floor((CASE WHEN capped THEN capu::DOUBLE
+                       ELSE (bu - kpfxu)::DOUBLE / (n - k) END)
+                      / 1e6 / n_tokens * 1e6 + 0.5) AS BIGINT) AS epochs,
                 capped
          FROM c, kk ORDER BY lang""",
 

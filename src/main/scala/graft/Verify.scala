@@ -25,6 +25,15 @@ object Verify {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Clear the oracle-visible fixture root: its dirs are size-scoped
+    // (name-N) and the oracle SQL globs name-*, so a stale corpus from
+    // an earlier run at a different scale factor would double the
+    // glob's rows. After this, the only matches are what THIS run's
+    // queries persist.
+    deleteRecursively(new java.io.File(
+      sys.props.get("graft.fixture.dir").getOrElse(
+        new java.io.File(sys.props("user.dir"), "target/fixtures")
+          .getAbsolutePath)))
     // oracle_sql.json FIRST: it is pure metadata, and the downstream
     // compare degenerates to {} without it. Writing it before the query
     // loop means any driver-side time cap that kills the JVM mid-dump

@@ -610,8 +610,10 @@ object Dedup {
       minJaccard: Double = 0.8,
       numHashes: Int = 128,
       bands: Int = 0,
-      shingleSize: Int = 3): DataFrame = {
-    val comp = minhashDedup(df, idCol, textCol, minJaccard, numHashes, bands, shingleSize)
+      shingleSize: Int = 3,
+      sigMode: SigMode = SigMode.Xxhash64): DataFrame = {
+    val comp = minhashDedup(df, idCol, textCol, minJaccard, numHashes, bands,
+      shingleSize, sigMode)
     val reps = comp.where(col("id") === col("component")).select(col("id"))
     df.join(reps.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
   }
@@ -627,8 +629,10 @@ object Dedup {
       minJaccard: Double = 0.8,
       numHashes: Int = 128,
       bands: Int = 0,
-      shingleSize: Int = 3): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, minJaccard, numHashes, bands, shingleSize)
+      shingleSize: Int = 3,
+      sigMode: SigMode = SigMode.Xxhash64): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, minJaccard, numHashes, bands,
+      shingleSize, sigMode)
     connectedComponents(df.select(col(idCol).as("id")), pairs)
   }
 

@@ -383,24 +383,29 @@ object Sampling {
     // IEEE 754 guarantees sqrt is correctly rounded while pow is not
     // (engines' pow implementations legitimately differ by ULPs), so
     // the common T = 2 case takes the reproducible spelling. The
-    // smoothed weight is then pinned to 12 decimals and the normalizer
-    // summed exactly in decimal(38,18): Z becomes independent of both
-    // summation order and libm, so downstream shares are bit-identical
-    // on any engine/partitioning.
+    // smoothed weight is then QUANTIZED TO AN EXACT INTEGER in
+    // pico-units — floor(pt·1e12 + 0.5), all IEEE-exact ops (multiply
+    // is correctly rounded, floor is exact) — and the normalizer is
+    // the plain integer sum of those longs: exact, associative, and
+    // free of round(x, d) (whose decimal re-rounding differs across
+    // engines in the last ULP) and of float accumulation order (a
+    // segment-tree windowed sum and a linear fold round differently).
+    // Every op after the quantization is a correctly-rounded double
+    // divide, so shares are bit-identical on any engine/partitioning.
     val exponent = 1.0 / temperature
     val ptRaw =
       if (exponent == 0.5) sqrt(col("__p"))
       else pow(col("__p"), lit(exponent))
     val shared = groups.crossJoin(total)
       .withColumn("__p", col("n_tokens").cast("double") / col("__N"))
-      .withColumn("__pt", round(ptRaw, 12))
-    val z = broadcast(shared.agg(
-      sum(col("__pt").cast("decimal(38,18)")).cast("double").as("__Z")))
+      .withColumn("__ptq", floor(ptRaw * lit(1e12) + lit(0.5)).cast("long"))
+    val z = broadcast(shared.agg(sum(col("__ptq")).as("__Zq")))
+    val share = col("__ptq").cast("double") / col("__Zq").cast("double")
     shared.crossJoin(z)
       .select(col(groupCol), col("n_tokens"),
         col("__p").as("nat_share"),
-        (col("__pt") / col("__Z")).as("temp_share"),
-        (col("__pt") / col("__Z") / col("__p")).as("epoch_factor"))
+        share.as("temp_share"),
+        (share / col("__p")).as("epoch_factor"))
   }
 
   /** UniMax token allocation (Chung et al. 2023, "UniMax: Fairer and
@@ -440,33 +445,48 @@ object Sampling {
       .localCheckpoint() // tiny; feeds totals, ranking, and the output
     val tot = broadcast(groups.agg(
       sum(col("n_tokens")).as("__T"), count(lit(1)).as("__n")))
+    // Capacities and the budget are QUANTIZED TO EXACT LONGS in
+    // micro-token units — floor(x·1e6 + 0.5), IEEE-exact per row — so
+    // the prefix sum is an INTEGER sum (associative: a segment-tree
+    // windowed sum and a linear fold agree bit-for-bit, which float
+    // prefix sums do not guarantee across engines) and the cap test is
+    // exact integer arithmetic, widened to decimal(38,0) so the
+    // capacity × remaining product cannot overflow a long even at
+    // 100 TB token counts. θ and the real-valued outputs then derive
+    // from the pinned integers through correctly-rounded divides only,
+    // so the whole row is bit-identical on any engine/partitioning.
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__cap"), col(groupCol))
+      .orderBy(col("__capu"), col(groupCol))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
     val ranked = groups.crossJoin(tot)
-      .withColumn("__B", col("__T").cast("double") * lit(budgetFrac))
-      .withColumn("__cap", col("n_tokens").cast("double") * lit(maxEpochs))
+      .withColumn("__Bu",
+        floor(col("__T").cast("double") * lit(budgetFrac) * lit(1e6)
+          + lit(0.5)).cast("long"))
+      .withColumn("__capu",
+        floor(col("n_tokens").cast("double") * lit(maxEpochs) * lit(1e6)
+          + lit(0.5)).cast("long"))
       .withColumn("__rk", row_number().over(w))
-      .withColumn("__pfx", sum(col("__cap")).over(
+      .withColumn("__pfxu", sum(col("__capu")).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, org.apache.spark.sql.expressions.Window
           .currentRow)))
       // capped iff capacity ≤ (B − prefix of smaller caps) / remaining
       .withColumn("__capped",
-        col("__cap") * (col("__n") - col("__rk") + 1) <=
-          col("__B") - (col("__pfx") - col("__cap")))
+        d38(col("__capu")) * d38(col("__n") - col("__rk") + 1) <=
+          d38(col("__Bu")) - d38(col("__pfxu") - col("__capu")))
       .localCheckpoint() // feeds the k-row aggregate + the output
     val kRow = broadcast(ranked.where(col("__capped"))
-      .agg(max(col("__rk")).as("__k"), max(col("__pfx")).as("__kpfx")))
+      .agg(max(col("__rk")).as("__k"), max(col("__pfxu")).as("__kpfxu")))
     val k = coalesce(col("__k"), lit(0L))
-    val theta = when(col("__n") === k, lit(0.0)) // all capped: θ unused
-      .otherwise((col("__B") - coalesce(col("__kpfx"), lit(0.0))) /
-        (col("__n") - k))
+    val thetaU = when(col("__n") === k, lit(0.0)) // all capped: θ unused
+      .otherwise((col("__Bu") - coalesce(col("__kpfxu"), lit(0L)))
+        .cast("double") / (col("__n") - k).cast("double"))
+    val allocU = when(col("__capped"), col("__capu").cast("double"))
+      .otherwise(thetaU)
     ranked.crossJoin(kRow)
       .select(col(groupCol), col("n_tokens"),
-        when(col("__capped"), col("__cap")).otherwise(theta)
-          .as("allocation"),
-        (when(col("__capped"), col("__cap")).otherwise(theta) /
-          col("n_tokens")).as("epochs"),
+        (allocU / lit(1e6)).as("allocation"),
+        (allocU / lit(1e6) / col("n_tokens")).as("epochs"),
         col("__capped").as("capped"))
   }
 

@@ -34,7 +34,11 @@ object TextPipeline {
       bands: Int = 0,
       shingleSize: Int = 3,
       htmlInput: Boolean = false,
-      repairEncoding: Boolean = false)
+      repairEncoding: Boolean = false,
+      // Signature lanes for the MinHash stage: Xxhash64 for production
+      // throughput, Md5 when an external engine must replay the exact
+      // signatures (the q28/q48 verify-lane convention).
+      sigMode: Dedup.SigMode = Dedup.SigMode.Xxhash64)
 
   // -------------------------------------------------------------------
   // HTML → text extraction (boilerplate removal) — the first operator a
@@ -273,7 +277,8 @@ object TextPipeline {
       config: Config = Config()): DataFrame = {
     val nearDeduped = Dedup.minhashDedupApply(
       gateAndExactDedup(df, idCol, textCol, config), idCol, textCol,
-      config.nearDupJaccard, config.numHashes, config.bands, config.shingleSize)
+      config.nearDupJaccard, config.numHashes, config.bands,
+      config.shingleSize, config.sigMode)
     Sampling.contentSplit(nearDeduped, textCol)
   }
 
