@@ -30,10 +30,10 @@ object Verify {
     // an earlier run at a different scale factor would double the
     // glob's rows. After this, the only matches are what THIS run's
     // queries persist.
-    deleteRecursively(new java.io.File(
-      sys.props.get("graft.fixture.dir").getOrElse(
-        new java.io.File(sys.props("user.dir"), "target/fixtures")
-          .getAbsolutePath)))
+    // SparkEntry.FixtureDir is the single source of truth — the same
+    // value the oracle SQL globs and persistedRealistic writes, so the
+    // clear can never drift onto a different directory.
+    deleteRecursively(new java.io.File(SparkEntry.FixtureDir))
     // oracle_sql.json FIRST: it is pure metadata, and the downstream
     // compare degenerates to {} without it. Writing it before the query
     // loop means any driver-side time cap that kills the JVM mid-dump

@@ -451,8 +451,14 @@ object Sampling {
     // windowed sum and a linear fold agree bit-for-bit, which float
     // prefix sums do not guarantee across engines) and the cap test is
     // exact integer arithmetic, widened to decimal(38,0) so the
-    // capacity × remaining product cannot overflow a long even at
-    // 100 TB token counts. θ and the real-valued outputs then derive
+    // capacity × remaining PRODUCT cannot overflow a long. Bound of
+    // the micro-unit quantization itself: floor(x·1e6).cast(long)
+    // holds up to ~9.2e12 tokens per group (Long.MaxValue/1e6); past
+    // that the budget/capacity longs saturate and the DuckDB twin
+    // (which errors on overflow rather than clamping) would diverge —
+    // at larger per-group masses drop to 1e3-unit (or 1-unit)
+    // quantization, which this formulation admits unchanged. θ and
+    // the real-valued outputs then derive
     // from the pinned integers through correctly-rounded divides only,
     // so the whole row is bit-identical on any engine/partitioning.
     val w = org.apache.spark.sql.expressions.Window

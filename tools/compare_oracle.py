@@ -49,15 +49,29 @@ def main():
             n_bad += 1
             continue
         sp = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        sp_types = dict(zip(sp.columns, map(str, sp.types)))
         sp_cols, sp_rows = [d[0] for d in sp.description], sp.fetchall()
         orc = con.sql(sql)
+        o_types = dict(zip(orc.columns, map(str, orc.types)))
         o_cols, o_rows = [d[0] for d in orc.description], orc.fetchall()
         ok_rows = len(sp_rows) == len(o_rows)
         ok_schema = sorted(sp_cols) == sorted(o_cols)
+        # Output-TYPE audit: the driver's value hash is type-sensitive,
+        # while repr()-hashing below is blind to e.g. HUGEINT-vs-BIGINT
+        # (the q145/q186 r14-r18 failure class). Assert the DuckDB view
+        # of both sides types every shared column identically.
+        type_bad = [(c, sp_types.get(c), o_types.get(c))
+                    for c in sorted(set(sp_types) & set(o_types))
+                    if sp_types.get(c) != o_types.get(c)]
+        ok_types = not type_bad
         ok_hash = ok_rows and ok_schema and canon(sp_rows, sp_cols) == canon(o_rows, o_cols)
-        status = "OK" if (ok_rows and ok_schema and ok_hash) else \
-            f"FAIL rows={ok_rows}({len(sp_rows)}/{len(o_rows)}) schema={ok_schema} hash={ok_hash}"
-        if not (ok_rows and ok_schema and ok_hash):
+        status = "OK" if (ok_rows and ok_schema and ok_hash and ok_types) else \
+            f"FAIL rows={ok_rows}({len(sp_rows)}/{len(o_rows)}) schema={ok_schema} hash={ok_hash} types={ok_types}"
+        if type_bad:
+            hint = " (HUGEINT: cast the aggregate itself, sum(...)::BIGINT)" \
+                if any("HUGEINT" in (t or "") for _, _, t in type_bad) else ""
+            print(f"  TYPE MISMATCH{hint}: {type_bad[:6]}")
+        if not (ok_rows and ok_schema and ok_hash and ok_types):
             n_bad += 1
             if ok_rows and ok_schema and not ok_hash and len(sp_rows) <= 8:
                 print(f"  spark:  {sorted(sp_rows)[:4]}")

@@ -65,16 +65,26 @@ def main():
             print(f"{name:28s} rows={len(s_rows):6d}  (no oracle — rows-only)"
                   + ("  EMPTY!" if not s_rows else ""))
             continue
+        s_types = dict(zip(spark_rel.columns, map(str, spark_rel.types)))
         try:
             o_rel = con.sql(oracle[name])
             o_cols_orig = o_rel.columns
+            o_types = dict(zip(o_cols_orig, map(str, o_rel.types)))
             o_cols = sorted(o_cols_orig)
             o_rows = norm(con.sql(
                 f"SELECT {', '.join(o_cols)} FROM o_rel").fetchall())
         except Exception as e:
             print(f"{name:28s} ORACLE SQL ERROR: {e}")
             continue
-        schema_ok = s_cols == o_cols
+        # Output-TYPE audit (driver hash is type-sensitive; value
+        # compares are blind to HUGEINT-vs-BIGINT — the q145/q186
+        # r14-r18 failure class). Exact per-column type equality.
+        type_bad = [(c, s_types.get(c), o_types.get(c))
+                    for c in sorted(set(s_types) & set(o_types))
+                    if s_types.get(c) != o_types.get(c)]
+        if type_bad:
+            print(f"{name:28s} TYPE MISMATCH {type_bad[:6]}")
+        schema_ok = s_cols == o_cols and not type_bad
         rows_ok = len(s_rows) == len(o_rows)
         vals_ok = rows_ok and all(
             all(close(a, b) for a, b in zip(sr, orow))
