@@ -100,7 +100,7 @@ object SparkEntry {
     * disjoint from the stub corpus. Deterministic — byte-identical on
     * every call — so the persisted fixture and the in-memory bench
     * frame carry the same payloads. */
-  private def plantedMediaRows: Seq[Multimodal.MediaRow] = Seq(
+  private[graft] def plantedMediaRows: Seq[Multimodal.MediaRow] = Seq(
     Multimodal.MediaRow(-1L, "audio", MediaCodec.Fixtures.sineWav(440, 0.5)),
     Multimodal.MediaRow(-2L, "audio", MediaCodec.Fixtures.sineWav(100, 1.0)),
     Multimodal.MediaRow(-3L, "image", MediaCodec.Fixtures.gradientBmp(64, 32)),
@@ -137,7 +137,7 @@ object SparkEntry {
     * same bytes, an independent in-SQL decode. Bench lane skips the
     * write and uses the in-memory rows (identical bytes — the
     * generators are deterministic). */
-  private def plantedMedia(
+  private[graft] def plantedMedia(
       s: SparkSession): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
     import s.implicits._
     val rows = s.createDataset(plantedMediaRows)
