@@ -4182,6 +4182,32 @@ object SparkEntry {
       }
     }),
 
+    // Greedy MMR diversity re-ranking (Carbonell & Goldstein 1998)
+    // over each query's top-20 ANN pool: select 5 at λ=0.7 — the
+    // diverse-context / eval-set-construction move over an ANN
+    // candidate list. Relevance and redundancy both leave the float
+    // domain through ONE micro-unit quantization of the same codegen
+    // cosine, so the greedy argmax chain is pure integer arithmetic
+    // the oracle replays step by step (5 unrolled selection CTEs with
+    // (score DESC, id) tie-breaks). Pool membership, the pair matrix,
+    // every pick, and every score are all on the hash path.
+    "q191_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.mmrRerank(
+          e, "vec_id", "embedding",
+          e.where(col("vec_id") < 5), "vec_id", "embedding",
+          poolK = 20, selectK = 5, lambdaTenths = 7)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Mixture-diversity dashboard: per-source doc/token mass, exact
+    // parts-per-million token shares (integer DIV — no floats), and
+    // the corpus-level Simpson effective-source count, integer-exact
+    // to its single micro-unit quantization gate.
+    "q192_source_diversity" -> ((s, dir) =>
+      TextAnalysis.sourceDiversity(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))),
+
     // WebDataset TAR shard ingest: the corpus round-tripped through
     // real POSIX ustar bytes — 20 shards, each document as a
     // `<id>.txt` member plus a `<id>.json` sidecar (the webdataset
@@ -8236,6 +8262,134 @@ ORDER BY media_id""",
            TRUE AS absent_keys_excluded, TRUE AS absent_lookup_empty
          FROM events""",
 
+    // Full greedy MMR replay: pool (top-20 by cosine, ties to the
+    // smaller id), micro-unit quantization of both sim families
+    // through the identical double spellings, then the five selection
+    // steps unrolled — each an integer argmax with (score DESC, id)
+    // tie-break over the not-yet-selected pool, redundancy = max
+    // pair-sim against everything selected so far.
+    "q191_mmr_rerank" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                    FROM embeddings WHERE vec_id < 5),
+         zq AS (SELECT q.query_id, e.vec_id AS id,
+                       unnest(e.embedding)::DOUBLE AS x,
+                       unnest(q.qe)::DOUBLE AS y
+                FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         cq AS (SELECT query_id, id,
+                       sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS cos
+                FROM zq GROUP BY query_id, id),
+         cand AS (SELECT query_id, id,
+                         CAST(floor(cos*1000000 + 0.5) AS BIGINT) AS rel_u
+                  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, id) AS rn FROM cq)
+                  WHERE rn <= 20),
+         zp AS (SELECT a.query_id, a.id AS ia, b.id AS ib,
+                       unnest(ea.embedding)::DOUBLE AS x,
+                       unnest(eb.embedding)::DOUBLE AS y
+                FROM cand a
+                JOIN cand b ON b.query_id = a.query_id AND b.id <> a.id
+                JOIN embeddings ea ON ea.vec_id = a.id
+                JOIN embeddings eb ON eb.vec_id = b.id),
+         pair AS (SELECT query_id, ia, ib,
+                         CAST(floor(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y)))
+                              *1000000 + 0.5) AS BIGINT) AS sim_u
+                  FROM zp GROUP BY query_id, ia, ib),
+         s1 AS (SELECT query_id, id, rel_u, CAST(0 AS BIGINT) AS red_u,
+                       CAST(7*rel_u AS BIGINT) AS score_u
+                FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY 7*rel_u DESC, id) AS rn FROM cand)
+                WHERE rn = 1),
+         r2 AS (SELECT c.query_id, c.id, c.rel_u,
+                       CAST(max(p.sim_u) AS BIGINT) AS red_u
+                FROM cand c
+                JOIN pair p ON p.query_id = c.query_id AND p.ia = c.id
+                JOIN s1 s ON s.query_id = p.query_id AND s.id = p.ib
+                WHERE NOT EXISTS (SELECT 1 FROM s1 x
+                  WHERE x.query_id = c.query_id AND x.id = c.id)
+                GROUP BY c.query_id, c.id, c.rel_u),
+         s2 AS (SELECT query_id, id, rel_u, red_u,
+                       CAST(7*rel_u - 3*red_u AS BIGINT) AS score_u
+                FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY (7*rel_u - 3*red_u) DESC, id) AS rn
+                      FROM r2) WHERE rn = 1),
+         sel3 AS (SELECT query_id, id FROM s1
+                  UNION ALL SELECT query_id, id FROM s2),
+         r3 AS (SELECT c.query_id, c.id, c.rel_u,
+                       CAST(max(p.sim_u) AS BIGINT) AS red_u
+                FROM cand c
+                JOIN pair p ON p.query_id = c.query_id AND p.ia = c.id
+                JOIN sel3 s ON s.query_id = p.query_id AND s.id = p.ib
+                WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+                  WHERE x.query_id = c.query_id AND x.id = c.id)
+                GROUP BY c.query_id, c.id, c.rel_u),
+         s3 AS (SELECT query_id, id, rel_u, red_u,
+                       CAST(7*rel_u - 3*red_u AS BIGINT) AS score_u
+                FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY (7*rel_u - 3*red_u) DESC, id) AS rn
+                      FROM r3) WHERE rn = 1),
+         sel4 AS (SELECT query_id, id FROM sel3
+                  UNION ALL SELECT query_id, id FROM s3),
+         r4 AS (SELECT c.query_id, c.id, c.rel_u,
+                       CAST(max(p.sim_u) AS BIGINT) AS red_u
+                FROM cand c
+                JOIN pair p ON p.query_id = c.query_id AND p.ia = c.id
+                JOIN sel4 s ON s.query_id = p.query_id AND s.id = p.ib
+                WHERE NOT EXISTS (SELECT 1 FROM sel4 x
+                  WHERE x.query_id = c.query_id AND x.id = c.id)
+                GROUP BY c.query_id, c.id, c.rel_u),
+         s4 AS (SELECT query_id, id, rel_u, red_u,
+                       CAST(7*rel_u - 3*red_u AS BIGINT) AS score_u
+                FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY (7*rel_u - 3*red_u) DESC, id) AS rn
+                      FROM r4) WHERE rn = 1),
+         sel5 AS (SELECT query_id, id FROM sel4
+                  UNION ALL SELECT query_id, id FROM s4),
+         r5 AS (SELECT c.query_id, c.id, c.rel_u,
+                       CAST(max(p.sim_u) AS BIGINT) AS red_u
+                FROM cand c
+                JOIN pair p ON p.query_id = c.query_id AND p.ia = c.id
+                JOIN sel5 s ON s.query_id = p.query_id AND s.id = p.ib
+                WHERE NOT EXISTS (SELECT 1 FROM sel5 x
+                  WHERE x.query_id = c.query_id AND x.id = c.id)
+                GROUP BY c.query_id, c.id, c.rel_u),
+         s5 AS (SELECT query_id, id, rel_u, red_u,
+                       CAST(7*rel_u - 3*red_u AS BIGINT) AS score_u
+                FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY (7*rel_u - 3*red_u) DESC, id) AS rn
+                      FROM r5) WHERE rn = 1)
+         SELECT query_id, CAST(1 AS BIGINT) AS rank, id AS doc_id,
+                rel_u AS relevance_u, red_u AS redundancy_u,
+                score_u AS mmr_score_u FROM s1
+         UNION ALL SELECT query_id, CAST(2 AS BIGINT), id, rel_u, red_u,
+                score_u FROM s2
+         UNION ALL SELECT query_id, CAST(3 AS BIGINT), id, rel_u, red_u,
+                score_u FROM s3
+         UNION ALL SELECT query_id, CAST(4 AS BIGINT), id, rel_u, red_u,
+                score_u FROM s4
+         UNION ALL SELECT query_id, CAST(5 AS BIGINT), id, rel_u, red_u,
+                score_u FROM s5
+         ORDER BY query_id, rank""",
+
+    // shares are exact integer division; the Simpson ratio's operands
+    // are exact BIGINT sums cast to double before one divide + one
+    // quantization — no aggregate is hashed bare
+    "q192_source_diversity" ->
+      """WITH per AS (
+           SELECT source, count(*)::BIGINT AS n_docs,
+                  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))::BIGINT)
+                       AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         w AS (
+           SELECT source, n_docs, n_tokens,
+                  CAST(sum(n_tokens) OVER () AS BIGINT) AS tot,
+                  CAST(sum(n_tokens*n_tokens) OVER () AS BIGINT) AS sq
+           FROM per)
+         SELECT source, n_docs, n_tokens,
+                CAST((n_tokens * 1000000) // tot AS BIGINT) AS share_ppm,
+                CAST(floor(tot::DOUBLE * tot::DOUBLE / sq::DOUBLE
+                     * 1000000 + 0.5) AS BIGINT) AS eff_sources_u
+         FROM w ORDER BY source""",
+
     // expected members computed directly from documents — the walk
     // must recover every body byte-exactly for the md5s to land
     "q188_tar_ingest" ->
@@ -8943,5 +9097,6 @@ ORDER BY media_id""",
     "q181_ivfpq_index_append", "q182_char_span_dedup",
     "q183_stratified_split", "q184_auto_split",
     "q185_streaming_sessions", "q186_unimax_mix", "q187_gopher_rules",
-    "q188_tar_ingest", "q189_tar_gzip", "q190_bloom_layout")
+    "q188_tar_ingest", "q189_tar_gzip", "q190_bloom_layout",
+    "q191_mmr_rerank", "q192_source_diversity")
 }

@@ -878,4 +878,118 @@ object SimilaritySearch {
       .where(col("cosine_sim") >= minCosine)
       .select("id_a", "id_b", "cosine_sim")
   }
+
+  /** Greedy maximal-marginal-relevance (MMR, Carbonell & Goldstein
+    * 1998) diversity re-ranking: from each query's top-`poolK`
+    * candidate pool, pick `selectK` documents one at a time, each pick
+    * maximizing `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` over the
+    * already-selected set S — the standard move for building diverse
+    * eval/annotation sets or dedup-aware retrieval contexts from an
+    * ANN candidate list.
+    *
+    * Determinism contract: every float leaves the plan through ONE
+    * quantization gate — `floor(cosine·1e6 + 0.5)` micro-units, the
+    * same codegen [[cosine]] both the pool and the pair matrix use —
+    * and the greedy loop itself is pure integer arithmetic
+    * (`λ` is `lambdaTenths`/10, so scores are the exact integers
+    * `lambdaTenths·rel_u − (10−lambdaTenths)·red_u`). Ties take the
+    * smallest id at every step, so the selected sequence is a pure
+    * function of the quantized sims on any engine.
+    *
+    * Shape at scale: stage 1 is [[topKJoin]] (bounded-heap map-side
+    * combine — the only stage that touches the corpus); stage 2
+    * re-attaches candidate vectors with one broadcast-hash join
+    * (candidates are O(queries·poolK), the corpus streams once per
+    * vector side) and builds the per-query poolK² pair matrix
+    * small-side only; stage 3 is a per-query greedy over ≤poolK²
+    * integer rows — O(queries·poolK²·selectK) total, no shuffle
+    * beyond the tiny pair-matrix groupBy. The corpus is never
+    * shuffled and the quadratic term is bounded by poolK, not n.
+    *
+    * Output: (query_id, rank, doc_id, relevance_u, redundancy_u,
+    * mmr_score_u) — all BIGINT, rank 1-based in selection order.
+    */
+  def mmrRerank(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      poolK: Int,
+      selectK: Int,
+      lambdaTenths: Int = 7): DataFrame = {
+    require(poolK >= 2, s"mmrRerank: poolK must be >= 2, got $poolK")
+    require(selectK >= 1 && selectK <= poolK,
+      s"mmrRerank: selectK must be in [1, poolK], got $selectK")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"mmrRerank: lambdaTenths must be in [0, 10], got $lambdaTenths")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def microUnits(c: Column): Column = floor(c * lit(1000000.0d) + lit(0.5d))
+    val lam = lambdaTenths.toLong
+    val oneMinusLam = (10 - lambdaTenths).toLong
+
+    val cand = topKJoin(corpus, corpusId, corpusVec,
+        queries, queryId, queryVec, poolK)
+      .select(col("query_id"), col("id"),
+        microUnits(col("cosine_sim")).as("rel_u"))
+    // Pinned: withVec fans into both sides of the pair self-join —
+    // unpinned, the topKJoin (a full corpus scan + shuffle) and the
+    // vector re-attach would run twice (the semanticDedup lesson).
+    val vecs = corpus.select(
+      col(corpusId).cast("long").as("id"), col(corpusVec).as("__v"))
+    val withVec = vecs.join(broadcast(cand), Seq("id"))
+      .select(col("query_id"), col("id"), col("rel_u"), col("__v"))
+      .localCheckpoint()
+    val a = withVec.select(col("query_id"), col("id").as("ia"),
+      col("rel_u").as("rel_a_u"), col("__v").as("__va"))
+    val b = withVec.select(col("query_id"), col("id").as("ib"),
+      col("__v").as("__vb"))
+    val pairs = a.join(b, Seq("query_id"))
+      .where(col("ia") =!= col("ib"))
+      .select(col("query_id"), col("ia"), col("rel_a_u"), col("ib"),
+        microUnits(cosine(col("__va"), col("__vb"))).as("sim_u"))
+      .as[(Long, Long, Long, Long, Long)]
+
+    pairs
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Long, Long)]) =>
+        val rel = scala.collection.mutable.LongMap.empty[Long]
+        val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        it.foreach { case (_, ia, relA, ib, s) =>
+          rel(ia) = relA
+          sim((ia, ib)) = s
+        }
+        // Ascending-id iteration + strict `>` makes every tie resolve
+        // to the smallest id, matching the oracle's (score DESC, id).
+        val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ rel.keys
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long, Long)]
+        val k = math.min(selectK, remaining.size)
+        var rank = 1L
+        while (rank <= k) {
+          var bestId = -1L
+          var bestScore = Long.MinValue
+          var bestRed = 0L
+          for (c <- remaining) {
+            val red =
+              if (selected.isEmpty) 0L
+              else selected.iterator.map(s => sim((c, s))).max
+            val score = lam * rel(c) - oneMinusLam * red
+            if (score > bestScore) {
+              bestScore = score; bestId = c; bestRed = red
+            }
+          }
+          remaining -= bestId
+          selected += bestId
+          out += ((qid, rank, bestId, rel(bestId), bestRed, bestScore))
+          rank += 1L
+        }
+        out.iterator
+      }
+      .toDF("query_id", "rank", "doc_id",
+        "relevance_u", "redundancy_u", "mmr_score_u")
+  }
 }

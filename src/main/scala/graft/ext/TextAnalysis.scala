@@ -789,6 +789,44 @@ object TextAnalysis {
         sum(when(LangId.langId(col(textCol)) === "en", 1L).otherwise(0L))
           .as("n_pred_en"))
 
+  /** Mixture-diversity dashboard over a grouping column (source,
+    * domain, language): per-group doc/token mass, the group's exact
+    * parts-per-million share of total tokens, and the corpus-level
+    * Simpson effective-source count `(Σt)² / Σt²` — the "how many
+    * sources is this mixture really drawing from" health stat a
+    * training-mix curator watches (equal k-way mix → k; one dominant
+    * source → ~1).
+    *
+    * Determinism contract: shares are exact integer division
+    * (`t·1e6 DIV Σt` — no floats anywhere near the hash path), and the
+    * Simpson ratio's two operands are exact BIGINT sums cast to double
+    * (exact below 2^53) with one correctly-rounded divide before the
+    * single micro-unit quantization gate — engine-exact end to end.
+    * Long bounds: `t·1e6` and `(Σt)²` cap the exact lane at ~9.2e12
+    * tokens (≈40 TB of text); past that, widen the share numerator and
+    * Simpson operands to decimal(38,0) — the uniMax precedent.
+    *
+    * Shape at scale: one hash aggregation over the corpus; the
+    * empty-partition window runs over the |groups|-row AGGREGATE (a
+    * handful of sources), never the corpus — the q186 shape.
+    */
+  def sourceDiversity(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("__tot", sum(col("n_tokens")).over(w))
+      .withColumn("__sq", sum(col("n_tokens") * col("n_tokens")).over(w))
+      .select(
+        col(groupCol), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 1000000) DIV __tot").as("share_ppm"),
+        floor(col("__tot").cast("double") * col("__tot").cast("double")
+            / col("__sq").cast("double") * lit(1000000.0d) + lit(0.5d))
+          .as("eff_sources_u"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
     * document by how much more likely its tokens are under a TARGET

@@ -367,4 +367,97 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
       excludeId = Some(7L)).head()
     out50.getDouble(3) should be >= out50.getDouble(2)
   }
+
+  // --- mmrRerank -----------------------------------------------------
+
+  private def mmrFixture() = {
+    import spark.implicits._
+    // id 0 is the query; 1 and 2 are near-identical high-relevance
+    // docs; 3 is moderately relevant but pointing elsewhere; 4 is a
+    // low-relevance filler.
+    Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.999f, 0.040f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.041f, 0.0f, 0.0f)),
+      (3L, Seq(0.7f, 0.0f, 0.7f, 0.0f)),
+      (4L, Seq(0.1f, 0.9f, 0.0f, 0.4f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("mmrRerank: rank 1 is the pure-relevance top-1 with zero redundancy") {
+    val df = mmrFixture()
+    val out = SimilaritySearch.mmrRerank(df, "vec_id", "embedding",
+        df.where(col("vec_id") === 0L), "vec_id", "embedding",
+        poolK = 4, selectK = 3, lambdaTenths = 7)
+      .orderBy("rank").collect()
+    out should have size 3
+    out.map(_.getLong(2)).distinct should have size 3
+    val first = out.head
+    first.getLong(1) shouldBe 1L              // rank
+    first.getLong(2) shouldBe 1L              // doc 1 edges doc 2 on cosine
+    first.getLong(4) shouldBe 0L              // redundancy_u
+    first.getLong(5) shouldBe 7L * first.getLong(3)
+  }
+
+  test("mmrRerank: diversity-heavy lambda skips the near-duplicate") {
+    val df = mmrFixture()
+    val picks = SimilaritySearch.mmrRerank(df, "vec_id", "embedding",
+        df.where(col("vec_id") === 0L), "vec_id", "embedding",
+        poolK = 4, selectK = 2, lambdaTenths = 3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    // pure relevance would pick (1, 2); MMR at lambda=0.3 penalizes
+    // doc 2's ~0.9999 similarity to the already-picked doc 1
+    picks.head shouldBe 1L
+    picks(1) should not be 2L
+  }
+
+  test("mmrRerank: lambda=1.0 reduces to the relevance order") {
+    val df = mmrFixture()
+    val mmr = SimilaritySearch.mmrRerank(df, "vec_id", "embedding",
+        df.where(col("vec_id") === 0L), "vec_id", "embedding",
+        poolK = 4, selectK = 4, lambdaTenths = 10)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    val rel = SimilaritySearch.topKJoin(df, "vec_id", "embedding",
+        df.where(col("vec_id") === 0L), "vec_id", "embedding", 4)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    mmr shouldBe rel
+  }
+
+  test("mmrRerank: exact score ties resolve to the smallest id") {
+    import spark.implicits._
+    // ids 5 and 6 are the same vector — identical quantized relevance
+    // and redundancy at every step, so id 5 must win the tie.
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (6L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (5L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (9L, Seq(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val picks = SimilaritySearch.mmrRerank(df, "vec_id", "embedding",
+        df.where(col("vec_id") === 0L), "vec_id", "embedding",
+        poolK = 3, selectK = 3, lambdaTenths = 7)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    picks.head shouldBe 5L
+    picks.indexOf(5L) should be < picks.indexOf(6L)
+  }
+
+  test("mmrRerank is deterministic across runs and selects per query") {
+    val df = corpusDf(60).withColumnRenamed("id", "vec_id")
+      .withColumnRenamed("v", "embedding")
+    val queries = df.where(col("vec_id") < 3)
+    def run() = SimilaritySearch.mmrRerank(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", poolK = 10, selectK = 5,
+        lambdaTenths = 7)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+      .toSeq
+    val a = run(); val b = run()
+    a shouldBe b
+    a.map(_._1).distinct should have size 3
+    a.groupBy(_._1).values.foreach(_ should have size 5)
+    // within a query the selected ids are distinct
+    a.groupBy(_._1).values.foreach { rows =>
+      rows.map(_._3).distinct should have size 5
+    }
+  }
 }

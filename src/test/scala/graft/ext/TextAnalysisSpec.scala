@@ -432,4 +432,36 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // every violator is dropped
     (1 to 7).foreach(i => flag(out(i), "kept") shouldBe false)
   }
+
+  test("sourceDiversity: exact ppm shares and the Simpson effective-source count") {
+    import spark.implicits._
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    // source a: 300 tokens over 3 docs; source b: 100 tokens over 1
+    val docs = Seq(
+      ("a", doc(100)), ("a", doc(120)), ("a", doc(80)), ("b", doc(100))
+    ).toDF("source", "text")
+    val out = sourceDiversity(docs, "source", "text").orderBy("source")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // shares: 300/400 and 100/400 exactly; Simpson: 400²/(300²+100²)
+    // = 1.6 sources → 1_600_000 micro-units on every row
+    out shouldBe Array(
+      ("a", 3L, 300L, 750000L, 1600000L),
+      ("b", 1L, 100L, 250000L, 1600000L))
+  }
+
+  test("sourceDiversity: a uniform k-way mix has effective count k; ppm floors") {
+    import spark.implicits._
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(("a", doc(7)), ("b", doc(7)), ("c", doc(7)))
+      .toDF("source", "text")
+    val out = sourceDiversity(docs, "source", "text").orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    // 7/21 each: integer DIV floors to 333333 ppm; Simpson = exactly 3
+    out shouldBe Array(
+      ("a", 333333L, 3000000L),
+      ("b", 333333L, 3000000L),
+      ("c", 333333L, 3000000L))
+  }
 }
