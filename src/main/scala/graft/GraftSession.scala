@@ -24,12 +24,19 @@ object GraftSession {
     * providers on the same feed (BENCH_NOTES §streaming).
     */
   def stateStoreProvider: String =
-    sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs").toLowerCase match {
-      case "rocksdb" =>
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-      case _ =>
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
-    }
+    providerClassFor(sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs"))
+
+  /** Short provider name → provider class (unknown names fall back to
+    * the default store, matching the env var's lenient contract).
+    * Exposed so StreamBench's per-provider lanes and the spec use the
+    * same mapping the session factory does.
+    */
+  def providerClassFor(name: String): String = name.toLowerCase match {
+    case "rocksdb" =>
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    case _ =>
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+  }
 
   /** Apply engine defaults onto any builder (local or cluster). */
   def configure(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =

@@ -5370,7 +5370,7 @@ pm AS (
   SELECT media_id, kind, payload,
          octet_length(payload)::BIGINT AS n_bytes,
          hex(payload) AS hp
-  FROM read_parquet('$FixtureDir/planted_media-14/*.parquet')),
+  FROM read_parquet('$FixtureDir/planted_media-${plantedMediaRows.size}/*.parquet')),
 wav0 AS (
   SELECT media_id, kind, n_bytes,
     list_transform(
@@ -8371,8 +8371,10 @@ ORDER BY media_id""",
          ORDER BY query_id, rank""",
 
     // shares are exact integer division; the Simpson ratio's operands
-    // are exact BIGINT sums cast to double before one divide + one
-    // quantization — no aggregate is hashed bare
+    // are exact integer sums cast to double before one divide + one
+    // quantization — no aggregate is hashed bare. The squared term and
+    // the share numerator are HUGEINT (Spark: decimal(38,0)) so
+    // per-source token masses past ~3e9 cannot wrap the exact lane.
     "q192_source_diversity" ->
       """WITH per AS (
            SELECT source, count(*)::BIGINT AS n_docs,
@@ -8382,10 +8384,10 @@ ORDER BY media_id""",
          w AS (
            SELECT source, n_docs, n_tokens,
                   CAST(sum(n_tokens) OVER () AS BIGINT) AS tot,
-                  CAST(sum(n_tokens*n_tokens) OVER () AS BIGINT) AS sq
+                  CAST(sum(n_tokens::HUGEINT * n_tokens) OVER () AS HUGEINT) AS sq
            FROM per)
          SELECT source, n_docs, n_tokens,
-                CAST((n_tokens * 1000000) // tot AS BIGINT) AS share_ppm,
+                CAST((n_tokens::HUGEINT * 1000000) // tot AS BIGINT) AS share_ppm,
                 CAST(floor(tot::DOUBLE * tot::DOUBLE / sq::DOUBLE
                      * 1000000 + 0.5) AS BIGINT) AS eff_sources_u
          FROM w ORDER BY source""",

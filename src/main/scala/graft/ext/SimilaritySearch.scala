@@ -949,17 +949,25 @@ object SimilaritySearch {
     val pairs = a.join(b, Seq("query_id"))
       .where(col("ia") =!= col("ib"))
       .select(col("query_id"), col("ia"), col("rel_a_u"), col("ib"),
-        microUnits(cosine(col("__va"), col("__vb"))).as("sim_u"))
-      .as[(Long, Long, Long, Long, Long)]
+        microUnits(cosine(col("__va"), col("__vb"))).as("sim_u"),
+        lit(true).as("is_pair"))
+    // The candidate rows ride along so a pool of exactly one member
+    // (tiny corpus after self-exclusion) still seeds `rel`/`remaining`
+    // and emits its rank-1 row — the pair self-join alone drops it.
+    val seeds = withVec.select(col("query_id"), col("id").as("ia"),
+      col("rel_u").as("rel_a_u"), lit(0L).as("ib"), lit(0L).as("sim_u"),
+      lit(false).as("is_pair"))
+    val rows = pairs.unionByName(seeds)
+      .as[(Long, Long, Long, Long, Long, Boolean)]
 
-    pairs
+    rows
       .groupByKey(_._1)
-      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Long, Long)]) =>
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Long, Long, Boolean)]) =>
         val rel = scala.collection.mutable.LongMap.empty[Long]
         val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
-        it.foreach { case (_, ia, relA, ib, s) =>
+        it.foreach { case (_, ia, relA, ib, s, isPair) =>
           rel(ia) = relA
-          sim((ia, ib)) = s
+          if (isPair) sim((ia, ib)) = s
         }
         // Ascending-id iteration + strict `>` makes every tie resolve
         // to the smallest id, matching the oracle's (score DESC, id).

@@ -799,12 +799,15 @@ object TextAnalysis {
     *
     * Determinism contract: shares are exact integer division
     * (`t·1e6 DIV Σt` — no floats anywhere near the hash path), and the
-    * Simpson ratio's two operands are exact BIGINT sums cast to double
-    * (exact below 2^53) with one correctly-rounded divide before the
-    * single micro-unit quantization gate — engine-exact end to end.
-    * Long bounds: `t·1e6` and `(Σt)²` cap the exact lane at ~9.2e12
-    * tokens (≈40 TB of text); past that, widen the share numerator and
-    * Simpson operands to decimal(38,0) — the uniMax precedent.
+    * Simpson ratio's two operands are exact integer sums cast to
+    * double (correctly rounded on both engines) with one
+    * correctly-rounded divide before the single micro-unit
+    * quantization gate — engine-exact end to end. The share numerator
+    * and the squared term are widened to decimal(38,0) BEFORE the
+    * multiply (the uniMax precedent; DuckDB twin uses HUGEINT), so
+    * neither `t·1e6` nor `Σt²` can wrap — the exact lane is bounded
+    * only by the corpus token total Σt fitting BIGINT (~9.2e18
+    * tokens ≈ tens of PB of text).
     *
     * Shape at scale: one hash aggregation over the corpus; the
     * empty-partition window runs over the |groups|-row AGGREGATE (a
@@ -818,10 +821,12 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
       .withColumn("__tot", sum(col("n_tokens")).over(w))
-      .withColumn("__sq", sum(col("n_tokens") * col("n_tokens")).over(w))
+      .withColumn("__sq",
+        sum(col("n_tokens").cast("decimal(19,0)") * col("n_tokens")).over(w))
       .select(
         col(groupCol), col("n_docs"), col("n_tokens"),
-        expr("(n_tokens * 1000000) DIV __tot").as("share_ppm"),
+        expr("(CAST(n_tokens AS DECIMAL(38,0)) * 1000000) DIV __tot")
+          .as("share_ppm"),
         floor(col("__tot").cast("double") * col("__tot").cast("double")
             / col("__sq").cast("double") * lit(1000000.0d) + lit(0.5d))
           .as("eff_sources_u"))

@@ -26,6 +26,11 @@ import graft.ingest.EventReader
   *    horizon (trips-per-~20-minutes), not by corpus size. Reported:
   *    `evicted_rows` (state removals) and `peak_state_rows` ≪ n.
   *
+  * Every run repeats once per state-store provider
+  * (`SPARK_GRAFT_STREAM_PROVIDERS`, default `hdfs,rocksdb`) — the JSON
+  * lines carry a `provider` field, so BENCH_NOTES can price the
+  * in-memory-store → RocksDB flip on identical feeds.
+  *
   * Prints ONE JSON line per run. Metrics are accumulated via a
   * StreamingQueryListener, not `recentProgress` (whose retention is
   * capped at `spark.sql.streaming.numRecentProgressUpdates` = 100
@@ -136,7 +141,8 @@ object StreamBench {
       filesPerTrigger: Int,
       timeoutMs: Long,
       nTrips: Int,
-      cpus: Int): Unit = {
+      cpus: Int,
+      provider: String): Unit = {
     def lines(dir: String) = spark.readStream
       .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .text(dir)
@@ -161,7 +167,7 @@ object StreamBench {
       .where(col("status") === graft.schema.TripSchemas.StatusCompleted)
       .count()
     println(
-      s"""{"metric":"$name","value":${(m.inputRows / secs).round},""" +
+      s"""{"metric":"$name","provider":"$provider","value":${(m.inputRows / secs).round},""" +
         s""""unit":"rows/sec","rows":${m.inputRows},"wall_sec":$secs,""" +
         s""""batches":${m.batches},"peak_state_rows":${m.peakState},""" +
         s""""evicted_rows":${m.removed},"timeout_ms":$timeoutMs,""" +
@@ -171,6 +177,14 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val nTrips = args.headOption.map(_.toInt).getOrElse(200000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // Provider lanes: every run repeats once per state-store provider
+    // (default both — the in-memory HDFS-backed store vs RocksDB). The
+    // providerClass conf is read at QUERY start, so one session can
+    // measure both; at 100 TB keyed state RocksDB is the scale
+    // realization (state bounded by local disk, not executor heap, with
+    // changelog checkpointing), and this lane is what prices the flip.
+    val providers = sys.env.getOrElse("SPARK_GRAFT_STREAM_PROVIDERS", "hdfs,rocksdb")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val spark = GraftSession.local(cpus, "graft-stream-bench")
     val (starts, ends) = feed(spark, nTrips)
 
@@ -188,8 +202,6 @@ object StreamBench {
     EventReader.toJsonStream(ends.drop("id"), "trip_id", hashShards)
       .select("value").write.text(s"$base/h-ends")
     restampInNameOrder(spark, Seq(s"$base/h-starts", s"$base/h-ends"))
-    replay(spark, "stream_rows_per_sec", s"$base/h-starts", s"$base/h-ends",
-      s"$base/run1", filesPerTrigger = 4, timeoutMs = 0L, nTrips, cpus)
 
     // ---- Run 2: bounded state. The same feed in 32 TIME-ORDERED
     // slices, one file per trigger, 10-minute event-time timeout: the
@@ -211,43 +223,54 @@ object StreamBench {
     sliced(starts).write.partitionBy("__slice").text(s"$base/t-starts")
     sliced(ends).write.partitionBy("__slice").text(s"$base/t-ends")
     restampBySliceDir(spark, Seq(s"$base/t-starts", s"$base/t-ends"))
-    replay(spark, "stream_bounded_state", s"$base/t-starts/__slice=*", s"$base/t-ends/__slice=*",
-      s"$base/run2", filesPerTrigger = 1, timeoutMs = 600000L, nTrips, cpus)
 
-    // ---- Run 3: interval-join bounded state — the DECLARATIVE
-    // correlation ([[TripStreamJob.startStreamJoin]], q162's operator)
-    // over the SAME time-sliced feed: the state horizon is derived by
-    // the engine from watermark + join window (no keyed-state code),
-    // so the symmetric-hash-join state should show the same
-    // bounded-by-horizon profile as run 2's explicit fMGWS state.
-    val m3 = new Metrics
-    spark.streams.addListener(m3)
-    def lines3(dir: String) = spark.readStream
-      .option("maxFilesPerTrigger", "1").text(dir)
-    val wall3 = System.nanoTime()
-    val q3 = TripStreamJob.startStreamJoin(
-      spark,
-      startLines = lines3(s"$base/t-starts/__slice=*"),
-      endLines = lines3(s"$base/t-ends/__slice=*"),
-      outPath = s"$base/run3/joined",
-      checkpointDir = s"$base/run3/ckpt",
-      trigger = Trigger.AvailableNow(),
-      watermarkDelay = "10 minutes",
-      joinWindow = "10 minutes")
-    q3.awaitTermination()
-    val secs3 = (System.nanoTime() - wall3) / 1e9
-    var waited3 = 0
-    while (m3.inputRows < 2L * nTrips && waited3 < 100) {
-      Thread.sleep(100); waited3 += 1
+    for (p <- providers) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        GraftSession.providerClassFor(p))
+
+      replay(spark, "stream_rows_per_sec", s"$base/h-starts", s"$base/h-ends",
+        s"$base/run1-$p", filesPerTrigger = 4, timeoutMs = 0L, nTrips, cpus, p)
+
+      replay(spark, "stream_bounded_state",
+        s"$base/t-starts/__slice=*", s"$base/t-ends/__slice=*",
+        s"$base/run2-$p", filesPerTrigger = 1, timeoutMs = 600000L,
+        nTrips, cpus, p)
+
+      // ---- Run 3: interval-join bounded state — the DECLARATIVE
+      // correlation ([[TripStreamJob.startStreamJoin]], q162's operator)
+      // over the SAME time-sliced feed: the state horizon is derived by
+      // the engine from watermark + join window (no keyed-state code),
+      // so the symmetric-hash-join state should show the same
+      // bounded-by-horizon profile as run 2's explicit fMGWS state.
+      val m3 = new Metrics
+      spark.streams.addListener(m3)
+      def lines3(dir: String) = spark.readStream
+        .option("maxFilesPerTrigger", "1").text(dir)
+      val wall3 = System.nanoTime()
+      val q3 = TripStreamJob.startStreamJoin(
+        spark,
+        startLines = lines3(s"$base/t-starts/__slice=*"),
+        endLines = lines3(s"$base/t-ends/__slice=*"),
+        outPath = s"$base/run3-$p/joined",
+        checkpointDir = s"$base/run3-$p/ckpt",
+        trigger = Trigger.AvailableNow(),
+        watermarkDelay = "10 minutes",
+        joinWindow = "10 minutes")
+      q3.awaitTermination()
+      val secs3 = (System.nanoTime() - wall3) / 1e9
+      var waited3 = 0
+      while (m3.inputRows < 2L * nTrips && waited3 < 100) {
+        Thread.sleep(100); waited3 += 1
+      }
+      spark.streams.removeListener(m3)
+      val matched = spark.read.parquet(s"$base/run3-$p/joined").count()
+      println(
+        s"""{"metric":"stream_join_bounded_state","provider":"$p","value":${(m3.inputRows / secs3).round},""" +
+          s""""unit":"rows/sec","rows":${m3.inputRows},"wall_sec":$secs3,""" +
+          s""""batches":${m3.batches},"peak_state_rows":${m3.peakState},""" +
+          s""""evicted_rows":${m3.removed},"matched":$matched,""" +
+          s""""n_trips":$nTrips,"cpus":$cpus}""")
     }
-    spark.streams.removeListener(m3)
-    val matched = spark.read.parquet(s"$base/run3/joined").count()
-    println(
-      s"""{"metric":"stream_join_bounded_state","value":${(m3.inputRows / secs3).round},""" +
-        s""""unit":"rows/sec","rows":${m3.inputRows},"wall_sec":$secs3,""" +
-        s""""batches":${m3.batches},"peak_state_rows":${m3.peakState},""" +
-        s""""evicted_rows":${m3.removed},"matched":$matched,""" +
-        s""""n_trips":$nTrips,"cpus":$cpus}""")
 
     spark.stop()
   }

@@ -441,6 +441,25 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     picks.indexOf(5L) should be < picks.indexOf(6L)
   }
 
+  test("mmrRerank: a 1-candidate pool still emits its rank-1 row") {
+    import spark.implicits._
+    // corpus of exactly one document — the pair self-join is empty, so
+    // the seed rows must carry the pool into the greedy loop
+    val corpus = Seq((7L, Seq(0.6f, 0.8f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilaritySearch.mmrRerank(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding",
+        poolK = 5, selectK = 3, lambdaTenths = 7).collect()
+    out should have size 1
+    out.head.getLong(0) shouldBe 0L           // query_id
+    out.head.getLong(1) shouldBe 1L           // rank
+    out.head.getLong(2) shouldBe 7L           // doc_id
+    out.head.getLong(4) shouldBe 0L           // redundancy_u
+    out.head.getLong(5) shouldBe 7L * out.head.getLong(3)
+  }
+
   test("mmrRerank is deterministic across runs and selects per query") {
     val df = corpusDf(60).withColumnRenamed("id", "vec_id")
       .withColumnRenamed("v", "embedding")
