@@ -4208,6 +4208,25 @@ object SparkEntry {
       TextAnalysis.sourceDiversity(t(s, dir, "documents"), "source", "text")
         .orderBy(col("source"))),
 
+    // EXACT substring decontamination (Lee et al. 2022 criterion): flag
+    // corpus docs sharing a verbatim ≥60-char run with any benchmark
+    // doc, with the true maximal run length — anchored 31-char grams on
+    // a stride-30 corpus grid (zero false negatives at ≥60 by
+    // pigeonhole), each anchor extended to the full run by the codegen
+    // common_prefix_chars walks and re-verified in content. The bench
+    // set is a planted substring slice of every 50th doc, so
+    // contamination is by construction and closed-form checkable; the
+    // oracle replays the SAME strided grid + extension arithmetic.
+    "q193_exact_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bench_id"),
+          substring(col("text"), 8, 150).as("bench_text"))
+      Dedup.exactSubstringContamination(docs, "doc_id", "text",
+          bench, "bench_id", "bench_text", minLen = 60)
+        .orderBy(col("doc_id"))
+    }),
+
     // WebDataset TAR shard ingest: the corpus round-tripped through
     // real POSIX ustar bytes — 20 shards, each document as a
     // `<id>.txt` member plus a `<id>.json` sidecar (the webdataset
@@ -8392,6 +8411,57 @@ ORDER BY media_id""",
                      * 1000000 + 0.5) AS BIGINT) AS eff_sources_u
          FROM w ORDER BY source""",
 
+    // replays the SAME strided-anchor algorithm the engine runs: grid
+    // grams (stride 30, g=31) joined on content against all-position
+    // bench grams, every anchor extended by the two common-prefix walks
+    // (list_position scan — the SQL spelling of common_prefix_chars),
+    // anchor re-verified (r >= g) and runs < 60 dropped, so the output
+    // is stride-invariant and integer-exact end to end
+    "q193_exact_decontamination" ->
+      """WITH bench AS (
+           SELECT doc_id AS bid, substr(text, 8, 150) AS bt
+           FROM documents WHERE doc_id % 50 = 0 AND text IS NOT NULL),
+         cg0 AS (
+           SELECT doc_id AS cid, text AS ct,
+                  unnest(range(1, length(text) - 29, 30)) AS cp
+           FROM documents WHERE text IS NOT NULL AND length(text) >= 31),
+         cg AS (SELECT cid, cp, substr(ct, CAST(cp AS INT), 31) AS gram FROM cg0),
+         bg0 AS (
+           SELECT bid, bt, unnest(range(1, length(bt) - 29, 1)) AS bp
+           FROM bench WHERE length(bt) >= 31),
+         bg AS (SELECT bid, bp, substr(bt, CAST(bp AS INT), 31) AS gram FROM bg0),
+         anch AS (SELECT cid, cp, bid, bp FROM cg JOIN bg USING (gram)),
+         wtxt AS (
+           SELECT a.cid, a.cp, a.bid, a.bp, d.text AS ct, b.bt
+           FROM anch a
+           JOIN documents d ON d.doc_id = a.cid
+           JOIN bench b ON b.bid = a.bid),
+         ext0 AS (
+           SELECT cid, bid,
+             list_position(list_transform(
+               range(1, least(length(ct) - cp + 1, length(bt) - bp + 1) + 1),
+               i -> substr(ct, CAST(cp + i - 1 AS INT), 1)
+                  = substr(bt, CAST(bp + i - 1 AS INT), 1)), false) AS rp,
+             least(length(ct) - cp + 1, length(bt) - bp + 1) AS rmax,
+             list_position(list_transform(
+               range(1, least(cp - 1, bp - 1) + 1),
+               i -> substr(ct, CAST(cp - i AS INT), 1)
+                  = substr(bt, CAST(bp - i AS INT), 1)), false) AS lp,
+             least(cp - 1, bp - 1) AS lmax
+           FROM wtxt),
+         ext AS (
+           SELECT cid, bid,
+             CASE WHEN rp IS NULL OR rp < 1 THEN rmax ELSE rp - 1 END AS r,
+             CASE WHEN lp IS NULL OR lp < 1 THEN lmax ELSE lp - 1 END AS l
+           FROM ext0),
+         runs AS (
+           SELECT cid, bid, l + r AS run FROM ext
+           WHERE r >= 31 AND l + r >= 60)
+         SELECT cid AS doc_id,
+           CAST(count(DISTINCT bid) AS BIGINT) AS n_bench_matches,
+           CAST(max(run) AS BIGINT) AS max_run_len
+         FROM runs GROUP BY cid ORDER BY doc_id""",
+
     // expected members computed directly from documents — the walk
     // must recover every body byte-exactly for the md5s to land
     "q188_tar_ingest" ->
@@ -9100,5 +9170,6 @@ ORDER BY media_id""",
     "q183_stratified_split", "q184_auto_split",
     "q185_streaming_sessions", "q186_unimax_mix", "q187_gopher_rules",
     "q188_tar_ingest", "q189_tar_gzip", "q190_bloom_layout",
-    "q191_mmr_rerank", "q192_source_diversity")
+    "q191_mmr_rerank", "q192_source_diversity",
+    "q193_exact_decontamination")
 }

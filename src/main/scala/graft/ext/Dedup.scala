@@ -965,6 +965,98 @@ object Dedup {
         round(col("n_shared").cast("double") / col("n_windows"), 6))
   }
 
+  /** EXACT substring decontamination (the Lee et al. 2022 exact-substring
+    * criterion, corpus-vs-benchmark form): flag every corpus document
+    * sharing a VERBATIM character run of length ≥ `minLen` with any
+    * benchmark document, with the true maximal run length — the
+    * modality [[sharedCharSpans]]/span dedup approximate with n-gram
+    * windows, made exact via anchored grams + match extension instead
+    * of a suffix array.
+    *
+    * Exactness with a STRIDED corpus grid: anchor grams are `g =
+    * ⌈(minLen+1)/2⌉` chars; the benchmark side enumerates EVERY
+    * position, the corpus side only every `stride = minLen − g + 1`
+    * positions. Any common run of length ≥ minLen spans ≥ stride
+    * consecutive corpus gram positions, so it contains a corpus grid
+    * anchor whose gram lies fully inside the run — detection has ZERO
+    * false negatives at ≥ minLen (the pigeonhole that lets the corpus
+    * side stay at |chars|/stride rows). Each anchor then EXTENDS to the
+    * full run with two [[org.apache.spark.sql.graft.CommonPrefixChars]]
+    * walks (right: suffixes from the anchor; left: reversed prefixes),
+    * and the right walk REVERIFIES the anchor content (`run ≥ g`
+    * filter), so a fingerprint collision cannot fabricate a match and
+    * the reported `max_run_len` is the true maximum. Runs < minLen are
+    * dropped whether or not the grid happened to sample them — the
+    * output is therefore INVARIANT to the stride (spec-pinned against
+    * stride 1), which is what makes the scale path and the oracle path
+    * the same algorithm.
+    *
+    * Shape at scale: benchmark grams are |bench chars| rows (benchmarks
+    * are MBs, not TBs); corpus grams |corpus chars|/stride rows carrying
+    * a 16-byte md5 + id + offset, never text. One equi-join on the
+    * fingerprint produces anchors; texts join back ONLY for anchor rows
+    * (corpus equi-join on id, benchmark side broadcast), so full
+    * documents move once per FLAGGED doc, not per gram. Extension work
+    * is O(run length) per anchor with ≤ ⌈L/stride⌉ anchors per true
+    * run. Caveat: a g-gram shared by K corpus docs and M benchmark
+    * positions yields K·M anchors — pathological boilerplate should be
+    * masked upstream (the [[minhashPairs]] maxDocFreq analogue).
+    *
+    * Output: `(idCol, n_bench_matches, max_run_len)` for contaminated
+    * corpus docs only — all integer columns, naturally hashable.
+    */
+  def exactSubstringContamination(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusText: String,
+      bench: DataFrame,
+      benchId: String,
+      benchText: String,
+      minLen: Int,
+      corpusStride: Int = 0): DataFrame = {
+    require(minLen >= 4, s"minLen must be >= 4, got $minLen")
+    val g = (minLen + 2) / 2 // ⌈(minLen+1)/2⌉
+    val stride = if (corpusStride > 0) corpusStride else minLen - g + 1
+    require(stride + g - 1 <= minLen,
+      s"corpusStride $stride breaks the detection guarantee for minLen $minLen")
+
+    def grams(df: DataFrame, id: String, text: String, step: Int, idAs: String,
+        posAs: String) =
+      df.where(col(text).isNotNull && length(col(text)) >= g)
+        .select(col(id).as(idAs), col(text).as("__t"),
+          explode(sequence(lit(1), length(col(text)) - (g - 1), lit(step)))
+            .as(posAs))
+        .select(col(idAs), col(posAs),
+          md5(col("__t").substr(col(posAs), lit(g))).as("__gh"))
+
+    val anchors = grams(corpus, corpusId, corpusText, stride, "__cid", "__cp")
+      .join(grams(bench, benchId, benchText, 1, "__bid", "__bp"), Seq("__gh"))
+      .select(col("__cid"), col("__cp"), col("__bid"), col("__bp"))
+
+    import org.apache.spark.sql.graft.CommonPrefixChars
+    val ct = corpus.select(col(corpusId).as("__cid"), col(corpusText).as("__ct"))
+    val bt = bench.select(col(benchId).as("__bid"), col(benchText).as("__bt"))
+    val runs = anchors
+      .join(ct, Seq("__cid"))
+      .join(broadcast(bt), Seq("__bid"))
+      .select(col("__cid"), col("__bid"),
+        // right walk re-checks the anchor itself: no trust in the md5
+        CommonPrefixChars.column(
+          expr("substring(__ct, __cp)"), expr("substring(__bt, __bp)"))
+          .as("__right"),
+        CommonPrefixChars.column(
+          reverse(expr("substring(__ct, 1, __cp - 1)")),
+          reverse(expr("substring(__bt, 1, __bp - 1)"))).as("__left"))
+      .where(col("__right") >= g &&
+        col("__left") + col("__right") >= minLen)
+    runs
+      .groupBy(col("__cid"))
+      .agg(countDistinct(col("__bid")).as("n_bench_matches"),
+        max(col("__left") + col("__right")).as("max_run_len"))
+      .select(col("__cid").as(corpusId), col("n_bench_matches"),
+        col("max_run_len"))
+  }
+
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame =
     connectedComponentsFrom(nodes, pairs, init = None, maxIter)._1
 

@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(SigMatchCount.descriptor)
     ext.injectFunction(SortedIntersectCount.descriptor)
+    ext.injectFunction(CommonPrefixChars.descriptor)
     ext.injectFunction(VectorOps.dotDescriptor)
     ext.injectFunction(VectorOps.sqdistDescriptor)
     ext.injectFunction(LangScores.descriptor)

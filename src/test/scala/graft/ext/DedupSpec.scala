@@ -444,6 +444,52 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .agg(sum("n_shared")).head.getLong(0) shouldBe 0L
   }
 
+  test("exactSubstringContamination: exact run lengths, sub-threshold drop, stride invariance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def blob(n: Int) = rnd.alphanumeric.take(n).mkString
+    val shared80 = blob(80)
+    val shared50 = blob(50)
+    val corpus = Seq(
+      // doc 1: the 80-char bench run planted at an odd offset
+      (1L, blob(37) + shared80 + blob(23)),
+      // doc 2: only a 50-char overlap — below minLen, must not flag
+      (2L, blob(41) + shared50 + blob(19)),
+      // doc 3: clean
+      (3L, blob(120)),
+      // doc 4: the same 80-char run, so the bench doc flags BOTH 1 and 4
+      (4L, shared80 + blob(55))
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, blob(9) + shared80 + blob(5) + shared50 + blob(7))
+    ).toDF("bench_id", "bench_text")
+
+    val out = exactSubstringContamination(corpus, "doc_id", "text",
+        bench, "bench_id", "bench_text", minLen = 60)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // exact maximal run: exactly the planted 80 chars, nothing more
+    out shouldBe Seq((1L, 1L, 80L), (4L, 1L, 80L))
+
+    // stride invariance: the strided grid and the stride-1 grid agree
+    // (detection is exact at >= minLen by pigeonhole; extension recovers
+    // the full run from any anchor)
+    val exact = exactSubstringContamination(corpus, "doc_id", "text",
+        bench, "bench_id", "bench_text", minLen = 60, corpusStride = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    exact shouldBe out
+
+    // a run straddling the bench doc's start (left extension hits the
+    // boundary) still measures exactly
+    val headBench = Seq((200L, shared80.drop(10) + blob(6))).toDF("bench_id", "bench_text")
+    val headOut = exactSubstringContamination(corpus, "doc_id", "text",
+        headBench, "bench_id", "bench_text", minLen = 60)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    headOut shouldBe Seq((1L, 70L), (4L, 70L))
+  }
+
   test("dedupSpans is layout-stable (keep-first is (id, idx) order, not partition order)") {
     import spark.implicits._
     val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "dup span text here" else s"uniq $i text $i"))
