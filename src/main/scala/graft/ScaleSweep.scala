@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   * cluster and grow the true-pair space ~quadratically BY DATA
   * SEMANTICS, drowning the engine signal the sweep is after:
   *
-  *  - documents: replica k > 0 suffixes every token with `_r{k}`
-  *    (regexp on non-space runs), so replicas share ZERO vocabulary —
+  *  - documents: replica k > 0 suffixes every token with `zq{k}x`
+  *    (regexp on non-space runs; ATTACHED and alphanumeric, so the
+  *    engine's `normalize` — which collapses non-alphanumerics to
+  *    spaces — cannot split the suffix back off and silently restore
+  *    cross-replica identity), so replicas share ZERO vocabulary —
   *    cross-replica Jaccard is exactly 0 at any shingle size and no
   *    LSH/banding threshold can admit a cross-replica pair, while the
   *    WITHIN-replica dup structure (planted near-dups, shared spans) is
@@ -83,7 +86,7 @@ object ScaleSweep {
     (0 until mult).map { k =>
       if (k == 0) docs
       else {
-        val text = regexp_replace(col("text"), "(\\S+)", s"$$1_r$k")
+        val text = regexp_replace(col("text"), "(\\S+)", s"$$1zq${k}x")
         docs.select(
           (col("doc_id") + lit(k * Stride)).as("doc_id"),
           text.as("text"),
@@ -141,7 +144,7 @@ object ScaleSweep {
       val dir =
         if (m == 1) srcDir
         else {
-          val d = s"${sys.props("java.io.tmpdir")}/graft-sweep-$srcTag-x$m"
+          val d = s"${sys.props("java.io.tmpdir")}/graft-sweep-$srcTag-x$m-v2"
           blowUp(spark, srcDir, m, d)
           d
         }

@@ -957,7 +957,17 @@ object Dedup {
     // (hash, id) for rows already unique on exactly those keys
     val docFreq = grams.groupBy(col("__gh"))
       .agg(count(lit(1)).as("__nd"))
-    grams.join(docFreq, Seq("__gh"))
+    // MERGE pinned: docFreq is gram-cardinality — corpus-sized — and
+    // must never broadcast. Behind the localCheckpoint boundary the
+    // planner's size estimate stays under the broadcast threshold while
+    // the real table grows with the corpus: at a 10× sweep of sf0.1 the
+    // estimated-small broadcast OOM'd the driver (the round-20 scale
+    // sweep's one super-linear find), and a shuffled-hash build of the
+    // same table then failed task memory acquisition (32 concurrent
+    // hex-string hash maps). Sort-merge spills gracefully on both
+    // sides — the only join of two corpus-sized tables here, so the
+    // sort is the honest 100 TB cost.
+    grams.join(docFreq.hint("merge"), Seq("__gh"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_shared"))

@@ -735,7 +735,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("__occ"))
       .localCheckpoint()
     val ndocs = perDocGram.groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
-    perDocGram.join(ndocs, "__g")
+    // MERGE pinned: ndocs is gram-cardinality (corpus-sized) and sits
+    // behind the localCheckpoint boundary, where the planner's size
+    // estimate stays small while the real table grows with the corpus —
+    // the q182 sweep-found mis-broadcast class (Dedup.sharedCharSpans
+    // has the full story, including why not shuffle_hash).
+    perDocGram.join(ndocs.hint("merge"), "__g")
       .groupBy(col(idCol))
       .agg(
         sum(col("__occ")).as("n_grams"),

@@ -257,6 +257,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // doc-frequency shuffle or the join back
     p should include("__gh")
     p should not include "text#"
+    // the doc-frequency join is MERGE-pinned: docFreq is corpus-sized
+    // and the checkpoint-masked size estimate once mis-broadcast it
+    // (driver OOM at the 10x sweep) — it must never broadcast again
+    p should include("SortMergeJoin")
+    p should not include "BroadcastHashJoin"
   }
 
   test("q132 anchor extraction: one generator, no join; summary never sort-merges") {
