@@ -67,9 +67,13 @@ object ScaleSweep {
     "q185_streaming_sessions")
 
   /** Divisible by 2, 50, 20, 25, 3, 5, 7, 256 — every modulus a target
-    * query keys on — and far above any base-table id range.
+    * query keys on — and above every base-table id range (events max
+    * 99,999) while staying SMALL: fixture arithmetic multiplies ids by
+    * hash-mixing constants up to ~2.7e9 (the q109/q137 link fixtures),
+    * so offset ids must stay ≪ 2^33 or ANSI long-multiply overflows —
+    * an early 5.376e11 stride did exactly that at 10×.
     */
-  private val Stride = 537600000000L
+  private val Stride = 537600L
 
   private def blowUp(
       spark: SparkSession, srcDir: String, mult: Int, destDir: String): Unit = {
@@ -144,7 +148,7 @@ object ScaleSweep {
       val dir =
         if (m == 1) srcDir
         else {
-          val d = s"${sys.props("java.io.tmpdir")}/graft-sweep-$srcTag-x$m-v2"
+          val d = s"${sys.props("java.io.tmpdir")}/graft-sweep-$srcTag-x$m-v3"
           blowUp(spark, srcDir, m, d)
           d
         }
