@@ -75,7 +75,7 @@ object ScaleSweep {
     */
   private val Stride = 537600L
 
-  private def blowUp(
+  private[graft] def blowUp(
       spark: SparkSession, srcDir: String, mult: Int, destDir: String): Unit = {
     val marker = new java.io.File(s"$destDir/_SWEEP_COMPLETE")
     if (marker.isFile) return
