@@ -50,6 +50,16 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE's coalescing target is max(shuffleBytes/parallelism,
+      // minPartitionSize); the default 1 MiB floor is tuned for
+      // byte-bound stages and collapses compute-dense small-byte
+      // shuffles to ONE post-shuffle partition (a 0.5 MiB minhash
+      // signature exchange feeds a 13 s single-task LSH verify at
+      // sf0.1 — profiled r21). Lowering the floor keeps the
+      // bytes/parallelism term in charge; at real volumes (anything
+      // over parallelism × 64 KiB per shuffle) behavior is unchanged,
+      // so the setting is scale-adaptive, not a local[32] constant.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // 128 MiB split targets: one task per parquet row-group cluster,
       // keeps 100 TB scans at ~800k tasks instead of millions of tiny ones.
