@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   */
 object QueryProfile {
   private final class Probe extends SparkListener {
-    case class StageAgg(name: String, var tasks: Int = 0, var taskTimeMs: Long = 0,
+    case class StageAgg(var name: String, var tasks: Int = 0, var taskTimeMs: Long = 0,
         var shuffleReadB: Long = 0, var shuffleWriteB: Long = 0,
         var spillB: Long = 0, var wallMs: Long = 0, var inputB: Long = 0,
         var outRows: Long = 0)
@@ -34,6 +34,7 @@ object QueryProfile {
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
       val si = e.stageInfo
       val a = stages.getOrElseUpdate(si.stageId, StageAgg(si.name))
+      a.name = si.name // onTaskEnd may have created the row with ""
       a.wallMs = (for {c <- si.completionTime; s <- si.submissionTime}
         yield c - s).getOrElse(0L)
     }

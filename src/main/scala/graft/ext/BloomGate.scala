@@ -101,10 +101,20 @@ object BloomGate {
       seen: DataFrame,
       seenKeyCol: String,
       fpp: Double = 0.01): DataFrame = {
-    val nSeen = math.max(1L, seen.count())
-    val filter = buildFilter(seen, seenKeyCol, nSeen, fpp)
+    // Pin the seen-set ONCE (r21): it otherwise recomputes for each of
+    // its three full passes — the sizing count, the filter build, and
+    // the exact anti-join's build side — and callers' seen-sets are
+    // derived frames (canonicalization chains), so the recompute is a
+    // regexp pass ×3. Memory is O(seen), the side this operator
+    // already declares small (the big side is the one that never
+    // shuffles); at the documented ~10^8-keys-per-filter boundary,
+    // shard the seen-set anyway.
+    val seenPinned = seen.localCheckpoint()
+    val nSeen = math.max(1L, seenPinned.count())
+    val filter = buildFilter(seenPinned, seenKeyCol, nSeen, fpp)
     val maybe = big.where(mightContain(filter, col(keyCol)))
-      .join(seen.select(col(seenKeyCol).as(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .join(seenPinned.select(col(seenKeyCol).as(keyCol)).distinct(),
+        Seq(keyCol), "left_anti")
     big.where(!mightContain(filter, col(keyCol))).unionByName(maybe)
   }
 }

@@ -103,6 +103,7 @@ object Bpe {
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
+    var sincePin = 0
     while (!done && merges.size < numMerges) {
       val top = pairCounts(vocab)
         .orderBy(col("__c").desc, col("__a"), col("__b"))
@@ -111,12 +112,20 @@ object Bpe {
       else {
         val (a, b) = (top(0).getAs[String]("__a"), top(0).getAs[String]("__b"))
         merges += ((a, b))
-        // per-round pin: 1 rewritten vocab table per rule — without it
-        // round r's plan stacks r regexp passes and the last round
-        // re-runs the whole chain per action
+        // Pin every 8th rewrite, not every rewrite (r21): an
+        // unbounded chain would stack r regexp passes into round r's
+        // plan, but a per-round localCheckpoint pays a full
+        // materialization JOB per rule — half this loop's driver
+        // roundtrips. Eight chained regexp projections over the
+        // 8-partition vocab re-run per top-pair collect for far less
+        // than a checkpoint job costs; lineage depth stays ≤ 8.
         vocab = vocab
           .withColumn("__s", regexp_replace(col("__s"), mergePattern(a, b), a + b))
-          .localCheckpoint()
+        sincePin += 1
+        if (sincePin >= 8) {
+          vocab = vocab.localCheckpoint()
+          sincePin = 0
+        }
       }
     }
     BpeModel(merges.toSeq)

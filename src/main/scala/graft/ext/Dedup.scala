@@ -219,15 +219,35 @@ object Dedup {
       case SigMode.Md5 => i =>
         (col("__g") * lit(md5LaneA(i)) + lit(md5LaneB(i))) % lit(Md5LaneP)
     }
-    val exploded = df.select(col(idCol).as("__id"),
+    // Md5 mode spreads BEFORE the explode: the md5 + base-16 conv +
+    // 128 modular lanes per shingle are the expensive pass and
+    // otherwise run inside the scan stage — one task on a
+    // single-row-group fixture file (r21 profile: q92's two signature
+    // passes 3.3 + 3.9 s single-task). The xxhash64 family is ~50×
+    // cheaper per shingle; there the fan-out exchange costs more wall
+    // than the pass itself at fixture scale (measured +0.6 s on q39),
+    // so it keeps the scan's natural partitioning.
+    val src = sigMode match {
+      case SigMode.Md5 => Par.spread(df.select(col(idCol), col(textCol)), col(idCol))
+      case _ => df
+    }
+    val exploded = src
+      .select(col(idCol).as("__id"),
         explode(wordShingles(col(textCol), shingleSize)).as("__s"))
       .select(col("__id"), g.as("__g"))
     val mins = (0 until numHashes).map(i => min(lane(i)).as(s"__h$i"))
-    exploded.groupBy(col("__id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("__id"),
-        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("__sig"))
-      .localCheckpoint()
+    // checkpointSpread, not bare localCheckpoint: AQE coalesces the
+    // small-byte signature exchange to a handful of partitions, and
+    // every downstream candidate/verify pipeline probes this frame
+    // with broadcast joins — its partition count IS their parallelism
+    // (q28's 5.1M-pair verify ran 13 s on one core against a
+    // 1-partition pin)
+    Par.checkpointSpread(
+      exploded.groupBy(col("__id"))
+        .agg(mins.head, mins.tail: _*)
+        .select(col("__id"),
+          array((0 until numHashes).map(i => col(s"__h$i")): _*).as("__sig")),
+      col("__id"))
   }
 
   /** The banding whose S-curve detection threshold best fits
@@ -742,8 +762,12 @@ object Dedup {
       n: Int = 3,
       minJaccard: Double = 0.5,
       maxDocFreq: Long = 1000L): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"),
-      wordShingles(col(textCol), n).as("__sh"))
+    // spread BEFORE the shingle pass: normalize+split+slice is the
+    // expensive projection and otherwise runs single-task inside the
+    // scan stage of a single-row-group fixture file (r21)
+    val sh = Par.spread(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).as("__id"),
+        wordShingles(col(textCol), n).as("__sh"))
     val inv0 = sh.select(col("__id"), explode(col("__sh")).as("__g"))
     // Pin the inverted index: it feeds the size aggregate AND both join
     // sides (plus the hot-shingle scan) — left lazy, the shingle
@@ -806,8 +830,13 @@ object Dedup {
     // sorted shingle sets: the verify step is a zero-allocation merge
     // walk (sorted_intersect_count) instead of a per-row hash set
     // (size(array_intersect)) — measured 3.4× on the verify join
-    val sh = df.select(col(idCol).as("__id"),
-      sort_array(wordShingles(col(textCol), n)).as("__sh"))
+    // spread BEFORE the shingle+sort pass (single-row-group scan would
+    // otherwise run it one-task), and the pin inherits the spread's
+    // partitioning so the inverted index, the window, and both verify
+    // sides all fan out
+    val sh = Par.spread(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).as("__id"),
+        sort_array(wordShingles(col(textCol), n)).as("__sh"))
       // feeds the inverted index AND both verify sides — pin it once
       .localCheckpoint()
     // |d| rides along from the shingle array — no per-doc count window
@@ -937,8 +966,14 @@ object Dedup {
       sampleMod: Int = 1): DataFrame = {
     require(k >= 2, s"window length k must be >= 2, got $k")
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
-    val all = df
-      .where(col(textCol).isNotNull && length(col(textCol)) >= k)
+    // spread BEFORE the window explode: hashing |text| windows per doc
+    // is the dominant pass and otherwise runs inside the scan stage —
+    // one task on a single-row-group fixture file (r21 profile: 4.8 s
+    // single-task md5 of 15M windows at sf0.1)
+    val all = Par.spread(
+        df.where(col(textCol).isNotNull && length(col(textCol)) >= k)
+          .select(col(idCol), col(textCol)),
+        col(idCol))
       .select(col(idCol), col(textCol).as("__t"),
         explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("__i"))
       .select(col(idCol),
@@ -951,23 +986,22 @@ object Dedup {
         pmod(conv(substring(col("__gh"), 1, 15), 16, 10).cast("long"),
           lit(sampleMod.toLong)) === 0))
       .distinct()
-      .localCheckpoint() // feeds the doc-frequency agg AND the join back
-    // grams is DISTINCT on (id, hash), so doc frequency is a plain
-    // count — countDistinct here would add a second exchange keyed on
-    // (hash, id) for rows already unique on exactly those keys
-    val docFreq = grams.groupBy(col("__gh"))
-      .agg(count(lit(1)).as("__nd"))
-    // MERGE pinned: docFreq is gram-cardinality — corpus-sized — and
-    // must never broadcast. Behind the localCheckpoint boundary the
-    // planner's size estimate stays under the broadcast threshold while
-    // the real table grows with the corpus: at a 10× sweep of sf0.1 the
-    // estimated-small broadcast OOM'd the driver (the round-20 scale
-    // sweep's one super-linear find), and a shuffled-hash build of the
-    // same table then failed task memory acquisition (32 concurrent
-    // hex-string hash maps). Sort-merge spills gracefully on both
-    // sides — the only join of two corpus-sized tables here, so the
-    // sort is the honest 100 TB cost.
-    grams.join(docFreq.hint("merge"), Seq("__gh"))
+    // grams is DISTINCT on (id, hash), so the doc frequency each row
+    // needs is a plain COUNT OVER ITS HASH GROUP — a window, not a
+    // separate aggregate joined back (r21 rewrite). The former
+    // docFreq-agg + sort-merge join re-shuffled and re-sorted the
+    // corpus-sized gram table a second time, and the join was the
+    // engine's one corpus×corpus join — the r20 sweep found its
+    // estimated-small broadcast OOMing the driver behind a checkpoint
+    // boundary, and it had to be merge-pinned. The window spelling
+    // removes the join class entirely: one exchange on the hash, one
+    // sort, per-group buffers bounded by the hottest gram's doc count
+    // (ExternalAppendOnlyUnsafeRowArray spills) — nothing left to
+    // mis-broadcast, same honest sort at 100 TB, half the shuffled
+    // bytes. Measured sf0.1: 5.3 → 2.3 s with identical output.
+    grams
+      .withColumn("__nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__gh"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
@@ -1039,7 +1073,12 @@ object Dedup {
         .select(col(idAs), col(posAs),
           md5(col("__t").substr(col(posAs), lit(g))).as("__gh"))
 
-    val anchors = grams(corpus, corpusId, corpusText, stride, "__cid", "__cp")
+    // spread the corpus side: the strided gram walk (explode + md5) is
+    // the corpus-sized pass and otherwise runs inside the scan stage —
+    // single-task on a single-row-group fixture file (r21)
+    val corpusSpread = Par.spread(
+      corpus.select(col(corpusId), col(corpusText)), col(corpusId))
+    val anchors = grams(corpusSpread, corpusId, corpusText, stride, "__cid", "__cp")
       .join(grams(bench, benchId, benchText, 1, "__bid", "__bp"), Seq("__gh"))
       .select(col("__cid"), col("__cp"), col("__bid"), col("__bp"))
 

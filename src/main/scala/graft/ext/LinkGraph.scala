@@ -137,19 +137,26 @@ object LinkGraph {
     var it = 0
     while (it < iterations) {
       val t0 = System.nanoTime()
+      // The dangling mass rides as a broadcast 1-row aggregate inside
+      // the SAME action that materializes the next iterate — the
+      // former `.head()` collect was a second driver roundtrip (plan +
+      // AQE stage jobs) per iteration, pure scheduling overhead on the
+      // iteration's critical path (r21: these fixed-iteration loops
+      // were driver-gap-bound, not executor-bound). Same arithmetic:
+      // the scalar is divided by n and added exactly as before.
       val danglingMass = ranks
         .join(dangling, Seq("v"), "left_semi")
-        .agg(coalesce(sum("rank"), lit(0.0)))
-        .head().getDouble(0)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
       val contrib = ranks
         .join(shares, ranks("v") === shares("src"))
         .groupBy(col("dst").as("v"))
         .agg(sum(col("rank") * col("share")).as("__c"))
       val (next, nextRdds) = pin(nodes
         .join(contrib, Seq("v"), "left")
+        .crossJoin(broadcast(danglingMass))
         .select(col("v"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("__c"), lit(0.0)) + lit(danglingMass / n)))
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) + col("__dm") / n))
             .as("rank")))
       // next is materialized; the k−2 iterate can never be read again
       prevRdds.foreach(_.unpersist(blocking = false))
@@ -216,14 +223,26 @@ object LinkGraph {
       }
       (cp, handle.toSeq)
     }
+    // SPARSE normalization (r21): iterates carry only nodes the edge
+    // joins actually produce (auth: nodes with in-edges, hub: nodes
+    // with out-edges) — the per-iteration `nodes` left-join + 0-fill
+    // the old spelling paid twice per iteration contributed nothing:
+    // a 0-valued row adds 0 to the L2 norm (x + 0.0 == x exactly) and
+    // contributes 0 through the next edge join. The 0-fill happens
+    // ONCE at the end for the output contract. The missing-row sets
+    // are identical every iteration, so the residual inner join sees
+    // the same pairs it saw over filled frames (|0 − 0| rows dropped).
+    // Normalization itself stays LAZY over the pinned raw aggregate:
+    // the norm is collected from the pinned frame (no recompute of the
+    // edge join), and the division re-runs as a cheap projection over
+    // cached blocks instead of forcing a second materialization.
     def l2Normalized(raw: DataFrame, valueCol: String)
         : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val filled = nodes.join(raw, Seq("v"), "left")
-        .select(col("v"), coalesce(col(valueCol), lit(0.0)).as(valueCol))
-      val norm = filled.agg(sqrt(sum(col(valueCol) * col(valueCol))))
+      val (pinned, rdds) = pin(raw)
+      val norm = pinned.agg(sqrt(sum(col(valueCol) * col(valueCol))))
         .head().getDouble(0)
       require(norm > 0, "HITS norm collapsed to 0 — graph has no edges")
-      pin(filled.select(col("v"), (col(valueCol) / norm).as(valueCol)))
+      (pinned.select(col("v"), (col(valueCol) / norm).as(valueCol)), rdds)
     }
     var (hub, hubRdds) = pin(nodes.select(col("v"), lit(1.0).as("h")))
     var auth: DataFrame = null
@@ -256,9 +275,16 @@ object LinkGraph {
       else auth.as("x").join(prevAuth.as("y"), col("x.v") === col("y.v"))
         .agg(sum(abs(col("x.a") - col("y.a"))))
         .head().getDouble(0)
+    // the one 0-fill: every node gets a row, auth 0 without in-edges,
+    // hub 0 without out-edges — the contract the per-iteration fill
+    // used to provide, now paid once instead of 2×iterations times
     HitsRun(
-      auth.join(hub, Seq("v"))
-        .select(col("v").as("node"), col("a").as("auth"), col("h").as("hub")),
+      nodes
+        .join(auth, Seq("v"), "left")
+        .join(hub, Seq("v"), "left")
+        .select(col("v").as("node"),
+          coalesce(col("a"), lit(0.0)).as("auth"),
+          coalesce(col("h"), lit(0.0)).as("hub")),
       residual)
   }
 

@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Parallelism repair for compute-dense stages rooted at byte-tiny
+  * inputs (guide §2.5's input-skew class, inverted: not one huge
+  * unsplittable file but one TINY single-row-group file). A parquet
+  * scan parallelizes only at row-group granularity, so a fixture-sized
+  * table reads as ONE task — and every narrow operator chained onto it
+  * (explode → hash → partial aggregate, per-row decode, m×k distance
+  * probes) serializes onto one core no matter how many the box has.
+  * At 100 TB the same scan has thousands of splits and none of this
+  * machinery fires.
+  *
+  * Profiled motivation (round 21, sf0.1 local[32]): q182's window
+  * explode + md5 of 15M char windows ran 4.8 s single-task inside the
+  * scan stage; q92's two signature passes 3.3 + 3.9 s single-task.
+  */
+object Par {
+
+  /** Hash-repartition `df` to the session's shuffle-partition target
+    * UNLESS its plan already provides at least that parallelism — the
+    * no-op branch is what makes this scale-adaptive rather than a
+    * local[32] constant: a real multi-split scan keeps its natural
+    * partitioning and pays no extra exchange.
+    *
+    * Only call this on exchange-free plans (scans, checkpointed
+    * frames, narrow projections over either): `df.rdd` on a plan that
+    * contains exchanges would materialize those stages eagerly under
+    * AQE. Keyed repartition (not round-robin) so there is no
+    * sort-before-repartition pass and the placement is deterministic
+    * under task retries (SPARK-38388 class).
+    */
+  def spread(df: DataFrame, key: Column): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p, key)
+  }
+
+  /** `localCheckpoint` whose pinned RDD is guaranteed at least the
+    * session's shuffle-partition parallelism: AQE's byte-based
+    * coalescing sizes the final shuffle of a small-byte aggregate to a
+    * handful of partitions, and a checkpoint taken there serializes
+    * every downstream broadcast-probe pipeline onto that handful of
+    * cores (q28's 5.1M-pair LSH verify ran 13 s on ONE core against a
+    * 1-partition signature checkpoint). When the materialized
+    * checkpoint comes out under-partitioned, re-spread and re-pin it —
+    * the second pin reads the first's cached blocks (tiny by
+    * construction: this branch only fires when the data was small
+    * enough for AQE to coalesce). At scale the first pin already
+    * carries ≥ the target partitions and no second exchange exists.
+    */
+  def checkpointSpread(df: DataFrame, key: Column): DataFrame = {
+    val cp = df.localCheckpoint()
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (cp.rdd.getNumPartitions >= p) cp
+    else cp.repartition(p, key).localCheckpoint()
+  }
+}

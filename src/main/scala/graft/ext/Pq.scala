@@ -58,9 +58,20 @@ object Pq {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(k >= 1 && k <= 256, s"k=$k must fit one byte")
     val subDim = dim / m
+    // Pin the vector projection ONCE: the m per-subspace sampling
+    // passes below then read cached blocks instead of re-running the
+    // scan — and for [[fitResidual]], the per-row residual projection
+    // (a coarse argmin + subtraction per row) — m times over (r21; the
+    // sampling passes, not Lloyd, dominated the fit). The takeSample
+    // draws are UNCHANGED: the pinned RDD holds the same rows in the
+    // same partition order the lazy plan produced, and each subspace
+    // keeps its own seeded draw, so the learned codebooks are
+    // bit-identical to the unpinned spelling (PqSpec floors pin this).
+    val pinned = df.where(col(vecCol).isNotNull)
+      .select(col(vecCol)).localCheckpoint()
     val books = (0 until m).toVector.map { j =>
       SimilaritySearch.learnCentroids(
-        df.select(sub(col(vecCol), j, subDim).as("__sub")),
+        pinned.select(sub(col(vecCol), j, subDim).as("__sub")),
         "__sub", k, sampleN, iters, seed + j).toVector
     }
     PqModel(books, dim)
@@ -180,7 +191,11 @@ object Pq {
       excludeId: Option[Long] = None): DataFrame = {
     val cell = SimilaritySearch.nearestCentroid(col(vecCol), coarseCentroids, spherical = false)
     val probes = SimilaritySearch.probeCellsFor(query, coarseCentroids, nProbe)
-    val pruned = df.where(cell.isin(probes: _*))
+    // spread before the cell argmin + m×k encode probes: both are
+    // per-row compute dense and otherwise run single-task inside a
+    // single-row-group scan stage (r21 parallelism repair, [[Par.spread]])
+    val pruned = Par.spread(df.select(col(idCol), col(vecCol)), col(idCol))
+      .where(cell.isin(probes: _*))
     adcTopK(
       pruned.select(col(idCol), encode(col(vecCol), model).as("__codes")),
       idCol, "__codes", query, model, k, excludeId)
@@ -237,9 +252,11 @@ object Pq {
       excludeId: Option[Long] = None): DataFrame = {
     val cell = SimilaritySearch.nearestCentroid(col(vecCol), coarseCentroids, spherical = false)
     val probes = SimilaritySearch.probeCellsFor(query, coarseCentroids, nProbe)
+    // one spread feeds every probe branch (r21 parallelism repair)
+    val src = Par.spread(df.select(col(idCol), col(vecCol)), col(idCol))
     val branches = probes.map { p =>
       val qres = query.zip(coarseCentroids(p)).map { case (a, b) => a - b }
-      df.where(cell === p)
+      src.where(cell === p)
         // deliberate projection boundary: __resid is expensive and
         // feeds every one of the m×k sqdist probes — passing it to
         // encode() inline would clone its tree (zip_with + coarse
@@ -276,10 +293,17 @@ object Pq {
       path: String): Unit = {
     val s = df.sparkSession
     import s.implicits._
-    df.select(col(idCol),
+    // spread before the m×k encode probes (r21 parallelism repair),
+    // then cluster by cell before the write (guide §6 hash
+    // distribution) so the per-cell layout stays one file per cell
+    // per holder instead of (tasks × cells) shards — the exchange
+    // moves m-byte codes, not vectors
+    Par.spread(df.select(col(idCol), col(vecCol)), col(idCol))
+      .select(col(idCol),
         encode(col(vecCol), model).as("codes"),
         SimilaritySearch.nearestCentroid(col(vecCol), coarseCentroids,
           spherical = false).as("cell"))
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
     val metaRows: Seq[(String, Int, Int, Seq[Double], Int)] =
       coarseCentroids.zipWithIndex.map { case (c, i) =>
@@ -326,10 +350,13 @@ object Pq {
     val marker = new org.apache.hadoop.fs.Path(hp, "_committed")
     if (fs.exists(marker)) return // committed retry: exactly-once
     val (cents, model) = readIvfPqIndexModel(df.sparkSession, path)
-    df.select(col(idCol),
+    // spread + cluster-by-cell: same shape as [[writeIvfPqIndex]] (r21)
+    Par.spread(df.select(col(idCol), col(vecCol)), col(idCol))
+      .select(col(idCol),
         encode(col(vecCol), model).as("codes"),
         SimilaritySearch.nearestCentroid(col(vecCol), cents,
           spherical = false).as("cell"))
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(hp, "codes").toString)
     // the atomic publish; a lost race to the marker means another

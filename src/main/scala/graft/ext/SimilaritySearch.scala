@@ -847,10 +847,11 @@ object SimilaritySearch {
     // makes (minhashSignatures, dsirWeights, bigramCrossEntropy); on a
     // long-running cluster job prefer checkpointing the caller's input
     // to reliable storage if executor loss must be survivable.
-    val assigned = df.select(
-      col(idCol),
-      col(vecCol).cast("array<double>").as("__v"),
-      nearestCentroid(col(vecCol), centroids, spherical).as("cell"))
+    val assigned = Par.spread(df.select(col(idCol), col(vecCol)), col(idCol))
+      .select(
+        col(idCol),
+        col(vecCol).cast("array<double>").as("__v"),
+        nearestCentroid(col(vecCol), centroids, spherical).as("cell"))
       .localCheckpoint()
     val lower = assigned.select(
       col("cell"), col(idCol).as("__id_lo"), col("__v").as("__v_lo"))

@@ -150,8 +150,10 @@ object TextAnalysis {
       Dedup.wordShinglesAll(col(textCol), 1),
       Dedup.wordShinglesAll(col(textCol), 2))
     // empty grams drop AFTER the explode: a codegen WHERE beats an
-    // interpreted filter() lambda inside the array
-    d.where(col(textCol).isNotNull)
+    // interpreted filter() lambda inside the array. Spread first — the
+    // gram explode + md5 bucketing is the heavy pass and otherwise
+    // runs single-task inside a single-row-group scan stage (r21)
+    Par.spread(d.where(col(textCol).isNotNull), col(textCol))
       .select(col("*"), explode(all).as("__g"))
       .where(col("__g") =!= "")
       .withColumn("__b", substring(md5(col("__g")), 1, hexChars))
@@ -230,7 +232,8 @@ object TextAnalysis {
     val all = concat(
       Dedup.wordShinglesAll(col(textCol), 1),
       Dedup.wordShinglesAll(col(textCol), 2))
-    df.where(col(textCol).isNotNull)
+    Par.spread(df.where(col(textCol).isNotNull)
+        .select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), explode_outer(all).as("__g"))
       .withColumn("__b",
         when(col("__g").isNotNull && col("__g") =!= "",
@@ -439,7 +442,11 @@ object TextAnalysis {
     * is plain ANSI SQL over the same splits, so the whole operator is
     * DuckDB-oracle-checkable (q57).
     */
-  def repetitionScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionScores(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // spread once at entry: all three branches are per-row compute
+    // dense and otherwise run single-task over a single-row-group
+    // fixture scan (r21 parallelism repair, [[Par.spread]])
+    val df = Par.spread(df0.select(col(idCol), col(textCol)), col(idCol))
     val lines = split(col(textCol), "\n")
     val norm = normalize(col(textCol))
     val words = split(norm, " ")
@@ -729,18 +736,27 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       n: Int = 3): DataFrame = {
-    val grams = df.select(col(idCol),
-      explode(Dedup.wordShinglesAll(col(textCol), n)).as("__g"))
+    // spread BEFORE the shingle explode: the regexp normalize + shingle
+    // pass otherwise runs single-task inside a single-row-group scan
+    // stage (r21 parallelism repair, see [[Par.spread]])
+    val grams = Par.spread(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
+        explode(Dedup.wordShinglesAll(col(textCol), n)).as("__g"))
     val perDocGram = grams.groupBy(col("__g"), col(idCol))
       .agg(count(lit(1)).as("__occ"))
-      .localCheckpoint()
-    val ndocs = perDocGram.groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
-    // MERGE pinned: ndocs is gram-cardinality (corpus-sized) and sits
-    // behind the localCheckpoint boundary, where the planner's size
-    // estimate stays small while the real table grows with the corpus —
-    // the q182 sweep-found mis-broadcast class (Dedup.sharedCharSpans
-    // has the full story, including why not shuffle_hash).
-    perDocGram.join(ndocs.hint("merge"), "__g")
+    // perDocGram is unique on (gram, doc), so each row's cross-doc
+    // count is a COUNT OVER ITS GRAM GROUP — a window, not a separate
+    // aggregate joined back (r21 rewrite, the Dedup.sharedCharSpans
+    // treatment): the former ndocs-agg + merge-pinned join re-shuffled
+    // and re-sorted the corpus-sized gram table a second time and was
+    // a member of the checkpoint-masked mis-broadcast class the r20
+    // sweep caught. The window spelling has no join to mis-plan, one
+    // exchange on the gram, and per-group buffers bounded by the
+    // hottest gram's doc count (spilling). The checkpoint goes too:
+    // the stream now has exactly one consumer.
+    perDocGram
+      .withColumn("__nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))))
       .groupBy(col(idCol))
       .agg(
         sum(col("__occ")).as("n_grams"),

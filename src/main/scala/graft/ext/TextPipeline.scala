@@ -120,7 +120,12 @@ object TextPipeline {
       htmlCol: String,
       minWords: Int = 3,
       maxLinksPerWord: Double = 0.34): DataFrame = {
-    val base = df.where(col(htmlCol).isNotNull)
+    // spread before the tag-strip regexp chain — the per-row heavy
+    // pass, otherwise single-task over a single-row-group fixture scan
+    // (r21 parallelism repair, [[Par.spread]])
+    val base = Par.spread(
+      df.where(col(htmlCol).isNotNull).select(col(idCol), col(htmlCol)),
+      col(idCol))
     val lines = base
       .select(col(idCol),
         posexplode(split(htmlToLines(col(htmlCol)), "\n")).as(Seq("__p", "__l")))
@@ -471,7 +476,9 @@ object TextPipeline {
     */
   def anchorPairs(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val re = "(?is)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>(.*?)</a\\s*>"
-    df.select(col(idCol).as("doc_id"),
+    // spread before the double regexp_extract_all pass (r21, [[Par.spread]])
+    Par.spread(df.select(col(idCol), col(htmlCol)), col(idCol))
+      .select(col(idCol).as("doc_id"),
         regexp_extract_all(col(htmlCol), lit(re), lit(1)).as("__h"),
         regexp_extract_all(col(htmlCol), lit(re), lit(2)).as("__t"))
       .select(col("doc_id"), explode(arrays_zip(col("__h"), col("__t"))).as("__z"))

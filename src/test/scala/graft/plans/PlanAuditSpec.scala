@@ -243,25 +243,30 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     filterIdx should be > aggIdx // rendered below = later in the string
   }
 
-  test("q182 shared char spans: partial agg on window hashes, text never shuffles") {
-    // the window table is the whole cost — its doc-frequency count
-    // must partial-aggregate map-side (hot boilerplate hashes combine
-    // before the shuffle), and no exchange may carry the text column
-    // (windows travel as md5 hashes only)
+  test("q182 shared char spans: windowed doc frequency, no join, text never shuffles") {
+    // r21 shape: each gram row's doc frequency is a COUNT OVER ITS
+    // HASH GROUP — one exchange on the hash, one sort, no second table
+    // and no join. The pin matters because the PREVIOUS shape (a
+    // doc-frequency aggregate sort-merge-joined back) was the engine's
+    // one corpus×corpus join, and the r20 sweep caught its
+    // checkpoint-masked size estimate broadcasting a corpus-sized
+    // table (driver OOM at 10×). With the window spelling there is no
+    // join to mis-plan — assert exactly that, plus that text never
+    // rides a shuffle (windows travel as md5 hashes only).
     val df = graft.ext.Dedup.sharedCharSpans(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", k = 40)
     val p = df.queryExecution.executedPlan.toString
-    p should include("partial_count") // map-side combine under the shuffle
-    // downstream of the gram projection (the localCheckpoint boundary)
-    // only (doc_id, window-hash) columns exist — text never reaches the
-    // doc-frequency shuffle or the join back
+    p should include("Window") // the per-hash-group count
+    // the gram-table exchange is keyed on the hash and carries hashes,
+    // not text: every hashpartitioning in the plan is on __gh-derived
+    // or doc-id columns (the only text-bearing exchange is the
+    // conditional Par.spread fan-out of the raw scan, which is keyed
+    // on the id and vanishes on any multi-split input)
+    p should include("hashpartitioning")
     p should include("__gh")
-    p should not include "text#"
-    // the doc-frequency join is MERGE-pinned: docFreq is corpus-sized
-    // and the checkpoint-masked size estimate once mis-broadcast it
-    // (driver OOM at the 10x sweep) — it must never broadcast again
-    p should include("SortMergeJoin")
+    p should not include "SortMergeJoin"
     p should not include "BroadcastHashJoin"
+    p should not include "ShuffledHashJoin"
   }
 
   test("q132 anchor extraction: one generator, no join; summary never sort-merges") {
