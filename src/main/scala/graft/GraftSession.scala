@@ -47,6 +47,32 @@ object GraftSession {
       // default provider
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // Spark 4.1's checkpoint-file checksums (on by default) write a
+      // CRC sidecar for EVERY state/commit file through one small
+      // shared writer pool that every state-store task awaits — a r21
+      // thread dump showed all 32 q162 tasks parked in
+      // ChecksumCheckpointFileManager.createWithChecksum (3+ s/task on
+      // KBs of state; q162 8.9 s → see OPTIMIZATION_r21.md; still
+      // +45% on the streaming lanes with the fork-free manager below,
+      // from the doubled file count alone). The
+      // sidecars also double the checkpoint file count per commit —
+      // at scale that is 2× the object-store write QPS. The filesystem
+      // layer already carries its own integrity checks (Hadoop
+      // ChecksumFileSystem locally, HDFS block CRCs, object-store
+      // ETags), which is how every pre-4.1 checkpoint ran; flip this
+      // on per-deployment when an uncheckedsummed store demands it.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // FileContext-based checkpoint commits call Hadoop's
+      // RawLocalFileSystem link-status path, which without libhadoop
+      // FORKS a `readlink` shell process per rename — from a multi-GB
+      // JVM that fork dominated every state-store commit (r21 thread
+      // sampling: 144/231 busy-task samples inside renameTempFile →
+      // Shell.execCommand). The FileSystem-based manager commits with
+      // File.renameTo (atomic on POSIX/HDFS, zero forks). Deployments
+      // on stores whose FileSystem rename is non-atomic (raw S3A)
+      // should override this with their store's committer/manager.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
