@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
   * cluster and grow the true-pair space ~quadratically BY DATA
   * SEMANTICS, drowning the engine signal the sweep is after:
   *
-  *  - documents: replica k > 0 suffixes every token with `zq{k}x`
-  *    (regexp on non-space runs; ATTACHED and alphanumeric, so the
-  *    engine's `normalize` — which collapses non-alphanumerics to
-  *    spaces — cannot split the suffix back off and silently restore
-  *    cross-replica identity), so replicas share ZERO vocabulary —
+  *  - documents: replica k > 0 suffixes every alphanumeric run with
+  *    `zq{k}x` (ATTACHED to the run itself, so the engine's
+  *    `normalize` — which collapses non-alphanumerics to spaces —
+  *    cannot split the suffix back off at a punctuation boundary and
+  *    silently restore cross-replica identity; a \S+-keyed suffix had
+  *    exactly that failure mode on punctuated text, ADVICE r20), so
+  *    replicas share ZERO vocabulary —
   *    cross-replica Jaccard is exactly 0 at any shingle size and no
   *    LSH/banding threshold can admit a cross-replica pair, while the
   *    WITHIN-replica dup structure (planted near-dups, shared spans) is
@@ -80,6 +82,11 @@ object ScaleSweep {
     val marker = new java.io.File(s"$destDir/_SWEEP_COMPLETE")
     if (marker.isFile) return
     val dest = new java.io.File(destDir)
+    // refuse to recursively delete anything that is not a sweep cache
+    // dir — a mis-passed path (e.g. the SOURCE dir) must never be
+    // destroyed (ADVICE r20)
+    require(dest.getPath.contains("graft-sweep-"),
+      s"blowUp destDir must be a graft-sweep-* cache dir, got $destDir")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit
@@ -90,7 +97,12 @@ object ScaleSweep {
     (0 until mult).map { k =>
       if (k == 0) docs
       else {
-        val text = regexp_replace(col("text"), "(\\S+)", s"$$1zq${k}x")
+        // tag each ALPHANUMERIC run (not each \S+ run): a token with
+        // trailing punctuation ("world.") would otherwise become
+        // "world.zq1x", and normalize() — which collapses punctuation
+        // to spaces — would detach the tag and silently restore the
+        // shared base token across replicas (ADVICE r20)
+        val text = regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1zq${k}x")
         docs.select(
           (col("doc_id") + lit(k * Stride)).as("doc_id"),
           text.as("text"),
@@ -148,7 +160,7 @@ object ScaleSweep {
       val dir =
         if (m == 1) srcDir
         else {
-          val d = s"${sys.props("java.io.tmpdir")}/graft-sweep-$srcTag-x$m-v3"
+          val d = s"${sys.props("java.io.tmpdir")}/graft-sweep-$srcTag-x$m-v4"
           blowUp(spark, srcDir, m, d)
           d
         }

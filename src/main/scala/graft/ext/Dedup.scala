@@ -1040,10 +1040,13 @@ object Dedup {
     * a 16-byte md5 + id + offset, never text. One equi-join on the
     * fingerprint produces anchors; texts join back ONLY for anchor rows
     * (corpus equi-join on id, benchmark side broadcast), so full
-    * documents move once per FLAGGED doc, not per gram. Extension work
-    * is O(run length) per anchor with ≤ ⌈L/stride⌉ anchors per true
+    * documents move once per ANCHOR ROW of a flagged doc — never for
+    * unflagged docs, but the text-join fan-out IS per anchor, not per
+    * doc (ADVICE r20 corrected an earlier once-per-doc claim here).
+    * Extension work is O(run length) per anchor with ≤ ⌈L/stride⌉ anchors per true
     * run. Caveat: a g-gram shared by K corpus docs and M benchmark
-    * positions yields K·M anchors — pathological boilerplate should be
+    * positions yields K·M anchors, each carrying a text copy through
+    * the extension projection — pathological boilerplate should be
     * masked upstream (the [[minhashPairs]] maxDocFreq analogue).
     *
     * Output: `(idCol, n_bench_matches, max_run_len)` for contaminated

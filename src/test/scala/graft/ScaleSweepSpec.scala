@@ -20,10 +20,16 @@ class ScaleSweepSpec extends AnyFunSuite with Matchers with SparkTestBase {
   private def writeSrc(): String = {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-sweep-spec").toString
+    // doc 3 carries PUNCTUATED tokens: a \\S+-keyed replica suffix
+    // lands after the punctuation ("world.zq1x"), normalize() splits it
+    // back off, and the disjointness assertion below catches the
+    // restored shared token (the ADVICE-r20 fixture gap)
+    val punct = "hello, world. mid-dash (bracketed) tail? yes!"
     Seq(
       (0L, "alpha beta gamma delta epsilon zeta", "en", "web", 35L),
       (1L, "alpha beta gamma delta epsilon zeta", "en", "web", 35L), // exact dup of 0
-      (2L, "one two three four five six seven", "en", "news", 33L))
+      (2L, "one two three four five six seven", "en", "news", 33L),
+      (3L, punct, "en", "web", punct.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$base/documents.parquet")
     Seq(
@@ -46,8 +52,8 @@ class ScaleSweepSpec extends AnyFunSuite with Matchers with SparkTestBase {
     ScaleSweep.blowUp(spark, src, 3, dest)
 
     val docs = spark.read.parquet(s"$dest/documents.parquet")
-    docs.count() shouldBe 9
-    docs.select(countDistinct(col("doc_id"))).head.getLong(0) shouldBe 9
+    docs.count() shouldBe 12
+    docs.select(countDistinct(col("doc_id"))).head.getLong(0) shouldBe 12
 
     // normalized token sets (what every shingle/minhash operator sees)
     // are DISJOINT across replicas — the property the `_rK` suffix bug

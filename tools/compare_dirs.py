@@ -22,6 +22,13 @@ def main():
     names = sorted(d for d in os.listdir(a)
                    if os.path.isdir(os.path.join(a, d)))
     bad = 0
+    # dirs present only in B are a mismatch too (ADVICE r20): a query
+    # that appeared in one dump but not the other must not pass silently
+    only_b = sorted(d for d in os.listdir(b)
+                    if os.path.isdir(os.path.join(b, d)) and d not in set(names))
+    for name in only_b:
+        print(f"{name}: MISSING in {a}")
+        bad += 1
     for name in names:
         if not os.path.isdir(os.path.join(b, name)):
             print(f"{name}: MISSING in {b}")
@@ -32,11 +39,15 @@ def main():
             r = con.sql(
                 f"SELECT * FROM read_parquet('{base}/{name}/*.parquet')")
             cols = r.columns
+            # column TYPES compare alongside names (ADVICE r20): a
+            # BIGINT vs DOUBLE drift with equal value reprs must read
+            # as a schema mismatch, not pass as identical cells
+            types = [str(t) for t in r.types]
             data = r.fetchall()
             ordered = sorted(range(len(cols)), key=lambda i: cols[i])
             out = sorted(
                 tuple(repr(row[i]) for i in ordered) for row in data)
-            return sorted(cols), out
+            return sorted(zip(cols, types)), out
         ca, ra = rows(a)
         cb, rb = rows(b)
         if ca != cb:
