@@ -3856,19 +3856,26 @@ object SparkEntry {
 
     // Sliding window frame: 7-row moving average of the daily event
     // count over the ordered date series (ROWS BETWEEN 6 PRECEDING).
-    // The unpartitioned window is small-BY-CONSTRUCTION: it runs over
-    // the |dates|-row daily aggregate (30 rows at any SF — one row per
-    // day), never over events (the q100/q65 small-window class).
-    // Oracled — identical frame semantics in DuckDB.
+    // Spelled as TWO running totals from the range-partitioned prefix
+    // pass — ma7(rn) = (S(rn) − S(rn−7)) / min(rn, 7) — instead of an
+    // unpartitioned sliding WindowExec (a one-task funnel over the
+    // |dates| table; 30 rows here, years of dates at scale). n_events
+    // is an exact long, so the subtraction form and the former
+    // in-frame accumulation are the same exact integer sum followed by
+    // one correctly-rounded divide. Oracled — identical frame
+    // semantics in DuckDB.
     "q173_moving_avg" -> ((s, dir) => {
       val daily = events(s, dir)
         .groupBy(to_date(col("ts")).as("date"))
         .agg(count(lit(1)).as("n_events"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("date")).rowsBetween(-6, 0)
-      daily
+      val withS = graft.ext.Prefix.withRunningTotals(daily, Seq(col("date")),
+        totals = Seq(col("n_events") -> "__S"), rowNumberCol = Some("__rn"))
+      val lagged = withS
+        .select((col("__rn") + 7L).as("__rn7"), col("__S").as("__S7"))
+      withS.join(broadcast(lagged), col("__rn") === col("__rn7"), "left")
         .select(col("date"), col("n_events"),
-          round(avg(col("n_events")).over(w), 6).as("ma7"))
+          round((col("__S") - coalesce(col("__S7"), lit(0L))).cast("double")
+            / least(col("__rn"), lit(7L)).cast("double"), 6).as("ma7"))
         .orderBy(col("date"))
     }),
 
@@ -3934,20 +3941,21 @@ object SparkEntry {
     // length puts like with like, so the pad-to-max overhead
     // collapses; 0.025 vs 0.418 on this corpus). Fully oracled: both
     // orders and the waste arithmetic re-derive in DuckDB. The global
-    // row_number is the q141/q65 RANGE-PARTITIONED-SORT class (any
-    // global orderBy), not a hot-key funnel; at scale the batch ids
-    // fall out of the same sorted shard write the export pass already
-    // does.
+    // row_number comes from [[graft.ext.Prefix.withRunningTotals]] —
+    // a range-partitioned two-pass prefix count, NOT an unpartitioned
+    // WindowExec (which would funnel the whole corpus to one task;
+    // r21's verdict flagged exactly that here).
     "q177_length_batching" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("__len"))
         .localCheckpoint() // both policies read it
       val b = 16
       def waste(order: Seq[org.apache.spark.sql.Column], policy: String) = {
-        val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
-        docs
+        graft.ext.Prefix
+          .withRunningTotals(docs, order, rowNumberCol = Some("__rn"),
+            pinInput = false) // docs is already pinned above
           .withColumn("__batch",
-            floor((row_number().over(w) - 1) / b).cast("long"))
+            floor((col("__rn") - 1) / b).cast("long"))
           .groupBy(col("__batch"))
           .agg(count(lit(1)).as("__n"), max(col("__len")).as("__mx"),
             sum(col("__len")).as("__sum"))

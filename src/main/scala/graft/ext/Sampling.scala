@@ -461,21 +461,22 @@ object Sampling {
     // the real-valued outputs then derive
     // from the pinned integers through correctly-rounded divides only,
     // so the whole row is bit-identical on any engine/partitioning.
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__capu"), col(groupCol))
     val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val ranked = groups.crossJoin(tot)
-      .withColumn("__Bu",
-        floor(col("__T").cast("double") * lit(budgetFrac) * lit(1e6)
-          + lit(0.5)).cast("long"))
-      .withColumn("__capu",
-        floor(col("n_tokens").cast("double") * lit(maxEpochs) * lit(1e6)
-          + lit(0.5)).cast("long"))
-      .withColumn("__rk", row_number().over(w))
-      .withColumn("__pfxu", sum(col("__capu")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, org.apache.spark.sql.expressions.Window
-          .currentRow)))
+    // rank + inclusive capacity prefix from the range-partitioned
+    // two-pass form ([[Prefix.withRunningTotals]]) — the former
+    // unpartitioned window funneled the |groups| table to one task;
+    // same exact long integers, so the cap test below is unchanged
+    val ranked = Prefix.withRunningTotals(
+      groups.crossJoin(tot)
+        .withColumn("__Bu",
+          floor(col("__T").cast("double") * lit(budgetFrac) * lit(1e6)
+            + lit(0.5)).cast("long"))
+        .withColumn("__capu",
+          floor(col("n_tokens").cast("double") * lit(maxEpochs) * lit(1e6)
+            + lit(0.5)).cast("long")),
+      order = Seq(col("__capu"), col(groupCol)),
+      totals = Seq(col("__capu") -> "__pfxu"),
+      rowNumberCol = Some("__rk"))
       // capped iff capacity ≤ (B − prefix of smaller caps) / remaining
       .withColumn("__capped",
         d38(col("__capu")) * d38(col("__n") - col("__rk") + 1) <=
@@ -526,14 +527,13 @@ object Sampling {
     val kd = df
       .withColumn("__k", contentKey(col(keyCol)))
       .withColumn("__shard", substring(col("__k"), 1, 2))
-    // Exclusive prefix sum over the ≤256 shard totals: the window is a
-    // single tiny partition by construction, then broadcast back.
-    val bases = kd.groupBy(col("__shard"))
-      .agg(sum(col(tokenCol)).as("__tot"))
-      .withColumn("__base",
-        coalesce(sum(col("__tot")).over(
-          W.orderBy(col("__shard")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__shard"), col("__base"))
+    // Exclusive prefix sum over the ≤256 shard totals, computed on the
+    // driver from the collected aggregate ([[Prefix.boundedExclusiveOffsets]]
+    // — the same rows the broadcast join below already collects), then
+    // broadcast back. No single-partition WindowExec anywhere.
+    val bases = Prefix.boundedExclusiveOffsets(
+      kd.groupBy(col("__shard")).agg(sum(col(tokenCol)).as("__tot")),
+      "__shard", "__tot", "__base")
     val wIn = W.partitionBy(col("__shard"))
       .orderBy(col("__k"), col(keyCol))
       .rowsBetween(W.unboundedPreceding, -1)
@@ -676,13 +676,13 @@ object Sampling {
       // pinned: consumed by the bases aggregate AND the join below —
       // unpinned, the whole per-shard packing re-runs per branch
       .localCheckpoint()
-    val W = org.apache.spark.sql.expressions.Window
-    val bases = packed.groupBy(col("__shard"))
-      .agg((max(col("__local_bin")) + 1L).as("__nb"))
-      .withColumn("__base",
-        coalesce(sum(col("__nb")).over(
-          W.orderBy(col("__shard")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__shard"), col("__base"))
+    // exclusive shard-base offsets from the collected ≤`shards`-row
+    // aggregate (reads the pinned packed blocks; same bytes the
+    // broadcast join below collects anyway) — no one-task window sort
+    val bases = Prefix.boundedExclusiveOffsets(
+      packed.groupBy(col("__shard"))
+        .agg((max(col("__local_bin")) + 1L).as("__nb")),
+      "__shard", "__nb", "__base")
     packed.join(broadcast(bases), "__shard")
       .select(col(keyField.name), col("n_toks"),
         (col("__base") + col("__local_bin")).as("bin_id"), col("bin_offset"))

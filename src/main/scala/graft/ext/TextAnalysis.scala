@@ -307,10 +307,14 @@ object TextAnalysis {
     val byScore = base.groupBy(col("__s")).agg(
       count(lit(1)).as("__ns"),
       sum(when(col("__y"), 1L).otherwise(0L)).as("__ps"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val ranks = byScore
-      .withColumn("__cum", coalesce(sum(col("__ns")).over(w), lit(0L)))
+    // Running offset WITHOUT an unpartitioned WindowExec (the global
+    // cumulative window funnels all distinct scores to ONE task — fine
+    // on a small eval set, a funnel on a binned corpus-scale stream):
+    // Prefix's range-partitioned two-pass form; exclusive = incl − own.
+    val ranks = Prefix
+      .withRunningTotals(byScore, Seq(col("__s")),
+        totals = Seq(col("__ns") -> "__cumIncl"))
+      .withColumn("__cum", col("__cumIncl") - col("__ns"))
       .agg(
         sum((col("__ps") * (col("__cum") + (col("__ns") + 1) / lit(2.0)))
           .cast("decimal(38,6)")).as("__srp"),
@@ -352,18 +356,22 @@ object TextAnalysis {
       scoreCol: String): DataFrame = {
     val base = df.select(coalesce(label.cast("boolean"), lit(false)).as("__y"),
       col(scoreCol).as("__s"))
+    // pinned: the cumulative pass, the global-positives aggregate and
+    // the range sampling all read the distinct-score table
     val byScore = base.groupBy(col("__s")).agg(
       count(lit(1)).as("__ns"),
       sum(when(col("__y"), 1L).otherwise(0L)).as("__ps"))
-    val wDesc = org.apache.spark.sql.expressions.Window.orderBy(col("__s").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    byScore
-      .withColumn("__cn", sum(col("__ns")).over(wDesc))
-      .withColumn("__cp", sum(col("__ps")).over(wDesc))
-      .withColumn("__P", sum(col("__ps")).over(wAll))
+      .localCheckpoint()
+    // Cumulative counts via the range-partitioned two-pass prefix sum
+    // (no unpartitioned WindowExec funnel), and the global positive
+    // count as a broadcast 1-row aggregate instead of an unbounded
+    // whole-frame window — same exact integers.
+    val totP = broadcast(byScore.agg(sum(col("__ps")).as("__P")))
+    Prefix
+      .withRunningTotals(byScore, Seq(col("__s").desc),
+        totals = Seq(col("__ns") -> "__cn", col("__ps") -> "__cp"),
+        pinInput = false)
+      .crossJoin(totP)
       .select(
         col("__s").as("threshold"),
         col("__cn").as("n_predicted"),
@@ -830,20 +838,24 @@ object TextAnalysis {
     * only by the corpus token total Σt fitting BIGINT (~9.2e18
     * tokens ≈ tens of PB of text).
     *
-    * Shape at scale: one hash aggregation over the corpus; the
-    * empty-partition window runs over the |groups|-row AGGREGATE (a
-    * handful of sources), never the corpus — the q186 shape.
+    * Shape at scale: one hash aggregation over the corpus; the corpus
+    * totals ride a broadcast 1-row aggregate over the pinned
+    * |groups|-row table (a handful of sources) — the q186 shape.
     */
   def sourceDiversity(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy()
-    df.groupBy(col(groupCol))
+    // corpus totals as a broadcast 1-row aggregate over the pinned
+    // |groups|-row table — the former empty-partition window funneled
+    // the frame to one task (and warned); same exact integer/decimal
+    // sums, one fewer sort
+    val grouped = df.groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
-      .withColumn("__tot", sum(col("n_tokens")).over(w))
-      .withColumn("__sq",
-        sum(col("n_tokens").cast("decimal(19,0)") * col("n_tokens")).over(w))
+      .localCheckpoint() // totals + output both read it
+    val tot = broadcast(grouped.agg(
+      sum(col("n_tokens")).as("__tot"),
+      sum(col("n_tokens").cast("decimal(19,0)") * col("n_tokens")).as("__sq")))
+    grouped.crossJoin(tot)
       .select(
         col(groupCol), col("n_docs"), col("n_tokens"),
         expr("(CAST(n_tokens AS DECIMAL(38,0)) * 1000000) DIV __tot")
@@ -1066,10 +1078,14 @@ object TextAnalysis {
       .select(explode(split(normalize(col(textCol)), " ")).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("__cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__cnt").desc, col("token"))
-    val xy = counts
-      .select(log(row_number().over(w).cast("double")).as("__x"),
+    // Global rank via the range-partitioned two-pass prefix count: an
+    // unpartitioned rank window would funnel the WHOLE VOCABULARY to
+    // one task — vocab is orders of magnitude below the corpus, but at
+    // 100 TB it is still far too large for a single partition.
+    val xy = Prefix
+      .withRunningTotals(counts,
+        Seq(col("__cnt").desc, col("token")), rowNumberCol = Some("__rk"))
+      .select(log(col("__rk").cast("double")).as("__x"),
         log(col("__cnt").cast("double")).as("__y"))
     xy.agg(
         count(lit(1)).as("n_vocab"),
