@@ -2316,8 +2316,16 @@ object SparkEntry {
       val rest = emb.where(col("vec_id") =!= 0)
       val exactDist = org.apache.spark.sql.graft.VectorOps
         .sqdist(col("embedding"), typedLit(query))
-      val encoded = rest.select(col("vec_id"),
-        graft.ext.Pq.encode(col("embedding"), model).as("codes"))
+      // Pin the encode ONCE (r22): both ADC passes (top-10 and the
+      // shortlist-50) consume it — unpinned, the m×k sqdist projection
+      // runs AND plans twice inside one combined tree (the PQ family's
+      // wall is driver planning over these 512-probe trees, profiled).
+      // Spread first: the codes come off a single-row-group scan
+      // (r21 parallelism repair; no-op at real widths).
+      val encoded = graft.ext.Par.spread(rest, col("vec_id"))
+        .select(col("vec_id"),
+          graft.ext.Pq.encode(col("embedding"), model).as("codes"))
+        .localCheckpoint()
       val pq10 = graft.ext.Pq.adcTopK(encoded, "vec_id", "codes", query, model, k = 10)
       val shortlist50 = graft.ext.Pq
         .adcTopK(encoded, "vec_id", "codes", query, model, k = 50)
@@ -2331,6 +2339,9 @@ object SparkEntry {
         .orderBy(col("__d"), col("vec_id"))
         .limit(10)
         .select(col("vec_id"))
+        // 10 rows; consumed by BOTH recall branches — unpinned, the
+        // full exact scan subtree is duplicated into the final plan
+        .localCheckpoint()
       val adcHits = pq10.join(exact10, Seq("vec_id"), "left_semi")
         .agg((count(lit(1)).cast("double") / 10.0).as("__adc"))
       val rerankHits = rerank10.join(exact10, Seq("vec_id"), "left_semi")

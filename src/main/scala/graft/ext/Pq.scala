@@ -69,11 +69,46 @@ object Pq {
     // bit-identical to the unpinned spelling (PqSpec floors pin this).
     val pinned = df.where(col(vecCol).isNotNull)
       .select(col(vecCol)).localCheckpoint()
-    val books = (0 until m).toVector.map { j =>
-      SimilaritySearch.learnCentroids(
-        pinned.select(sub(col(vecCol), j, subDim).as("__sub")),
-        "__sub", k, sampleN, iters, seed + j).toVector
-    }
+    // When the whole pinned frame is no larger than the sample, each
+    // subspace's takeSample reduces to `Fisher-Yates(collect(), new
+    // Random(seed+j))` (RDD.takeSample's `num >= count` branch) — but
+    // spelled per subspace it pays a COUNT job + a COLLECT job m times
+    // over the same pinned rows (16 driver roundtrips at m=8; the PQ
+    // family's wall is these roundtrips, profiled r22). Collect ONCE,
+    // slice per subspace on the driver, and run the identical shuffle +
+    // Lloyd: same rows, same order, same java.util.Random draws → the
+    // codebooks are bit-identical (PqSpec pins this equivalence against
+    // the takeSample spelling). Larger-than-sample frames keep the
+    // per-subspace seeded takeSample untouched — draws there genuinely
+    // differ per subspace and the m counts are trivial next to the
+    // corpus at that size.
+    val total = pinned.count()
+    require(total > 0, "cannot fit PQ codebooks from an empty frame")
+    val books =
+      if (sampleN >= total) {
+        val full = pinned.collect()
+          .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+        (0 until m).toVector.map { j =>
+          val sliced = full.map(v =>
+            java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+          // exact RDD.takeSample tail for this branch:
+          // Utils.randomizeInPlace(collect(), new Random(seed))
+          val rand = new java.util.Random(seed + j)
+          var i = sliced.length - 1
+          while (i >= 1) {
+            val p = rand.nextInt(i + 1)
+            val tmp = sliced(p); sliced(p) = sliced(i); sliced(i) = tmp
+            i -= 1
+          }
+          SimilaritySearch
+            .lloydSeeded(sliced, k, iters, seed + j, spherical = false)
+            .toVector
+        }
+      } else (0 until m).toVector.map { j =>
+        SimilaritySearch.learnCentroids(
+          pinned.select(sub(col(vecCol), j, subDim).as("__sub")),
+          "__sub", k, sampleN, iters, seed + j).toVector
+      }
     PqModel(books, dim)
   }
 
@@ -124,14 +159,15 @@ object Pq {
     * code, deterministic). `m × k` codegen sqdist probes, all in the
     * scan projection.
     */
-  def encode(vec: Column, model: PqModel): Column = {
-    val codes = (0 until model.m).map { j =>
-      val s = sub(vec, j, model.subDim)
-      val ds = array(model.codebooks(j).map(c => VectorOps.sqdist(s, typedLit(c))): _*)
-      (array_position(ds, array_min(ds)) - 1).cast("int")
-    }
-    array(codes: _*)
-  }
+  def encode(vec: Column, model: PqModel): Column =
+    // ONE fused codegen expression (r22) instead of m × k composed
+    // sqdist/array_min/array_position nodes — the 512-node tree was
+    // what every Catalyst pass re-walked and what boxed a k-array per
+    // subspace per row (the PQ family's profiled wall). Values are
+    // bit-identical, edge cases included; see
+    // [[org.apache.spark.sql.graft.PqEncode]] and PqSpec's equivalence
+    // pin against the composed spelling.
+    org.apache.spark.sql.graft.PqEncode(vec, model.codebooks)
 
   /** Asymmetric distance of a full-precision driver-side query to a
     * codes column: the per-subspace lookup table is computed here once

@@ -590,10 +590,13 @@ object SimilaritySearch {
       vec: Column,
       centroids: Seq[Seq[Double]],
       spherical: Boolean = false): Column =
-    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
-      val d = if (spherical) dot(vec, typedLit(c)) * lit(-1.0) else dist2(vec, c)
-      struct(d.as("d"), lit(i).as("i"))
-    }: _*)).getField("i")
+    // ONE fused codegen expression (r22) instead of a k-struct
+    // array_min tree per call site — same values bit for bit, edge
+    // cases (null / short / null-element vector → cell 0; ties → lower
+    // index; the spherical `dot · (−1.0)` spelling) included; see
+    // [[org.apache.spark.sql.graft.NearestCell]] and SimilaritySpec's
+    // equivalence pin against the composed spelling.
+    org.apache.spark.sql.graft.NearestCell(vec, centroids.map(_.toSeq), spherical)
 
   /** Round half away from zero at `scale` decimals — the one rounding
     * rule every engine spells the same way for the values k-means
@@ -655,26 +658,59 @@ object SimilaritySearch {
       sample: Vector[IndexedSeq[Double]],
       k: Int,
       iters: Int): Vector[IndexedSeq[Double]] = {
-    var centroids = sample.take(math.min(k, sample.length))
-    for (_ <- 1 to iters) {
-      val assigned = sample.groupBy { v =>
-        centroids.indices.minBy { i => // minBy keeps the FIRST minimum:
-          val c = centroids(i) //         exact ties go to the lower cell
+    // Primitive-array Lloyd (r22): the boxed groupBy/minBy spelling put
+    // the PQ family's driver gap into IndexedSeq.apply + Double boxing
+    // (thread-sampled at sf0.1 — learnCentroids frames in a fifth of
+    // the q127 driver-gap samples). The arithmetic is unchanged
+    // OPERATION FOR OPERATION: assignment keeps the first strict
+    // minimum (ties to the lower cell), per-cell mean sums add members
+    // in sample order (groupBy preserved encounter order), and the
+    // rHalfAway pins sit exactly where they did — codebooks are
+    // bit-identical (PqSpec / SimilaritySpec floors pin this).
+    val n = sample.length
+    val arr: Array[Array[Double]] = sample.map(_.toArray).toArray
+    val dim = if (n > 0) arr(0).length else 0
+    val kk = math.min(k, n)
+    var cents: Array[Array[Double]] = arr.take(kk).map(_.clone)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](kk, dim)
+      val cnts = new Array[Int](kk)
+      var r = 0
+      while (r < n) {
+        val v = arr(r)
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var i = 0
+        while (i < kk) {
+          val c = cents(i)
           var s = 0.0; var d = 0
-          while (d < v.length) { val x = v(d) - c(d); s += x * x; d += 1 }
-          rHalfAway(s, 1e9)
+          while (d < dim) { val x = v(d) - c(d); s += x * x; d += 1 }
+          val ds = rHalfAway(s, 1e9)
+          if (ds < bestD) { bestD = ds; best = i }
+          i += 1
         }
+        val sb = sums(best)
+        var d = 0
+        while (d < dim) { sb(d) += v(d); d += 1 }
+        cnts(best) += 1
+        r += 1
       }
-      centroids = centroids.indices.map { i =>
-        assigned.get(i) match {
-          case Some(vs) =>
-            IndexedSeq.tabulate(vs.head.length)(d =>
-              rHalfAway(vs.map(_(d)).sum / vs.length, 1e6))
-          case None => centroids(i) // empty cell keeps its centroid
-        }
-      }.toVector
+      val next = new Array[Array[Double]](kk)
+      var i = 0
+      while (i < kk) {
+        if (cnts(i) > 0) {
+          val m = new Array[Double](dim)
+          var d = 0
+          while (d < dim) { m(d) = rHalfAway(sums(i)(d) / cnts(i), 1e6); d += 1 }
+          next(i) = m
+        } else next(i) = cents(i) // empty cell keeps its centroid
+        i += 1
+      }
+      cents = next
+      it += 1
     }
-    centroids
+    cents.toVector.map(c => c.toIndexedSeq)
   }
 
   /** Learn `k` coarse centroids with a few Lloyd iterations over a
@@ -692,10 +728,6 @@ object SimilaritySearch {
       iters: Int = 5,
       seed: Long = 42L,
       spherical: Boolean = false): Seq[Seq[Double]] = {
-    def unit(v: IndexedSeq[Double]): IndexedSeq[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n > 0) v.map(_ / n) else v
-    }
     // Uniform reservoir sample across ALL partitions — limit(N) would
     // take the head of the first partitions, biasing centroids to one
     // region of a sorted/clustered corpus.
@@ -703,34 +735,94 @@ object SimilaritySearch {
       .rdd.takeSample(withReplacement = false, sampleN, seed)
       // element-type-agnostic: corpus embeddings are float32, but
       // derived frames (e.g. [[Pq.residual]]) are double
-      .map(_.getSeq[Number](0).map(_.doubleValue()).toIndexedSeq)
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
     require(raw.nonEmpty, "cannot learn centroids from an empty frame")
+    lloydSeeded(raw, k, iters, seed, spherical)
+  }
+
+  /** The seeded Lloyd core of [[learnCentroids]], over an in-memory
+    * sample in draw order — shared with [[Pq.fit]]'s shared-collect
+    * fast path so both spellings run the IDENTICAL loop.
+    */
+  private[ext] def lloydSeeded(
+      raw: Array[Array[Double]],
+      k: Int,
+      iters: Int,
+      seed: Long,
+      spherical: Boolean): Seq[Seq[Double]] = {
     // Spherical k-means: learn on the unit sphere and keep centroids
     // unit — with unit centroids, the L2 argmin below is the same
     // assignment as max-dot, so one Lloyd loop serves both modes.
-    val sample = if (spherical) raw.map(unit) else raw
-    val rnd = new scala.util.Random(seed)
-    var centroids = rnd.shuffle(sample.toVector).take(math.min(k, sample.length))
-    for (_ <- 1 to iters) {
-      val assigned = sample.groupBy { v =>
-        centroids.indices.minBy { i =>
-          val c = centroids(i)
-          var s = 0.0; var d = 0
-          while (d < v.length) { val x = v(d) - c(d); s += x * x; d += 1 }
-          s
-        }
+    //
+    // Primitive-array Lloyd (r22, same treatment as [[pinnedLloyd]]):
+    // identical operations in identical order — first-strict-minimum
+    // assignment, per-cell mean sums in sample order, unit() applied to
+    // the mean exactly as before — so learned centroids are
+    // bit-identical to the boxed spelling; only boxing and closure
+    // allocation went away. The seeded shuffle permutes only by LENGTH,
+    // so drawing it over arrays keeps the same initialization.
+    val sample: Array[Array[Double]] = {
+      val base = raw
+      if (!spherical) base
+      else base.map { v =>
+        var s = 0.0; var d = 0
+        while (d < v.length) { s += v(d) * v(d); d += 1 }
+        val nrm = math.sqrt(s)
+        if (nrm > 0) { val u = new Array[Double](v.length)
+          d = 0; while (d < v.length) { u(d) = v(d) / nrm; d += 1 }; u
+        } else v
       }
-      centroids = centroids.indices.map { i =>
-        assigned.get(i) match {
-          case Some(vs) =>
-            val dim = vs.head.length
-            val mean = IndexedSeq.tabulate(dim)(d => vs.map(_(d)).sum / vs.length)
-            if (spherical) unit(mean) else mean
-          case None => centroids(i) // empty cell keeps its centroid
-        }
-      }.toVector
     }
-    centroids.map(_.toSeq)
+    val rnd = new scala.util.Random(seed)
+    val n = sample.length
+    val dim = sample(0).length
+    val kk = math.min(k, n)
+    var cents: Array[Array[Double]] =
+      rnd.shuffle(sample.toVector).take(kk).map(_.clone).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](kk, dim)
+      val cnts = new Array[Int](kk)
+      var r = 0
+      while (r < n) {
+        val v = sample(r)
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var i = 0
+        while (i < kk) {
+          val c = cents(i)
+          var s = 0.0; var d = 0
+          while (d < dim) { val x = v(d) - c(d); s += x * x; d += 1 }
+          if (s < bestD) { bestD = s; best = i }
+          i += 1
+        }
+        val sb = sums(best)
+        var d = 0
+        while (d < dim) { sb(d) += v(d); d += 1 }
+        cnts(best) += 1
+        r += 1
+      }
+      val next = new Array[Array[Double]](kk)
+      var i = 0
+      while (i < kk) {
+        if (cnts(i) > 0) {
+          val m = new Array[Double](dim)
+          var d = 0
+          while (d < dim) { m(d) = sums(i)(d) / cnts(i); d += 1 }
+          if (spherical) {
+            var s = 0.0; d = 0
+            while (d < dim) { s += m(d) * m(d); d += 1 }
+            val nrm = math.sqrt(s)
+            if (nrm > 0) { d = 0; while (d < dim) { m(d) = m(d) / nrm; d += 1 } }
+          }
+          next(i) = m
+        } else next(i) = cents(i) // empty cell keeps its centroid
+        i += 1
+      }
+      cents = next
+      it += 1
+    }
+    cents.toVector.map(_.toSeq)
   }
 
   /** IVF approximate top-k: scan only the `nProbe` cells whose centroids

@@ -27,6 +27,66 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     }.toDF("vec_id", "embedding")
   }
 
+  test("fit: shared-collect fast path is bit-identical to per-subspace takeSample") {
+    // The r22 fit collects the pinned frame ONCE when sampleN >= count
+    // and replays RDD.takeSample's num>=count branch per subspace
+    // (Fisher-Yates over the collected order with java.util.Random of
+    // the same seed). This pins that equivalence against the literal
+    // takeSample spelling, so a Spark-internals drift fails loudly.
+    import org.apache.spark.sql.functions.slice
+    val dim = 16; val m = 4; val k = 8; val subDim = dim / m
+    val seed = 42L; val iters = 5; val sampleN = 300
+    val fast = Pq.fit(clustered, "embedding", dim, m, k, sampleN, iters, seed)
+    val pinned = clustered.where(col("embedding").isNotNull)
+      .select(col("embedding")).localCheckpoint()
+    val slow = (0 until m).toVector.map { j =>
+      SimilaritySearch.learnCentroids(
+        pinned.select(
+          slice(col("embedding"), j * subDim + 1, subDim).as("__sub")),
+        "__sub", k, sampleN, iters, seed + j).toVector
+    }
+    assert(fast.codebooks == slow,
+      "fast-path codebooks must equal the takeSample spelling exactly")
+  }
+
+  test("encode: fused expression equals the composed sqdist/argmin spelling") {
+    // r22 replaced the m × k composed tree with one PqEncode node; this
+    // pins value equality INCLUDING edge cases: null vector (m null
+    // codes, non-null array), short vector (null code for the cut
+    // subspace), null element (null code for its subspace), exact ties
+    // (first minimum).
+    import org.apache.spark.sql.functions.{array_min, array_position, slice, typedLit}
+    val s = spark
+    import s.implicits._
+    val model = Pq.fit(clustered, "embedding", dim = 16, m = 4, k = 8, sampleN = 300)
+    def composed(vec: org.apache.spark.sql.Column) = {
+      val codes = (0 until model.m).map { j =>
+        val sl = slice(vec, j * model.subDim + 1, model.subDim)
+        val ds = array(model.codebooks(j).map(c =>
+          org.apache.spark.sql.graft.VectorOps.sqdist(sl, typedLit(c))): _*)
+        (array_position(ds, array_min(ds)) - 1).cast("int")
+      }
+      array(codes: _*)
+    }
+    val edge = Seq[(Long, Option[Array[java.lang.Float]])](
+      (0L, Some(Array.tabulate[java.lang.Float](16)(d => Float.box(d * 0.1f)))),
+      (1L, None), // null vector
+      (2L, Some(Array.tabulate[java.lang.Float](10)(d => Float.box(d * 0.2f)))), // short
+      (3L, Some(Array.tabulate[java.lang.Float](16)(d =>
+        if (d == 5) null else Float.box(1.0f - d * 0.05f)))) // null element
+    ).toDF("vec_id", "embedding")
+    val both = clustered.select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .unionByName(edge)
+      .select(col("vec_id"),
+        Pq.encode(col("embedding"), model).as("fused"),
+        composed(col("embedding")).as("composed"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2),
+        s"vec_id=${r.getLong(0)}: fused=${r.getSeq[Any](1)} composed=${r.getSeq[Any](2)}")
+    }
+  }
+
   test("fit: codebook shapes and code range") {
     val m = Pq.fit(clustered, "embedding", dim = 16, m = 4, k = 8, sampleN = 300)
     assert(m.m == 4 && m.k == 8 && m.subDim == 4)

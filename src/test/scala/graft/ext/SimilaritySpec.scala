@@ -22,6 +22,43 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     (0 until n).map(i => (i.toLong, vec(i))).toDF("id", "v")
   }
 
+  test("nearestCentroid: fused expression equals the composed struct-argmin spelling") {
+    // r22 replaced the k-struct array_min tree with one NearestCell
+    // node; this pins value equality INCLUDING edge cases: null vector,
+    // short vector, null element (all → cell 0, the composed form's
+    // null-d-sorts-first behavior), exact ties (lower index), and the
+    // spherical dot·(−1.0) lane.
+    import org.apache.spark.sql.functions.{array_min, struct, typedLit}
+    import org.apache.spark.sql.graft.VectorOps.{dot, sqdist}
+    val s = spark
+    import s.implicits._
+    val cents: Seq[Seq[Double]] =
+      (0 until 4).map(c => vec(c * 11 + 1).map(_.toDouble))
+    def composed(v: org.apache.spark.sql.Column, spherical: Boolean) =
+      array_min(array(cents.zipWithIndex.map { case (c, i) =>
+        val d = if (spherical) dot(v, typedLit(c)) * lit(-1.0)
+          else sqdist(v, typedLit(c))
+        struct(d.as("d"), lit(i).as("i"))
+      }: _*)).getField("i")
+    val edge = Seq[(Long, Option[Array[java.lang.Float]])](
+      (100L, None),
+      (101L, Some(Array.tabulate[java.lang.Float](5)(d => Float.box(d * 0.3f)))),
+      (102L, Some(Array.tabulate[java.lang.Float](8)(d =>
+        if (d == 2) null else Float.box(0.5f - d * 0.1f))))
+    ).toDF("id", "v")
+    Seq(false, true).foreach { sph =>
+      val rows = corpusDf(50).select(col("id"), col("v").cast("array<float>").as("v"))
+        .unionByName(edge)
+        .select(col("id"),
+          nearestCentroid(col("v"), cents, sph).cast("int").as("fused"),
+          composed(col("v"), sph).cast("int").as("ref"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getInt(1) == r.getInt(2), s"id=${r.getLong(0)} spherical=$sph")
+      }
+    }
+  }
+
   test("cosine of a vector with itself is 1.0") {
     import spark.implicits._
     val df = Seq((1L, vec(42))).toDF("id", "v")
