@@ -101,30 +101,88 @@ object Bpe {
       // 10M-word web vocabulary comfortably
       .coalesce(8)
       .localCheckpoint()
+    // Branch on the MEASURED pinned vocab size (the Prefix/Par
+    // scale-adaptive discipline, r22): a vocab that fits one advisory
+    // shuffle partition runs the greedy loop on the driver — the
+    // reference Sennrich shape: one collect, then numMerges rounds of
+    // in-memory pair counting and regex merging, ZERO per-round Spark
+    // roundtrips (the distributed loop paid ~84 scheduled jobs + plan
+    // passes for 32 merges at sf0.1, its entire profiled wall; a
+    // measured AQE-off variant cut the job count in half and the wall
+    // not at all — the roundtrips themselves are the floor). The
+    // in-memory rounds replay the SAME arithmetic: integer pair counts
+    // (order-free sums), the same (count desc, left asc, right asc)
+    // tie-break (symbols are [a-z0-9]+ by construction, where UTF8 and
+    // Java string order agree), and the same java.util.regex pattern +
+    // replaceAll the codegen regexp_replace runs — BpeSpec pins merge
+    // equality between the two branches. Corpus-scale vocabularies
+    // beyond the byte bound keep the distributed loop untouched.
+    val vocabBytes: Long = vocab.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val id = l.rdd.id
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .filter(_.id == id).map(i => i.memSize + i.diskSize).sum
+      case _ => 0L
+    }
+    val advisory = df.sparkSession.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var done = false
-    var sincePin = 0
-    while (!done && merges.size < numMerges) {
-      val top = pairCounts(vocab)
-        .orderBy(col("__c").desc, col("__a"), col("__b"))
-        .limit(1).collect()
-      if (top.isEmpty || top(0).getAs[Long]("__c") < minPairCount) done = true
-      else {
-        val (a, b) = (top(0).getAs[String]("__a"), top(0).getAs[String]("__b"))
-        merges += ((a, b))
-        // Pin every 8th rewrite, not every rewrite (r21): an
-        // unbounded chain would stack r regexp passes into round r's
-        // plan, but a per-round localCheckpoint pays a full
-        // materialization JOB per rule — half this loop's driver
-        // roundtrips. Eight chained regexp projections over the
-        // 8-partition vocab re-run per top-pair collect for far less
-        // than a checkpoint job costs; lineage depth stays ≤ 8.
-        vocab = vocab
-          .withColumn("__s", regexp_replace(col("__s"), mergePattern(a, b), a + b))
-        sincePin += 1
-        if (sincePin >= 8) {
-          vocab = vocab.localCheckpoint()
-          sincePin = 0
+    if (vocabBytes > 0 && vocabBytes <= advisory) {
+      var entries = vocab.collect().map(r => (r.getLong(0), r.getString(1)))
+      var done = false
+      while (!done && merges.size < numMerges) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        entries.foreach { case (f, s) =>
+          val toks = s.split(" ")
+          var i = 0
+          while (i < toks.length - 1) {
+            val key = (toks(i), toks(i + 1))
+            counts.update(key, counts.getOrElse(key, 0L) + f)
+            i += 1
+          }
+        }
+        var best: ((String, String), Long) = null
+        counts.foreach { e =>
+          if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (e._1._1 < best._1._1 ||
+              (e._1._1 == best._1._1 && e._1._2 < best._1._2)))) best = e
+        }
+        if (best == null || best._2 < minPairCount) done = true
+        else {
+          val (a, b) = best._1
+          merges += ((a, b))
+          val pat = java.util.regex.Pattern.compile(mergePattern(a, b))
+          val sub = a + " " + b
+          entries = entries.map { case (f, s) =>
+            if (s.contains(sub)) (f, pat.matcher(s).replaceAll(a + b)) else (f, s)
+          }
+        }
+      }
+    } else {
+      var done = false
+      var sincePin = 0
+      while (!done && merges.size < numMerges) {
+        val top = pairCounts(vocab)
+          .orderBy(col("__c").desc, col("__a"), col("__b"))
+          .limit(1).collect()
+        if (top.isEmpty || top(0).getAs[Long]("__c") < minPairCount) done = true
+        else {
+          val (a, b) = (top(0).getAs[String]("__a"), top(0).getAs[String]("__b"))
+          merges += ((a, b))
+          // Pin every 8th rewrite, not every rewrite (r21): an
+          // unbounded chain would stack r regexp passes into round r's
+          // plan, but a per-round localCheckpoint pays a full
+          // materialization JOB per rule — half this loop's driver
+          // roundtrips. Eight chained regexp projections over the
+          // 8-partition vocab re-run per top-pair collect for far less
+          // than a checkpoint job costs; lineage depth stays ≤ 8.
+          vocab = vocab
+            .withColumn("__s", regexp_replace(col("__s"), mergePattern(a, b), a + b))
+          sincePin += 1
+          if (sincePin >= 8) {
+            vocab = vocab.localCheckpoint()
+            sincePin = 0
+          }
         }
       }
     }

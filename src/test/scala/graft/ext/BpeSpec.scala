@@ -91,6 +91,25 @@ class BpeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     model.merges.size should be > 8 // the fixture genuinely learns
   }
 
+  test("learnMerges: driver-local and distributed loop branches learn identical tables") {
+    // r22 added a measured-size branch: small vocabularies run the
+    // greedy loop in driver memory, large ones keep the distributed
+    // per-round aggregate. Forcing the byte threshold to 1 byte drives
+    // the SAME fixture down the distributed branch; the tables must be
+    // equal rule for rule (and both equal the reference, via the test
+    // above).
+    import spark.implicits._
+    val df = fixture.toDF("doc_id", "text")
+    val local = Bpe.learnMerges(df, "text", numMerges = 24)
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val old = spark.conf.get(key)
+    val dist = try {
+      spark.conf.set(key, "1b")
+      Bpe.learnMerges(df, "text", numMerges = 24)
+    } finally spark.conf.set(key, old)
+    dist.merges shouldBe local.merges
+  }
+
   test("encode matches the reference word-by-word, including (0,0) for gram-less docs") {
     import spark.implicits._
     val df = fixture.toDF("doc_id", "text")
