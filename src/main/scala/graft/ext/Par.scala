@@ -27,13 +27,43 @@ object Par {
     * Only call this on exchange-free plans (scans, checkpointed
     * frames, narrow projections over either): `df.rdd` on a plan that
     * contains exchanges would materialize those stages eagerly under
-    * AQE. Keyed repartition (not round-robin) so there is no
-    * sort-before-repartition pass and the placement is deterministic
-    * under task retries (SPARK-38388 class).
+    * AQE. That probe is now GUARDED (r21 ADVICE), not just documented —
+    * see the branch comments in the body. Keyed repartition (not
+    * round-robin) so there is no sort-before-repartition pass and the
+    * placement is deterministic under task retries (SPARK-38388
+    * class).
     */
   def spread(df: DataFrame, key: Column): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p, key)
+    val plan = df.queryExecution.sparkPlan
+    // Parallelism WITHOUT `.rdd` where the plan already states it (r21
+    // ADVICE): an explicit repartition / exchange-rooted plan carries a
+    // static numPartitions, so no probe (and no eager AQE stage
+    // execution) is needed. Unknown-partitioning plans split two ways:
+    // narrow-over-leaf chains (scans, pinned frames, projections —
+    // every internal call site) probe `.rdd` as before, which runs no
+    // stages there; anything containing a shuffle-inducing operator
+    // takes the conservative branch — a deterministic keyed repartition
+    // (AQE coalesces it right back at real widths) instead of a probe
+    // that would execute those stages eagerly and duplicate their work.
+    val staticN = plan.outputPartitioning.numPartitions
+    val n =
+      if (staticN > 0) staticN
+      else {
+        val shuffleInducing = plan.exists {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+          case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+          case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+          case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+          case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+          case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+          case _: org.apache.spark.sql.execution.window.WindowExec => true
+          case s: org.apache.spark.sql.execution.SortExec if s.global => true
+          case _ => false
+        }
+        if (shuffleInducing) -1 else df.rdd.getNumPartitions
+      }
+    if (n >= p) df else df.repartition(p, key)
   }
 
   /** `localCheckpoint` whose pinned RDD is guaranteed at least the
@@ -53,6 +83,16 @@ object Par {
     val cp = df.localCheckpoint()
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     if (cp.rdd.getNumPartitions >= p) cp
-    else cp.repartition(p, key).localCheckpoint()
+    else {
+      val spreadCp = cp.repartition(p, key).localCheckpoint()
+      // the under-partitioned first pin has served its one purpose
+      // (feeding the re-spread); release its blocks now instead of
+      // letting them sit until RDD GC (r21 ADVICE — the LinkGraph
+      // iterate-unpersist pattern)
+      cp.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
+      spreadCp
+    }
   }
 }

@@ -267,6 +267,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     p should not include "SortMergeJoin"
     p should not include "BroadcastHashJoin"
     p should not include "ShuffledHashJoin"
+    // machine-check the "text never rides the doc-frequency exchange"
+    // half directly (r21 ADVICE): every __gh-keyed Exchange's input
+    // column list excludes text — only the conditional Par.spread
+    // fan-out (id-keyed, below the gram projection) may carry it.
+    // Formatted explain is the one rendering that lists each
+    // operator's input columns next to its partitioning arguments
+    // (ensure-requirements exchanges exist only in the executed plan,
+    // which AQE wraps against tree traversal).
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val ghBlocks = fmt.split("\n\\(")
+      .filter(b => b.contains("Exchange") &&
+        b.contains("hashpartitioning(__gh"))
+    ghBlocks should not be empty
+    ghBlocks.foreach { b =>
+      b should not include "text#"
+    }
   }
 
   test("q132 anchor extraction: one generator, no join; summary never sort-merges") {
