@@ -127,6 +127,14 @@ object GraftSession {
       // semantics must use a separate session (SparkEntry.events also
       // sets this at the call boundary for driver-owned sessions)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // file:// permission calls without libhadoop FORK a chmod shell
+      // per state-store directory / checkpoint file / committed output
+      // file (r22 thread sampling: half the stream-stream join's busy
+      // executor samples) — [[graft.hadoop.NioLocalFileSystem]] sets
+      // the same mode bits via java.nio instead. Same CRC/checksum
+      // behavior, same permissions; near-no-op where libhadoop exists.
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.hadoop.NioLocalFileSystem].getName)
       .config("spark.ui.enabled", "false")
   }
 
